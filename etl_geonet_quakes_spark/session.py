@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives so tests, the
+driver entrypoint and ``bench.py`` all run the same engine posture:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static plan is always wrong somewhere; AQE re-plans per stage.
+- ``spark.sql.shuffle.partitions`` sized for the local harness; on a
+  real cluster this is overridden (or left to AQE's coalescing with a
+  high initial value).
+- Session timezone pinned to UTC: parquet fixture timestamps are
+  naive, the DuckDB oracle reads them naive, and the reference wire
+  format is ISO-8601 UTC strings (/root/reference/task.ts:68,219-221),
+  so UTC end-to-end removes a whole class of tz drift.
+- Arrow enabled for the Pandas-UDF slow path (LLM ops, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_geonet_quakes_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with the engine's standard config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture events.parquet stores timestamp[ns], which Spark's
+        # parquet reader rejects; read as long and convert in io.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
