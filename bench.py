@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is timed over a full materialization (count of the result)
+after a warm-up of the input scans, so JVM/JIT startup is not billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_geonet_quakes_spark.queries import SPECS  # noqa: E402
+from etl_geonet_quakes_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q10_join_revenue_by_segment",
+    "q11_join_dim_chain",
+    "q20_window_topk",
+    "q23_sessionization",
+    "q36_time_window_tumbling",
+    "q40_dedup_exact",
+    "q41_dedup_ngram_jaccard",
+    "q42_dedup_minhash_lsh",
+    "q50_similarity_bruteforce",
+    "q60_token_stats",
+    "q64_token_frequency_topk",
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("etl-geonet-quakes-spark-bench")
+
+    # warm the session (JVM classloading, codegen caches) on a scan
+    # that is not one of the timed queries
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPECS[name].fn
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern (SURVEY.md §2.3): media travels as a ``binary`` column
+next to a typed metadata struct (the same nested-struct shape the
+reference uses for feature metadata, task.ts:222-232). Everything
+Spark-side — schema, partitioning, Arrow batch shape through
+mapInPandas — is real and tested; the actual codec work (image
+decode, audio resample, frame sampling) is stubbed because the
+decode libraries aren't in this container. Each stub either raises
+``NotImplementedError`` or applies a clearly-marked deterministic
+fake, so the pipeline shape can be exercised end-to-end today and
+the codec dropped in later without touching the plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_geonet_quakes_spark.io import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal table from the documents fixture: the UTF-8
+    text bytes stand in for an opaque media payload; metadata struct
+    carries kind/size/content-hash. Pure column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("kind"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha"),
+        ).alias("media_meta"),
+    )
+
+
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-comparable projection over the binary column: sizes and
+    content hashes (proves binary columns round-trip correctly)."""
+    m = documents_as_media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha").alias("sha"),
+    ).orderBy("doc_id")
+
+
+_FEATURE_SCHEMA = "doc_id long, n_bytes long, feat_mean double, feat_dim int"
+
+
+def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
+    """Feature-extraction over binary payloads via mapInPandas —
+    Arrow-batched, partition-parallel, the real 100 TB shape for
+    media work (decode happens next to the data, never on the
+    driver).
+
+    ``fake=True`` applies the deterministic stand-in (mean byte value
+    as a 1-dim "feature"); ``fake=False`` raises NotImplementedError
+    where a real decoder (PIL/torchaudio/ffmpeg) would run.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present "
+                    "in this environment; wire PIL/ffmpeg here"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    # deterministic fake: mean byte value
+                    "feat_mean": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "feat_dim": 1,
+                }
+            )
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal path: build media table → mapInPandas
+    feature extraction → stable ordering. (No SQL oracle — the
+    mapInPandas stage is outside DuckDB's vocabulary; driver records
+    rows-only. The byte-stats query above carries the hash-level
+    check for the binary plumbing.)"""
+    return extract_features(documents_as_media(spark, sf_dir)).orderBy("doc_id")

@@ -1,0 +1,154 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two tiers:
+
+- **Brute-force top-k** (correctness tier): broadcast the query set,
+  nested-loop against the corpus, exact cosine, per-query top-k via
+  row_number. At scale this is the right plan when |queries| is
+  small: the corpus streams once, nothing shuffles except the final
+  tiny top-k.
+- **LSH-bucketed ANN** (scale tier): random-hyperplane signatures →
+  candidates share a signature prefix (equi-join on bucket) → exact
+  rerank on candidates only. Recall tunable via bits/tables.
+
+Dot products fold left in double precision (deterministic order), so
+scores are bit-reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+
+DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(u: Column, w: Column) -> Column:
+    return F.aggregate(F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def cosine(u: Column, w: Column) -> Column:
+    return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+
+
+def topk_bruteforce(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny → broadcast; the corpus side never
+    shuffles. Ties broken by corpus vec_id for determinism.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        # round for cross-engine hash stability (ulp-level summation
+        # differences); ranking above uses the unrounded score
+        .select("query_id", "rnk", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hyperplanes(n_bits: int, dim: int = DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, reproducible across
+    runs — analogous to the reference pinning its clock for
+    determinism, SURVEY §7.4)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def _rh_signature(v: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i). Built
+    as a literal-array dot per plane — constant-folded plane vectors,
+    no UDF."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(v, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH.
+
+    Bucket = full signature (8 bits → 256 buckets). Candidates =
+    equi-join on bucket; exact cosine rerank on candidates. At 100 TB
+    the bucket join replaces the O(N·Q) scan with O(N·Q/2^bits) work
+    per table, at some recall cost (mitigated by multiple tables —
+    here one table keeps the fixture query fast).
+
+    Approximate by construction → no SQL oracle; tests check recall
+    against the brute-force tier instead.
+    """
+    planes = _hyperplanes(n_bits)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sig = e.withColumn("bucket", _rh_signature(F.col("v"), planes))
+    queries = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = sig.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function kit on embeddings: dimensionality, first
+    component, L2 norm, per-label aggregates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_comp"),
+            F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All pure column expressions (split/length/md5/LIKE) — no UDFs, so the
+whole kit stays inside whole-stage codegen and scales linearly with
+input bytes. At 100 TB these are embarrassingly parallel scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+from etl_geonet_quakes_spark.operators.relational import dsum
+
+TOKEN_SEP = " "  # fixture text is space-separated word soup
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, TOKEN_SEP)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics: doc counts, token counts, exact
+    char sums, average tokens/doc (reproducible decimal-sum average)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokens(F.col("text"))).cast("long")  # DuckDB len() is BIGINT
+    return (
+        d.select("lang", toks.alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length,
+    stopword ratio, uniqueness ratio (distinct/total tokens) — the
+    standard cheap pre-filters in LLM data pipelines. Integer-ratio
+    arithmetic in double space is reproducible (single division)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to")])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tok).alias("uniqueness"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_len"),
+        n_stop.cast("long").alias("n_stopword_kinds"),
+    ).orderBy("doc_id")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID (stopword-hit heuristic) and confusion
+    counts against the labeled ``lang`` column. The rule set is
+    deliberately expressible in ANSI SQL (LIKE) so the DuckDB oracle
+    can replicate it exactly; a production system would swap in a
+    character-n-gram model via mapInPandas (same plumbing)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    predicted = (
+        F.when(t.like("% der %") | t.like("% und %") | t.like("% die %"), "de")
+        .when(t.like("% le %") | t.like("% et %") | t.like("% les %"), "fr")
+        .when(t.like("% el %") | t.like("% los %") | t.like("% de la %"), "es")
+        .when(t.like("% the %") | t.like("% and %"), "en")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized document fingerprints (md5 of lower/trimmed text)
+    + duplicate-cluster sizes — the exact-dedup building block."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("cluster_size"))
+        .orderBy("fp")
+    )
+
+
+def token_frequency_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Global token frequency top-k: explode → hash agg → top-k.
+    The explode fans out ~100× but partial aggregation collapses it
+    map-side before any shuffle; ties broken lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per-source doc counts, char volume,
+    language spread — the bookkeeping query every corpus build runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,521 @@
+"""Relational operator library.
+
+The reference implements none of these (SURVEY.md §2.2 — its only
+"join" is a literal-map lookup and its only aggregate is a row
+count), so this module IS the engine's relational surface: scans,
+joins of every flavor, aggregations, windows, sorts, set ops and the
+scalar function kits, each as an idiomatic Catalyst-optimizable
+DataFrame program over the driver fixture tables.
+
+Cross-engine determinism policy (every query here is hash-compared
+against a DuckDB oracle at sf=0.01):
+
+- **Money/rate sums are exact decimal arithmetic.** Double summation
+  order differs between engines (and between Spark partitions), so
+  SUM(double) is not reproducible. All fixture money columns carry
+  ≤2 decimal digits, so casting to a decimal with generous scale is
+  value-exact, decimal sums are associative, and the final
+  ``CAST(sum AS DOUBLE)`` is correctly rounded in both engines →
+  bit-identical results. Decimal widths are chosen so no
+  intermediate hits the 38-digit cap (which would round).
+- **Averages** are ``CAST(decimal_sum AS DOUBLE) / count`` — double
+  division of identical operands is identical.
+- **Min/max/count/countDistinct** are order-insensitive already.
+- **Ties are always broken** by a unique key before LIMIT /
+  row_number so top-k is well-defined.
+
+At scale: filters sit directly on parquet scans (pushdown + column
+pruning), small dimensions are broadcast explicitly, aggregations are
+partial+final hash aggs, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+
+# Decimal shapes: values are 2-dp money / 2-dp rates in the fixtures;
+# scale 2/4 is exact and leaves ~20 integer digits of headroom for sums.
+D_MONEY = "decimal(18,2)"
+D_RATE = "decimal(8,4)"
+D_QTY = "decimal(18,2)"
+
+
+def dsum(col: Column, dtype: str = D_MONEY) -> Column:
+    """Order-insensitive exact sum of a ≤2-dp double column,
+    returned as a bit-reproducible double."""
+    return F.sum(col.cast(dtype)).cast("double")
+
+
+def davg(col: Column, dtype: str = D_MONEY) -> Column:
+    """Reproducible average: exact decimal sum / count, divided in
+    double space."""
+    return F.sum(col.cast(dtype)).cast("double") / F.count(col)
+
+
+# --------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Scan → filter (pushed to parquet) → partial+final hash agg on two
+    low-cardinality keys → sort. The canonical 100 TB-safe aggregation:
+    map-side combine collapses 6 groups per partition before shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(D_MONEY) * (
+        F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE)
+    )
+    charge = disc_price * (F.lit(1).cast(D_RATE) + F.col("l_tax").cast(D_RATE))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), D_QTY).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            # High-scale decimal sums reach double THROUGH A STRING:
+            # decimal→string is exact on both engines and string→double
+            # is correctly rounded on both, so the doubles are
+            # bit-identical. A direct decimal→double cast is NOT safe
+            # (DuckDB double-rounds int128/10^scale), and a decimal
+            # downcast first is NOT safe either (Spark rounds half-up,
+            # DuckDB half-to-even — bites on ties like ….44575).
+            F.sum(disc_price).cast("string").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("string").cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity"), D_QTY).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), D_RATE).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase aggregate under AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): hierarchical subtotals + grand
+    total in one pass (Expand node feeding a single hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), D_QTY).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(orderstatus, orderpriority): all 4 grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(F.col("o_totalprice")).alias("sum_price"), F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB answer to
+    COUNT(DISTINCT) when exactness isn't required (no oracle: sketch
+    internals are engine-specific; driver records rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------
+
+
+def join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer, revenue per market segment. customer is the
+    smaller side → explicit broadcast removes the shuffle entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def join_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region — the classic snowflake chain; both
+    dims are fixed-cardinality (25 / 5 rows) → broadcast at any SF."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN orders — customers with zero orders survive
+    with n_orders=0 (count(o_orderkey) skips nulls)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers having at least one 'F' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: lineitem prices against a tiny
+    literal band table → BroadcastNestedLoopJoin, the right physical
+    plan when one side is a handful of rows. (A band join against a
+    BIG range table would instead bucketize the range key and
+    equi-join on bucket — see llm.similarity for that pattern.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 20_000.0),
+            ("mid", 20_000.0, 50_000.0),
+            ("high", 50_000.0, 80_000.0),
+            ("lux", 80_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_extendedprice")).alias("sum_price"))
+        .orderBy("band")
+    )
+
+
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts —
+    nations present on either side survive with nulls → coalesce(0)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------
+
+
+def window_topk_orders(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k orders by value per market segment — row_number over a
+    per-group window; rank ties broken by o_orderkey so the result is
+    deterministic across engines and partitionings."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("c_mktsegment", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days since the customer's previous order; first order
+    per customer yields NULL."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).alias("gap_days"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer — frame
+    UNBOUNDED PRECEDING..CURRENT ROW; decimal accumulation so the
+    per-row prefix sums are reproducible."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(D_MONEY)).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when
+    the gap to the previous event of the same user exceeds the
+    threshold; session id = prefix sum of breaks. Two stacked windows
+    over the same (user_id, ts) partitioning → one shuffle total."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    # unix_micros, not unix_timestamp: second-truncation would move
+    # gaps computed near the threshold (oracle uses epoch_us)
+    is_break = (
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us, 1
+        )
+        .otherwise(0)
+    )
+    sess = e.withColumn("brk", is_break).withColumn(
+        "session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------
+
+
+def orderby_limit_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Global top-k — Spark plans ORDER BY + LIMIT as TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(k)
+    )
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets derived from
+    order status, tagged by which set-op produced each row."""
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    p_cust = o.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).withColumn("set_op", F.lit("f_and_o"))
+    only_f = f_cust.exceptAll(o_cust).withColumn("set_op", F.lit("f_not_o"))
+    f_or_p = f_cust.unionByName(p_cust).distinct().withColumn("set_op", F.lit("f_or_p"))
+    return both.unionByName(only_f).unionByName(f_or_p).orderBy("set_op", "o_custkey")
+
+
+# --------------------------------------------------------------------
+# Scalar function kits (string / date / math / array / map / json)
+# --------------------------------------------------------------------
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kit over part: case mapping, length, substring, replace,
+    split, LIKE-derived flags, concat — all JVM-codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            # cast to long: DuckDB length()/len() return BIGINT
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_type", 1, 7).alias("type_prefix"),
+            F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+            F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+            F.when(F.col("p_type").like("%ECONOMY%"), 1).otherwise(0).alias("is_economy"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kit over orders: year/month/quarter extraction, trunc,
+    date arithmetic — grouped to a compact per-month summary."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "mon", "qtr", "month_start")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("yr", "mon")
+    )
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kit per-row on a pruned slice: abs/ceil/floor/sqrt/%
+    (sqrt is IEEE-exact so safe to compare unrounded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing over events.value + exact per-bucket sums."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "small")
+        .when(F.col("value") < 150, "medium")
+        .otherwise("large")
+    )
+    return (
+        e.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .orderBy("bucket")
+    )
+
+
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON kit over events.props (O3's decode generalized to
+    per-field extraction): get_json_object + cast + aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts fanned out to one column per type.
+    Values enumerated explicitly — at scale an implicit pivot would
+    scan once just to discover them."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows in batch (F.window) — same
+    operator the streaming path uses, here aggregated statically."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "event_type", "n", "sum_value")
+        .orderBy("day", "event_type")
+    )

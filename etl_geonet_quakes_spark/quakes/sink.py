@@ -1,0 +1,83 @@
+"""Sink adapters: FeatureCollection envelope + upsert/expiry contract.
+
+The reference POSTs one FeatureCollection per run and relies on
+**upsert-by-id with expiry-by-omission** (task.ts:195-203,251-256):
+re-sending an id updates the feature, omitting a previously-sent id
+expires it. Two adapters re-express that:
+
+- ``to_feature_collection`` — the thin driver-side envelope for the
+  REST handoff. The ONLY place in the engine that collects; it sorts
+  by id so the envelope is byte-stable (distributed row order is not,
+  SURVEY §7.4). Payloads here are O(100) rows by contract.
+- ``SnapshotDiffSink`` — the scale path: each trigger/batch publishes
+  a full snapshot keyed by id and diffs against the previous
+  snapshot's id set to emit explicit ``expired`` ids. This turns the
+  reference's implicit platform-side state into engine-visible state
+  that works under ``foreachBatch`` in streaming or per-run in batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def to_feature_collection(df: DataFrame) -> dict:
+    """Envelope rows as {'type': 'FeatureCollection', 'features': [...]}
+    (task.ts:251-254). Driver-side by design — REST handoff only."""
+    rows = df.orderBy("id").toJSON().collect()
+    return {"type": "FeatureCollection", "features": [json.loads(r) for r in rows]}
+
+
+class SnapshotDiffSink:
+    """Upsert-by-id + expiry-by-omission over snapshot publishes.
+
+    State is a parquet directory of the previously-published ids —
+    durable, partition-parallel, and tiny relative to the data (ids
+    only). ``publish`` returns (upserted_count, expired_ids_df).
+    """
+
+    def __init__(self, state_dir: str) -> None:
+        self.state_dir = state_dir
+        self._ids_path = os.path.join(state_dir, "published_ids")
+
+    def _previous_ids(self, spark) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self._ids_path)
+        except Exception:
+            return None  # first publish
+
+    def publish(self, snapshot: DataFrame) -> tuple[int, DataFrame]:
+        """Publish a full snapshot (must carry an ``id`` column).
+
+        Returns the number of upserted features and a DataFrame of ids
+        expired by omission (present previously, absent now).
+        """
+        spark = snapshot.sparkSession
+        ids = snapshot.select("id").dropDuplicates(["id"])
+        prev = self._previous_ids(spark)
+        if prev is not None:
+            expired = prev.join(ids, "id", "left_anti")
+        else:
+            expired = ids.limit(0)
+        # materialize expiry BEFORE overwriting state
+        expired = spark.createDataFrame(expired.collect(), schema=expired.schema)
+        n = ids.count()
+        ids.write.mode("overwrite").parquet(self._ids_path)
+        return n, expired
+
+    def foreach_batch(self, handler=None):
+        """Adapter for streaming: ``writeStream.foreachBatch(sink.foreach_batch(fn))``
+        where ``fn(feature_collection_dict, expired_ids_list, epoch)``
+        performs the actual REST POST (or logging in tests)."""
+
+        def run(batch_df: DataFrame, epoch_id: int) -> None:
+            n, expired = self.publish(batch_df)
+            if handler is not None:
+                fc = to_feature_collection(batch_df)
+                handler(fc, [r["id"] for r in expired.collect()], epoch_id)
+
+        return run

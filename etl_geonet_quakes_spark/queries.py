@@ -1,0 +1,595 @@
+"""Query registry: every implemented operator paired with its DuckDB
+oracle SQL (the driver contract in ``__spark_entry__.py``).
+
+Each entry maps a SURVEY.md §2 inventory row (or §2.3 extension) to a
+(spark_fn, oracle_sql) pair. The oracle runs on the same parquet
+tables; the driver compares row count + schema + order-insensitive
+value hash, so:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- integer widths match DuckDB's (BIGINT for count/len/sum-of-int);
+- double aggregates go through exact decimal arithmetic and a final
+  CAST AS DOUBLE (see operators.relational docstring) so the values
+  are bit-identical, not merely close;
+- fold-order-sensitive float math (cosine, norms) is rounded to 6dp
+  on both sides.
+
+Entries with ``oracle=None`` are genuinely non-SQL-expressible
+(hash-seeded sketches, approximate ANN, mapInPandas stages, the
+GeoJSON pipeline) — the driver records a weaker rows-only check and
+the tests in tests/ carry the semantics instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_geonet_quakes_spark.llm import dedup, multimodal, similarity, text
+from etl_geonet_quakes_spark.operators import relational as rel
+from etl_geonet_quakes_spark.streaming import windows as stw
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared SQL fragments -------------------------------------------------
+
+_DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+_TS = "CAST(ts AS TIMESTAMP)"  # events.ts is TIMESTAMP_NS in DuckDB; µs in Spark
+
+
+def _dsum(col: str) -> str:
+    return _DSUM.format(col=col)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: Optional[str]
+    survey_ref: str  # SURVEY.md §2 row(s) this covers
+
+
+SPECS: dict[str, QuerySpec] = {
+    # --- aggregations -------------------------------------------------
+    "q01_pricing_summary": QuerySpec(
+        rel.pricing_summary,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_dsum('l_extendedprice')} AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+                    AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                        * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))))
+                    AS VARCHAR) AS DOUBLE) AS sum_charge,
+               {_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+               {_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "§2.2 aggregations (hash agg, partial+final); flagship",
+    ),
+    "q02_agg_distinct": QuerySpec(
+        rel.agg_distinct_counts,
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "§2.2 aggregations: distinct",
+    ),
+    "q03_agg_rollup": QuerySpec(
+        rel.agg_rollup,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "§2.2 aggregations: rollup",
+    ),
+    "q04_agg_cube": QuerySpec(
+        rel.agg_cube,
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {_dsum('o_totalprice')} AS sum_price, COUNT(*) AS n
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "§2.2 aggregations: cube / grouping sets",
+    ),
+    "q05_agg_approx_distinct": QuerySpec(
+        rel.agg_approx_distinct,
+        None,  # HLL++ sketch values are engine-specific
+        "§2.2 aggregations: approx_count_distinct (rows-only)",
+    ),
+    # --- joins --------------------------------------------------------
+    "q10_join_revenue_by_segment": QuerySpec(
+        rel.join_revenue_by_segment,
+        f"""
+        SELECT c_mktsegment, {_dsum('o_totalprice')} AS revenue, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "§2.2 joins: broadcast inner equi-join",
+    ),
+    "q11_join_dim_chain": QuerySpec(
+        rel.join_dim_chain,
+        f"""
+        SELECT r_name, COUNT(*) AS n_customers,
+               {_dsum('c_acctbal')} AS sum_acctbal,
+               COUNT(DISTINCT n_name) AS n_nations
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        "§2.2 joins: snowflake dim chain (broadcast × 2)",
+    ),
+    "q12_join_left_order_counts": QuerySpec(
+        rel.join_left_order_counts,
+        f"""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+               COALESCE({_dsum('o_totalprice')}, 0.0) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "§2.2 joins: left outer",
+    ),
+    "q13_join_semi": QuerySpec(
+        rel.join_semi,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """,
+        "§2.2 joins: left semi (EXISTS)",
+    ),
+    "q14_join_anti": QuerySpec(
+        rel.join_anti,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+        """,
+        "§2.2 joins: left anti (NOT EXISTS)",
+    ),
+    "q15_join_range_bands": QuerySpec(
+        rel.join_range_price_bands,
+        f"""
+        WITH bands(band, lo, hi) AS (
+            VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0),
+                   ('high', 50000.0, 80000.0), ('lux', 80000.0, 1e18))
+        SELECT band, COUNT(*) AS n, {_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem JOIN bands
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band ORDER BY band
+        """,
+        "§2.2 joins: non-equi range/theta",
+    ),
+    "q16_join_full_outer": QuerySpec(
+        rel.join_full_outer_nation_activity,
+        """
+        WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        ORDER BY nationkey
+        """,
+        "§2.2 joins: full outer",
+    ),
+    # --- windows / sort / set ops --------------------------------------
+    "q20_window_topk": QuerySpec(
+        rel.window_topk_orders,
+        """
+        SELECT c_mktsegment, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+        FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+        WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+        """,
+        "§2.2 windows: ranking / top-k per group",
+    ),
+    "q21_window_lag": QuerySpec(
+        rel.window_lag_order_gaps,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    CAST(lag(o_orderdate) OVER w AS DATE),
+                    CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ORDER BY o_custkey, o_orderkey
+        """,
+        "§2.2 windows: lag/lead analytic",
+    ),
+    "q22_window_running_total": QuerySpec(
+        rel.window_running_total,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend
+        FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "§2.2 windows: aggregate frames",
+    ),
+    "q23_sessionization": QuerySpec(
+        rel.sessionize_events,
+        f"""
+        WITH g AS (
+            SELECT user_id, event_id, {_TS} AS t,
+                   CASE WHEN epoch_us({_TS}) - epoch_us(lag({_TS}) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY {_TS} ASC, event_id ASC)
+        ), s AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM g
+        )
+        SELECT user_id, CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        "§2.2 sessionization (gaps-and-islands)",
+    ),
+    "q24_orderby_limit_topk": QuerySpec(
+        rel.orderby_limit_topk,
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 20
+        """,
+        "§2.2 sorts / limits / top-k",
+    ),
+    "q25_set_operations": QuerySpec(
+        rel.set_operations,
+        """
+        WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        SELECT o_custkey, 'f_and_o' AS set_op FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+        UNION ALL
+        SELECT o_custkey, 'f_not_o' AS set_op FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+        UNION ALL
+        SELECT o_custkey, 'f_or_p' AS set_op FROM (SELECT * FROM f UNION SELECT * FROM p)
+        ORDER BY set_op, o_custkey
+        """,
+        "§2.2 set ops: union/intersect/except",
+    ),
+    # --- scalar function kits ------------------------------------------
+    "q30_string_functions": QuerySpec(
+        rel.string_functions,
+        """
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LENGTH(p_name) AS name_len,
+               SUBSTRING(p_type, 1, 7) AS type_prefix,
+               REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+               CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_words,
+               CASE WHEN p_type LIKE '%ECONOMY%' THEN 1 ELSE 0 END AS is_economy,
+               CONCAT_WS('|', p_brand, p_type) AS brand_type
+        FROM part ORDER BY p_partkey
+        """,
+        "§2.2 scalar: string kit",
+    ),
+    "q31_date_functions": QuerySpec(
+        rel.date_functions,
+        f"""
+        SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+               CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+               CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               COUNT(*) AS n_orders,
+               {_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1, 2, 3, 4 ORDER BY yr, mon
+        """,
+        "§2.2 scalar: date/time kit (O17 generalized)",
+    ),
+    "q32_math_functions": QuerySpec(
+        rel.math_functions,
+        """
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_quantity - 25.0) AS qty_dev,
+               CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+               SQRT(l_quantity) AS qty_sqrt,
+               l_linenumber % 3 AS ln_mod3
+        FROM lineitem WHERE l_orderkey <= 100
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        "§2.2 scalar: math kit",
+    ),
+    "q33_case_when_buckets": QuerySpec(
+        rel.case_when_buckets,
+        f"""
+        SELECT CASE WHEN value < 50 THEN 'small'
+                    WHEN value < 150 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               COUNT(*) AS n, {_dsum('value')} AS sum_value
+        FROM events GROUP BY 1 ORDER BY bucket
+        """,
+        "§2.2 scalar: conditional expressions",
+    ),
+    "q34_json_extraction": QuerySpec(
+        rel.json_extraction,
+        """
+        SELECT event_type, COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+               CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
+        """,
+        "§2.1 O3 generalized: per-field JSON extraction",
+    ),
+    "q35_pivot": QuerySpec(
+        rel.pivot_event_types,
+        f"""
+        SELECT CAST({_TS} AS DATE) AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day
+        """,
+        "§2.2 pivot",
+    ),
+    "q36_time_window_tumbling": QuerySpec(
+        rel.time_window_tumbling,
+        f"""
+        SELECT CAST({_TS} AS DATE) AS day, event_type, COUNT(*) AS n,
+               {_dsum('value')} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "§2.2 streaming windows (batch form)",
+    ),
+    # --- LLM data ops (§2.3) -------------------------------------------
+    "q40_dedup_exact": QuerySpec(
+        dedup.dedup_exact,
+        """
+        SELECT md5(text) AS fp, MIN(doc_id) AS kept_doc, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text) ORDER BY kept_doc
+        """,
+        "§2.3 exact dedup",
+    ),
+    "q41_dedup_ngram_jaccard": QuerySpec(
+        dedup.dedup_ngram_jaccard,
+        """
+        WITH d AS (SELECT doc_id, source,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+        """,
+        "§2.3 near-dup: n-gram Jaccard with blocking",
+    ),
+    "q42_dedup_minhash_lsh": QuerySpec(
+        dedup.dedup_minhash_lsh,
+        None,  # xxhash64-seeded signatures are engine-specific
+        "§2.3 near-dup: MinHash+LSH (rows-only; Jaccard-verified in tests)",
+    ),
+    "q43_dedup_simhash": QuerySpec(
+        dedup.dedup_simhash,
+        None,  # xxhash64-based fingerprints are engine-specific
+        "§2.3 near-dup: SimHash/Hamming (rows-only)",
+    ),
+    "q44_dedup_embedding_cosine": QuerySpec(
+        dedup.dedup_embedding_cosine,
+        """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (SQRT(list_dot_product(a.v, a.v))
+                            * SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cosine >= 0.95 ORDER BY id_a, id_b
+        """,
+        "§2.3 near-dup: embedding cosine with label blocking",
+    ),
+    "q50_similarity_bruteforce": QuerySpec(
+        similarity.topk_bruteforce,
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             scored AS (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       list_dot_product(qv, v)
+                           / (SQRT(list_dot_product(qv, qv))
+                              * SQRT(list_dot_product(v, v))) AS cos_raw
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+             ranked AS (
+                SELECT query_id, neighbor_id, cos_raw,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+                FROM scored)
+        SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+               ROUND(cos_raw, 6) AS cos
+        FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+        """,
+        "§2.3 similarity search: exact top-k cosine",
+    ),
+    "q51_similarity_lsh": QuerySpec(
+        similarity.topk_lsh,
+        None,  # approximate by construction; recall tested vs brute force
+        "§2.3 similarity search: LSH-bucketed ANN (rows-only)",
+    ),
+    "q52_embedding_norms": QuerySpec(
+        similarity.embedding_norms,
+        """
+        SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_comp,
+               ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings ORDER BY vec_id
+        """,
+        "§2.2 scalar: array kit over embeddings",
+    ),
+    "q60_token_stats": QuerySpec(
+        text.token_stats,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM (SELECT lang, n_chars,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents)
+        GROUP BY lang ORDER BY lang
+        """,
+        "§2.3 text analysis: token counting",
+    ),
+    "q61_quality_score": QuerySpec(
+        text.quality_score,
+        """
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(dtoks) AS BIGINT) AS n_distinct_tokens,
+               CAST(len(dtoks) AS DOUBLE) / len(toks) AS uniqueness,
+               CAST(LENGTH(text) AS DOUBLE) / len(toks) AS avg_token_len,
+               CAST(len(list_intersect(dtoks, ['the', 'a', 'of', 'and', 'to'])) AS BIGINT)
+                   AS n_stopword_kinds
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                     list_distinct(string_split(text, ' ')) AS dtoks
+              FROM documents)
+        ORDER BY doc_id
+        """,
+        "§2.3 text analysis: quality scoring",
+    ),
+    "q62_language_id": QuerySpec(
+        text.language_id,
+        """
+        SELECT lang, predicted, COUNT(*) AS n FROM (
+            SELECT lang,
+                   CASE WHEN t LIKE '% der %' OR t LIKE '% und %' OR t LIKE '% die %' THEN 'de'
+                        WHEN t LIKE '% le %' OR t LIKE '% et %' OR t LIKE '% les %' THEN 'fr'
+                        WHEN t LIKE '% el %' OR t LIKE '% los %' OR t LIKE '% de la %' THEN 'es'
+                        WHEN t LIKE '% the %' OR t LIKE '% and %' THEN 'en'
+                        ELSE 'unknown' END AS predicted
+            FROM (SELECT lang, ' ' || text || ' ' AS t FROM documents))
+        GROUP BY lang, predicted ORDER BY lang, predicted
+        """,
+        "§2.3 text analysis: language-ID heuristic",
+    ),
+    "q63_fingerprint": QuerySpec(
+        text.fingerprint,
+        """
+        SELECT md5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS cluster_size
+        FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "§2.3 text analysis: document fingerprinting",
+    ),
+    "q64_token_frequency_topk": QuerySpec(
+        text.token_frequency_topk,
+        """
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY freq DESC, token ASC LIMIT 25
+        """,
+        "§2.3 text analysis: global token frequency",
+    ),
+    "q65_doc_stats_by_source": QuerySpec(
+        text.doc_stats_by_source,
+        """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source ORDER BY source
+        """,
+        "§2.3 text analysis: corpus composition",
+    ),
+    "q66_media_byte_stats": QuerySpec(
+        multimodal.media_byte_stats,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents ORDER BY doc_id
+        """,
+        "§2.3 multimodal: binary column plumbing",
+    ),
+    "q67_media_features": QuerySpec(
+        multimodal.media_features,
+        None,  # mapInPandas feature extraction — outside SQL vocabulary
+        "§2.3 multimodal: mapInPandas feature extraction (rows-only)",
+    ),
+    # --- streaming (§2.2 streaming rows) --------------------------------
+    "q70_stream_tumbling": QuerySpec(
+        stw.stream_tumbling_counts,
+        f"""
+        SELECT CAST({_TS} AS DATE) AS day, event_type, COUNT(*) AS n,
+               {_dsum('value')} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "§2.2 streaming: watermark + tumbling window ≡ batch agg",
+    ),
+    "q71_stream_sliding": QuerySpec(
+        stw.stream_sliding_counts,
+        f"""
+        WITH d AS (SELECT CAST({_TS} AS DATE) AS d FROM events),
+             u AS (SELECT d AS win_start FROM d
+                   UNION ALL SELECT CAST(d - INTERVAL 1 DAY AS DATE) FROM d)
+        SELECT win_start, COUNT(*) AS n FROM u GROUP BY 1 ORDER BY win_start
+        """,
+        "§2.2 streaming: sliding windows",
+    ),
+    "q72_stream_dedup": QuerySpec(
+        stw.stream_dedup_user_type,
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "§2.2 streaming: stateful dropDuplicates",
+    ),
+    "q73_stream_sessions": QuerySpec(
+        stw.stream_session_windows,
+        f"""
+        WITH g AS (
+            SELECT user_id, event_id,
+                   CASE WHEN epoch_us({_TS}) - epoch_us(lag({_TS}) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY {_TS} ASC, event_id ASC)
+        )
+        SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "§2.2 streaming: session windows ≡ batch sessionization",
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle}

@@ -18,10 +18,37 @@ driver entrypoint and ``bench.py`` all run the same engine posture:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    cloudpickle serializes classes/functions defined in an importable
+    module BY REFERENCE, so custom data sources and any UDF that
+    touches module globals need the package on the workers' path —
+    true on a real cluster exactly as in local mode. Shipping a zip
+    via addPyFile is the standard mechanism and costs one file-copy
+    per session.
+    """
+    if getattr(spark, "_egqs_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "etl_geonet_quakes_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._egqs_shipped = True
 
 
 def get_spark(
@@ -47,6 +74,8 @@ def get_spark(
         # fixture events.parquet stores timestamp[ns], which Spark's
         # parquet reader rejects; read as long and convert in io.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source filter pushdown (quakes.source)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
@@ -56,4 +85,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

@@ -1,0 +1,128 @@
+"""Streaming window/dedup operators over the events fixture.
+
+The reference's "streaming" is restart-the-world on a schedule with a
+sliding age cutoff (task.ts:143,193 — SURVEY §2.2). Here the same
+incremental semantics run as real Structured Streaming: event-time
+windows + watermarks + stateful dedup, driven to completion with
+``trigger(availableNow=True)`` so batch fixtures can exercise the
+streaming engine synchronously (and so results are comparable against
+a batch oracle: a terminated availableNow stream over a static table
+must equal the equivalent batch aggregation).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+
+# events.parquet carries timestamp[ns] (see io.load_table); streaming
+# reads share the same long→µs conversion.
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = load_table(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(
+            # pre-conversion schema: ts arrives as long (nanosAsLong)
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # FileStreamSource requires a directory; glob-filter to the
+        # single fixture file inside it
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf_dir}/")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    # keep the batch df around for schema parity assertions in tests
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in batch.schema.fields
+    ]
+    return stream
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> str:
+    """Drive a streaming DataFrame to completion into a memory sink;
+    returns the (unique) table name."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a watermark, complete
+    output mode → final result equals the batch aggregation (the
+    property the oracle checks)."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = _run_to_memory(agg, "complete")
+    return (
+        spark.table(name)
+        .select(F.to_date(F.col("w.start")).alias("day"), "event_type", "n", "sum_value")
+        .orderBy("day", "event_type")
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-day length, 1-day slide): each event lands
+    in two windows; oracle = union of two shifted tumbling aggs."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = _run_to_memory(agg, "complete")
+    return (
+        spark.table(name)
+        .select(F.to_date(F.col("w.start")).alias("win_start"), "n")
+        .orderBy("win_start")
+    )
+
+
+def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first event per (user_id, event_type)
+    survives; aggregate to per-type distinct-user counts so the
+    result is deterministic (which row is 'first' is racy, the COUNT
+    of survivors is not)."""
+    e = _events_stream(spark, sf_dir)
+    dedup = e.dropDuplicates(["user_id", "event_type"])
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    name = _run_to_memory(agg, "complete")
+    return spark.table(name).orderBy("event_type")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window with a 30-min
+    gap) per user; returns per-user session counts — comparable to
+    the batch gaps-and-islands sessionization."""
+    e = _events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = _run_to_memory(agg, "complete")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,101 @@
+"""Semantic tests for the LLM-data operators that have no SQL oracle
+(sketches, ANN, mapInPandas) — these carry the correctness story the
+driver's rows-only check can't."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.llm import dedup, multimodal, similarity
+
+
+def test_minhash_matches_exact_shingle_jaccard(spark, sf_dir):
+    """Ground truth: exact all-pairs shingle Jaccard (brute force is
+    affordable at test scale). MinHash-LSH emits a verified subset
+    (precision 1.0 by construction) with probabilistic recall."""
+    from pyspark.sql import functions as F
+    from etl_geonet_quakes_spark.llm.dedup import _shingles
+
+    thr = 0.5
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", _shingles(F.col("text"), 3).alias("toks"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
+        F.array_union("a.toks", "b.toks")
+    )
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= thr)
+        .collect()
+    }
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir, threshold=thr).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # precision 1.0
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall > 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_simhash_pairs_have_small_hamming(spark, sf_dir):
+    out = dedup.dedup_simhash(spark, sf_dir, max_hamming=3)
+    rows = out.collect()
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """ANN results must be a plausible subset: every returned neighbor
+    either appears in the exact top-5 or is ranked by true cosine —
+    measure recall and require it nonzero (one 8-bit table keeps the
+    fixture query cheap; recall rises with more tables)."""
+    exact = similarity.topk_bruteforce(spark, sf_dir, n_queries=5, k=5)
+    ann = similarity.topk_lsh(spark, sf_dir, n_queries=5, k=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert ann_pairs, "LSH returned nothing"
+    recall = len(ann_pairs & exact_pairs) / len(exact_pairs)
+    assert recall > 0.0
+
+
+def test_multimodal_feature_extraction_fake(spark, sf_dir):
+    out = multimodal.media_features(spark, sf_dir)
+    rows = out.limit(5).collect()
+    assert rows and all(r["feat_dim"] == 1 for r in rows)
+    # deterministic fake: mean byte value of the UTF-8 payload
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()
+    }
+    for r in rows:
+        if r["doc_id"] in docs:
+            b = docs[r["doc_id"]].encode("utf-8")
+            assert r["n_bytes"] == len(b)
+            assert abs(r["feat_mean"] - sum(b) / len(b)) < 1e-9
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    df = multimodal.documents_as_media(spark, sf_dir)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(df, fake=False).limit(1).collect()
+
+
+def test_bruteforce_topk_is_descending(spark, sf_dir):
+    out = similarity.topk_bruteforce(spark, sf_dir, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cos"]))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        scores = [c for _, c in pairs]
+        assert scores == sorted(scores, reverse=True)
+        assert len(pairs) == 5
