@@ -96,33 +96,51 @@ def topk_lsh(
     sf_dir: str,
     n_queries: int = 5,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int = 6,
+    n_tables: int = 6,
 ) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH.
+    """ANN top-k via multi-table random-hyperplane LSH.
 
-    Bucket = full signature (8 bits → 256 buckets). Candidates =
-    equi-join on bucket; exact cosine rerank on candidates. At 100 TB
-    the bucket join replaces the O(N·Q) scan with O(N·Q/2^bits) work
-    per table, at some recall cost (mitigated by multiple tables —
-    here one table keeps the fixture query fast).
+    L independent tables of b-bit signatures; a corpus vector is a
+    candidate if it matches the query's bucket in ANY table (explode
+    (table, bucket) pairs → equi-join → dedup), then exact cosine
+    rerank on candidates only. Per-pair recall for angle θ is
+    1-(1-(1-θ/π)^b)^L — b trades candidate volume against selectivity,
+    L buys recall linearly in cost. At 100 TB the bucket equi-join
+    replaces the O(N·Q) scan with O(N·Q·L/2^b) shuffled work.
 
     Approximate by construction → no SQL oracle; tests check recall
     against the brute-force tier instead.
     """
-    planes = _hyperplanes(n_bits)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    sig = e.withColumn("bucket", _rh_signature(F.col("v"), planes))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _rh_signature(F.col("v"), _hyperplanes(n_bits, seed=42 + t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sig = e.select("vec_id", "v", F.explode(tables).alias("tb")).select(
+        "vec_id", "v", "tb.tbl", "tb.bucket"
+    )
     queries = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
     cand = sig.join(
         F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).dropDuplicates(["query_id", "vec_id"])
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

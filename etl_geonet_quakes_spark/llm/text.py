@@ -109,6 +109,37 @@ def token_frequency_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataF
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """tf-idf per (doc, token) with top-k terms per document (first 20
+    docs). tf = in-doc count, idf = ln(N/df). Shape at scale: explode
+    → two hash aggs (tf, df) → broadcast the tiny df side back. ln()
+    agrees bit-for-bit across libms on this range; ranking ties broken
+    by token."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny dimension, computed once
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.filter(F.col("doc_id") < 20)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), "token", "tfidf")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report: per-source doc counts, char volume,
     language spread — the bookkeeping query every corpus build runs."""

@@ -365,6 +365,151 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.2 joins row):
+    for each purchase event, the user's most recent click at-or-before
+    the purchase instant.
+
+    Implemented the scale-correct way: UNION both sides, ONE window
+    over (user_id, ts) carrying the last click timestamp forward
+    (``last(..., ignoreNulls)``), then keep the purchase rows. One
+    shuffle on user_id — never the per-user theta-join that quadratics
+    on hot users. Equal-timestamp ties sort clicks before purchases to
+    match the oracle's ASOF ``>=`` bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("p_event")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event")
+    )
+    unioned = clicks.unionByName(purchases)
+    # clicks first on ties: p_event NULLS FIRST under asc ordering
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("p_event").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.when(F.col("p_event").isNull(), F.col("ts"))
+    out = unioned.withColumn("last_click", F.last(click_ts, ignorenulls=True).over(w))
+    return (
+        out.filter(F.col("p_event").isNotNull())
+        .select(
+            F.col("p_event").alias("event_id"),
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("last_click").alias("last_click_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand-total aggregates in one Expand pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per order status —
+    both engines sort-and-interpolate identically; at 100 TB swap in
+    approx_percentile (t-digest) and drop the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value over a deterministic per-customer ordering: each
+    customer's first and latest order key."""
+    o = load_table(spark, sf_dir, "orders")
+    asc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    desc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first_value("o_orderkey").over(asc).alias("first_order"),
+            F.first_value("o_orderkey").over(desc).alias("latest_order"),
+        )
+        .dropDuplicates(["o_custkey"])
+        .orderBy("o_custkey")
+    )
+
+
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The
+    average is computed exactly (decimal sum / count) so the filter
+    boundary is the SAME double on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_row = o.agg(davg(F.col("o_totalprice")).alias("a")).collect()[0]["a"]
+    return (
+        o.filter(F.col("o_totalprice") > F.lit(avg_row))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def regexp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp functions over part names (extract/replace/match) —
+    patterns restricted to the RE2∩Java common subset."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.when(F.col("p_name").rlike("^(cold|small)"), 1).otherwise(0).alias("is_cs"),
+    ).orderBy("p_partkey")
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic kit: +days, +month (end-of-month clamped the
+    same way by both engines), last_day."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 1).alias("plus_1m"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round-trip: daily per-type counts fanned out to
+    columns and melted back — equals the direct groupBy (the oracle)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_event_types(spark, sf_dir)
+    return (
+        wide.unpivot("day", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
 # --------------------------------------------------------------------
 # Sort / limit / set ops
 # --------------------------------------------------------------------

@@ -33,6 +33,26 @@ from etl_geonet_quakes_spark.streaming import windows as stw
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _quake_pipeline(spark: SparkSession) -> DataFrame:
+    """The reference transform end-to-end on the repo's GeoNet fixture
+    with a pinned clock (the driver passes sf_dir, which carries no
+    GeoJSON — the quake tables live in tests/fixtures)."""
+    import os
+
+    from etl_geonet_quakes_spark.io import read_geojson
+    from etl_geonet_quakes_spark.quakes import GEONET_RESPONSE_SCHEMA, QuakeJobConfig
+    from etl_geonet_quakes_spark.quakes.transform import run_pipeline
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "geonet_quakes.json",
+    )
+    cfg = QuakeJobConfig(min_mmi=-1, max_age_minutes=1e12, now_utc_ms=1768478400000)
+    return run_pipeline(read_geojson(spark, fixture, GEONET_RESPONSE_SCHEMA), cfg)
+
 # Shared SQL fragments -------------------------------------------------
 
 _DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -190,6 +210,43 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 joins: full outer",
     ),
+    "q17_join_asof": QuerySpec(
+        rel.join_asof_last_click,
+        f"""
+        WITH p AS (SELECT event_id, user_id, {_TS} AS t FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, {_TS} AS t FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.t) AS purchase_us,
+               epoch_us(c.t) AS last_click_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+        ORDER BY p.event_id
+        """,
+        "§2.2 joins: as-of (union+window in Spark, native ASOF oracle)",
+    ),
+    "q18_grouping_sets": QuerySpec(
+        rel.grouping_sets,
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {_dsum('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "§2.2 aggregations: GROUPING SETS",
+    ),
+    "q19_scalar_subquery": QuerySpec(
+        rel.scalar_subquery_above_avg,
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """,
+        "§2.2 scalar subquery",
+    ),
     # --- windows / sort / set ops --------------------------------------
     "q20_window_topk": QuerySpec(
         rel.window_topk_orders,
@@ -275,6 +332,31 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 set ops: union/intersect/except",
     ),
+    "q26_window_first_last": QuerySpec(
+        rel.window_first_last,
+        """
+        SELECT DISTINCT o_custkey,
+               FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS first_order,
+               FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS latest_order
+        FROM orders ORDER BY o_custkey
+        """,
+        "§2.2 windows: first_value/last_value",
+    ),
+    "q27_percentiles": QuerySpec(
+        rel.percentiles,
+        """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "§2.2 aggregations: exact percentiles",
+    ),
     # --- scalar function kits ------------------------------------------
     "q30_string_functions": QuerySpec(
         rel.string_functions,
@@ -340,6 +422,37 @@ SPECS: dict[str, QuerySpec] = {
         GROUP BY event_type ORDER BY event_type
         """,
         "§2.1 O3 generalized: per-field JSON extraction",
+    ),
+    "q37_regexp_kit": QuerySpec(
+        rel.regexp_kit,
+        """
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+               CASE WHEN regexp_matches(p_name, '^(cold|small)') THEN 1 ELSE 0 END AS is_cs
+        FROM part ORDER BY p_partkey
+        """,
+        "§2.2 scalar: regexp kit",
+    ),
+    "q38_date_arithmetic": QuerySpec(
+        rel.date_arithmetic,
+        """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+               CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+        """,
+        "§2.2 scalar: date arithmetic (O16 generalized)",
+    ),
+    "q39_unpivot": QuerySpec(
+        rel.unpivot_roundtrip,
+        f"""
+        SELECT CAST({_TS} AS DATE) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "§2.2 unpivot (pivot round-trip ≡ direct groupBy)",
     ),
     "q35_pivot": QuerySpec(
         rel.pivot_event_types,
@@ -514,6 +627,31 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.3 text analysis: global token frequency",
     ),
+    "q68_tfidf_top_terms": QuerySpec(
+        text.tfidf_top_terms,
+        """
+        WITH tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+            WHERE tf.doc_id < 20),
+        ranked AS (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rnk
+            FROM scored)
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, tfidf
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "§2.3 text analysis: tf-idf (explode → tf/df aggs → broadcast join)",
+    ),
     "q65_doc_stats_by_source": QuerySpec(
         text.doc_stats_by_source,
         """
@@ -539,6 +677,13 @@ SPECS: dict[str, QuerySpec] = {
         multimodal.media_features,
         None,  # mapInPandas feature extraction — outside SQL vocabulary
         "§2.3 multimodal: mapInPandas feature extraction (rows-only)",
+    ),
+    # --- reference-parity pipeline (§2.1 O4–O23) ------------------------
+    "q80_quake_pipeline": QuerySpec(
+        lambda spark, sf_dir: _quake_pipeline(spark),
+        None,  # GeoJSON fixture + nested CoT output — golden-tested in
+        # tests/test_quakes_golden.py rather than SQL-oracled
+        "§2.1 O4–O23: the full reference transform (rows-only)",
     ),
     # --- streaming (§2.2 streaming rows) --------------------------------
     "q70_stream_tumbling": QuerySpec(

@@ -1,0 +1,98 @@
+"""Property tests (SURVEY §5.3) for the pure expression kits — totality
+and monotonicity of time-ago bucketing, map-default coverage for all
+int inputs, toFixed parity against Python's exact-decimal model.
+
+Hypothesis drives the Python-side model; Spark evaluates the column
+expressions in ONE batch per test (one job, not one per example) to
+keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.functions.jsfmt import js_to_fixed
+from etl_geonet_quakes_spark.quakes.schema import (
+    DEFAULT_ICON,
+    DEFAULT_INTENSITY,
+    MMI_ICONS,
+    MMI_INTENSITY,
+    map_lookup,
+)
+from etl_geonet_quakes_spark.quakes import timekit
+
+NOW_MS = 1768478400000  # 2026-01-15T12:00:00Z
+
+
+def _time_ago_model(age_minutes: int) -> str:
+    """Independent Python model of task.ts:111-126."""
+    if age_minutes < 60:
+        n, unit = age_minutes, "minute"
+    elif age_minutes < 60 * 24:
+        n, unit = age_minutes // 60, "hour"
+    else:
+        n, unit = age_minutes // (60 * 24), "day"
+    return f"{n} {unit}{'' if n == 1 else 's'} ago"
+
+
+def test_time_ago_matches_model_on_boundaries(spark):
+    ages = [0, 1, 2, 59, 60, 61, 119, 120, 1439, 1440, 1441, 2879, 2880, 100000]
+    df = spark.createDataFrame([(a,) for a in ages], "age_min long").select(
+        "age_min",
+        timekit.time_ago(
+            F.timestamp_millis(F.lit(NOW_MS) - F.col("age_min") * 60000), NOW_MS
+        ).alias("ago"),
+    )
+    for r in df.collect():
+        assert r["ago"] == _time_ago_model(r["age_min"]), r
+
+
+def test_map_lookup_total_over_int_range(spark):
+    """Lookup + default is total: every mmi in [-5, 15] yields a
+    non-null icon and intensity, with defaults exactly where the
+    reference tables have no key (including the falsy-|| mmi=0)."""
+    df = spark.createDataFrame([(i,) for i in range(-5, 16)], "mmi int").select(
+        "mmi",
+        map_lookup(MMI_ICONS, F.col("mmi"), DEFAULT_ICON).alias("icon"),
+        map_lookup(MMI_INTENSITY, F.col("mmi"), DEFAULT_INTENSITY).alias("intensity"),
+    )
+    for r in df.collect():
+        assert r["icon"] == MMI_ICONS.get(r["mmi"], DEFAULT_ICON)
+        assert r["intensity"] == MMI_INTENSITY.get(r["mmi"], DEFAULT_INTENSITY)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.floats(
+        min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_js_to_fixed_matches_exact_decimal_model(spark, x, digits):
+    # model: ECMA-262 toFixed — round the EXACT binary value half-up
+    d = decimal.Decimal(x)
+    q = decimal.Decimal(1).scaleb(-digits)
+    expect = f"{d.quantize(q, rounding=decimal.ROUND_HALF_UP):.{digits}f}"
+    got = (
+        spark.createDataFrame([(x,)], "v double")
+        .select(js_to_fixed(F.col("v"), digits).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == expect, (x, digits, got, expect)
+
+
+def test_iso_roundtrip(spark):
+    """ISO-8601 wire strings parse → format → identical (O15/O17)."""
+    ts = [
+        "2026-01-15T11:30:00.000Z",
+        "2025-06-01T00:00:00.000Z",
+        "2026-09-26T13:59:59.123Z",
+    ]
+    df = spark.createDataFrame([(t,) for t in ts], "t string").select(
+        "t", timekit.iso_utc_ms(F.to_timestamp("t")).alias("back")
+    )
+    for r in df.collect():
+        assert r["back"] == r["t"]
