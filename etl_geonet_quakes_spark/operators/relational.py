@@ -620,6 +620,64 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar map kit (O13/O14 generalized): literal-map lookup with
+    coalesce default + map cardinality — the engine-side form of the
+    reference's MMI_ICONS/MMI_INTENSITY Records (task.ts:6-32)."""
+    lang_names = {
+        "de": "German",
+        "en": "English",
+        "es": "Spanish",
+        "fr": "French",
+    }  # zh deliberately absent → exercises the default path
+    pairs: list[F.Column] = []
+    for k, v in lang_names.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.coalesce(F.element_at(m, F.col("lang")), F.lit("Other")).alias("lang_name"),
+            F.size(m).cast("long").alias("map_card"),
+        )
+        .groupBy("lang", "lang_name", "map_card")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (the UDF surface row in §2.2): z-score
+    of n_chars within each language, computed per-group in pandas.
+
+    This is the template for per-group Python logic at scale: groups
+    are hash-shuffled once, each arrives as ONE Arrow batch, and the
+    pandas body is self-contained (worker-pickling rule). Rounded to
+    6dp so the pandas float path hash-matches the SQL oracle formula.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf):
+        import pandas as pd  # self-contained closure
+
+        mean = pdf["n_chars"].mean()
+        std = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": ((pdf["n_chars"] - mean) / std).round(6),
+            }
+        )
+
+    return (
+        d.groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id long, lang string, z double")
+        .orderBy("doc_id")
+    )
+
+
 def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON kit over events.props (O3's decode generalized to
     per-field extraction): get_json_object + cast + aggregate."""

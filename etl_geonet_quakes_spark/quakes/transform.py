@@ -181,7 +181,17 @@ def transform_quakes(features_df: DataFrame, config: QuakeJobConfig) -> DataFram
     )
 
 
-def run_pipeline(response_df: DataFrame, config: QuakeJobConfig) -> DataFrame:
+def run_pipeline(
+    response_df: DataFrame, config: QuakeJobConfig, observation=None
+) -> DataFrame:
     """Full decode→explode→validate→transform pipeline (E1/E2 in
-    SURVEY.md §3), minus source/sink adapters."""
-    return transform_quakes(validate_features(explode_features(response_df)), config)
+    SURVEY.md §3), minus source/sink adapters.
+
+    Pass a ``pyspark.sql.Observation`` to collect the emitted-feature
+    count in the same pass (O24, task.ts:255) — the engine's version
+    of `fetched N earthquakes` without a second job.
+    """
+    out = transform_quakes(validate_features(explode_features(response_df)), config)
+    if observation is not None:
+        out = out.observe(observation, F.count(F.lit(1)).alias("n_features"))
+    return out

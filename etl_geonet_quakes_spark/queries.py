@@ -423,6 +423,29 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.1 O3 generalized: per-field JSON extraction",
     ),
+    "q28_map_functions": QuerySpec(
+        rel.map_functions,
+        """
+        SELECT lang,
+               CASE lang WHEN 'de' THEN 'German' WHEN 'en' THEN 'English'
+                         WHEN 'es' THEN 'Spanish' WHEN 'fr' THEN 'French'
+                         ELSE 'Other' END AS lang_name,
+               CAST(4 AS BIGINT) AS map_card,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1, 2, 3 ORDER BY lang
+        """,
+        "§2.2 scalar: map kit (O13/O14 literal-map lookup + default)",
+    ),
+    "q29_grouped_zscore": QuerySpec(
+        rel.grouped_zscore,
+        """
+        SELECT doc_id, lang,
+               ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                     / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z
+        FROM documents ORDER BY doc_id
+        """,
+        "§2.2 UDF surface: applyInPandas grouped-map vs SQL window oracle",
+    ),
     "q37_regexp_kit": QuerySpec(
         rel.regexp_kit,
         """
