@@ -498,6 +498,50 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def salted_join_brand_revenue(
+    spark: SparkSession, sf_dir: str, salt_buckets: int = 8
+) -> DataFrame:
+    """Skew-mitigated join (SURVEY §2.3 '100 TB posture': salting for
+    skewed keys): lineitem ⋈ part on partkey with an explicit salt.
+
+    The fact side appends a random-but-deterministic salt (hash of the
+    row's unique key, modulo N); the dimension side replicates each
+    row across all N salt values via a posexplode. The join key
+    becomes (partkey, salt) so one hot partkey spreads over N
+    reducers instead of melting a single one. AQE's skew-join handles
+    moderate skew automatically; explicit salting is the tool when a
+    single key exceeds what a split task can hold. Result is provably
+    identical to the plain join — the oracle is the PLAIN SQL join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    salted_fact = li.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    replicated_dim = p.select(
+        "p_partkey",
+        "p_brand",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("dsalt"),
+    )
+    return (
+        salted_fact.join(
+            replicated_dim,
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("salt") == F.col("dsalt")),
+            "inner",
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot → unpivot round-trip: daily per-type counts fanned out to
     columns and melted back — equals the direct groupBy (the oracle)."""

@@ -544,7 +544,7 @@ SPECS: dict[str, QuerySpec] = {
                          / (SQRT(list_dot_product(a.v, a.v))
                             * SQRT(list_dot_product(b.v, b.v))), 6) AS cosine
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        WHERE cosine >= 0.95 ORDER BY id_a, id_b
+        WHERE cosine >= 0.4 ORDER BY id_a, id_b
         """,
         "§2.3 near-dup: embedding cosine with label blocking",
     ),
@@ -700,6 +700,15 @@ SPECS: dict[str, QuerySpec] = {
         multimodal.media_features,
         None,  # mapInPandas feature extraction — outside SQL vocabulary
         "§2.3 multimodal: mapInPandas feature extraction (rows-only)",
+    ),
+    "q90_salted_join": QuerySpec(
+        rel.salted_join_brand_revenue,
+        f"""
+        SELECT p_brand, COUNT(*) AS n, {_dsum('l_extendedprice')} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+        """,
+        "§2.3 100TB posture: skew-salted join ≡ plain join (oracle is the plain join)",
     ),
     # --- reference-parity pipeline (§2.1 O4–O23) ------------------------
     "q80_quake_pipeline": QuerySpec(

@@ -76,6 +76,11 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Python Data Source filter pushdown (quakes.source)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # keep managed tables (bucketing tests/demos) out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "egqs-spark-warehouse"),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
