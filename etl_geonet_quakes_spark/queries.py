@@ -745,6 +745,15 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 streaming: stateful dropDuplicates",
     ),
+    "q74_stream_stateful_counts": QuerySpec(
+        stw.stream_stateful_user_counts,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "§2.2 stateful ops: applyInPandasWithState ≡ batch aggregate",
+    ),
     "q73_stream_sessions": QuerySpec(
         stw.stream_session_windows,
         f"""

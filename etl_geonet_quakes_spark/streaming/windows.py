@@ -109,6 +109,61 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("event_type")
 
 
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    'stateful ops' row of SURVEY §2.2): a per-user running event
+    counter + value accumulator held in explicit GroupState.
+
+    This is the template for state Spark's built-ins can't express
+    (per-key ML feature state, complex session logic): state lives in
+    the state store, groups arrive as Arrow batches, and the function
+    is a self-contained closure (worker-pickling rule). Driven with
+    availableNow over the static fixture, the final per-user state
+    equals the batch aggregate — which is exactly what the oracle
+    checks. Values are summed as integer cents so state round-trips
+    are exact.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = _events_stream(spark, sf_dir)
+    # cents: exact integer state (double accumulation in state would
+    # not be order-stable)
+    cents = e.withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+
+    def count_events(key, pdfs, state):
+        import pandas as pd  # self-contained closure
+
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["cents"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [total]}
+        )
+
+    result = (
+        cents.groupBy("user_id")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="user_id long, n_events long, sum_cents long",
+            stateStructType="n long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _run_to_memory(result, "update")
+    # update mode emits one row per (user, batch); availableNow over a
+    # single static fixture yields one batch, but keep the
+    # last-update-wins reduction so multi-batch replays stay correct
+    out = spark.table(name)
+    w_latest = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_cents").alias("sum_cents"))
+    )
+    return w_latest.orderBy("user_id")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (session_window with a 30-min
     gap) per user; returns per-user session counts — comparable to

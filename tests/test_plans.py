@@ -65,6 +65,47 @@ def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+import re
+
+
+def n_nodes(p: str, name: str) -> int:
+    # formatted explain prints each node in the tree AND a detail
+    # section — count unique "(id) Name" headers, not substrings
+    return len(set(re.findall(rf"\((\d+)\) {name}\b", p)))
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    # both windows and the final agg share ONE hash partitioning on
+    # user_id; the only other exchange is the final presentation sort
+    p = plan(rel.sessionize_events(spark, sf_dir))
+    assert n_nodes(p, "Exchange") <= 2, p
+    assert n_nodes(p, "Window") == 2  # lag + running sum, no re-sort between
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + one window: exactly one hash-partitioning on user_id,
+    # never a per-user theta join
+    p = plan(rel.join_asof_last_click(spark, sf_dir))
+    assert n_nodes(p, "SortMergeJoin") == 0 and n_nodes(p, "BroadcastHashJoin") == 0
+    assert n_nodes(p, "Exchange") <= 2
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm import text
+
+    p = plan(text.tfidf_top_terms(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_similarity_bruteforce_broadcasts_queries(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm import similarity
+
+    p = plan(similarity.topk_bruteforce(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the big corpus side must NOT be exchanged before the join
+    assert "SortMergeJoin" not in p
+
+
 def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     # AQE hides codegen markers until the plan is finalized — execute,
     # then inspect the final adaptive plan (simple mode, * = codegen)
