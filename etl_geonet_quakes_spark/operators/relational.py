@@ -484,6 +484,30 @@ def regexp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def string_distance_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 4) -> DataFrame:
+    """Edit-distance near-matches (fuzzy string dedup building block):
+    part-name pairs within the same brand with Levenshtein ≤ k.
+    Brand blocking bounds the self-join exactly like ``source`` does
+    for documents."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .orderBy("key_a", "key_b")
+    )
+
+
 def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic kit: +days, +month (end-of-month clamped the
     same way by both engines), last_day."""

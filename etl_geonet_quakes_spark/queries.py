@@ -457,6 +457,18 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 scalar: regexp kit",
     ),
+    "q45_string_distance": QuerySpec(
+        rel.string_distance_pairs,
+        """
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY key_a, key_b
+        """,
+        "§2.3 fuzzy matching: Levenshtein pairs with brand blocking",
+    ),
     "q38_date_arithmetic": QuerySpec(
         rel.date_arithmetic,
         """
