@@ -155,6 +155,94 @@ def topk_lsh(
     )
 
 
+def _centroids(n_cells: int, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic unit-norm coarse-quantizer centroids. Seeded
+    random directions are the right coarse quantizer for the fixture's
+    isotropic random embeddings; a production build would swap in
+    k-means centroids trained offline — the query shape is identical."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cell_scores(v: Column, cents: list[list[float]]) -> Column:
+    """array<struct<negdot,cell>> of (−v·centroid, cell_id) — struct
+    ordering makes array_min/array_sort rank cells by descending dot
+    product with deterministic cell-id tiebreak. Pure constant-folded
+    column algebra, no UDF, no shuffle."""
+    return F.array(
+        *[
+            F.struct(
+                (-dot(v, F.array(*[F.lit(float(x)) for x in c]))).alias("negdot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization — the
+    scale-path alternative to topk_lsh.
+
+    Each corpus vector is assigned to its nearest of ``n_cells``
+    centroids (argmin via array_min over a literal centroid array —
+    zero-shuffle, whole-stage-codegen'd). Queries probe their
+    ``nprobe`` nearest cells; candidates come from an equi-join on
+    cell id with the tiny query side broadcast, then exact cosine
+    rerank + windowed top-k. Expected candidate volume is
+    N·Q·nprobe/n_cells — at 100 TB the cell id becomes the parquet
+    partition key so a probe prunes (n_cells−nprobe)/n_cells of the
+    scan entirely.
+
+    Approximate by construction → no SQL oracle; tests check recall
+    against the brute-force tier.
+    """
+    cents = _centroids(n_cells)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    corpus = e.withColumn(
+        "cell", F.array_min(_cell_scores(F.col("v"), cents))["cell"]
+    )
+    queries = (
+        e.filter(F.col("vec_id") < n_queries)
+        .withColumn(
+            "probe",
+            F.slice(F.array_sort(_cell_scores(F.col("v"), cents)), 1, nprobe),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.col("probe")["cell"]).alias("cell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(queries),
+        on=["cell"],
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "neighbor_id", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function kit on embeddings: dimensionality, first
     component, L2 norm, per-label aggregates."""

@@ -95,6 +95,66 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fingerprint_winnow(
+    spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token shingle, then keep the minimum hash
+    of each sliding window of w consecutive shingle hashes — the
+    standard near-dup/plagiarism fingerprint that guarantees any match
+    of length ≥ w+k−1 tokens shares a fingerprint, while storing only
+    ~2/(w+1) of the hashes.
+
+    Pure column algebra: split → shingle-hash via transform over a
+    position sequence → windowed array_min → distinct. Each step
+    materializes its array with withColumn first (a lambda closing
+    over an *expression* re-evaluates it per element — O(n²) trap).
+    Embarrassingly parallel, no shuffle until the final per-doc
+    summary; at 100 TB the fingerprint explode + groupBy(fp) is the
+    join key for cross-doc match detection.
+
+    Hash values are Spark's xxhash64 (no cross-engine SQL equivalent)
+    → rows-only driver check; structural invariants (coverage bound,
+    determinism, golden micro-example) are pytest-verified.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("toks", tokens(F.col("text")))
+    n_grams = F.size("toks") - (k - 1)
+    # sequence(1, n) DESCENDS when n < 1 — short docs must short-circuit
+    # to an empty array, not a [1, 0] sequence
+    empty = F.array().cast("array<bigint>")
+    d = d.withColumn(
+        "grams",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            ),
+        ).otherwise(empty),
+    )
+    n_wins = F.size("grams") - (w - 1)
+    d = d.withColumn(
+        "fps",
+        F.when(
+            n_wins >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                    lambda i: F.array_min(F.slice(F.col("grams"), i, w)),
+                )
+            ),
+        ).otherwise(empty),
+    )
+    return d.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_shingles"),
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.col("fps")[0].alias("first_fp"),
+        F.array_min("fps").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
 def token_frequency_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     """Global token frequency top-k: explode → hash agg → top-k.
     The explode fans out ~100× but partial aggregation collapses it

@@ -96,6 +96,53 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance/stddev/covariance/correlation)
+    with cross-engine bit-reproducibility.
+
+    Built-in stddev/corr stream doubles in partition order, so their
+    low bits differ between engines and even between runs. Instead the
+    *moments* (Σx, Σx², Σxy — exact decimal sums of 2-dp data; squares
+    and cross-products are 4-dp exact) are aggregated exactly, reach
+    double through a string (see pricing_summary), and the closed-form
+    formulas are evaluated in double space with the IDENTICAL
+    expression text in the DuckDB oracle — same IEEE ops, same order,
+    bit-equal results. Still one partial+final hash agg at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(7,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    agged = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(q).cast("string").cast("double").alias("sx"),
+        F.sum(p).cast("string").cast("double").alias("sy"),
+        F.sum(q * q).cast("string").cast("double").alias("sxx"),
+        F.sum(p * p).cast("string").cast("double").alias("syy"),
+        F.sum(q * p).cast("string").cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_p = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return agged.select(
+        "l_returnflag",
+        "n",
+        "min_qty",
+        "max_qty",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        var_p.alias("var_price"),
+        cov.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — expands to a two-phase aggregate under AQE."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -333,6 +380,61 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(D_MONEY)).over(w).cast("double").alias("running_spend"),
         )
         .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one deterministic window:
+    rank, dense_rank, ntile, percent_rank, cume_dist per market
+    segment ordered by (acctbal, custkey) — the unique tiebreak makes
+    every variant reproducible."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame, the complement of q22's
+    row-based frame: for each order, how many of the same customer's
+    orders fall within $50 000 below its price, and their exact sum.
+    RANGE frames include peers, so ties need no tiebreak to be
+    deterministic. Ordering on integer cents keeps the frame boundary
+    integral (the DataFrame API's rangeBetween takes long offsets) and
+    exact. Partitioning by o_custkey keeps frames tiny at any scale —
+    no single-partition window skew."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(cents)
+        .rangeBetween(-5_000_000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_in_band"),
+            F.sum(F.col("o_totalprice").cast(D_MONEY))
+            .over(w)
+            .cast("string")
+            .cast("double")
+            .alias("sum_in_band"),
+        )
+        .orderBy("o_orderkey")
     )
 
 

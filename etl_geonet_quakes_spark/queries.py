@@ -132,6 +132,35 @@ SPECS: dict[str, QuerySpec] = {
         None,  # HLL++ sketch values are engine-specific
         "§2.2 aggregations: approx_count_distinct (rows-only)",
     ),
+    "q06_stat_aggregates": QuerySpec(
+        rel.stat_aggregates,
+        """
+        WITH m AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 MIN(l_quantity) AS min_qty,
+                 MAX(l_quantity) AS max_qty,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))) AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))
+                                * CAST(l_quantity AS DECIMAL(7,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(7,2))
+                                * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, min_qty, max_qty,
+               (sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1) AS var_qty,
+               SQRT((sxx - sx*sx/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1)) AS stddev_qty,
+               (syy - sy*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1) AS var_price,
+               (sxy - sx*sy/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1) AS covar_qty_price,
+               (sxy - sx*sy/CAST(n AS DOUBLE))
+                   / SQRT((sxx - sx*sx/CAST(n AS DOUBLE))
+                          * (syy - sy*sy/CAST(n AS DOUBLE))) AS corr_qty_price
+        FROM m ORDER BY l_returnflag
+        """,
+        "§2.2 aggregations: variance/stddev/covar/corr via exact moments",
+    ),
     # --- joins --------------------------------------------------------
     "q10_join_revenue_by_segment": QuerySpec(
         rel.join_revenue_by_segment,
@@ -285,6 +314,37 @@ SPECS: dict[str, QuerySpec] = {
         FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "§2.2 windows: aggregate frames",
+    ),
+    "q46_window_rank_variants": QuerySpec(
+        rel.window_rank_variants,
+        """
+        SELECT c_mktsegment, c_custkey,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+        ORDER BY c_mktsegment, c_custkey
+        """,
+        "§2.2 windows: rank/dense_rank/ntile/percent_rank/cume_dist",
+    ),
+    "q47_window_range_frame": QuerySpec(
+        rel.window_range_frame,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                         AS VARCHAR) AS DOUBLE) AS sum_in_band
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey
+        """,
+        "§2.2 windows: value-based RANGE frame",
     ),
     "q23_sessionization": QuerySpec(
         rel.sessionize_events,
@@ -587,6 +647,11 @@ SPECS: dict[str, QuerySpec] = {
         None,  # approximate by construction; recall tested vs brute force
         "§2.3 similarity search: LSH-bucketed ANN (rows-only)",
     ),
+    "q53_similarity_ivf": QuerySpec(
+        similarity.topk_ivf,
+        None,  # approximate by construction; recall tested vs brute force
+        "§2.3 similarity search: IVF coarse-quantized ANN (rows-only)",
+    ),
     "q52_embedding_norms": QuerySpec(
         similarity.embedding_norms,
         """
@@ -686,6 +751,11 @@ SPECS: dict[str, QuerySpec] = {
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         "§2.3 text analysis: tf-idf (explode → tf/df aggs → broadcast join)",
+    ),
+    "q69_fingerprint_winnow": QuerySpec(
+        text.fingerprint_winnow,
+        None,  # xxhash64 shingle hashes are engine-specific
+        "§2.3 text analysis: winnowing rolling-hash fingerprints (rows-only)",
     ),
     "q65_doc_stats_by_source": QuerySpec(
         text.doc_stats_by_source,

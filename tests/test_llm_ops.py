@@ -99,3 +99,65 @@ def test_bruteforce_topk_is_descending(spark, sf_dir):
         scores = [c for _, c in pairs]
         assert scores == sorted(scores, reverse=True)
         assert len(pairs) == 5
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=n_cells is EXHAUSTIVE (every cell probed), so
+    its top-k must equal brute force exactly; a partial probe must be
+    a subset-with-nonzero-recall like any ANN."""
+    exact = similarity.topk_bruteforce(spark, sf_dir, n_queries=3, k=5)
+    full = similarity.topk_ivf(spark, sf_dir, n_queries=3, k=5, n_cells=8, nprobe=8)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_pairs == exact_pairs, "exhaustive probe must match brute force"
+    ann = similarity.topk_ivf(spark, sf_dir, n_queries=3, k=5, n_cells=8, nprobe=2)
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert ann_pairs, "IVF returned nothing"
+    assert len(ann_pairs & exact_pairs) / len(exact_pairs) > 0.0
+
+
+def test_winnow_fingerprint_invariants(spark, sf_dir):
+    """Winnowing guarantees (SIGMOD'03): fingerprints are a subset of
+    shingle hashes, nonempty for docs with >= k+w-1 tokens, and the
+    count is bounded by the window count yet >= ceil(windows / w)
+    (at least one fingerprint per w consecutive windows)."""
+    from etl_geonet_quakes_spark.llm import text as t
+
+    k, w = 3, 4
+    out = t.fingerprint_winnow(spark, sf_dir, k=k, w=w).collect()
+    assert out
+    for r in out[:200]:
+        n_wins = r["n_shingles"] - (w - 1)
+        if n_wins >= 1:
+            assert 1 <= r["n_fingerprints"] <= n_wins
+            assert r["n_fingerprints"] * w >= n_wins  # coverage bound
+            assert r["min_fp"] is not None
+
+
+def test_winnow_matches_python_model_on_tiny_doc(spark, sf_dir):
+    """Cross-check the windowed-min structure against a pure-Python
+    model using Spark's own shingle hashes as input (hash function
+    identity is not the claim; the winnowing algebra is)."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm import text as t
+
+    k, w = 3, 4
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text").first()
+    toks = doc["text"].split(" ")
+    grams_df = spark.createDataFrame([(toks,)], "toks: array<string>").select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(toks) - k + 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ).alias("grams")
+    )
+    grams = grams_df.first()["grams"]
+    expect = sorted(
+        {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+    )
+    got = (
+        t.fingerprint_winnow(spark, sf_dir, k=k, w=w)
+        .filter(F.col("doc_id") == doc["doc_id"])
+        .first()
+    )
+    assert got["n_fingerprints"] == len(expect)
+    assert got["min_fp"] == expect[0]
