@@ -95,6 +95,23 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based token counting (the BPE-style pre-tokenizer shape:
+    scan the raw string for token-pattern matches rather than trusting
+    a delimiter). Patterns stay in the RE2∩Java common subset so the
+    DuckDB oracle matches byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    all_toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(all_toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("s[a-z]+"), 0))
+        .cast("long")
+        .alias("n_s_runs"),
+        F.array_max(F.transform(all_toks, F.length)).cast("long").alias("max_token_len"),
+    ).orderBy("doc_id")
+
+
 def fingerprint_winnow(
     spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
 ) -> DataFrame:

@@ -574,6 +574,28 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry path:
+    customers with at least one urgent order and no F-status order.
+    Catalyst rewrites the pair into a LeftSemi + LeftAnti join chain —
+    the same physical plans as q13/q14, reached from SQL instead of
+    the DataFrame API."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """
+    )
+
+
 def regexp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp functions over part names (extract/replace/match) —
     patterns restricted to the RE2∩Java common subset."""

@@ -331,6 +331,20 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 windows: rank/dense_rank/ntile/percent_rank/cume_dist",
     ),
+    "q48_exists_subquery": QuerySpec(
+        rel.exists_subquery,
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey
+        """,
+        "§2.2 joins: correlated EXISTS/NOT EXISTS via the SQL entry path",
+    ),
     "q47_window_range_frame": QuerySpec(
         rel.window_range_frame,
         """
@@ -751,6 +765,18 @@ SPECS: dict[str, QuerySpec] = {
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
         "§2.3 text analysis: tf-idf (explode → tf/df aggs → broadcast join)",
+    ),
+    "q59_regex_tokens": QuerySpec(
+        text.regex_tokens,
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, 's[a-z]+')) AS BIGINT) AS n_s_runs,
+               CAST(list_max(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                                            x -> length(x))) AS BIGINT) AS max_token_len
+        FROM documents ORDER BY doc_id
+        """,
+        "§2.3 text analysis: regex (BPE-style) token scanning",
     ),
     "q69_fingerprint_winnow": QuerySpec(
         text.fingerprint_winnow,

@@ -116,3 +116,45 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
         df.explain()
     p = buf.getvalue()
     assert "isFinalPlan=true" in p and "*(" in p
+
+
+def test_exists_subquery_rewritten_to_semi_anti(spark, sf_dir):
+    """Catalyst must rewrite correlated EXISTS / NOT EXISTS into
+    LeftSemi + LeftAnti joins — no per-row subquery execution."""
+    p = plan(rel.exists_subquery(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_range_frame_single_window_no_extra_exchange(spark, sf_dir):
+    import re
+
+    p = plan(rel.window_range_frame(spark, sf_dir))
+    assert p.count("Window") >= 1
+    # one partitioning shuffle for the window + the final orderBy's
+    # range partitioning, nothing more (node headers: "(N) Exchange")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_minhash_lsh_join_does_not_shuffle_shingle_arrays(spark, sf_dir):
+    """The LSH candidate join must move only (doc_id, band, bucket) —
+    shingle arrays ride the bands-way explode ONLY if this regresses
+    (shuffle bytes ×bands on both sides at scale)."""
+    from etl_geonet_quakes_spark.llm import dedup
+
+    p = plan(dedup.dedup_minhash_lsh(spark, sf_dir))
+    smj = [
+        seg
+        for seg in p.split("(")  # formatted plan node headers
+        if seg.startswith("SortMergeJoin") or seg.startswith("ShuffledHashJoin")
+    ]
+    # candidate join keys are band+bucket ints; 'toks' must not appear
+    # in any join node's output attributes
+    for seg in smj:
+        assert "toks" not in seg[:400]
+
+
+def test_ivf_broadcasts_probe_side(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm import similarity
+
+    p = plan(similarity.topk_ivf(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
