@@ -44,9 +44,13 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = get_spark("etl-geonet-quakes-spark-bench")
 
-    # warm the session (JVM classloading, codegen caches) on a scan
-    # that is not one of the timed queries
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the session (JVM classloading, parquet footer/file-listing
+    # caches, codegen compilation) by scanning every input table once —
+    # none of these scans is a timed query; results are not cached
+    from etl_geonet_quakes_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

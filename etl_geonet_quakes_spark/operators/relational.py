@@ -143,6 +143,32 @@ def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extrema) with deterministic tiebreaks: the
+    order key is a struct (value, key) so equal values resolve by the
+    unique l_orderkey instead of partition order — min_by/max_by over
+    a bare non-unique column is nondeterministic on ANY engine. Single
+    partial+final hash agg; no window, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                "l_orderkey",
+                F.struct(
+                    F.col("l_extendedprice"), (-F.col("l_orderkey")).alias("nk")
+                ),
+            ).alias("top_price_order"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min_by(
+                "l_orderkey", F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+            ).alias("bottom_price_order"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — expands to a two-phase aggregate under AQE."""
     li = load_table(spark, sf_dir, "lineitem")

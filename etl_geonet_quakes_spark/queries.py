@@ -161,6 +161,38 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 aggregations: variance/stddev/covar/corr via exact moments",
     ),
+    "q07_arg_extrema": QuerySpec(
+        rel.arg_extrema,
+        """
+        WITH ext AS (
+            SELECT l_returnflag,
+                   MAX(l_extendedprice) AS max_price,
+                   MIN(l_extendedprice) AS min_price
+            FROM lineitem GROUP BY l_returnflag),
+        mx AS (
+            SELECT l_returnflag, l_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice DESC,
+                                               l_orderkey ASC) AS rn
+            FROM lineitem),
+        mn AS (
+            SELECT l_returnflag, l_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice ASC,
+                                               l_orderkey ASC) AS rn
+            FROM lineitem)
+        SELECT ext.l_returnflag,
+               mx.l_orderkey AS top_price_order, ext.max_price,
+               mn.l_orderkey AS bottom_price_order, ext.min_price
+        FROM ext
+        JOIN (SELECT l_returnflag, l_orderkey FROM mx WHERE rn = 1) mx
+             USING (l_returnflag)
+        JOIN (SELECT l_returnflag, l_orderkey FROM mn WHERE rn = 1) mn
+             USING (l_returnflag)
+        ORDER BY l_returnflag
+        """,
+        "§2.2 aggregations: min_by/max_by arg-extrema with deterministic ties",
+    ),
     # --- joins --------------------------------------------------------
     "q10_join_revenue_by_segment": QuerySpec(
         rel.join_revenue_by_segment,
@@ -852,6 +884,22 @@ SPECS: dict[str, QuerySpec] = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
         "§2.2 streaming: stateful dropDuplicates",
+    ),
+    "q75_stream_stream_join": QuerySpec(
+        stw.stream_stream_join,
+        """
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id,
+               epoch_us(CAST(b.ts AS TIMESTAMP))
+                   - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+          AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+          AND CAST(b.ts AS TIMESTAMP)
+              <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        ORDER BY click_id, purchase_id
+        """,
+        "§2.2 streaming: watermarked stream-stream interval join ≡ batch self-join",
     ),
     "q74_stream_stateful_counts": QuerySpec(
         stw.stream_stateful_user_counts,

@@ -164,6 +164,51 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w_latest.orderBy("user_id")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joins the
+    same user's clicks from the preceding 10 minutes. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store can evict rows once the watermark passes — the
+    only shape under which a stream-stream join is sustainable at
+    100 TB/day (unbounded state otherwise). Driven availableNow over
+    the static fixture, the result equals the batch time-bounded
+    self-join the oracle runs."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    name = _run_to_memory(out, "append")
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (session_window with a 30-min
     gap) per user; returns per-user session counts — comparable to
