@@ -169,6 +169,38 @@ def arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with a deterministic contract: collect_list order
+    is partition-arrival order (nondeterministic on any distributed
+    engine), so the engine's array_agg surface always sorts — either
+    post-hoc (array_sort, shown here) or via sort_array on (key,val)
+    structs. One hash agg; arrays stay bounded by the group size."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW / UNNEST WITH ORDINALITY): token with
+    its 1-based position per document — the generator-function surface
+    (explode's positional sibling). Fan-out happens inside one codegen
+    stage; no shuffle until the final order."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — expands to a two-phase aggregate under AQE."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -193,6 +193,28 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 aggregations: min_by/max_by arg-extrema with deterministic ties",
     ),
+    "q08_array_agg_ordered": QuerySpec(
+        rel.array_agg_ordered,
+        """
+        SELECT o_custkey,
+               list_sort(list(o_orderkey)) AS order_keys,
+               COUNT(*) AS n
+        FROM orders WHERE o_custkey < 50
+        GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "§2.2 aggregations: ordered array_agg/collect_list",
+    ),
+    "q09_posexplode_lateral": QuerySpec(
+        rel.posexplode_lateral,
+        """
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 20
+        ORDER BY doc_id, pos
+        """,
+        "§2.2 scans/generators: posexplode / UNNEST WITH ORDINALITY",
+    ),
     # --- joins --------------------------------------------------------
     "q10_join_revenue_by_segment": QuerySpec(
         rel.join_revenue_by_segment,
