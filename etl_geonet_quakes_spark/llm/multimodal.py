@@ -106,6 +106,38 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def media_frame_sample(
+    spark: SparkSession, sf_dir: str, frame_bytes: int = 32, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over an opaque binary payload: treat the blob as
+    fixed-size frames, keep every ``stride``-th frame, emit its bytes'
+    checksum — the video-keyframe-sampling shape with a deterministic
+    byte-slicing stand-in for a real demuxer. Pure column algebra
+    (sequence → filter → explode → substring on binary), so the
+    1→N fan-out stays inside codegen and shuffles nothing; a real
+    ffmpeg demux would swap into a mapInPandas stage (see
+    extract_features) with this exact output schema."""
+    m = documents_as_media(spark, sf_dir)
+    # explicit floor: double→int CAST truncates in Spark but ROUNDS in
+    # DuckDB — floor() agrees everywhere
+    n_frames = F.floor(F.col("media_meta.n_bytes") / frame_bytes)
+    sampled = F.filter(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)).cast("int")),
+        lambda i: i % stride == 0,
+    )
+    frame = F.substring(F.col("payload"), F.col("i") * frame_bytes + 1, frame_bytes)
+    return (
+        m.filter(F.col("media_meta.n_bytes") >= frame_bytes)
+        .select("doc_id", "payload", F.explode(sampled).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("frame_idx"),
+            F.md5(frame).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal path: build media table → mapInPandas
     feature extraction → stable ordering. (No SQL oracle — the

@@ -95,6 +95,26 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the SQL LATERAL path: per-document bigram
+    generation as a user-defined table function. The same result is
+    expressible with posexplode over pure column algebra (q09) — this
+    query exists to cover the UDTF extension point end-to-end
+    (register → LATERAL correlate → executor-side fan-out)."""
+    from etl_geonet_quakes_spark.functions.udtfs import BigramsUDTF
+
+    spark.udtf.register("bigrams_udtf", BigramsUDTF)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_tv")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM documents_tv d, LATERAL bigrams_udtf(d.text) b
+        WHERE d.doc_id < 20
+        ORDER BY d.doc_id, b.pos
+        """
+    )
+
+
 def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex-based token counting (the BPE-style pre-tokenizer shape:
     scan the raw string for token-pattern matches rather than trusting

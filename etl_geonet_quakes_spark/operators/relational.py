@@ -201,6 +201,37 @@ def posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF surface) as a grouped-agg pandas UDF:
+    quantity-weighted average price per return flag. Arrow ships each
+    group's columns as pandas Series; the UDF reduces exactly in
+    integer cents (order-insensitive) and divides once in double space
+    — the same exact-then-divide discipline as davg, so the value is
+    bit-comparable with the SQL oracle. At scale, grouped-agg UDFs
+    shuffle the grouped columns once; for partial-aggregatable logic
+    prefer built-ins (this exists to cover the UDAF API shape)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` makes
+    # type hints strings, so hint-based functionType inference can't run
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        pc = (price * 100).round().astype("int64")
+        qc = (qty * 100).round().astype("int64")
+        num = int((pc * qc).sum())
+        den = int(qc.sum())
+        return (float(num) / den) / 100.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # NB: a grouped-agg pandas UDF cannot share an .agg() with
+    # built-in aggregates (INVALID_PANDAS_UDF_PLACEMENT) — single-UDF agg
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) — expands to a two-phase aggregate under AQE."""
     li = load_table(spark, sf_dir, "lineitem")

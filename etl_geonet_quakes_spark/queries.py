@@ -715,6 +715,50 @@ SPECS: dict[str, QuerySpec] = {
         None,  # approximate by construction; recall tested vs brute force
         "§2.3 similarity search: LSH-bucketed ANN (rows-only)",
     ),
+    "q54_udaf_weighted_avg": QuerySpec(
+        rel.udaf_weighted_avg,
+        """
+        WITH c AS (SELECT l_returnflag,
+                          CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+                          CAST(ROUND(l_quantity*100) AS BIGINT) AS qc
+                   FROM lineitem)
+        SELECT l_returnflag,
+               (CAST(CAST(SUM(pc*qc) AS BIGINT) AS DOUBLE)
+                    / CAST(SUM(qc) AS BIGINT)) / 100 AS wavg_price
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "§2.2 UDAF surface: grouped-agg pandas UDF (exact integer-cents reduce)",
+    ),
+    "q55_udtf_bigrams": QuerySpec(
+        text.udtf_bigrams,
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents WHERE doc_id < 20),
+             u AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               toks[i] || ' ' || toks[i+1] AS bigram
+        FROM u ORDER BY doc_id, pos
+        """,
+        "§2.2 UDTF surface: Python UDTF via SQL LATERAL",
+    ),
+    "q56_media_frame_sample": QuerySpec(
+        multimodal.media_frame_sample,
+        """
+        -- DuckDB has no BLOB substring; the fixture text is ASCII so
+        -- character slicing + encode is byte-identical to Spark's
+        -- binary substring
+        WITH m AS (SELECT doc_id, text,
+                          octet_length(encode(text)) AS nb
+                   FROM documents),
+             f AS (SELECT doc_id, text,
+                          unnest(range(0, CAST(FLOOR(nb/32) AS BIGINT), 4)) AS i
+                   FROM m WHERE nb >= 32)
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               md5(substring(text, CAST(i*32+1 AS BIGINT), 32)) AS frame_md5
+        FROM f ORDER BY doc_id, frame_idx
+        """,
+        "§2.3 multimodal: frame sampling over binary payloads",
+    ),
     "q53_similarity_ivf": QuerySpec(
         similarity.topk_ivf,
         None,  # approximate by construction; recall tested vs brute force
