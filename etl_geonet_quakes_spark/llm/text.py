@@ -252,3 +252,17 @@ def doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: generator that PRESERVES rows whose array is
+    empty (a plain explode silently drops them — the classic
+    lost-document bug in tokenize-then-explode pipelines). Documents
+    with no z-prefixed token survive with a NULL token. Fan-out stays
+    inside codegen; no shuffle until the driver-side compare."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ztoks = F.filter(F.split(F.col("text"), " "), lambda t: t.startswith("z"))
+    return (
+        d.select("doc_id", F.explode_outer(ztoks).alias("tok"))
+        .orderBy("doc_id", "tok")
+    )

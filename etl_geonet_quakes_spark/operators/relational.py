@@ -1003,3 +1003,112 @@ def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date(F.col("w.start")).alias("day"), "event_type", "n", "sum_value")
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------
+# Null semantics, recursion, VARIANT, IGNORE NULLS
+# --------------------------------------------------------------------
+
+
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys instead of vanishing as they would under `=`.
+    The reference never faces this (task.ts:183 blind-casts and assumes
+    non-null); the engine makes the policy explicit. Keys are nullified
+    deterministically with NULLIF so both engines see identical NULLs.
+    Physically still an equi-join (hash on the null-safe key), and the
+    nation side broadcasts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.expr("nullif(c_nationkey, 3)").alias("k"))
+        .alias("c")
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.expr("nullif(n_nationkey, 3)").alias("k"), "n_name")
+        .alias("n")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c.k").eqNullSafe(F.col("n.k")))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): generate the complete
+    month series spanning orders, then LEFT JOIN monthly order counts
+    so gap months would surface as zero rows. Recursion depth is
+    O(months in the data) — bounded and driver-side tiny — while the
+    join and aggregate stay distributed. Revenue follows the exact
+    decimal-sum → string → double discipline (see pricing_summary)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT date_trunc('MONTH', min(o_orderdate)),
+                   date_trunc('MONTH', max(o_orderdate))
+            FROM orders_rcte
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
+        )
+        SELECT CAST(m AS DATE) AS month_start,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE(
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING)
+                        AS DOUBLE),
+                   CAST(0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN orders_rcte o
+          ON date_trunc('MONTH', o.o_orderdate) = m
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface: last-observation-carried-forward
+    (LOCF) gap-fill — the canonical sensor/feature-pipeline repair op.
+    `value` is masked NULL on click events (deterministically, so the
+    oracle sees identical NULLs), then per-user running last/first
+    non-null fill the gaps. Values pass through untouched, so doubles
+    hash-match exactly. One shuffle on user_id; frames are ROWS-bounded
+    running scans (no full-partition buffering)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    masked = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            masked.alias("value_masked"),
+            F.last(masked, ignorenulls=True).over(w).alias("value_locf"),
+            F.nth_value(masked, 1, ignoreNulls=True).over(w).alias("first_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type surface (Spark 4.x semi-structured kit):
+    parse_json → binary VARIANT, typed extraction with variant_get and
+    null-on-miss try_variant_get. Unlike q34's per-field string
+    extraction, the VARIANT path parses once and serves many typed
+    reads — at 100 TB, parse-once beats re-tokenizing the JSON string
+    per field, and VARIANT's binary encoding stays columnar in
+    Parquet."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
+    v = F.parse_json(F.col("props"))
+    return (
+        e.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.nope", "bigint").alias("k_missing"),
+            (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
+        )
+        .orderBy("event_id")
+    )

@@ -992,7 +992,90 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 streaming: session windows ≡ batch sessionization",
     ),
+    "q49_join_nullsafe": QuerySpec(
+        rel.join_nullsafe,
+        """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) c
+        JOIN (SELECT NULLIF(n_nationkey, 3) AS k, n_name FROM nation) n
+          ON c.k IS NOT DISTINCT FROM n.k
+        GROUP BY n_name ORDER BY n_name
+        """,
+        "§2.2 joins: null-safe equality (<=> / IS NOT DISTINCT FROM)",
+    ),
+    "q57_recursive_cte": QuerySpec(
+        rel.recursive_month_series,
+        """
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT date_trunc('month', min(o_orderdate)),
+                   date_trunc('month', max(o_orderdate))
+            FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+        )
+        SELECT CAST(m AS DATE) AS month_start,
+               COUNT(o.o_orderkey) AS n_orders,
+               COALESCE(
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                        AS DOUBLE),
+                   0.0) AS revenue
+        FROM months LEFT JOIN orders o
+          ON date_trunc('month', o.o_orderdate) = m
+        GROUP BY 1 ORDER BY 1
+        """,
+        "§2.2 recursion: WITH RECURSIVE month series + left-join counts",
+    ),
+    "q58_explode_outer": QuerySpec(
+        text.explode_outer_tokens,
+        """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x LIKE 'z%') AS zt
+                   FROM documents WHERE doc_id < 200)
+        SELECT t.doc_id, u.tok
+        FROM t LEFT JOIN LATERAL (SELECT unnest(zt) AS tok) u ON TRUE
+        ORDER BY doc_id, tok
+        """,
+        "§2.2 generators: explode_outer preserves empty-array rows",
+    ),
+    "q76_window_ignore_nulls": QuerySpec(
+        rel.window_ignore_nulls,
+        f"""
+        WITH m AS (
+            SELECT user_id, event_id, {_TS} AS ts,
+                   CASE WHEN event_type <> 'click' THEN value END AS v
+            FROM events WHERE event_id < 20000
+        )
+        SELECT user_id, event_id, v AS value_masked,
+               last_value(v IGNORE NULLS) OVER w AS value_locf,
+               nth_value(v, 1 IGNORE NULLS) OVER w AS first_seen
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+        """,
+        "§2.2 windows: IGNORE NULLS (LOCF gap-fill)",
+    ),
+    "q77_variant_json": QuerySpec(
+        rel.variant_ops,
+        """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               CAST(json_extract(props, '$.nope') AS BIGINT) AS k_missing,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod7
+        FROM events WHERE event_id < 50000 ORDER BY event_id
+        """,
+        "§2.2 semi-structured: VARIANT parse-once typed extraction",
+    ),
 }
+
+# transformWithStateInPandas (streaming/windows.py::
+# stream_transform_with_state) is implemented and covered by
+# tests/test_streaming_upsert.py::test_transform_with_state (skipped
+# when google.protobuf is absent — Spark's TWS driver worker imports it
+# internally). It is deliberately NOT in SPECS: the driver harness
+# environment lacks protobuf, and a query that cannot run there would
+# fail the correctness gate rather than record a skip.
 
 
 def queries() -> dict[str, QueryFn]:

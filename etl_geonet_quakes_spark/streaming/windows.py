@@ -226,3 +226,74 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4.x arbitrary-state API, the
+    successor to applyInPandasWithState in q74): a StatefulProcessor
+    holding a typed ValueState per user, same running counter/cents
+    accumulator so the terminated availableNow result equals the batch
+    aggregate oracle. Requires the RocksDB state store provider —
+    scoped to this query and restored after, since the provider choice
+    is how state spills past executor memory at 100 TB. The processor
+    class is self-contained (imports inside methods) so cloudpickle
+    ships it whole to Python workers regardless of cwd.
+
+    NOTE: Spark's TWS driver worker imports google.protobuf; in
+    environments without protobuf this raises at stream start (tests
+    skip when protobuf is absent), which is why this operator is not
+    in the driver-checked query registry."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf["cents"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = _events_stream(spark, sf_dir)
+    cents = e.withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        result = cents.groupBy("user_id").transformWithStateInPandas(
+            RunningCents(),
+            outputStructType="user_id long, n_events long, sum_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = _run_to_memory(result, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    out = spark.table(name)
+    # last-update-wins across micro-batches (single batch under
+    # availableNow on a static fixture, but replay-safe)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_cents").alias("sum_cents"))
+        .orderBy("user_id")
+    )

@@ -158,3 +158,31 @@ def test_ivf_broadcasts_probe_side(spark, sf_dir):
 
     p = plan(similarity.topk_ivf(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_nullsafe_join_is_broadcast_hash(spark, sf_dir):
+    """<=> is still an equi-join for the planner: hash-joinable on the
+    null-safe key and the 25-row nation side must broadcast — a
+    BroadcastNestedLoopJoin here would be a 100TB-scale regression."""
+    p = plan(rel.join_nullsafe(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p
+
+
+def test_variant_filter_still_prunes_columns(spark, sf_dir):
+    """VARIANT extraction must not defeat column pruning: the scan
+    should read only event_id + props."""
+    p = plan(rel.variant_ops(spark, sf_dir))
+    sched = p.split("ReadSchema", 1)[1][:200]
+    assert "props" in sched and "event_type" not in sched and "value" not in sched
+
+
+def test_ignore_nulls_window_single_shuffle(spark, sf_dir):
+    """Both IGNORE NULLS window columns share one (user_id) window —
+    one hash-partition Exchange plus the final sort, no more."""
+    import re
+
+    p = plan(rel.window_ignore_nulls(spark, sf_dir))
+    # count node detail headers ("(N) Window"), not tree echoes
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2

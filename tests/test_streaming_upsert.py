@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
@@ -66,3 +68,28 @@ def test_foreachbatch_snapshot_upsert_and_expiry(spark, tmp_path):
     ids_run2, expired_run2 = published[-1]
     assert removed not in ids_run2
     assert expired_run2 == [removed]
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4.x arbitrary state): final
+    per-user state after an availableNow run equals the batch
+    aggregate. Skipped where google.protobuf is unavailable — Spark's
+    TWS driver worker imports it internally."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.streaming.windows import stream_transform_with_state
+
+    got = stream_transform_with_state(spark, sf_dir).collect()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
