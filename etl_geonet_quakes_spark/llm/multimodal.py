@@ -145,3 +145,28 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only. The byte-stats query above carries the hash-level
     check for the binary plumbing.)"""
     return extract_features(documents_as_media(spark, sf_dir)).orderBy("doc_id")
+
+
+def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:
+    """Resize plumbing for opaque media: nearest-neighbor resample of
+    the payload to a fixed ``out_len`` bytes — the 1-D stand-in for
+    image thumbnailing, as pure column algebra (sequence → transform →
+    substring → join) so it never leaves codegen. A real pixel-space
+    resize swaps into the mapInPandas stage (see extract_features)
+    with this same fixed-size output contract; fixed-size outputs are
+    what keep downstream batch shapes uniform at 100 TB. ASCII fixture
+    ⇒ char ops ≡ byte ops on both engines (DuckDB md5 is VARCHAR-only,
+    reference: task.ts has no media path at all — SURVEY §2.3)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= out_len
+    )
+    resized = F.expr(
+        f"array_join(transform(sequence(0, {out_len - 1}), "
+        f"i -> substring(text, CAST(floor(i * length(text) / {out_len}) AS INT) + 1, 1)"
+        f"), '')"
+    )
+    return d.select(
+        "doc_id",
+        resized.alias("resized"),
+        F.md5(resized.cast("binary")).alias("resized_md5"),
+    ).orderBy("doc_id")

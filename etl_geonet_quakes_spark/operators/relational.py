@@ -1112,3 +1112,29 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def percentile_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the scale path for q27's exact percentiles.
+    Exact quantiles need a full sort (or quantile_cont's buffered
+    groups); the GK sketch aggregates in one partial+final pass with
+    bounded memory (~accuracy entries per group), which is the only
+    strategy that survives 100 TB groups. Sketch outputs are
+    engine-specific → rows-only registry entry; closeness to the exact
+    answer is asserted in tests/test_properties.py."""
+    o = load_table(spark, sf_dir, "orders")
+    pq = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(pq.alias("pq"), F.count("*").alias("n"))
+        .select(
+            "o_orderstatus",
+            F.col("pq")[0].alias("p25"),
+            F.col("pq")[1].alias("p50"),
+            F.col("pq")[2].alias("p75"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )

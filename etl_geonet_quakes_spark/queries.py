@@ -1067,6 +1067,35 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 semi-structured: VARIANT parse-once typed extraction",
     ),
+    "q79_stream_dedup_watermark": QuerySpec(
+        stw.stream_dedup_within_watermark,
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "§2.2 streaming: dropDuplicatesWithinWatermark (bounded state)",
+    ),
+    "q91_percentile_approx": QuerySpec(
+        rel.percentile_approx_summary,
+        None,  # GK sketch values are engine-specific; bounds tested
+        "§2.2 aggregations: approx_percentile sketch (rows-only)",
+    ),
+    "q92_media_resize": QuerySpec(
+        multimodal.media_resize,
+        """
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(0, 16),
+                       i -> substring(text, CAST(FLOOR(i * length(text) / 16) AS BIGINT) + 1, 1)),
+                   'string_agg', '') AS resized,
+               md5(list_aggregate(
+                   list_transform(range(0, 16),
+                       i -> substring(text, CAST(FLOOR(i * length(text) / 16) AS BIGINT) + 1, 1)),
+                   'string_agg', '')) AS resized_md5
+        FROM documents WHERE length(text) >= 16 ORDER BY doc_id
+        """,
+        "§2.3 multimodal: fixed-size nearest-neighbor resize plumbing",
+    ),
 }
 
 # transformWithStateInPandas (streaming/windows.py::

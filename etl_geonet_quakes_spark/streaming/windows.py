@@ -297,3 +297,20 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"), F.max("sum_cents").alias("sum_cents"))
         .orderBy("user_id")
     )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: like stream_dedup_user_type but
+    state for a key is EVICTED once the watermark passes it — the only
+    dedup variant whose state is bounded on an unbounded stream (plain
+    dropDuplicates state grows forever; SURVEY §2.2 'Stateful ops').
+    Under availableNow on a static fixture everything lands in one
+    micro-batch before any eviction, so the terminated result equals
+    the batch distinct count — which is what the oracle checks."""
+    e = _events_stream(spark, sf_dir)
+    dedup = e.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    name = _run_to_memory(agg, "complete")
+    return spark.table(name).orderBy("event_type")

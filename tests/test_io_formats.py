@@ -67,3 +67,13 @@ def test_corrupt_json_quarantined_not_trusted(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and good[0]["a"] == 1
     assert len(bad) == 1 and bad[0]["a"] is None
+
+
+def test_orc_roundtrip_declared_schema(spark, sf_dir, tmp_path):
+    """ORC scan/write parity with parquet: declared schema, no
+    inference, values identical after a round-trip."""
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.schema(src.schema).orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

@@ -96,3 +96,26 @@ def test_iso_roundtrip(spark):
     )
     for r in df.collect():
         assert r["back"] == r["t"]
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    """q91's GK sketch at accuracy=10000 must land within rank-error
+    bounds of the exact quantile — on sf0.001/sf0.01 group sizes
+    (n < accuracy) GK degenerates to exact, so the tolerance is tight."""
+    from etl_geonet_quakes_spark.operators.relational import (
+        percentile_approx_summary,
+        percentiles,
+    )
+
+    approx = {
+        r["o_orderstatus"]: r for r in percentile_approx_summary(spark, sf_dir).collect()
+    }
+    exact = {r["o_orderstatus"]: r for r in percentiles(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for status, a in approx.items():
+        e = exact[status]
+        for p in ("p25", "p50", "p75"):
+            # exact is interpolated (quantile_cont), approx returns a
+            # data value — allow a 1%-of-range slack
+            rng = e["max_price"] - e["min_price"]
+            assert abs(a[p] - e[p]) <= 0.01 * rng, (status, p, a[p], e[p])
