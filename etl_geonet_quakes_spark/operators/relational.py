@@ -1138,3 +1138,26 @@ def percentile_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar kit (ANSI try_* family): NULL instead of
+    runtime failure for divide-by-zero, bad casts and out-of-bounds
+    element access. At 100 TB one poisoned row must not kill a
+    12-hour job — try_* is the declarative alternative to wrapping
+    the pipeline in a salvage UDF (the reference's answer is a blind
+    cast that absorbs the risk silently, task.ts:183)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        # divisor is 0 for every 5th customer → NULL, not an exception
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("safe_div"),
+        F.element_at(parts, 1).cast("long").alias("prio_num"),
+        # '-MEDIUM' etc. is not a number → NULL, not a cast error
+        F.expr("try_cast(element_at(split(o_orderpriority, '-'), 2) AS BIGINT)").alias(
+            "word_num"
+        ),
+        # index 3 is past the end for every row → NULL, not an error
+        F.try_element_at(parts, F.lit(3)).alias("missing_part"),
+    ).orderBy("o_orderkey")

@@ -1096,6 +1096,19 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.3 multimodal: fixed-size nearest-neighbor resize plumbing",
     ),
+    "q93_try_functions": QuerySpec(
+        rel.try_functions,
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 5 = 0 THEN NULL
+                    ELSE o_totalprice / (o_custkey % 5) END AS safe_div,
+               CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_num,
+               TRY_CAST(string_split(o_orderpriority, '-')[2] AS BIGINT) AS word_num,
+               string_split(o_orderpriority, '-')[3] AS missing_part
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+        """,
+        "§2.2 scalar: ANSI try_* error-safe family",
+    ),
 }
 
 # transformWithStateInPandas (streaming/windows.py::

@@ -186,3 +186,18 @@ def test_ignore_nulls_window_single_shuffle(spark, sf_dir):
     # count node detail headers ("(N) Window"), not tree echoes
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """Join-strategy hints: the planner obeys shuffle_hash / merge
+    hints even where it would otherwise broadcast — the manual
+    override lever when a 'small' side is only small per-partition
+    (skew) or when sort order downstream makes SMJ free."""
+    from etl_geonet_quakes_spark.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cond = o["o_custkey"] == c["c_custkey"]
+    assert "ShuffledHashJoin" in plan(o.join(c.hint("shuffle_hash"), cond))
+    assert "SortMergeJoin" in plan(o.join(c.hint("merge"), cond))
+    assert "BroadcastHashJoin" in plan(o.join(c.hint("broadcast"), cond))
