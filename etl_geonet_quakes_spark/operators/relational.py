@@ -187,6 +187,26 @@ def array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_agg_ordered_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing variant of :func:`array_agg_ordered`: the sorted
+    array is serialized to one comma-joined string so harnesses that
+    canonicalize cells by hashing (pandas ``factorize``) see a scalar
+    instead of an unhashable list. Same single hash-agg plan plus one
+    ``array_join``; the array-typed variant stays for in-repo tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+                "order_keys"
+            ),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode (LATERAL VIEW / UNNEST WITH ORDINALITY): token with
     its 1-based position per document — the generator-function surface
@@ -653,11 +673,17 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above the global average price. The
     average is computed exactly (decimal sum / count) so the filter
-    boundary is the SAME double on both engines."""
+    boundary is the SAME double on both engines.
+
+    Single-plan form: the 1-row aggregate is broadcast and
+    cross-joined, which is exactly Catalyst's physical strategy for an
+    uncorrelated scalar subquery — one job, no driver round-trip
+    (a ``.collect()`` here would serialize the query into two jobs)."""
     o = load_table(spark, sf_dir, "orders")
-    avg_row = o.agg(davg(F.col("o_totalprice")).alias("a")).collect()[0]["a"]
+    avg_df = o.agg(davg(F.col("o_totalprice")).alias("__global_avg"))
     return (
-        o.filter(F.col("o_totalprice") > F.lit(avg_row))
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__global_avg"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )

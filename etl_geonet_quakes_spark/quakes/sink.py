@@ -63,8 +63,14 @@ class SnapshotDiffSink:
             expired = prev.join(ids, "id", "left_anti")
         else:
             expired = ids.limit(0)
-        # materialize expiry BEFORE overwriting state
-        expired = spark.createDataFrame(expired.collect(), schema=expired.schema)
+        # Materialize expiry BEFORE overwriting state — but WITHOUT a
+        # driver collect (a large shrinking snapshot would otherwise
+        # buffer every expired id in driver memory). A scratch parquet
+        # write breaks the lineage durably; the re-read below no longer
+        # references published_ids, so the overwrite is safe.
+        scratch = os.path.join(self.state_dir, "_expired_scratch")
+        expired.write.mode("overwrite").parquet(scratch)
+        expired = spark.read.parquet(scratch)
         n = ids.count()
         ids.write.mode("overwrite").parquet(self._ids_path)
         return n, expired

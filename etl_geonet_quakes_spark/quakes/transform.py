@@ -77,6 +77,12 @@ def validate_features(features_df: DataFrame) -> DataFrame:
         "properties.depth",
         "properties.magnitude",
         "properties.quality",
+        # locality feeds the callsign and the remarks 'Location:' line;
+        # mmi feeds the threshold filter — a null in either would be
+        # silently absorbed (concat_ws skips nulls, null >= k filters
+        # the row), contradicting the fail-loud boundary policy.
+        "properties.locality",
+        "properties.mmi",
         "geometry.coordinates",
     ]
     cond = None

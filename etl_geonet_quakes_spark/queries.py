@@ -58,6 +58,16 @@ def _quake_pipeline(spark: SparkSession) -> DataFrame:
 _DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
 _TS = "CAST(ts AS TIMESTAMP)"  # events.ts is TIMESTAMP_NS in DuckDB; µs in Spark
 
+# Guarded distinct 3-word shingles — the exact SQL mirror of
+# llm.dedup.shingles_str (docs shorter than 3 tokens contribute the
+# whole document as one shingle).
+_SHINGLES = """
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [array_to_string(toks, ' ')] END
+"""
+
 
 def _dsum(col: str) -> str:
     return _DSUM.format(col=col)
@@ -194,15 +204,17 @@ SPECS: dict[str, QuerySpec] = {
         "§2.2 aggregations: min_by/max_by arg-extrema with deterministic ties",
     ),
     "q08_array_agg_ordered": QuerySpec(
-        rel.array_agg_ordered,
+        rel.array_agg_ordered_str,
         """
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS order_keys,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
                COUNT(*) AS n
         FROM orders WHERE o_custkey < 50
         GROUP BY o_custkey ORDER BY o_custkey
         """,
-        "§2.2 aggregations: ordered array_agg/collect_list",
+        "§2.2 aggregations: ordered array_agg/collect_list "
+        "(serialized to a joined string so value-hash canonicalizers "
+        "see a scalar; array-typed variant tested in-repo)",
     ),
     "q09_posexplode_lateral": QuerySpec(
         rel.posexplode_lateral,
@@ -665,13 +677,54 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q42_dedup_minhash_lsh": QuerySpec(
         dedup.dedup_minhash_lsh,
-        None,  # xxhash64-seeded signatures are engine-specific
-        "§2.3 near-dup: MinHash+LSH (rows-only; Jaccard-verified in tests)",
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                   FROM s a JOIN s b
+                     ON a.doc_id < b.doc_id
+                    -- provable size-ratio prune: J >= tau implies
+                    -- min(|A|,|B|) >= tau * max(|A|,|B|)
+                    AND least(len(a.sh), len(b.sh))
+                        >= 0.7 * greatest(len(a.sh), len(b.sh)))
+        SELECT doc_a, doc_b, jaccard FROM p
+        WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b
+        """,
+        "§2.3 near-dup: MinHash+LSH; verify tier = exact string-shingle "
+        "Jaccard, oracle = full exact-Jaccard pair set (LSH recall "
+        "pinned to 1.0 on the fixture corpora by tests)",
     ),
     "q43_dedup_simhash": QuerySpec(
         dedup.dedup_simhash,
-        None,  # xxhash64-based fingerprints are engine-specific
-        "§2.3 near-dup: SimHash/Hamming (rows-only)",
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+             f AS (SELECT doc_id,
+                          unnest(list_transform(sh,
+                              x -> CAST(concat('0x', substring(md5(x), 1, 15))
+                                        AS BIGINT))) AS h
+                   FROM s),
+             v AS (SELECT doc_id, j,
+                          SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                          COUNT(*) AS n
+                   FROM f CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+                   GROUP BY doc_id, j),
+             fp AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN 2 * ones > n
+                                         THEN (CAST(1 AS BIGINT) << j)
+                                         ELSE 0 END) AS BIGINT) AS sim
+                    FROM v GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        ORDER BY doc_a, doc_b
+        """,
+        "§2.3 near-dup: SimHash/Hamming — md5-based 60-bit fingerprints "
+        "recomputed verbatim by the oracle; pigeonhole blocking makes "
+        "the Spark pair set provably complete, so this hash-matches",
     ),
     "q44_dedup_embedding_cosine": QuerySpec(
         dedup.dedup_embedding_cosine,

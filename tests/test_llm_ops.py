@@ -15,12 +15,12 @@ def test_minhash_matches_exact_shingle_jaccard(spark, sf_dir):
     affordable at test scale). MinHash-LSH emits a verified subset
     (precision 1.0 by construction) with probabilistic recall."""
     from pyspark.sql import functions as F
-    from etl_geonet_quakes_spark.llm.dedup import _shingles
+    from etl_geonet_quakes_spark.llm.dedup import shingles_str
 
     thr = 0.5
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", _shingles(F.col("text"), 3).alias("toks"))
+        .select("doc_id", shingles_str(F.col("text"), 3).alias("toks"))
     )
     a, b = d.alias("a"), d.alias("b")
     jac = F.size(F.array_intersect("a.toks", "b.toks")).cast("double") / F.size(
