@@ -670,6 +670,27 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket``: 22 buckets of 5000
+    over extendedprice, plus the two out-of-range buckets (0 below,
+    23 above). One partial+final hash agg on a tiny key space — the
+    canonical distribution-profiling scan, constant memory at any
+    scale. Bucket boundaries are exact doubles (multiples of 5000) so
+    the bucket function is engine-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(22)
+    )
+    return (
+        li.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above the global average price. The
     average is computed exactly (decimal sum / count) so the filter

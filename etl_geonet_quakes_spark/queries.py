@@ -22,12 +22,14 @@ the tests in tests/ carry the semantics instead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_geonet_quakes_spark.llm import dedup, multimodal, similarity, text
+from etl_geonet_quakes_spark.llm import corpus, dedup, multimodal, similarity, text
 from etl_geonet_quakes_spark.operators import relational as rel
 from etl_geonet_quakes_spark.streaming import windows as stw
 
@@ -38,8 +40,6 @@ def _quake_pipeline(spark: SparkSession) -> DataFrame:
     """The reference transform end-to-end on the repo's GeoNet fixture
     with a pinned clock (the driver passes sf_dir, which carries no
     GeoJSON — the quake tables live in tests/fixtures)."""
-    import os
-
     from etl_geonet_quakes_spark.io import read_geojson
     from etl_geonet_quakes_spark.quakes import GEONET_RESPONSE_SCHEMA, QuakeJobConfig
     from etl_geonet_quakes_spark.quakes.transform import run_pipeline
@@ -52,6 +52,143 @@ def _quake_pipeline(spark: SparkSession) -> DataFrame:
     )
     cfg = QuakeJobConfig(min_mmi=-1, max_age_minutes=1e12, now_utc_ms=1768478400000)
     return run_pipeline(read_geojson(spark, fixture, GEONET_RESPONSE_SCHEMA), cfg)
+
+def _quake_parity(spark: SparkSession) -> DataFrame:
+    """Flattened scalar projection of the full pipeline output: every
+    leaf field of the CoT feature (including remarks, timeLocal with
+    NZDT naming and humanized age, and the toFixed-formatted callsign)
+    as top-level hashable columns — this is the reference-parity
+    contract (task.ts:187-249) as a value-hash-checkable query rather
+    than a rows-only smoke. The DuckDB oracle independently replays
+    the fixture JSON through the same semantics."""
+    out = _quake_pipeline(spark)
+    return out.select(
+        "id",
+        F.col("type").alias("feature_type"),
+        F.col("properties.callsign").alias("callsign"),
+        F.col("properties.type").alias("cot_type"),
+        F.col("properties.icon").alias("icon"),
+        F.col("properties.time").alias("time_utc"),
+        F.col("properties.start").alias("start_utc"),
+        F.col("properties.stale").alias("stale_utc"),
+        F.col("properties.metadata.magnitude").alias("magnitude"),
+        F.col("properties.metadata.mmi").alias("mmi"),
+        F.col("properties.metadata.intensity").alias("intensity"),
+        F.col("properties.metadata.locality").alias("locality"),
+        F.col("properties.metadata.depth").alias("depth"),
+        F.col("properties.metadata.quality").alias("quality"),
+        F.col("properties.metadata.publicID").alias("publicID"),
+        F.col("properties.metadata.timeLocal").alias("time_local"),
+        F.col("properties.remarks").alias("remarks"),
+        F.col("geometry.type").alias("geom_type"),
+        F.col("geometry.coordinates")[0].alias("lon"),
+        F.col("geometry.coordinates")[1].alias("lat"),
+        F.col("geometry.coordinates")[2].alias("alt"),
+    ).orderBy("id")
+
+
+_FIXTURE_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "geonet_quakes.json",
+)
+
+# Pinned clock shared by _quake_pipeline and the parity oracle.
+_QUAKE_NOW_MS = 1768478400000  # 2026-01-15T12:00:00Z
+_QUAKE_STALE = "2026-01-15T12:05:00.000Z"  # now + 5 min, ISO-ms
+
+# Exact ECMA-262 Number.prototype.toFixed in SQL: printf('%.25g')
+# recovers enough of the double's EXACT binary expansion (the decision
+# boundary n.X5 is either exactly representable — expansion terminates
+# — or ≥~1e-16 away from any double), then DECIMAL round-half-up picks
+# the larger n on ties, as toFixed specifies. A bare printf('%.Nf')
+# would round half-to-even on the binary value and diverge on exact
+# quarters (5.25 → '5.2' instead of JS '5.3').
+_TOFIX = "CAST(ROUND(CAST(printf('%.25g', {x}) AS DECIMAL(38,25)), {f}) AS VARCHAR)"
+
+
+def _quake_parity_oracle() -> str:
+    now = _QUAKE_NOW_MS
+    return f"""
+WITH raw AS (
+    SELECT unnest(features) AS f
+    FROM read_json('{_FIXTURE_JSON}')),
+x AS (
+    SELECT f.properties.publicID AS pid,
+           f.properties.time AS t_str,
+           CAST(f.properties.time AS TIMESTAMPTZ) AS t,
+           f.properties.depth AS depth,
+           f.properties.magnitude AS mag,
+           CAST(f.properties.mmi AS INTEGER) AS mmi,
+           f.properties.locality AS loc,
+           f.properties.quality AS quality,
+           f.geometry.coordinates[1] AS lon,
+           f.geometry.coordinates[2] AS lat
+    FROM raw),
+flt AS (
+    SELECT * FROM x
+    WHERE quality <> 'deleted' AND mmi >= -1
+      AND ({now} - epoch_ms(t)) / 60000.0 <= 1e12),
+en AS (
+    SELECT *,
+        {_TOFIX.format(x='mag', f=1)} AS mag1,
+        {_TOFIX.format(x='mag', f=2)} AS mag2,
+        {_TOFIX.format(x='depth', f=1)} AS dep1,
+        CASE WHEN mmi IN (-1, 1) THEN 'Unnoticeable'
+             WHEN mmi IN (2, 3) THEN 'Weak'
+             WHEN mmi = 4 THEN 'Light'
+             WHEN mmi = 5 THEN 'Moderate'
+             WHEN mmi = 6 THEN 'Strong'
+             WHEN mmi = 7 THEN 'Very Strong'
+             WHEN mmi = 8 THEN 'Severe'
+             WHEN mmi = 9 THEN 'Violent'
+             ELSE 'Unknown' END AS intensity,
+        'bb4df0a6-ca8d-4ba8-bb9e-3deb97ff015e:NaturalHazards/' ||
+        CASE WHEN mmi BETWEEN 1 AND 4 THEN 'NH.25A.EarthquakeWeak.png'
+             WHEN mmi = 5 THEN 'NH.26A.EarthquakeLight.png'
+             WHEN mmi = 6 THEN 'NH.27A.EarthquakeModerate.png'
+             WHEN mmi = 7 THEN 'NH.28A.EarthquakeStrong.png'
+             WHEN mmi BETWEEN 8 AND 11 THEN 'NH.29A.EarthquakeSevere.png'
+             ELSE 'NH.24.Earthquake.png' END AS icon,
+        strftime(t AT TIME ZONE 'Pacific/Auckland', '%d/%m/%Y, %H:%M') AS nz_dt,
+        CASE epoch(t AT TIME ZONE 'Pacific/Auckland') - epoch(t AT TIME ZONE 'UTC')
+             WHEN 43200 THEN 'NZST' WHEN 46800 THEN 'NZDT' ELSE 'NZT' END AS tzn,
+        CAST(floor(({now} - epoch_ms(t)) / 60000.0) AS BIGINT) AS dmin
+    FROM flt),
+ago AS (
+    SELECT *,
+        CASE WHEN dmin < 60 THEN
+                 dmin || ' minute' || (CASE WHEN dmin = 1 THEN '' ELSE 's' END) || ' ago'
+             WHEN dmin // 60 < 24 THEN
+                 (dmin // 60) || ' hour' || (CASE WHEN dmin // 60 = 1 THEN '' ELSE 's' END) || ' ago'
+             ELSE (dmin // 60 // 24) || ' day' || (CASE WHEN dmin // 60 // 24 = 1 THEN '' ELSE 's' END) || ' ago'
+        END AS agostr
+    FROM en),
+nz AS (
+    SELECT *, nz_dt || ' ' || tzn || ' (' || agostr || ')' AS time_local
+    FROM ago)
+SELECT 'earthquake-' || pid AS id,
+       'Feature' AS feature_type,
+       'M' || mag1 || ' ' || loc AS callsign,
+       'a-o-X-i-g-e' AS cot_type,
+       icon,
+       t_str AS time_utc, t_str AS start_utc,
+       '{_QUAKE_STALE}' AS stale_utc,
+       mag AS magnitude, mmi, intensity, loc AS locality, depth, quality,
+       pid AS publicID, time_local,
+       'Magnitude: ' || mag2 || chr(10) ||
+       'MMI: ' || CAST(mmi AS VARCHAR) || chr(10) ||
+       'Intensity: ' || intensity || chr(10) ||
+       'Location: ' || loc || chr(10) ||
+       'Time (UTC): ' || t_str || chr(10) ||
+       'Time (NZ): ' || time_local || chr(10) ||
+       'Depth: ' || dep1 || ' km' || chr(10) ||
+       'Information Quality: ' || quality AS remarks,
+       'Point' AS geom_type, lon, lat, -depth AS alt
+FROM nz ORDER BY id
+"""
+
 
 # Shared SQL fragments -------------------------------------------------
 
@@ -975,6 +1112,97 @@ SPECS: dict[str, QuerySpec] = {
         None,  # GeoJSON fixture + nested CoT output — golden-tested in
         # tests/test_quakes_golden.py rather than SQL-oracled
         "§2.1 O4–O23: the full reference transform (rows-only)",
+    ),
+    "q82_dedup_clusters": QuerySpec(
+        dedup.dedup_clusters,
+        """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, source,
+                     list_distinct(string_split(text, ' ')) AS tk
+              FROM documents),
+        e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+              FROM d a JOIN d b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND least(len(a.tk), len(b.tk))
+                   >= 0.8 * greatest(len(a.tk), len(b.tk))
+              WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+        ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+        r(doc, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT ee.ea, r.lbl FROM r JOIN ee ON r.doc = ee.eb),
+        cc AS (SELECT doc, MIN(lbl) AS cluster_rep FROM r GROUP BY doc),
+        sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+               FROM cc GROUP BY cluster_rep)
+        SELECT doc AS doc_id, cc.cluster_rep, sz.cluster_size
+        FROM cc JOIN sz USING (cluster_rep)
+        ORDER BY doc_id
+        """,
+        "§2.3 dedup clustering: connected components over Jaccard-0.8 "
+        "edges (iterative min-label propagation vs recursive-CTE "
+        "transitive closure oracle)",
+    ),
+    "q83_stratified_sample": QuerySpec(
+        corpus.stratified_sample,
+        """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT)
+              < CAST((CASE lang WHEN 'en' THEN 0.1
+                                WHEN 'de' THEN 0.3
+                                ELSE 0.5 END) * 1152921504606846976.0 AS BIGINT)
+        ORDER BY doc_id
+        """,
+        "§2.3 corpus prep: deterministic hash-threshold stratified "
+        "sampling (reproducible across engines/reruns, unlike df.sample)",
+    ),
+    "q84_corpus_dedup_pipeline": QuerySpec(
+        corpus.corpus_dedup_pipeline,
+        """
+        WITH staged AS (
+            SELECT lang,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS uniq
+            FROM documents)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT keeper THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_removed,
+               CAST(SUM(CASE WHEN keeper AND NOT (n_tokens >= 5 AND uniq >= 0.2)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq_removed,
+               CAST(SUM(CASE WHEN keeper AND n_tokens >= 5 AND uniq >= 0.2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keeper AND n_tokens >= 5 AND uniq >= 0.2
+                             THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM staged GROUP BY lang ORDER BY lang
+        """,
+        "§2.3 corpus prep: exact-dedup → quality gate → per-language "
+        "composition report, one window + one agg",
+    ),
+    "q85_histogram_bucket": QuerySpec(
+        rel.histogram_bucket,
+        f"""
+        SELECT bucket, COUNT(*) AS n, {_dsum('l_extendedprice')} AS sum_price
+        FROM (SELECT l_extendedprice,
+                     CASE WHEN l_extendedprice < 0 THEN 0
+                          WHEN l_extendedprice >= 110000 THEN 23
+                          ELSE CAST(FLOOR(l_extendedprice * 22 / 110000)
+                                    AS BIGINT) + 1 END AS bucket
+              FROM lineitem)
+        GROUP BY bucket ORDER BY bucket
+        """,
+        "§2.2 aggregations: width_bucket equi-width histogram",
+    ),
+    "q81_quake_parity": QuerySpec(
+        lambda spark, sf_dir: _quake_parity(spark),
+        _quake_parity_oracle(),
+        "§2.1 O4–O23 hash-checked: flattened CoT leaves vs an "
+        "independent DuckDB replay of the fixture (exact toFixed ties, "
+        "NZDT naming, humanized age, remarks block)",
     ),
     # --- streaming (§2.2 streaming rows) --------------------------------
     "q70_stream_tumbling": QuerySpec(

@@ -161,3 +161,22 @@ def test_winnow_matches_python_model_on_tiny_doc(spark, sf_dir):
     )
     assert got["n_fingerprints"] == len(expect)
     assert got["min_fp"] == expect[0]
+
+
+def test_dedup_clusters_consistent(spark, sf_dir):
+    """Cluster labels must be consistent with the pair graph: every
+    near-dup pair lands in one cluster, every rep is its own cluster's
+    minimum member (canonical labeling), singletons label themselves."""
+    out = dedup.dedup_clusters(spark, sf_dir).collect()
+    lbl = {r["doc_id"]: r["cluster_rep"] for r in out}
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir, 0.8).collect()
+    for r in pairs:
+        assert lbl[r["doc_a"]] == lbl[r["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for doc, rep in lbl.items():
+        members.setdefault(rep, []).append(doc)
+    for rep, docs in members.items():
+        assert rep == min(docs)
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out}
+    for rep, docs in members.items():
+        assert all(sizes[d] == len(docs) for d in docs)
