@@ -24,19 +24,44 @@ from etl_geonet_quakes_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Names follow the round-2 registry renumbering (queries._FINAL_ORDER;
+# old→new table in COVERAGE.md). Round-1 BENCH keys for the same
+# queries, for cross-round comparison:
+#   q01_pricing_summary          = q01_pricing_summary (unchanged)
+#   q58_join_revenue_by_segment  = was q10_join_revenue_by_segment
+#   q59_join_dim_chain           = was q11_join_dim_chain
+#   q66_window_topk              = was q20_window_topk
+#   q50_sessionization           = was q23_sessionization
+#   q81_time_window_tumbling     = was q36_time_window_tumbling
+#   q41_dedup_exact              = was q40_dedup_exact
+#   q40_dedup_ngram_jaccard      = was q41_dedup_ngram_jaccard
+#   q38_dedup_minhash_lsh        = was q42_dedup_minhash_lsh
+#   q43_similarity_bruteforce    = was q50_similarity_bruteforce
+#   q22_token_stats              = was q60_token_stats
+#   q26_token_frequency_topk     = was q64_token_frequency_topk
+# New to the bench this round: as-of join, RANGE frame, tf-idf, IVF
+# ANN, SimHash, dedup clustering, corpus pipeline (previously
+# unbenched families).
 HEADLINE = [
     "q01_pricing_summary",
-    "q10_join_revenue_by_segment",
-    "q11_join_dim_chain",
-    "q20_window_topk",
-    "q23_sessionization",
-    "q36_time_window_tumbling",
-    "q40_dedup_exact",
-    "q41_dedup_ngram_jaccard",
-    "q42_dedup_minhash_lsh",
-    "q50_similarity_bruteforce",
-    "q60_token_stats",
-    "q64_token_frequency_topk",
+    "q58_join_revenue_by_segment",
+    "q59_join_dim_chain",
+    "q66_window_topk",
+    "q50_sessionization",
+    "q81_time_window_tumbling",
+    "q41_dedup_exact",
+    "q40_dedup_ngram_jaccard",
+    "q38_dedup_minhash_lsh",
+    "q43_similarity_bruteforce",
+    "q22_token_stats",
+    "q26_token_frequency_topk",
+    "q49_join_asof",
+    "q86_window_range_frame",
+    "q27_tfidf_top_terms",
+    "q21_similarity_ivf",
+    "q39_dedup_simhash",
+    "q45_dedup_clusters",
+    "q47_corpus_dedup_pipeline",
 ]
 
 

@@ -1392,6 +1392,122 @@ SPECS: dict[str, QuerySpec] = {
     ),
 }
 
+# Driver-window curation ----------------------------------------------
+#
+# The external correctness harness records rows for the FIRST 50
+# registered queries (registration order and name sort — the table
+# below makes both agree). Round 1 left 33 high-value queries — all
+# streaming, the quake pipeline itself, UDAF/UDTF, recursive CTE,
+# try_* — outside that window with no driver-side correctness row.
+# The final naming below puts the most load-bearing 50 first:
+# the flagship + quake parity pair, the full streaming family, the
+# extension-point surfaces (UDAF/UDTF/recursive/VARIANT/try_*), every
+# LLM-data operator (dedup/similarity/text/multimodal/corpus), and the
+# queries whose implementation changed this round (array_agg, scalar
+# subquery, the three sketch dedups) so their fixes are re-checked.
+# Rotated out: the relational core that was hash-verified GREEN in
+# round 1 and is unchanged since (old q02–q48 minus the above) — those
+# keep their repo-side DuckDB parity test (tests/test_oracle_parity.py
+# runs ALL entries at every pytest run). The old→new table is also in
+# COVERAGE.md for cross-round evidence linking.
+_FINAL_ORDER: list[tuple[str, str]] = [
+    # ---- driver window (first 50) -----------------------------------
+    ("q01_pricing_summary", "q01_pricing_summary"),
+    ("q80_quake_pipeline", "q02_quake_pipeline"),
+    ("q81_quake_parity", "q03_quake_parity"),
+    ("q70_stream_tumbling", "q04_stream_tumbling"),
+    ("q71_stream_sliding", "q05_stream_sliding"),
+    ("q72_stream_dedup", "q06_stream_dedup"),
+    ("q79_stream_dedup_watermark", "q07_stream_dedup_watermark"),
+    ("q73_stream_sessions", "q08_stream_sessions"),
+    ("q74_stream_stateful_counts", "q09_stream_stateful_counts"),
+    ("q75_stream_stream_join", "q10_stream_stream_join"),
+    ("q54_udaf_weighted_avg", "q11_udaf_weighted_avg"),
+    ("q55_udtf_bigrams", "q12_udtf_bigrams"),
+    ("q57_recursive_cte", "q13_recursive_cte"),
+    ("q93_try_functions", "q14_try_functions"),
+    ("q77_variant_json", "q15_variant_json"),
+    ("q76_window_ignore_nulls", "q16_window_ignore_nulls"),
+    ("q58_explode_outer", "q17_explode_outer"),
+    ("q49_join_nullsafe", "q18_join_nullsafe"),
+    ("q90_salted_join", "q19_salted_join"),
+    ("q52_embedding_norms", "q20_embedding_norms"),
+    ("q53_similarity_ivf", "q21_similarity_ivf"),
+    ("q60_token_stats", "q22_token_stats"),
+    ("q61_quality_score", "q23_quality_score"),
+    ("q62_language_id", "q24_language_id"),
+    ("q63_fingerprint", "q25_fingerprint"),
+    ("q64_token_frequency_topk", "q26_token_frequency_topk"),
+    ("q68_tfidf_top_terms", "q27_tfidf_top_terms"),
+    ("q59_regex_tokens", "q28_regex_tokens"),
+    ("q69_fingerprint_winnow", "q29_fingerprint_winnow"),
+    ("q65_doc_stats_by_source", "q30_doc_stats_by_source"),
+    ("q66_media_byte_stats", "q31_media_byte_stats"),
+    ("q67_media_features", "q32_media_features"),
+    ("q56_media_frame_sample", "q33_media_frame_sample"),
+    ("q92_media_resize", "q34_media_resize"),
+    ("q91_percentile_approx", "q35_percentile_approx"),
+    ("q08_array_agg_ordered", "q36_array_agg_ordered"),
+    ("q19_scalar_subquery", "q37_scalar_subquery"),
+    ("q42_dedup_minhash_lsh", "q38_dedup_minhash_lsh"),
+    ("q43_dedup_simhash", "q39_dedup_simhash"),
+    ("q41_dedup_ngram_jaccard", "q40_dedup_ngram_jaccard"),
+    ("q40_dedup_exact", "q41_dedup_exact"),
+    ("q44_dedup_embedding_cosine", "q42_dedup_embedding_cosine"),
+    ("q50_similarity_bruteforce", "q43_similarity_bruteforce"),
+    ("q51_similarity_lsh", "q44_similarity_lsh"),
+    ("q82_dedup_clusters", "q45_dedup_clusters"),
+    ("q83_stratified_sample", "q46_stratified_sample"),
+    ("q84_corpus_dedup_pipeline", "q47_corpus_dedup_pipeline"),
+    ("q85_histogram_bucket", "q48_histogram_bucket"),
+    ("q17_join_asof", "q49_join_asof"),
+    ("q23_sessionization", "q50_sessionization"),
+    # ---- outside the window (round-1-green, unchanged) ---------------
+    ("q02_agg_distinct", "q51_agg_distinct"),
+    ("q03_agg_rollup", "q52_agg_rollup"),
+    ("q04_agg_cube", "q53_agg_cube"),
+    ("q05_agg_approx_distinct", "q54_agg_approx_distinct"),
+    ("q06_stat_aggregates", "q55_stat_aggregates"),
+    ("q07_arg_extrema", "q56_arg_extrema"),
+    ("q09_posexplode_lateral", "q57_posexplode_lateral"),
+    ("q10_join_revenue_by_segment", "q58_join_revenue_by_segment"),
+    ("q11_join_dim_chain", "q59_join_dim_chain"),
+    ("q12_join_left_order_counts", "q60_join_left_order_counts"),
+    ("q13_join_semi", "q61_join_semi"),
+    ("q14_join_anti", "q62_join_anti"),
+    ("q15_join_range_bands", "q63_join_range_bands"),
+    ("q16_join_full_outer", "q64_join_full_outer"),
+    ("q18_grouping_sets", "q65_grouping_sets"),
+    ("q20_window_topk", "q66_window_topk"),
+    ("q21_window_lag", "q67_window_lag"),
+    ("q22_window_running_total", "q68_window_running_total"),
+    ("q24_orderby_limit_topk", "q69_orderby_limit_topk"),
+    ("q25_set_operations", "q70_set_operations"),
+    ("q26_window_first_last", "q71_window_first_last"),
+    ("q27_percentiles", "q72_percentiles"),
+    ("q28_map_functions", "q73_map_functions"),
+    ("q29_grouped_zscore", "q74_grouped_zscore"),
+    ("q30_string_functions", "q75_string_functions"),
+    ("q31_date_functions", "q76_date_functions"),
+    ("q32_math_functions", "q77_math_functions"),
+    ("q33_case_when_buckets", "q78_case_when_buckets"),
+    ("q34_json_extraction", "q79_json_extraction"),
+    ("q35_pivot", "q80_pivot"),
+    ("q36_time_window_tumbling", "q81_time_window_tumbling"),
+    ("q37_regexp_kit", "q82_regexp_kit"),
+    ("q38_date_arithmetic", "q83_date_arithmetic"),
+    ("q39_unpivot", "q84_unpivot"),
+    ("q46_window_rank_variants", "q85_window_rank_variants"),
+    ("q47_window_range_frame", "q86_window_range_frame"),
+    ("q48_exists_subquery", "q87_exists_subquery"),
+    ("q45_string_distance", "q88_string_distance"),
+]
+
+assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))
+assert {old for old, _ in _FINAL_ORDER} == set(SPECS)
+assert len({new for _, new in _FINAL_ORDER}) == len(_FINAL_ORDER)
+SPECS = {new: SPECS[old] for old, new in _FINAL_ORDER}
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped
