@@ -109,8 +109,11 @@ def topk_lsh(
     L buys recall linearly in cost. At 100 TB the bucket equi-join
     replaces the O(N·Q) scan with O(N·Q·L/2^b) shuffled work.
 
-    Approximate by construction → no SQL oracle; tests check recall
-    against the brute-force tier instead.
+    "Approximate" only relative to brute force — the seeded
+    hyperplanes make the result fully deterministic, so the DuckDB
+    oracle in queries.py replays signature → bucket-join → rerank with
+    the plane literals inlined and hash-matches it. Tests additionally
+    check recall against the brute-force tier.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -150,7 +153,9 @@ def topk_lsh(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cos")
+        # round for cross-engine hash stability; ranking above uses
+        # the unrounded score (same contract as topk_bruteforce)
+        .select("query_id", "rnk", "neighbor_id", F.round("cos", 6).alias("cos"))
         .orderBy("query_id", "rnk")
     )
 
@@ -203,8 +208,11 @@ def topk_ivf(
     partition key so a probe prunes (n_cells−nprobe)/n_cells of the
     scan entirely.
 
-    Approximate by construction → no SQL oracle; tests check recall
-    against the brute-force tier.
+    "Approximate" only relative to brute force — given the (seeded,
+    deterministic) centroids the result is fully reproducible, so the
+    DuckDB oracle in queries.py replays the same assignment → probe →
+    rerank with the centroid literals inlined and hash-matches it.
+    Tests additionally check recall against the brute-force tier.
     """
     cents = _centroids(n_cells)
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -238,7 +246,9 @@ def topk_ivf(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "cos")
+        # round for cross-engine hash stability; ranking above uses
+        # the unrounded score (same contract as topk_bruteforce)
+        .select("query_id", "rnk", "neighbor_id", F.round("cos", 6).alias("cos"))
         .orderBy("query_id", "rnk")
     )
 

@@ -150,10 +150,15 @@ def fingerprint_winnow(
     summary; at 100 TB the fingerprint explode + groupBy(fp) is the
     join key for cross-doc match detection.
 
-    Hash values are Spark's xxhash64 (no cross-engine SQL equivalent)
-    → rows-only driver check; structural invariants (coverage bound,
-    determinism, golden micro-example) are pytest-verified.
+    Hash values are the engine-portable md5-based 60-bit family
+    (dedup.md5_feature_hash), so the DuckDB oracle in queries.py
+    recomputes grams, window minima and the fingerprint summary
+    verbatim — winnowing is hash-checked, not rows-only. Structural
+    invariants (coverage bound, determinism, golden micro-example)
+    remain pytest-verified.
     """
+    from etl_geonet_quakes_spark.llm.dedup import md5_feature_hash
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.withColumn("toks", tokens(F.col("text")))
     n_grams = F.size("toks") - (k - 1)
@@ -166,7 +171,9 @@ def fingerprint_winnow(
             n_grams >= 1,
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+                lambda i: md5_feature_hash(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                ),
             ),
         ).otherwise(empty),
     )

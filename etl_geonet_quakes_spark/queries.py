@@ -190,6 +190,110 @@ FROM nz ORDER BY id
 """
 
 
+def _ivf_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16, nprobe: int = 4) -> str:
+    """DuckDB replay of similarity.topk_ivf: the seeded centroids are
+    inlined as literals (repr() round-trips doubles exactly), then the
+    same assign → probe → exact-rerank pipeline runs in SQL. Output
+    cosine rounded to 6dp on both sides; ranking uses full precision."""
+    from etl_geonet_quakes_spark.llm.similarity import _centroids
+
+    cents = _centroids(n_cells)
+    rows = ",\n           ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(x) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     cents(cell, c) AS (
+        SELECT * FROM (VALUES
+           {rows}) t(cell, c)),
+     scored AS (
+        SELECT e.vec_id, e.v, cents.cell,
+               -list_dot_product(e.v, cents.c) AS nd
+        FROM e CROSS JOIN cents),
+     assign AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY nd, cell) AS rn
+            FROM scored) WHERE rn = 1),
+     probes AS (
+        SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY nd, cell) AS rn
+            FROM scored WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}),
+     cand AS (
+        SELECT p.query_id, p.qv, a.vec_id, a.v
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.query_id),
+     cs AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               list_dot_product(qv, v)
+                   / (SQRT(list_dot_product(qv, qv))
+                      * SQRT(list_dot_product(v, v))) AS c
+        FROM cand)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+       ROUND(c, 6) AS cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id ASC) AS rnk
+      FROM cs)
+WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
+def _lsh_ann_oracle(
+    n_queries: int = 5, k: int = 5, n_bits: int = 6, n_tables: int = 6
+) -> str:
+    """DuckDB replay of similarity.topk_lsh: seeded hyperplanes
+    inlined as literals; signature bits recomputed as
+    sign(v·plane) sums, then the same bucket-join → dedup → exact
+    rerank. Output cosine rounded to 6dp on both sides."""
+    from etl_geonet_quakes_spark.llm.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for bit, p in enumerate(_hyperplanes(n_bits, seed=42 + t)):
+            rows.append(
+                "({}, {}, CAST([{}] AS DOUBLE[]))".format(
+                    t, bit, ", ".join(repr(x) for x in p)
+                )
+            )
+    planes = ",\n           ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     planes(tbl, bit, p) AS (
+        SELECT * FROM (VALUES
+           {planes}) t(tbl, bit, p)),
+     sig AS (
+        SELECT e.vec_id, pl.tbl,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                             THEN (CAST(1 AS BIGINT) << pl.bit)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+     q AS (SELECT vec_id AS query_id, tbl, bucket
+           FROM sig WHERE vec_id < {n_queries}),
+     cand AS (
+        SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+        FROM sig s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket
+                         AND s.vec_id <> q.query_id),
+     cs AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(a.v, b.v)
+                   / (SQRT(list_dot_product(a.v, a.v))
+                      * SQRT(list_dot_product(b.v, b.v))) AS cos_raw
+        FROM cand c
+        JOIN e a ON a.vec_id = c.query_id
+        JOIN e b ON b.vec_id = c.neighbor_id)
+SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+       ROUND(cos_raw, 6) AS cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+      FROM cs)
+WHERE rnk <= {k} ORDER BY query_id, rnk
+"""
+
+
 # Shared SQL fragments -------------------------------------------------
 
 _DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
@@ -902,8 +1006,10 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q51_similarity_lsh": QuerySpec(
         similarity.topk_lsh,
-        None,  # approximate by construction; recall tested vs brute force
-        "§2.3 similarity search: LSH-bucketed ANN (rows-only)",
+        _lsh_ann_oracle(),
+        "§2.3 similarity search: LSH-bucketed ANN — seeded hyperplanes "
+        "make it deterministic; oracle replays signature → bucket-join "
+        "→ rerank with inlined plane literals",
     ),
     "q54_udaf_weighted_avg": QuerySpec(
         rel.udaf_weighted_avg,
@@ -951,8 +1057,10 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q53_similarity_ivf": QuerySpec(
         similarity.topk_ivf,
-        None,  # approximate by construction; recall tested vs brute force
-        "§2.3 similarity search: IVF coarse-quantized ANN (rows-only)",
+        _ivf_oracle(),
+        "§2.3 similarity search: IVF coarse-quantized ANN — seeded "
+        "centroids make it deterministic; oracle replays assign → "
+        "probe → rerank with inlined centroid literals",
     ),
     "q52_embedding_norms": QuerySpec(
         similarity.embedding_norms,
@@ -1068,8 +1176,43 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q69_fingerprint_winnow": QuerySpec(
         text.fingerprint_winnow,
-        None,  # xxhash64 shingle hashes are engine-specific
-        "§2.3 text analysis: winnowing rolling-hash fingerprints (rows-only)",
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+             g AS (SELECT doc_id, i,
+                          CAST(concat('0x',
+                               substring(md5(array_to_string(toks[i:i+2], ' ')),
+                                         1, 15)) AS BIGINT) AS h
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(1, len(toks) - 1)) AS i
+                         FROM t WHERE len(toks) >= 3)),
+             w AS (SELECT doc_id, i,
+                          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 3 FOLLOWING) AS win_min,
+                          COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+                   FROM g),
+             v AS (SELECT * FROM w WHERE i <= n_sh - 3),
+             s AS (SELECT doc_id,
+                          COUNT(DISTINCT win_min) AS n_fingerprints,
+                          MIN(CASE WHEN i = 1 THEN win_min END) AS first_fp,
+                          MIN(win_min) AS min_fp
+                   FROM v GROUP BY doc_id),
+             gs AS (SELECT doc_id, COUNT(*) AS n_shingles
+                    FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(gs.n_shingles, 0) AS n_shingles,
+               COALESCE(s.n_fingerprints, 0) AS n_fingerprints,
+               s.first_fp, s.min_fp
+        FROM documents d
+        LEFT JOIN gs USING (doc_id)
+        LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+        "§2.3 text analysis: winnowing rolling-hash fingerprints — "
+        "md5-based gram hashes recomputed by the oracle (window minima "
+        "via SQL frames); first_fp is the first window's min, which "
+        "array_distinct's first-occurrence order preserves",
     ),
     "q65_doc_stats_by_source": QuerySpec(
         text.doc_stats_by_source,
@@ -1094,8 +1237,23 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q67_media_features": QuerySpec(
         multimodal.media_features,
-        None,  # mapInPandas feature extraction — outside SQL vocabulary
-        "§2.3 multimodal: mapInPandas feature extraction (rows-only)",
+        """
+        -- the deterministic fake decode (mean byte value) is
+        -- SQL-expressible for the ASCII fixture corpus: byte value =
+        -- codepoint, so the mapInPandas plumbing (schema, batching,
+        -- per-row math) is hash-checked end-to-end
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(
+                             range(1, length(text) + 1),
+                             i -> ord(substring(text, i, 1)))) AS DOUBLE)
+                         / octet_length(encode(text)) END AS feat_mean,
+               CAST(1 AS INTEGER) AS feat_dim
+        FROM documents ORDER BY doc_id
+        """,
+        "§2.3 multimodal: mapInPandas feature extraction — deterministic "
+        "fake decode hash-checked (real codecs stay honestly stubbed)",
     ),
     "q90_salted_join": QuerySpec(
         rel.salted_join_brand_revenue,

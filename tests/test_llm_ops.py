@@ -140,6 +140,7 @@ def test_winnow_matches_python_model_on_tiny_doc(spark, sf_dir):
     identity is not the claim; the winnowing algebra is)."""
     from etl_geonet_quakes_spark.io import load_table
     from etl_geonet_quakes_spark.llm import text as t
+    from etl_geonet_quakes_spark.llm.dedup import md5_feature_hash
 
     k, w = 3, 4
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text").first()
@@ -147,7 +148,9 @@ def test_winnow_matches_python_model_on_tiny_doc(spark, sf_dir):
     grams_df = spark.createDataFrame([(toks,)], "toks: array<string>").select(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(toks) - k + 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+            lambda i: md5_feature_hash(
+                F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+            ),
         ).alias("grams")
     )
     grams = grams_df.first()["grams"]
