@@ -14,6 +14,14 @@ import contextlib
 import io
 
 
+def n_exchanges(p: str) -> int:
+    """Count physical Exchange NODES — formatted explain prints each
+    node twice (tree line + numbered detail line)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+
 def plan(df) -> str:
     # capture explain("formatted") — the py4j explainString overload
     # differs across Spark versions, stdout capture is stable
@@ -201,3 +209,66 @@ def test_join_hints_control_physical_strategy(spark, sf_dir):
     assert "ShuffledHashJoin" in plan(o.join(c.hint("shuffle_hash"), cond))
     assert "SortMergeJoin" in plan(o.join(c.hint("merge"), cond))
     assert "BroadcastHashJoin" in plan(o.join(c.hint("broadcast"), cond))
+
+
+def test_stratified_sample_is_pure_filter_no_shuffle(spark, sf_dir):
+    """Deterministic sampling must stay a scan+filter — any Exchange
+    would mean the 'no shuffle at all' scale claim is false."""
+    from etl_geonet_quakes_spark.llm import corpus
+
+    p = plan(corpus.stratified_sample(spark, sf_dir))
+    # the only allowed exchange is the final presentation orderBy
+    # (formatted explain prints each node twice: tree + detail —
+    # count the numbered detail lines)
+    assert n_exchanges(p) <= 1
+    assert "Join" not in p
+
+
+def test_corpus_pipeline_single_fingerprint_shuffle(spark, sf_dir):
+    """One window over md5(text) + one tiny agg: exactly the
+    fingerprint hash-partitioning, the lang agg (partial+final), and
+    the final sort — no joins, no extra exchanges."""
+    from etl_geonet_quakes_spark.llm import corpus
+
+    p = plan(corpus.corpus_dedup_pipeline(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partial agg
+    assert n_exchanges(p) <= 3  # fp window + lang agg + orderBy
+
+
+def test_histogram_partial_aggregation(spark, sf_dir):
+    p = plan(rel.histogram_bucket(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2  # partial+final on tiny key space
+
+
+def test_quake_parity_is_narrow_no_shuffle(spark):
+    """The parity projection inherits the pipeline's shape: explode →
+    filter → project, embarrassingly parallel — only the final
+    presentation sort may exchange."""
+    from etl_geonet_quakes_spark.queries import _quake_parity
+
+    p = plan(_quake_parity(spark))
+    assert "Join" not in p
+    assert n_exchanges(p) <= 1  # the orderBy("id") only
+
+
+def test_simhash_fingerprints_partial_agg_shape(spark, sf_dir):
+    """The per-bit vote must be a partial+final hash agg over the
+    exploded grams (codegen'd SUMs), and the candidate join an
+    equi-join — never a cartesian."""
+    from etl_geonet_quakes_spark.llm import dedup
+
+    p = plan(dedup.dedup_simhash(spark, sf_dir))
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_bucketed_equi_join(spark, sf_dir):
+    """The (source, length-bucket) blocking must reach the physical
+    plan as an equi-join (hash-partitioned or broadcast) — a
+    BroadcastNestedLoopJoin/CartesianProduct would mean the blocking
+    keys fell out of the join condition."""
+    from etl_geonet_quakes_spark.llm import dedup
+
+    p = plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
