@@ -183,3 +183,53 @@ def test_dedup_clusters_consistent(spark, sf_dir):
     sizes = {r["doc_id"]: r["cluster_size"] for r in out}
     for rep, docs in members.items():
         assert all(sizes[d] == len(docs) for d in docs)
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """The oracle replays the same hash formula, so it cannot catch a
+    rate bug — check independently that per-language keep rates land
+    near the configured 0.1/0.3/0.5 (binomial 4-sigma) and that the
+    kept set is identical across runs (the whole point vs df.sample)."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm import corpus
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    run1 = corpus.stratified_sample(spark, sf_dir).collect()
+    run2 = corpus.stratified_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+
+    kept: dict[str, int] = {}
+    for r in run1:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    rates = {"en": 0.1, "de": 0.3}
+    for lang, n_total in totals.items():
+        p = rates.get(lang, 0.5)
+        got = kept.get(lang, 0)
+        sigma = (n_total * p * (1 - p)) ** 0.5
+        assert abs(got - n_total * p) <= 4 * sigma + 1, (
+            f"{lang}: kept {got}/{n_total}, expected ~{p}"
+        )
+
+
+def test_corpus_pipeline_accounting_invariants(spark, sf_dir):
+    """Stage attribution must partition the corpus: docs = exact-removed
+    + low-quality-removed + kept, per language; kept tokens bounded by
+    corpus tokens; exact-removed consistent with the dedup operator."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm import corpus, dedup
+
+    rows = corpus.corpus_dedup_pipeline(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] == r["n_exact_removed"] + r["n_lowq_removed"] + r["n_kept"]
+        assert 0 <= r["tokens_kept"]
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    n_exact_total = sum(r["n_exact_removed"] for r in rows)
+    clusters = dedup.dedup_exact(spark, sf_dir).collect()
+    assert n_exact_total == n_docs_total - len(clusters)
