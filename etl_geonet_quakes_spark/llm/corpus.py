@@ -94,3 +94,42 @@ def corpus_dedup_pipeline(
         )
         .orderBy("lang")
     )
+
+
+def decontamination_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_eval_docs: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    ≥ ``min_shared`` distinct 3-word shingles with any document of a
+    held-out eval set (here: the first ``n_eval_docs`` doc_ids play
+    the eval split; everything else is the train split). This is the
+    cross-DATASET overlap scan every training corpus needs before use —
+    related to near-dup detection but asymmetric: the eval side is
+    tiny and fixed, the train side is the 100 TB corpus.
+
+    Shape at scale: explode both sides to (shingle, doc) rows,
+    broadcast the eval side (eval benchmarks are small by
+    construction), equi-join on the shingle, then one partial+final
+    count agg per (train, eval) pair — the train corpus streams once,
+    nothing large shuffles."""
+    from etl_geonet_quakes_spark.llm.dedup import shingles_str
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles_str(F.col("text"))).alias("s")
+    )
+    eval_side = d.filter(F.col("doc_id") < n_eval_docs).select(
+        F.col("doc_id").alias("eval_doc"), "s"
+    )
+    train_side = d.filter(F.col("doc_id") >= n_eval_docs).select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    return (
+        train_side.join(F.broadcast(eval_side), "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+        .orderBy("train_doc", "eval_doc")
+    )

@@ -1355,6 +1355,24 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 aggregations: width_bucket equi-width histogram",
     ),
+    "q89_decontamination": QuerySpec(
+        corpus.decontamination_scan,
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+             sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+             ev AS (SELECT doc_id AS eval_doc, s FROM sh WHERE doc_id < 20),
+             tr AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id >= 20)
+        SELECT train_doc, eval_doc, COUNT(*) AS n_shared_shingles
+        FROM tr JOIN ev USING (s)
+        GROUP BY train_doc, eval_doc
+        HAVING COUNT(*) >= 3
+        ORDER BY train_doc, eval_doc
+        """,
+        "§2.3 corpus prep: benchmark decontamination — train docs "
+        "sharing ≥3 shingles with the eval split (broadcast eval side, "
+        "train corpus streams once)",
+    ),
     "q81_quake_parity": QuerySpec(
         lambda spark, sf_dir: _quake_parity(spark),
         _quake_parity_oracle(),
@@ -1659,6 +1677,7 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q47_window_range_frame", "q86_window_range_frame"),
     ("q48_exists_subquery", "q87_exists_subquery"),
     ("q45_string_distance", "q88_string_distance"),
+    ("q89_decontamination", "q89_decontamination"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

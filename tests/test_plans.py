@@ -272,3 +272,14 @@ def test_ngram_jaccard_bucketed_equi_join(spark, sf_dir):
 
     p = plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval split must ride a broadcast — a shuffled join would
+    move the full train corpus' shingles at scale."""
+    from etl_geonet_quakes_spark.llm import corpus
+
+    p = plan(corpus.decontamination_scan(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial+final pair counts
