@@ -3,7 +3,7 @@ UDTF'). The reference has nothing user-pluggable (task.ts is one
 fused loop); the engine exposes all three Python extension points:
 scalar/pandas UDF (functions/jsfmt.py), grouped-agg pandas UDF
 (operators/relational.py::udaf_weighted_avg), applyInPandas /
-mapInPandas (q29/q67), and these UDTFs.
+mapInPandas (q74_grouped_zscore/q32_media_features), and these UDTFs.
 
 UDTF classes must be self-contained (no module-global helper
 references) so cloudpickle ships them whole to Python workers

@@ -98,7 +98,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF through the SQL LATERAL path: per-document bigram
     generation as a user-defined table function. The same result is
-    expressible with posexplode over pure column algebra (q09) — this
+    expressible with posexplode over pure column algebra (q57_posexplode_lateral) — this
     query exists to cover the UDTF extension point end-to-end
     (register → LATERAL correlate → executor-side fan-out)."""
     from etl_geonet_quakes_spark.functions.udtfs import BigramsUDTF

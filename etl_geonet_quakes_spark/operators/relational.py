@@ -516,7 +516,7 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-based (RANGE) window frame, the complement of q22's
+    """Value-based (RANGE) window frame, the complement of q68_window_running_total's
     row-based frame: for each order, how many of the same customer's
     orders fall within $50 000 below its price, and their exact sum.
     RANGE frames include peers, so ties need no tiebreak to be
@@ -714,7 +714,7 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS through the SQL entry path:
     customers with at least one urgent order and no F-status order.
     Catalyst rewrites the pair into a LeftSemi + LeftAnti join chain —
-    the same physical plans as q13/q14, reached from SQL instead of
+    the same physical plans as q61_join_semi/q62_join_anti, reached from SQL instead of
     the DataFrame API."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
@@ -1143,7 +1143,7 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT type surface (Spark 4.x semi-structured kit):
     parse_json → binary VARIANT, typed extraction with variant_get and
-    null-on-miss try_variant_get. Unlike q34's per-field string
+    null-on-miss try_variant_get. Unlike q79_json_extraction's per-field string
     extraction, the VARIANT path parses once and serves many typed
     reads — at 100 TB, parse-once beats re-tokenizing the JSON string
     per field, and VARIANT's binary encoding stays columnar in
@@ -1162,7 +1162,7 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def percentile_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile — the scale path for q27's exact percentiles.
+    """approx_percentile — the scale path for q72_percentiles' exact percentiles.
     Exact quantiles need a full sort (or quantile_cont's buffered
     groups); the GK sketch aggregates in one partial+final pass with
     bounded memory (~accuracy entries per group), which is the only

@@ -230,7 +230,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4.x arbitrary-state API, the
-    successor to applyInPandasWithState in q74): a StatefulProcessor
+    successor to applyInPandasWithState in q09_stream_stateful_counts): a StatefulProcessor
     holding a typed ValueState per user, same running counter/cents
     accumulator so the terminated availableNow result equals the batch
     aggregate oracle. Requires the RocksDB state store provider —
