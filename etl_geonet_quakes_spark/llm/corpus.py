@@ -133,3 +133,104 @@ def decontamination_scan(
         .filter(F.col("n_shared_shingles") >= min_shared)
         .orderBy("train_doc", "eval_doc")
     )
+
+
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the step that turns
+    documents into training sequences. Each document yields
+    ceil(max(n_tokens - overlap, 1) / stride) windows of
+    ``chunk_tokens`` tokens starting every ``stride`` tokens; the
+    final window is allowed to be short (no padding here — padding is
+    the trainer's concern), and every token lands in at least one
+    chunk.
+
+    Pure column algebra: a position sequence → slice → explode, so the
+    1→N fan-out stays inside the scan stage with no shuffle until the
+    caller aggregates or writes. At 100 TB chunking is scan-bound and
+    embarrassingly parallel, which is why it must NOT be a
+    groupBy/window (both would shuffle the full token stream)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.ceil(
+        F.greatest(n - (chunk_tokens - stride), F.lit(1)).cast("double")
+        / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("chunk_len"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_len").cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
+    fraction of a document's n-gram positions occupied by its single
+    most frequent 2-gram / 3-gram, plus the duplicate-token fraction
+    (1 − distinct/total). Documents dominated by a repeated phrase are
+    the classic degenerate web text a quality gate drops.
+
+    Shape: explode grams → per-(doc, gram) count → per-doc max/sum —
+    codegen'd partial+final hash aggs keyed on doc_id. Deliberately
+    NOT the per-doc array-algebra form (count each distinct gram by
+    scanning the array): that is O(doc_len²) per document through
+    interpreted lambdas, catastrophic for book-length docs; the
+    explode+agg form is linear and shuffle-bounded by the doc count."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def gram_frac(gram_n: int, out: str) -> DataFrame:
+        toks = tokens(F.col("text"))
+        k = F.size(toks) - (gram_n - 1)
+        grams = F.when(
+            F.size(toks) >= gram_n,
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, gram_n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rows = d.select("doc_id", F.explode(grams).alias("g"))
+        counts = rows.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out)
+        )
+
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("dup_raw"),
+    )
+    out = (
+        base.join(gram_frac(2, "f2"), "doc_id", "left")
+        .join(gram_frac(3, "f3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("f2", F.lit(0.0)), 6).alias("top_2gram_frac"),
+            F.round(F.coalesce("f3", F.lit(0.0)), 6).alias("top_3gram_frac"),
+            F.round("dup_raw", 6).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

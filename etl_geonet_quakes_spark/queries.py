@@ -1373,6 +1373,57 @@ SPECS: dict[str, QuerySpec] = {
         "sharing ≥3 shingles with the eval split (broadcast eval side, "
         "train corpus streams once)",
     ),
+    "q94_chunking": QuerySpec(
+        corpus.chunk_documents,
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+             c AS (SELECT doc_id, toks, len(toks) AS n,
+                          unnest(range(0, CAST(ceil(greatest(len(toks) - 16, 1)
+                                                    / 48.0) AS BIGINT))) AS i
+                   FROM t)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(toks[i*48+1:i*48+64], ' ') AS chunk_text,
+               CAST(least(n - i*48, 64) AS BIGINT) AS chunk_len
+        FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "§2.3 corpus prep: fixed-size token chunking with overlap "
+        "(64-token windows, stride 48) — the doc→training-sequence step",
+    ),
+    "q95_repetition_score": QuerySpec(
+        corpus.repetition_score,
+        """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+             g2 AS (SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 2
+                                  THEN list_transform(range(0, len(toks) - 1),
+                                       i -> array_to_string(toks[i+1:i+2], ' '))
+                                  ELSE CAST([] AS VARCHAR[]) END) AS g
+                    FROM t),
+             c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+             f2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS f2
+                    FROM c2 GROUP BY doc_id),
+             g3 AS (SELECT doc_id,
+                           unnest(CASE WHEN len(toks) >= 3
+                                  THEN list_transform(range(0, len(toks) - 2),
+                                       i -> array_to_string(toks[i+1:i+3], ' '))
+                                  ELSE CAST([] AS VARCHAR[]) END) AS g
+                    FROM t),
+             c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+             f3 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS f3
+                    FROM c3 GROUP BY doc_id)
+        SELECT t.doc_id,
+               ROUND(COALESCE(f2, 0.0), 6) AS top_2gram_frac,
+               ROUND(COALESCE(f3, 0.0), 6) AS top_3gram_frac,
+               ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks), 6) AS dup_token_frac
+        FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+        "§2.3 corpus prep: Gopher-style repetition metrics (top n-gram "
+        "occupancy + duplicate-token fraction)",
+    ),
     "q81_quake_parity": QuerySpec(
         lambda spark, sf_dir: _quake_parity(spark),
         _quake_parity_oracle(),
@@ -1678,6 +1729,8 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q48_exists_subquery", "q87_exists_subquery"),
     ("q45_string_distance", "q88_string_distance"),
     ("q89_decontamination", "q89_decontamination"),
+    ("q94_chunking", "q90_chunking"),
+    ("q95_repetition_score", "q91_repetition_score"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

@@ -233,3 +233,35 @@ def test_corpus_pipeline_accounting_invariants(spark, sf_dir):
     n_exact_total = sum(r["n_exact_removed"] for r in rows)
     clusters = dedup.dedup_exact(spark, sf_dir).collect()
     assert n_exact_total == n_docs_total - len(clusters)
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each document: chunk i starts at token
+    i*stride, the last chunk reaches the final token, lengths match
+    the declared chunk_len, and stride overlap is consistent."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm import corpus
+
+    chunk_tokens, stride = 64, 48
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").limit(30).collect()
+    }
+    rows = (
+        corpus.chunk_documents(spark, sf_dir, chunk_tokens, stride)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        covered_until = 0
+        for r in chunks:
+            start = r["chunk_idx"] * stride
+            expect = toks[start : start + chunk_tokens]
+            assert r["chunk_text"] == " ".join(expect)
+            assert r["chunk_len"] == len(expect)
+            covered_until = max(covered_until, start + len(expect))
+        assert covered_until == len(toks), f"doc {doc_id} not fully covered"
