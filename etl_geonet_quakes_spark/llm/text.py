@@ -194,7 +194,10 @@ def fingerprint_winnow(
         "doc_id",
         F.size("grams").cast("long").alias("n_shingles"),
         F.size("fps").cast("long").alias("n_fingerprints"),
-        F.col("fps")[0].alias("first_fp"),
+        # get(), not [0]: short docs have NO windows, and under ANSI
+        # semantics indexing an empty array throws — NULL is the
+        # contract (mirrored by the oracle's CASE WHEN i = 1)
+        F.get("fps", F.lit(0)).alias("first_fp"),
         F.array_min("fps").alias("min_fp"),
     ).orderBy("doc_id")
 

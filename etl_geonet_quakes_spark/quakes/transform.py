@@ -89,6 +89,10 @@ def validate_features(features_df: DataFrame) -> DataFrame:
     for c in required:
         this = F.col(c).isNull()
         cond = this if cond is None else (cond | this)
+    # geometry must carry at least [lon, lat]: the projection indexes
+    # coordinates[0]/[1], which under ANSI semantics would throw a
+    # confusing runtime error instead of this boundary rejection
+    cond = cond | (F.size("geometry.coordinates") < 2)
     bad = features_df.filter(cond).limit(1).count()
     if bad:
         raise ValueError("GeoNet feature failed boundary validation: null required field")
