@@ -1,0 +1,108 @@
+"""Boundary-document parity: the fixture corpus is uniform word soup
+(~100+ tokens/doc), so the short-doc / empty-doc / degenerate-repeat
+branches of the text operators never fire in the standard parity run.
+This suite builds a tiny synthetic documents table full of exactly
+those boundaries, registers it as the DuckDB `documents` view, and
+re-runs the SAME registry oracles against it — Spark and DuckDB must
+still agree bit-for-bit on the edges.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_geonet_quakes_spark.queries import SPECS
+
+EDGE_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "edge"),  # empty document
+    (1, "one", "en", "edge"),  # single token (< shingle width)
+    (2, "two tokens", "en", "edge"),  # below 3-gram width
+    (3, "exactly three tokens", "en", "edge"),  # one shingle exactly
+    (4, " ".join(f"w{i}" for i in range(15)), "de", "edge"),  # < chunk overlap
+    (5, " ".join(f"w{i}" for i in range(16)), "de", "edge"),  # == overlap
+    (6, " ".join(f"w{i}" for i in range(17)), "de", "edge"),  # overlap + 1
+    (7, " ".join(f"w{i}" for i in range(64)), "fr", "edge"),  # == chunk size
+    (8, " ".join(f"w{i}" for i in range(65)), "fr", "edge"),  # chunk + 1
+    (9, "spam ham " * 40 + "spam ham", "es", "edge"),  # degenerate repeat
+    (10, "exactly three tokens", "en", "edge"),  # exact dup of doc 3
+]
+
+# Edge-safe queries whose oracles only touch `documents`
+EDGE_QUERIES = [
+    "q90_chunking",
+    "q91_repetition_score",
+    "q39_dedup_simhash",
+    "q29_fingerprint_winnow",
+    "q41_dedup_exact",
+    "q46_stratified_sample",
+    "q47_corpus_dedup_pipeline",
+    "q25_fingerprint",
+    "q22_token_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("edge_corpus"))
+    rows = [
+        (doc_id, text, lang, source, len(text))
+        for doc_id, text, lang, source in EDGE_DOCS
+    ]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def edge_ddb(edge_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_ddb):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, edge_dir)
+    cols = sorted(sdf.columns)
+    key = lambda row: tuple((v is None, repr(v)) for v in row)  # noqa: E731
+    s = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=key)
+    res = edge_ddb.sql(spec.oracle)
+    idx = {c: i for i, c in enumerate(res.columns)}
+    d = sorted((tuple(r[idx[c]] for c in cols) for r in res.fetchall()), key=key)
+    assert cols == sorted(res.columns), f"{name}: column mismatch"
+    assert s == d, f"{name}: edge-corpus divergence; first spark rows {s[:3]}"
+
+
+def test_edge_chunking_tiles_exactly(spark, edge_dir):
+    from pyspark.sql import functions as F
+    from etl_geonet_quakes_spark.llm import corpus
+
+    rows = corpus.chunk_documents(spark, edge_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text, _, _ in EDGE_DOCS:
+        toks = text.split(" ")
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert chunks, f"doc {doc_id} produced no chunks"
+        end = max(r["chunk_idx"] * 48 + r["chunk_len"] for r in chunks)
+        assert end == len(toks)
+
+
+def test_edge_repetition_flags_degenerate_doc(spark, edge_dir):
+    from etl_geonet_quakes_spark.llm import corpus
+
+    out = {r["doc_id"]: r for r in corpus.repetition_score(spark, edge_dir).collect()}
+    # doc 9 is "spam ham" repeated: 'ham spam' and 'spam ham' dominate
+    assert out[9]["top_2gram_frac"] > 0.4
+    assert out[9]["dup_token_frac"] > 0.9
+    # doc 7 is all-distinct tokens: no repetition at all
+    assert out[7]["dup_token_frac"] == 0.0
+    assert out[7]["top_2gram_frac"] < 0.05
