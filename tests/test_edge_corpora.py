@@ -40,6 +40,20 @@ EDGE_QUERIES = [
     "q47_corpus_dedup_pipeline",
     "q25_fingerprint",
     "q22_token_stats",
+    "q23_quality_score",
+    "q24_language_id",
+    "q26_token_frequency_topk",
+    "q27_tfidf_top_terms",
+    "q28_regex_tokens",
+    "q30_doc_stats_by_source",
+    "q31_media_byte_stats",
+    "q32_media_features",
+    "q33_media_frame_sample",
+    "q34_media_resize",
+    "q38_dedup_minhash_lsh",
+    "q40_dedup_ngram_jaccard",
+    "q45_dedup_clusters",
+    "q89_decontamination",
 ]
 
 
