@@ -38,6 +38,17 @@ def cosine(u: Column, w: Column) -> Column:
     return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
 
 
+# Zero-norm vectors (failed encoders, padding rows) have no defined
+# direction: a cosine against them is 0/0, which ANSI arithmetic turns
+# into a runtime error and engines disagree on (NULL vs NaN ordering).
+# Every similarity operator therefore EXCLUDES them up front — the
+# oracle SQL carries the same WHERE list_dot_product(v, v) > 0.
+
+
+def _nonzero(e):
+    return e.filter(dot(F.col("v"), F.col("v")) > 0)
+
+
 def topk_bruteforce(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 5
 ) -> DataFrame:
@@ -46,8 +57,10 @@ def topk_bruteforce(
     The query side is tiny → broadcast; the corpus side never
     shuffles. Ties broken by corpus vec_id for determinism.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
     )
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -115,8 +128,10 @@ def topk_lsh(
     the plane literals inlined and hash-matches it. Tests additionally
     check recall against the brute-force tier.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
     )
     tables = F.array(
         *[
@@ -215,8 +230,10 @@ def topk_ivf(
     Tests additionally check recall against the brute-force tier.
     """
     cents = _centroids(n_cells)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
     )
     corpus = e.withColumn(
         "cell", F.array_min(_cell_scores(F.col("v"), cents))["cell"]

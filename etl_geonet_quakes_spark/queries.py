@@ -205,7 +205,9 @@ def _ivf_oracle(n_queries: int = 5, k: int = 5, n_cells: int = 16, nprobe: int =
         for i, c in enumerate(cents)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
      cents(cell, c) AS (
         SELECT * FROM (VALUES
            {rows}) t(cell, c)),
@@ -261,7 +263,9 @@ def _lsh_ann_oracle(
             )
     planes = ",\n           ".join(rows)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
      planes(tbl, bit, p) AS (
         SELECT * FROM (VALUES
            {planes}) t(tbl, bit, p)),
@@ -971,7 +975,9 @@ SPECS: dict[str, QuerySpec] = {
         dedup.dedup_embedding_cosine,
         """
         WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings)
+                   FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0)
         SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_dot_product(a.v, b.v)
@@ -985,7 +991,9 @@ SPECS: dict[str, QuerySpec] = {
     "q50_similarity_bruteforce": QuerySpec(
         similarity.topk_bruteforce,
         """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
              scored AS (
                 SELECT query_id, e.vec_id AS neighbor_id,

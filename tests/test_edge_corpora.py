@@ -120,3 +120,78 @@ def test_edge_repetition_flags_degenerate_doc(spark, edge_dir):
     # doc 7 is all-distinct tokens: no repetition at all
     assert out[7]["dup_token_frac"] == 0.0
     assert out[7]["top_2gram_frac"] < 0.05
+
+
+EDGE_VECS = None  # built lazily: zero vector, exact dups, constants
+
+
+@pytest.fixture(scope="module")
+def edge_vec_dir(spark, tmp_path_factory) -> str:
+    import random
+
+    random.seed(3)
+    path = str(tmp_path_factory.mktemp("edge_vectors"))
+
+    def vec(f):
+        return [float(f(i)) for i in range(64)]
+
+    rows = [
+        (0, "a", vec(lambda i: 0.0)),  # zero-norm: must be excluded
+        (1, "a", vec(lambda i: 1.0)),  # constant vector
+        (2, "a", vec(lambda i: 1.0)),  # exact duplicate (cosine 1.0)
+        (3, "b", vec(lambda i: (-1.0) ** i)),  # alternating signs
+        (4, "b", vec(lambda i: random.gauss(0, 1))),
+        (5, "b", vec(lambda i: random.gauss(0, 1))),
+    ] + [
+        (vid, "c", vec(lambda i: random.gauss(0, 1))) for vid in range(6, 12)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id: long, label: string, embedding: array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def edge_vec_ddb(edge_vec_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{edge_vec_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+VECTOR_QUERIES = [
+    "q20_embedding_norms",
+    "q42_dedup_embedding_cosine",
+    "q43_similarity_bruteforce",
+    "q44_similarity_lsh",
+    "q21_similarity_ivf",
+]
+
+
+@pytest.mark.parametrize("name", VECTOR_QUERIES)
+def test_edge_vectors_match_oracle(name, spark, edge_vec_dir, edge_vec_ddb):
+    """Zero-norm vectors must not crash (ANSI 0/0) nor diverge between
+    engines — similarity ops exclude them; norms keep them."""
+    spec = SPECS[name]
+    sdf = spec.fn(spark, edge_vec_dir)
+    cols = sorted(sdf.columns)
+    key = lambda row: tuple((v is None, repr(v)) for v in row)  # noqa: E731
+    s = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=key)
+    res = edge_vec_ddb.sql(spec.oracle)
+    idx = {c: i for i, c in enumerate(res.columns)}
+    d = sorted((tuple(r[idx[c]] for c in cols) for r in res.fetchall()), key=key)
+    assert cols == sorted(res.columns), f"{name}: column mismatch"
+    assert s == d, f"{name}: edge-vector divergence; first spark rows {s[:3]}"
+
+
+def test_edge_vectors_zero_norm_excluded_from_similarity(spark, edge_vec_dir):
+    from etl_geonet_quakes_spark.llm import similarity
+
+    out = similarity.topk_bruteforce(spark, edge_vec_dir).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 0 not in ids  # the zero vector has no direction
+    # exact duplicates must surface as cosine 1.0 neighbors
+    dup = [r for r in out if r["query_id"] == 1 and r["neighbor_id"] == 2]
+    assert dup and dup[0]["cos"] == 1.0 and dup[0]["rnk"] == 1
