@@ -1010,7 +1010,9 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON kit over events.props (O3's decode generalized to
     per-field extraction): get_json_object + cast + aggregate."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: a non-numeric k (schema drift, poisoned row) becomes
+    # NULL and falls out of the aggregates instead of an ANSI error
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1149,13 +1151,19 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     per field, and VARIANT's binary encoding stays columnar in
     Parquet."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50000)
-    v = F.parse_json(F.col("props"))
+    # try_parse_json + try_variant_get, not the strict forms: a
+    # malformed props row yields a NULL variant and a type-mismatched
+    # value (k: "abc") yields a NULL extraction, instead of killing
+    # the job — the same one-poisoned-row policy as try_functions
+    # (strict parse_json/variant_get are the ANSI-strict siblings for
+    # pipelines that WANT the loud failure).
+    v = F.try_parse_json(F.col("props"))
     return (
         e.select(
             "event_id",
-            F.variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.k", "bigint").alias("k"),
             F.try_variant_get(v, "$.nope", "bigint").alias("k_missing"),
-            (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
+            (F.try_variant_get(v, "$.k", "bigint") % 7).alias("k_mod7"),
         )
         .orderBy("event_id")
     )

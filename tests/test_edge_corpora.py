@@ -195,3 +195,100 @@ def test_edge_vectors_zero_norm_excluded_from_similarity(spark, edge_vec_dir):
     # exact duplicates must surface as cosine 1.0 neighbors
     dup = [r for r in out if r["query_id"] == 1 and r["neighbor_id"] == 2]
     assert dup and dup[0]["cos"] == 1.0 and dup[0]["rnk"] == 1
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory) -> str:
+    """Synthetic events with the hostile rows production streams carry:
+    malformed JSON props, missing/non-numeric keys, identical
+    timestamps for one user (tie-break determinism), single-event
+    users. Written via pyarrow with timestamp[ns] to match the real
+    fixture's physical type (io.load_table's ns handling must fire)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("edge_events"))
+    base = 1704067200 * 10**9  # 2024-01-01T00:00:00Z in ns
+    m = 60 * 10**9
+    rows = [
+        # user 1: click → purchase within 10 min, well-formed props
+        (0, base + 1 * m, 1, "click", 10.0, '{"k": 5}'),
+        (1, base + 5 * m, 1, "purchase", 99.99, '{"k": 7}'),
+        # user 1 much later: second session
+        (2, base + 200 * m, 1, "view", 1.5, '{"k": 1}'),
+        # user 2: two events at the IDENTICAL instant (tie-break)
+        (3, base + 2 * m, 2, "click", 3.0, '{"k": 2}'),
+        (4, base + 2 * m, 2, "click", 4.0, '{"k": 3}'),
+        # user 3: single event, malformed JSON props
+        (5, base + 3 * m, 3, "signup", 0.0, "{not json"),
+        # user 4: props missing k / non-numeric k
+        (6, base + 4 * m, 4, "view", 2.0, "{}"),
+        (7, base + 6 * m, 4, "error", 5.0, '{"k": "abc"}'),
+        # user 5: purchase with no preceding click (as-of NULL)
+        (8, base + 7 * m, 5, "purchase", 49.5, '{"k": 9}'),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{path}/events.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def edge_events_ddb(edge_events_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    return con
+
+
+# Events queries whose oracles stay well-defined on the hostile rows
+# (q15 VARIANT / q79 JSON are checked Spark-side below instead: DuckDB
+# json_extract ERRORS on malformed JSON, so no cross-engine oracle)
+EDGE_EVENT_QUERIES = [
+    "q50_sessionization",
+    "q16_window_ignore_nulls",
+    "q81_time_window_tumbling",
+    "q78_case_when_buckets",
+    "q49_join_asof",
+]
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_match_oracle(name, spark, edge_events_dir, edge_events_ddb):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, edge_events_dir)
+    cols = sorted(sdf.columns)
+    key = lambda row: tuple((v is None, repr(v)) for v in row)  # noqa: E731
+    s = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=key)
+    res = edge_events_ddb.sql(spec.oracle)
+    idx = {c: i for i, c in enumerate(res.columns)}
+    d = sorted((tuple(r[idx[c]] for c in cols) for r in res.fetchall()), key=key)
+    assert cols == sorted(res.columns), f"{name}: column mismatch"
+    assert s == d, f"{name}: edge-events divergence; first spark rows {s[:3]}"
+
+
+def test_edge_events_poisoned_json_yields_nulls(spark, edge_events_dir):
+    """Malformed props and non-numeric keys must become NULLs, never
+    runtime errors — the one-poisoned-row policy."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    v = {r["event_id"]: r for r in rel.variant_ops(spark, edge_events_dir).collect()}
+    assert v[5]["k"] is None  # malformed JSON row survived as NULL
+    assert v[6]["k"] is None  # missing key
+    assert v[7]["k"] is None  # non-numeric k
+    assert v[0]["k"] == 5 and v[0]["k_mod7"] == 5  # good rows intact
+
+    agg = {r["event_type"]: r for r in rel.json_extraction(spark, edge_events_dir).collect()}
+    assert agg["signup"]["n"] == 0  # the malformed row counts nothing
+    assert agg["error"]["n"] == 0  # non-numeric k ignored
+    assert agg["click"]["n"] == 3
