@@ -234,3 +234,37 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+# PII patterns restricted to the RE2∩Java-common subset so Spark and
+# any SQL oracle tokenize identically: no backrefs, no lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_NUMBER_RUN = r"[0-9]{9,}"  # phone/SSN/account-shaped digit runs
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask email addresses and long digit runs with
+    fixed placeholder tokens and report per-document redaction counts
+    — the standard pre-training privacy pass. Deterministic fixed
+    placeholders (not hashes) so identical inputs redact identically
+    and downstream exact-dedup still collapses them.
+
+    Pure regexp column algebra — codegen'd, scan-bound, no shuffle;
+    the count uses regexp_extract_all BEFORE replacement so overlapping
+    pattern interactions can't double-count."""
+    d = load_table(spark, sf_dir, "documents")
+    emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    numbers = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PII_NUMBER_RUN), 0)
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_NUMBER_RUN,
+        "<NUMBER>",
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        emails.cast("long").alias("n_emails"),
+        numbers.cast("long").alias("n_number_runs"),
+    ).orderBy("doc_id")

@@ -1432,6 +1432,24 @@ SPECS: dict[str, QuerySpec] = {
         "§2.3 corpus prep: Gopher-style repetition metrics (top n-gram "
         "occupancy + duplicate-token fraction)",
     ),
+    "q96_redact_pii": QuerySpec(
+        corpus.redact_pii,
+        """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                    '[0-9]{9,}', '<NUMBER>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT)
+                   AS n_number_runs
+        FROM documents ORDER BY doc_id
+        """,
+        "§2.3 corpus prep: PII redaction (email + digit-run masking, "
+        "RE2∩Java-common patterns; exercised by the boundary suite — "
+        "the fixture corpus carries no PII)",
+    ),
     "q81_quake_parity": QuerySpec(
         lambda spark, sf_dir: _quake_parity(spark),
         _quake_parity_oracle(),
@@ -1739,6 +1757,7 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q89_decontamination", "q89_decontamination"),
     ("q94_chunking", "q90_chunking"),
     ("q95_repetition_score", "q91_repetition_score"),
+    ("q96_redact_pii", "q92_redact_pii"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

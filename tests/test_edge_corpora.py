@@ -27,6 +27,9 @@ EDGE_DOCS = [
     (8, " ".join(f"w{i}" for i in range(65)), "fr", "edge"),  # chunk + 1
     (9, "spam ham " * 40 + "spam ham", "es", "edge"),  # degenerate repeat
     (10, "exactly three tokens", "en", "edge"),  # exact dup of doc 3
+    # PII-bearing docs (the real fixture corpus carries no PII)
+    (11, "contact john.doe@example.com or call 0211234567 ref 123456789012", "en", "edge"),
+    (12, "email a@b.co twice a@b.co short digits 12345678", "en", "edge"),
 ]
 
 # Edge-safe queries whose oracles only touch `documents`
@@ -54,6 +57,7 @@ EDGE_QUERIES = [
     "q40_dedup_ngram_jaccard",
     "q45_dedup_clusters",
     "q89_decontamination",
+    "q92_redact_pii",
 ]
 
 
@@ -292,3 +296,21 @@ def test_edge_events_poisoned_json_yields_nulls(spark, edge_events_dir):
     assert agg["signup"]["n"] == 0  # the malformed row counts nothing
     assert agg["error"]["n"] == 0  # non-numeric k ignored
     assert agg["click"]["n"] == 3
+
+
+def test_edge_redact_pii_semantics(spark, edge_dir):
+    from etl_geonet_quakes_spark.llm import corpus
+
+    out = {r["doc_id"]: r for r in corpus.redact_pii(spark, edge_dir).collect()}
+    r11 = out[11]
+    assert r11["n_emails"] == 1 and r11["n_number_runs"] == 2
+    assert "<EMAIL>" in r11["clean_text"] and "<NUMBER>" in r11["clean_text"]
+    assert "example.com" not in r11["clean_text"]
+    assert "0211234567" not in r11["clean_text"]
+    r12 = out[12]
+    assert r12["n_emails"] == 2
+    assert r12["n_number_runs"] == 0  # 8 digits is below the 9+ threshold
+    assert "12345678" in r12["clean_text"]  # short runs untouched
+    # clean docs pass through verbatim
+    assert out[3]["clean_text"] == "exactly three tokens"
+    assert out[3]["n_emails"] == 0 and out[3]["n_number_runs"] == 0
