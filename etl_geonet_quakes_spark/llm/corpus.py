@@ -3,9 +3,10 @@ pipeline runs over raw documents — deterministic sampling and the
 dedup→quality-filter→composition pipeline — as single declarative
 Spark plans.
 
-Scale posture: both operators are one hash-shuffle each (the exact-dup
-window / the per-stratum nothing-at-all), no self-joins, no driver
-round-trips; at 100 TB they are scan-bound.
+Scale posture: every operator here is scan-bound — at most one
+hash-shuffle (the exact-dup fingerprint window, the per-doc gram
+aggs), broadcast-only joins (decontamination's eval side), no
+unbounded self-joins, no driver round-trips.
 """
 
 from __future__ import annotations
@@ -18,9 +19,13 @@ from etl_geonet_quakes_spark.llm.text import tokens
 
 
 def _hash60(col) -> F.Column:
-    """Deterministic uniform 60-bit hash of a string column — md5-based
-    so any engine reproduces it bit-for-bit (see dedup.md5_feature_hash)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """Deterministic uniform 60-bit hash of a string column — the ONE
+    md5-based hash family shared across operators (delegates to
+    dedup.md5_feature_hash so the bit-compatibility contract has a
+    single definition)."""
+    from etl_geonet_quakes_spark.llm.dedup import md5_feature_hash
+
+    return md5_feature_hash(col)
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +243,7 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PII patterns restricted to the RE2∩Java-common subset so Spark and
 # any SQL oracle tokenize identically: no backrefs, no lookaround.
-PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_NUMBER_RUN = r"[0-9]{9,}"  # phone/SSN/account-shaped digit runs
 
 
@@ -249,19 +254,18 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     placeholders (not hashes) so identical inputs redact identically
     and downstream exact-dedup still collapses them.
 
-    Pure regexp column algebra — codegen'd, scan-bound, no shuffle;
-    the count uses regexp_extract_all BEFORE replacement so overlapping
-    pattern interactions can't double-count."""
+    Pure regexp column algebra — codegen'd, scan-bound, no shuffle.
+    The digit-run count is taken on the EMAIL-MASKED intermediate, so
+    the two counts reconcile exactly with the placeholder tokens in
+    clean_text (digits consumed by an email match are not
+    double-counted as a number run)."""
     d = load_table(spark, sf_dir, "documents")
     emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+    email_masked = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
     numbers = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(PII_NUMBER_RUN), 0)
+        F.regexp_extract_all(email_masked, F.lit(PII_NUMBER_RUN), 0)
     )
-    cleaned = F.regexp_replace(
-        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-        PII_NUMBER_RUN,
-        "<NUMBER>",
-    )
+    cleaned = F.regexp_replace(email_masked, PII_NUMBER_RUN, "<NUMBER>")
     return d.select(
         "doc_id",
         cleaned.alias("clean_text"),

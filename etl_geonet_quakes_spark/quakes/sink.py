@@ -18,8 +18,10 @@ expires it. Two adapters re-express that:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +45,17 @@ class SnapshotDiffSink:
     def __init__(self, state_dir: str) -> None:
         self.state_dir = state_dir
         self._ids_path = os.path.join(state_dir, "published_ids")
+        # resume the sequence across restarts so a rerun never reuses a
+        # scratch dir an earlier return value may still reference
+        existing = sorted(glob.glob(os.path.join(state_dir, "_expired_scratch_*")))
+        self._publish_seq = (
+            int(existing[-1].rsplit("_", 1)[-1]) if existing else 0
+        )
+
+    def _prune_scratch(self, keep_last: int) -> None:
+        dirs = sorted(glob.glob(os.path.join(self.state_dir, "_expired_scratch_*")))
+        for d in dirs[:-keep_last]:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _previous_ids(self, spark) -> DataFrame | None:
         try:
@@ -67,10 +80,19 @@ class SnapshotDiffSink:
         # driver collect (a large shrinking snapshot would otherwise
         # buffer every expired id in driver memory). A scratch parquet
         # write breaks the lineage durably; the re-read below no longer
-        # references published_ids, so the overwrite is safe.
-        scratch = os.path.join(self.state_dir, "_expired_scratch")
+        # references published_ids, so the overwrite is safe. The
+        # scratch path is UNIQUE per publish — a shared path would
+        # silently repoint the previously returned (lazy) expired
+        # DataFrame at the next publish's data. Scratch dirs are tiny
+        # (ids only); stale ones are pruned on the next publish, which
+        # keeps the previous return valid for one full cycle.
+        self._publish_seq += 1
+        scratch = os.path.join(
+            self.state_dir, f"_expired_scratch_{self._publish_seq:06d}"
+        )
         expired.write.mode("overwrite").parquet(scratch)
         expired = spark.read.parquet(scratch)
+        self._prune_scratch(keep_last=2)
         n = ids.count()
         ids.write.mode("overwrite").parquet(self._ids_path)
         return n, expired

@@ -1435,16 +1435,21 @@ SPECS: dict[str, QuerySpec] = {
     "q96_redact_pii": QuerySpec(
         corpus.redact_pii,
         """
+        WITH masked AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS email_masked
+            FROM documents)
         SELECT doc_id,
-               regexp_replace(regexp_replace(text,
-                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-                    '[0-9]{9,}', '<NUMBER>', 'g') AS clean_text,
+               regexp_replace(email_masked, '[0-9]{9,}', '<NUMBER>', 'g')
+                   AS clean_text,
                CAST(len(regexp_extract_all(text,
-                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
-                   AS n_emails,
-               CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT)
-                   AS n_number_runs
-        FROM documents ORDER BY doc_id
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(email_masked, '[0-9]{9,}'))
+                    AS BIGINT) AS n_number_runs
+        FROM masked ORDER BY doc_id
         """,
         "§2.3 corpus prep: PII redaction (email + digit-run masking, "
         "RE2∩Java-common patterns; exercised by the boundary suite — "

@@ -30,6 +30,7 @@ EDGE_DOCS = [
     # PII-bearing docs (the real fixture corpus carries no PII)
     (11, "contact john.doe@example.com or call 0211234567 ref 123456789012", "en", "edge"),
     (12, "email a@b.co twice a@b.co short digits 12345678", "en", "edge"),
+    (13, "Reach John.Doe@Example.COM or 123456789@mail.com now", "en", "edge"),
 ]
 
 # Edge-safe queries whose oracles only touch `documents`
@@ -124,9 +125,6 @@ def test_edge_repetition_flags_degenerate_doc(spark, edge_dir):
     # doc 7 is all-distinct tokens: no repetition at all
     assert out[7]["dup_token_frac"] == 0.0
     assert out[7]["top_2gram_frac"] < 0.05
-
-
-EDGE_VECS = None  # built lazily: zero vector, exact dups, constants
 
 
 @pytest.fixture(scope="module")
@@ -314,3 +312,9 @@ def test_edge_redact_pii_semantics(spark, edge_dir):
     # clean docs pass through verbatim
     assert out[3]["clean_text"] == "exactly three tokens"
     assert out[3]["n_emails"] == 0 and out[3]["n_number_runs"] == 0
+    # uppercase emails are PII too, and digits consumed by an email
+    # match must not double-count as a number run (counts reconcile
+    # with the placeholders actually emitted)
+    r13 = out[13]
+    assert r13["n_emails"] == 2 and r13["n_number_runs"] == 0
+    assert r13["clean_text"] == "Reach <EMAIL> or <EMAIL> now"

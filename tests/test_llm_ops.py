@@ -265,3 +265,18 @@ def test_chunking_covers_every_token(spark, sf_dir):
             assert r["chunk_len"] == len(expect)
             covered_until = max(covered_until, start + len(expect))
         assert covered_until == len(toks), f"doc {doc_id} not fully covered"
+
+
+def test_array_agg_ordered_array_variant(spark, sf_dir):
+    """The array-typed collect_list surface (the registry serves the
+    string-serialized variant to hash-based harnesses; this keeps the
+    array API covered and the two variants consistent)."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    arr = {r["o_custkey"]: r for r in rel.array_agg_ordered(spark, sf_dir).collect()}
+    s = {r["o_custkey"]: r for r in rel.array_agg_ordered_str(spark, sf_dir).collect()}
+    assert arr.keys() == s.keys() and arr
+    for k, r in arr.items():
+        assert r["order_keys"] == sorted(r["order_keys"])  # sorted contract
+        assert ",".join(str(x) for x in r["order_keys"]) == s[k]["order_keys"]
+        assert r["n"] == s[k]["n"]
