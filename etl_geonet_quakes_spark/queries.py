@@ -53,17 +53,13 @@ def _quake_pipeline(spark: SparkSession) -> DataFrame:
     cfg = QuakeJobConfig(min_mmi=-1, max_age_minutes=1e12, now_utc_ms=1768478400000)
     return run_pipeline(read_geojson(spark, fixture, GEONET_RESPONSE_SCHEMA), cfg)
 
-def _quake_parity(spark: SparkSession) -> DataFrame:
-    """Flattened scalar projection of the full pipeline output: every
-    leaf field of the CoT feature (including remarks, timeLocal with
-    NZDT naming and humanized age, and the toFixed-formatted callsign)
-    as top-level hashable columns — this is the reference-parity
-    contract (task.ts:187-249) as a value-hash-checkable query rather
-    than a rows-only smoke. The DuckDB oracle independently replays
-    the fixture JSON through the same semantics."""
-    out = _quake_pipeline(spark)
-    return out.select(
-        "id",
+def _flatten_quake(out: DataFrame, with_time_utc_meta: bool = False) -> DataFrame:
+    """Star-expand the nested CoT feature into scalar leaf columns
+    (structs expanded, coordinates as lon/lat/alt) so the output is
+    canonicalizer-safe: every column hashable, no arrays/structs.
+    Shared by q03 (pass-through parity) and q02 (filtered pipeline)."""
+    cols = [
+        F.col("id"),
         F.col("type").alias("feature_type"),
         F.col("properties.callsign").alias("callsign"),
         F.col("properties.type").alias("cot_type"),
@@ -84,7 +80,41 @@ def _quake_parity(spark: SparkSession) -> DataFrame:
         F.col("geometry.coordinates")[0].alias("lon"),
         F.col("geometry.coordinates")[1].alias("lat"),
         F.col("geometry.coordinates")[2].alias("alt"),
-    ).orderBy("id")
+    ]
+    if with_time_utc_meta:
+        # the 9th metadata leaf (task.ts:231) — q03 predates it and its
+        # green hash row must keep a stable schema, so only q02 adds it
+        cols.insert(16, F.col("properties.metadata.timeUTC").alias("time_utc_meta"))
+    return out.select(*cols).orderBy("id")
+
+
+def _quake_parity(spark: SparkSession) -> DataFrame:
+    """Flattened scalar projection of the full pipeline output: every
+    leaf field of the CoT feature (including remarks, timeLocal with
+    NZDT naming and humanized age, and the toFixed-formatted callsign)
+    as top-level hashable columns — this is the reference-parity
+    contract (task.ts:187-249) as a value-hash-checkable query rather
+    than a rows-only smoke. The DuckDB oracle independently replays
+    the fixture JSON through the same semantics. Filters are disabled
+    (min_mmi=-1, max_age=1e12) so every fixture row is value-checked."""
+    return _flatten_quake(_quake_pipeline(spark))
+
+
+def _quake_pipeline_flat(spark: SparkSession) -> DataFrame:
+    """The full pipeline under the reference's PRODUCTION defaults
+    (min_mmi=5, max_age=10080 — task.ts:36-39), flattened for the
+    driver canonicalizer. Complements q03: here the O6–O9 filters run
+    with their real thresholds (the fixture exercises every branch:
+    MMI below/at/above 5, the 7-day age cut, 'deleted' quality), and
+    the projection carries all 9 metadata leaves including timeUTC.
+    The nested-output variant stays in tests/test_quakes_golden.py."""
+    from etl_geonet_quakes_spark.io import read_geojson
+    from etl_geonet_quakes_spark.quakes import GEONET_RESPONSE_SCHEMA, QuakeJobConfig
+    from etl_geonet_quakes_spark.quakes.transform import run_pipeline
+
+    cfg = QuakeJobConfig(now_utc_ms=_QUAKE_NOW_MS)  # reference defaults
+    out = run_pipeline(read_geojson(spark, _FIXTURE_JSON, GEONET_RESPONSE_SCHEMA), cfg)
+    return _flatten_quake(out, with_time_utc_meta=True)
 
 
 _FIXTURE_JSON = os.path.join(
@@ -108,8 +138,16 @@ _QUAKE_STALE = "2026-01-15T12:05:00.000Z"  # now + 5 min, ISO-ms
 _TOFIX = "CAST(ROUND(CAST(printf('%.25g', {x}) AS DECIMAL(38,25)), {f}) AS VARCHAR)"
 
 
-def _quake_parity_oracle() -> str:
+def _quake_parity_oracle(
+    min_mmi: int = -1,
+    max_age_minutes: float = 1e12,
+    with_time_utc_meta: bool = False,
+) -> str:
+    """DuckDB replay of the fixture through the reference semantics.
+    Defaults reproduce q03's pass-through run; q02 passes the
+    production thresholds (5, 10080) and the extra timeUTC leaf."""
     now = _QUAKE_NOW_MS
+    meta_utc = "t_str AS time_utc_meta," if with_time_utc_meta else ""
     return f"""
 WITH raw AS (
     SELECT unnest(features) AS f
@@ -128,8 +166,8 @@ x AS (
     FROM raw),
 flt AS (
     SELECT * FROM x
-    WHERE quality <> 'deleted' AND mmi >= -1
-      AND ({now} - epoch_ms(t)) / 60000.0 <= 1e12),
+    WHERE quality <> 'deleted' AND mmi >= {min_mmi}
+      AND ({now} - epoch_ms(t)) / 60000.0 <= {max_age_minutes}),
 en AS (
     SELECT *,
         {_TOFIX.format(x='mag', f=1)} AS mag1,
@@ -176,7 +214,7 @@ SELECT 'earthquake-' || pid AS id,
        t_str AS time_utc, t_str AS start_utc,
        '{_QUAKE_STALE}' AS stale_utc,
        mag AS magnitude, mmi, intensity, loc AS locality, depth, quality,
-       pid AS publicID, time_local,
+       pid AS publicID, {meta_utc} time_local,
        'Magnitude: ' || mag2 || chr(10) ||
        'MMI: ' || CAST(mmi AS VARCHAR) || chr(10) ||
        'Intensity: ' || intensity || chr(10) ||
@@ -1274,10 +1312,13 @@ SPECS: dict[str, QuerySpec] = {
     ),
     # --- reference-parity pipeline (§2.1 O4–O23) ------------------------
     "q80_quake_pipeline": QuerySpec(
-        lambda spark, sf_dir: _quake_pipeline(spark),
-        None,  # GeoJSON fixture + nested CoT output — golden-tested in
-        # tests/test_quakes_golden.py rather than SQL-oracled
-        "§2.1 O4–O23: the full reference transform (rows-only)",
+        lambda spark, sf_dir: _quake_pipeline_flat(spark),
+        _quake_parity_oracle(min_mmi=5, max_age_minutes=10080.0, with_time_utc_meta=True),
+        "§2.1 O4–O23 hash-checked: the full reference transform under "
+        "PRODUCTION defaults (min_mmi=5, 7-day max age — task.ts:36-39) "
+        "so the O6–O9 filters run with real thresholds; flattened leaves "
+        "incl. metadata.timeUTC vs the DuckDB fixture replay (nested "
+        "output variant stays golden-tested in test_quakes_golden.py)",
     ),
     "q82_dedup_clusters": QuerySpec(
         dedup.dedup_clusters,
