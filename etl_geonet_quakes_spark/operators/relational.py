@@ -1169,17 +1169,29 @@ def variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def percentile_approx_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def percentile_approx_summary(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
     """approx_percentile — the scale path for q72_percentiles' exact percentiles.
     Exact quantiles need a full sort (or quantile_cont's buffered
     groups); the GK sketch aggregates in one partial+final pass with
     bounded memory (~accuracy entries per group), which is the only
-    strategy that survives 100 TB groups. Sketch outputs are
-    engine-specific → rows-only registry entry; closeness to the exact
-    answer is asserted in tests/test_properties.py."""
+    strategy that survives 100 TB groups.
+
+    Exactness contract (what makes the q35 driver row hash-checkable):
+    the GK compress step only merges adjacent samples when the merged
+    rank band 2·n/accuracy reaches 1, so for groups with n < accuracy/2
+    the sketch retains every sample and query() returns the exact
+    order statistic at rank ceil(p·n) — the SQL percentile_disc /
+    DuckDB quantile_disc convention (verified empirically: at
+    accuracy=10000 the sf0.01 group with n=5088 diverges, n=4933 and
+    n=4979 match; at accuracy≥100000 all groups match exactly). The
+    registry entry therefore pins accuracy=100000 — provably exact at
+    validation scale — while the approximate regime keeps its error-
+    bound property test in tests/test_properties.py."""
     o = load_table(spark, sf_dir, "orders")
     pq = F.percentile_approx(
-        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), accuracy
     )
     return (
         o.groupBy("o_orderstatus")

@@ -1656,9 +1656,23 @@ SPECS: dict[str, QuerySpec] = {
         "§2.2 streaming: dropDuplicatesWithinWatermark (bounded state)",
     ),
     "q91_percentile_approx": QuerySpec(
-        rel.percentile_approx_summary,
-        None,  # GK sketch values are engine-specific; bounds tested
-        "§2.2 aggregations: approx_percentile sketch (rows-only)",
+        # accuracy=100000 makes the GK sketch provably exact for the
+        # validation group sizes (n < accuracy/2 → no sample merging →
+        # exact order statistic at rank ceil(p·n), the percentile_disc
+        # convention — see percentile_approx_summary docstring). The
+        # approximate regime keeps its error-bound property test.
+        lambda spark, sf_dir: rel.percentile_approx_summary(spark, sf_dir, accuracy=100000),
+        """
+        SELECT o_orderstatus,
+               quantile_disc(o_totalprice, 0.25) AS p25,
+               quantile_disc(o_totalprice, 0.50) AS p50,
+               quantile_disc(o_totalprice, 0.75) AS p75,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "§2.2 aggregations: approx_percentile GK sketch, hash-checked "
+        "in its exact regime (accuracy > 2·max group size) against "
+        "DuckDB quantile_disc; sketch error bounds property-tested",
     ),
     "q92_media_resize": QuerySpec(
         multimodal.media_resize,
