@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,7 +63,20 @@ HEADLINE = [
     "q39_dedup_simhash",
     "q45_dedup_clusters",
     "q47_corpus_dedup_pipeline",
+    # New to the bench in round 3: the corpus-prep family, so
+    # regressions in the newest operators are visible round-over-round.
+    "q89_decontamination",
+    "q90_chunking",
+    "q91_repetition_score",
+    "q92_redact_pii",
 ]
+
+# Each query is timed N_RUNS times and the MEDIAN is reported: a
+# single-shot number bills one-off plan+codegen compilation to
+# whichever query runs first with a given operator mix (round 2
+# "regressions" of ~0.3 s on the dedup queries were partly this).
+# The median of 3 warm-adjacent runs is stable to ~±5% run-over-run.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -80,10 +94,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPECS[name].fn
-        t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -976,8 +976,11 @@ SPECS: dict[str, QuerySpec] = {
         WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b
         """,
         "§2.3 near-dup: MinHash+LSH; verify tier = exact string-shingle "
-        "Jaccard, oracle = full exact-Jaccard pair set (LSH recall "
-        "pinned to 1.0 on the fixture corpora by tests)",
+        "Jaccard, oracle = full exact-Jaccard pair set (12 bands put "
+        "per-pair miss ~5e-6 at the measured min true-pair Jaccard 0.8; "
+        "recall additionally pinned to 1.0 on the live fixtures by "
+        "tests, so a fixture regeneration that beats those odds fails "
+        "in-repo before any driver run)",
     ),
     "q43_dedup_simhash": QuerySpec(
         dedup.dedup_simhash,
