@@ -68,6 +68,15 @@ class SnapshotDiffSink:
 
         Returns the number of upserted features and a DataFrame of ids
         expired by omission (present previously, absent now).
+
+        .. warning:: **The returned ``expired`` DataFrame is valid for
+           ONE further ``publish()`` cycle only.** It lazily reads a
+           per-publish scratch parquet; scratch dirs older than the
+           last ``keep_last`` (2) publishes are pruned, so consuming
+           the return after two more ``publish()`` calls raises
+           FileNotFound at action time. Materialize it (``.collect()``,
+           write, or ``.localCheckpoint()``) before publishing again if
+           it must outlive the next cycle.
         """
         spark = snapshot.sparkSession
         ids = snapshot.select("id").dropDuplicates(["id"])

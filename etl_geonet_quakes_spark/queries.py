@@ -1287,22 +1287,36 @@ SPECS: dict[str, QuerySpec] = {
     "q67_media_features": QuerySpec(
         multimodal.media_features,
         """
-        -- the deterministic fake decode (mean byte value) is
-        -- SQL-expressible for the ASCII fixture corpus: byte value =
-        -- codepoint, so the mapInPandas plumbing (schema, batching,
-        -- per-row math) is hash-checked end-to-end
+        -- the deterministic fake decode (mean byte value over the
+        -- UTF-8 payload) replayed byte-exactly for ANY text: each
+        -- codepoint expands to the sum of its 1-4 UTF-8 bytes
+        -- (multi-byte constants: lead-byte prefix + 0x80 per
+        -- continuation, validated against Python's encoder), so the
+        -- mapInPandas plumbing is hash-checked without the previous
+        -- silent ASCII-only assumption about the fixture corpus
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CASE WHEN length(text) = 0 THEN 0.0
                     ELSE CAST(list_sum(list_transform(
-                             range(1, length(text) + 1),
-                             i -> ord(substring(text, i, 1)))) AS DOUBLE)
+                             list_transform(range(1, length(text) + 1),
+                                            i -> ord(substring(text, i, 1))),
+                             o -> CASE
+                                 WHEN o < 128 THEN o
+                                 WHEN o < 2048 THEN
+                                     320 + o // 64 + o % 64
+                                 WHEN o < 65536 THEN
+                                     480 + o // 4096 + (o // 64) % 64 + o % 64
+                                 ELSE
+                                     624 + o // 262144 + (o // 4096) % 64
+                                         + (o // 64) % 64 + o % 64
+                             END)) AS DOUBLE)
                          / octet_length(encode(text)) END AS feat_mean,
                CAST(1 AS INTEGER) AS feat_dim
         FROM documents ORDER BY doc_id
         """,
         "§2.3 multimodal: mapInPandas feature extraction — deterministic "
-        "fake decode hash-checked (real codecs stay honestly stubbed)",
+        "fake decode hash-checked byte-exactly for any Unicode corpus "
+        "(real codecs stay honestly stubbed)",
     ),
     "q90_salted_join": QuerySpec(
         rel.salted_join_brand_revenue,

@@ -99,6 +99,75 @@ def test_edge_corpus_matches_oracle(name, spark, edge_dir, edge_ddb):
     assert s == d, f"{name}: edge-corpus divergence; first spark rows {s[:3]}"
 
 
+UNICODE_DOCS = [
+    # (doc_id, text, lang, source) — 1/2/3/4-byte UTF-8 mixes: the
+    # byte-level oracles (q31 sizes/hashes, q32 mean byte value) must
+    # agree with Spark on real multi-byte payloads, not just the
+    # ASCII fixture corpus where codepoint == byte
+    (0, "plain ascii baseline", "en", "uni"),
+    (1, "héllo wörld – naïve café", "fr", "uni"),
+    (2, "日本語のテキストです", "ja", "uni"),
+    (3, "emoji mix 🎉🚀🌍 done", "en", "uni"),
+    (4, "mixed ñ 中 🎉 ascii", "es", "uni"),
+    (5, "", "en", "uni"),
+]
+
+# Queries whose semantics are defined over UTF-8 BYTES end-to-end
+# (q33/q34 stay out: their oracles are deliberately char-based and
+# documented ASCII-equivalent, Spark slices the binary payload)
+UNICODE_BYTE_QUERIES = ["q31_media_byte_stats", "q32_media_features"]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("unicode_corpus"))
+    rows = [
+        (doc_id, text, lang, source, len(text))
+        for doc_id, text, lang, source in UNICODE_DOCS
+    ]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def unicode_ddb(unicode_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{unicode_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", UNICODE_BYTE_QUERIES)
+def test_unicode_corpus_matches_oracle(name, spark, unicode_dir, unicode_ddb):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, unicode_dir)
+    cols = sorted(sdf.columns)
+    key = lambda row: tuple((v is None, repr(v)) for v in row)  # noqa: E731
+    s = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=key)
+    res = unicode_ddb.sql(spec.oracle)
+    idx = {c: i for i, c in enumerate(res.columns)}
+    d = sorted((tuple(r[idx[c]] for c in cols) for r in res.fetchall()), key=key)
+    assert cols == sorted(res.columns), f"{name}: column mismatch"
+    assert s == d, f"{name}: unicode divergence; first spark rows {s[:3]}"
+
+
+def test_unicode_feat_mean_matches_python(spark, unicode_dir):
+    """Ground-truth anchor: both engines must equal Python's own UTF-8
+    encoder, not merely each other."""
+    from etl_geonet_quakes_spark.llm import multimodal
+
+    out = {r["doc_id"]: r for r in multimodal.media_features(spark, unicode_dir).collect()}
+    for doc_id, text, _, _ in UNICODE_DOCS:
+        b = text.encode("utf-8")
+        expect = float(sum(b)) / len(b) if b else 0.0
+        assert out[doc_id]["n_bytes"] == len(b)
+        assert abs(out[doc_id]["feat_mean"] - expect) < 1e-12, (doc_id, text)
+
+
 def test_edge_chunking_tiles_exactly(spark, edge_dir):
     from pyspark.sql import functions as F
     from etl_geonet_quakes_spark.llm import corpus
