@@ -69,6 +69,9 @@ HEADLINE = [
     "q90_chunking",
     "q91_repetition_score",
     "q92_redact_pii",
+    "q93_dedup_keep_canonical",
+    "q94_pack_sequences",
+    "q95_vocab_coverage",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

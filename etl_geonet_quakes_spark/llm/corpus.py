@@ -188,6 +188,130 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 256,
+    prefix_bucket: int = 4096,
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay every document's tokens
+    end-to-end in doc_id order and cut the stream into fixed
+    ``seq_len`` training sequences (documents may straddle a cut — the
+    trainer's EOD token marks boundaries). Emits per-sequence packing
+    stats: how many documents contribute, how many tokens it holds
+    (== seq_len except the tail), and the contributing doc_id range —
+    the accounting a data loader needs to address any sequence.
+
+    The global token offset is a prefix sum, and a naive
+    ``Window.orderBy(doc_id)`` cumsum is the textbook non-scalable
+    plan: Spark executes an un-partitioned ordered window in ONE task.
+    This implements the scalable two-phase form instead:
+
+    1. bucket documents by ``doc_id // prefix_bucket``; cumsum WITHIN
+       each bucket (``partitionBy(bucket)`` — parallel);
+    2. per-bucket totals (tiny: n_docs/prefix_bucket rows) get their
+       own exclusive cumsum — the only ordered window, over a
+       broadcast-sized input;
+    3. broadcast-join the bucket offsets back: global_start =
+       bucket_offset + local_cumsum − n_tokens.
+
+    Each document then fans out to the sequences its span overlaps
+    (explode of a 1-or-2-element range for seq_len ≫ typical doc) and
+    one hash agg per seq_id finishes — shuffle bounded by the doc
+    count, never the token stream."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n")
+    )
+    d = d.withColumn("bkt", (F.col("doc_id") / prefix_bucket).cast("long"))
+    local = F.sum("n").over(
+        Window.partitionBy("bkt").orderBy("doc_id")
+    )
+    d = d.withColumn("local_end", local)
+    totals = d.groupBy("bkt").agg(F.sum("n").alias("bkt_total"))
+    offsets = totals.withColumn(
+        "bkt_offset",
+        F.coalesce(
+            F.sum("bkt_total").over(
+                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bkt", "bkt_offset")
+    d = d.join(F.broadcast(offsets), "bkt")
+    start = F.col("bkt_offset") + F.col("local_end") - F.col("n")
+    end = F.col("bkt_offset") + F.col("local_end")
+    # integer DIV, not floor(double /): token offsets at 100 TB sit
+    # near 2^53 where double division drops low bits
+    spans = d.select("doc_id", start.alias("st"), end.alias("en")).select(
+        "doc_id",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.expr(f"st DIV {seq_len}"), F.expr(f"(en - 1) DIV {seq_len}")
+            )
+        ).alias("seq_id"),
+    )
+    tok_in_seq = F.least(F.col("en"), (F.col("seq_id") + 1) * seq_len) - F.greatest(
+        F.col("st"), F.col("seq_id") * seq_len
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tok_in_seq).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, pct: int = 95) -> DataFrame:
+    """Vocabulary coverage curve, per language: how many distinct
+    tokens are needed to cover ``pct``% of all token OCCURRENCES —
+    the statistic that sizes a tokenizer's vocab and exposes
+    boilerplate-dominated corpora (tiny head vocab covering nearly
+    everything).
+
+    Shape: explode → (lang, token) counts → per-lang ordered cumsum
+    over the VOCABULARY (already aggregated: |vocab| ≪ |corpus|, and
+    the window partitions by lang, so the ordered window never sees
+    the raw token stream — the aggregation, not the window, is the
+    scale-bearing stage). The coverage boundary is evaluated in exact
+    integer cross-multiplication (cum·100 ≥ total·pct), never a float
+    ratio, so the answer is bit-identical on any engine. Ties in
+    frequency order break by token text — total order, deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count("*").alias("distinct_tokens"),
+    )
+    covered = (
+        cum.join(F.broadcast(tot), "lang")
+        # smallest k with cum_k >= pct% of total = #{rows strictly
+        # below the threshold} + 1; integer cross-multiply avoids any
+        # float boundary ambiguity between engines
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(F.col("cum") * 100 < F.col("total_tokens") * pct, 1).otherwise(0)
+            ).alias("below")
+        )
+        .withColumn(f"vocab_p{pct}", (F.col("below") + 1).cast("long"))
+        .drop("below")
+    )
+    return (
+        tot.join(covered, "lang")
+        .select("lang", "total_tokens", "distinct_tokens", f"vocab_p{pct}")
+        .orderBy("lang")
+    )
+
+
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
     fraction of a document's n-gram positions occupied by its single

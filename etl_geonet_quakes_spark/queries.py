@@ -356,6 +356,32 @@ def _dsum(col: str) -> str:
     return _DSUM.format(col=col)
 
 
+# Near-dup connected components as a recursive CTE — shared by the
+# clusters query (q45) and the keep-canonical materialization (q93):
+# one definition so the two oracles can never drift apart.
+_CLUSTER_CTE = """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, source,
+                     list_distinct(string_split(text, ' ')) AS tk
+              FROM documents),
+        e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+              FROM d a JOIN d b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND least(len(a.tk), len(b.tk))
+                   >= 0.8 * greatest(len(a.tk), len(b.tk))
+              WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+        ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+        r(doc, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT ee.ea, r.lbl FROM r JOIN ee ON r.doc = ee.eb),
+        cc AS (SELECT doc, MIN(lbl) AS cluster_rep FROM r GROUP BY doc),
+        sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+               FROM cc GROUP BY cluster_rep)
+"""
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: QueryFn
@@ -1339,26 +1365,8 @@ SPECS: dict[str, QuerySpec] = {
     ),
     "q82_dedup_clusters": QuerySpec(
         dedup.dedup_clusters,
-        """
-        WITH RECURSIVE
-        d AS (SELECT doc_id, source,
-                     list_distinct(string_split(text, ' ')) AS tk
-              FROM documents),
-        e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
-              FROM d a JOIN d b
-                ON a.source = b.source AND a.doc_id < b.doc_id
-               AND least(len(a.tk), len(b.tk))
-                   >= 0.8 * greatest(len(a.tk), len(b.tk))
-              WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
-        ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
-        r(doc, lbl) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT ee.ea, r.lbl FROM r JOIN ee ON r.doc = ee.eb),
-        cc AS (SELECT doc, MIN(lbl) AS cluster_rep FROM r GROUP BY doc),
-        sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size
-               FROM cc GROUP BY cluster_rep)
+        _CLUSTER_CTE
+        + """
         SELECT doc AS doc_id, cc.cluster_rep, sz.cluster_size
         FROM cc JOIN sz USING (cluster_rep)
         ORDER BY doc_id
@@ -1720,6 +1728,74 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 scalar: ANSI try_* error-safe family",
     ),
+    "q97_dedup_keep_canonical": QuerySpec(
+        dedup.dedup_keep_canonical,
+        _CLUSTER_CTE
+        + """
+        SELECT cc.doc AS doc_id, docs.lang, docs.source,
+               sz.cluster_size AS n_merged
+        FROM cc JOIN sz USING (cluster_rep)
+             JOIN documents docs ON docs.doc_id = cc.doc
+        WHERE cc.doc = cc.cluster_rep
+        ORDER BY doc_id
+        """,
+        "§2.3 dedup: keep-canonical corpus materialization — the "
+        "post-dedup keep-list (min doc_id per near-dup cluster, "
+        "singletons pass through) vs the recursive-CTE closure",
+    ),
+    "q98_pack_sequences": QuerySpec(
+        corpus.pack_sequences,
+        """
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) AS en
+              FROM d),
+        s AS (SELECT doc_id, en - n AS st, en FROM c),
+        x AS (SELECT doc_id, st, en,
+                     unnest(range(st // 256, (en - 1) // 256 + 1)) AS seq_id
+              FROM s)
+        SELECT seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(least(en, (seq_id + 1) * 256)
+                        - greatest(st, seq_id * 256)) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM x GROUP BY seq_id ORDER BY seq_id
+        """,
+        "§2.3 corpus prep: concat-and-split sequence packing via a "
+        "two-phase distributed prefix sum (the oracle's single ordered "
+        "window is exactly the plan shape the Spark side exists to "
+        "avoid at scale)",
+    ),
+    "q99_vocab_coverage": QuerySpec(
+        corpus.vocab_coverage,
+        """
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        counts AS (SELECT lang, token, COUNT(*) AS c
+                   FROM tok GROUP BY lang, token),
+        cum AS (SELECT lang, c, token,
+                       SUM(c) OVER (PARTITION BY lang
+                                    ORDER BY c DESC, token ASC) AS cum
+                FROM counts),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total_tokens,
+                       COUNT(*) AS distinct_tokens
+                FROM counts GROUP BY lang),
+        cov AS (SELECT cum.lang,
+                       CAST(SUM(CASE WHEN cum.cum * 100
+                                          < tot.total_tokens * 95
+                                     THEN 1 ELSE 0 END) + 1 AS BIGINT)
+                           AS vocab_p95
+                FROM cum JOIN tot USING (lang) GROUP BY cum.lang)
+        SELECT lang, total_tokens, distinct_tokens, vocab_p95
+        FROM tot JOIN cov USING (lang) ORDER BY lang
+        """,
+        "§2.3 text analysis: per-language vocabulary coverage (head "
+        "vocab size for 95% of occurrences; integer cross-multiplied "
+        "boundary, frequency ties broken by token text)",
+    ),
 }
 
 # Driver-window curation ----------------------------------------------
@@ -1835,6 +1911,10 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q94_chunking", "q90_chunking"),
     ("q95_repetition_score", "q91_repetition_score"),
     ("q96_redact_pii", "q92_redact_pii"),
+    # ---- round-3 additions (outside the window, repo-oracle-checked) --
+    ("q97_dedup_keep_canonical", "q93_dedup_keep_canonical"),
+    ("q98_pack_sequences", "q94_pack_sequences"),
+    ("q99_vocab_coverage", "q95_vocab_coverage"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

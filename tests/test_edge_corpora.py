@@ -59,6 +59,9 @@ EDGE_QUERIES = [
     "q45_dedup_clusters",
     "q89_decontamination",
     "q92_redact_pii",
+    "q93_dedup_keep_canonical",
+    "q94_pack_sequences",
+    "q95_vocab_coverage",
 ]
 
 

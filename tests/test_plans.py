@@ -283,3 +283,48 @@ def test_decontamination_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # partial+final pair counts
+
+
+def test_pack_sequences_prefix_sum_is_partitioned(spark, sf_dir):
+    """The corpus-sized cumsum window MUST be partitioned (by the
+    prefix bucket) — an unpartitioned ordered window over the
+    documents would serialize the whole corpus through one task. The
+    only allowed unpartitioned window is the bucket-offsets one,
+    whose input is n_docs/4096 rows; the offsets join back must ride
+    a broadcast."""
+    from etl_geonet_quakes_spark.llm import corpus
+
+    p = plan(corpus.pack_sequences(spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, "no window in the packing plan?"
+    partitioned = [s for s in specs if "bkt" in s.split("ASC")[0]]
+    # at least one window keyed on the bucket; the doc-level cumsum
+    # must never appear as an unpartitioned window over doc_id alone
+    assert partitioned, specs
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_vocab_coverage_partial_agg_and_broadcast(spark, sf_dir):
+    """Token counting must map-side combine before the (lang, token)
+    shuffle, the per-lang window must be partitioned by lang, and the
+    totals join must broadcast."""
+    from etl_geonet_quakes_spark.llm import corpus
+
+    p = plan(corpus.vocab_coverage(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "windowspecdefinition(lang" in p
+    assert "CartesianProduct" not in p
+
+
+def test_keep_canonical_equi_join_no_cartesian(spark, sf_dir):
+    """The keep-list must re-join the corpus on doc_id as an
+    equi-join; clustering's iterative internals aside, no plan node
+    may be a cartesian/nested-loop product."""
+    from etl_geonet_quakes_spark.llm import dedup
+
+    p = plan(dedup.dedup_keep_canonical(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
