@@ -280,3 +280,81 @@ def test_array_agg_ordered_array_variant(spark, sf_dir):
         assert r["order_keys"] == sorted(r["order_keys"])  # sorted contract
         assert ",".join(str(x) for x in r["order_keys"]) == s[k]["order_keys"]
         assert r["n"] == s[k]["n"]
+
+
+def test_pack_sequences_conservation_invariants(spark, sf_dir):
+    """Packing must conserve the token stream exactly: total packed
+    tokens == total corpus tokens, every sequence except the last
+    holds exactly seq_len, sequence ids are dense from 0, and doc
+    ranges tile monotonically."""
+    from etl_geonet_quakes_spark.llm import corpus
+    from etl_geonet_quakes_spark.llm.text import tokens
+
+    seq_len = 256
+    rows = corpus.pack_sequences(spark, sf_dir, seq_len=seq_len).collect()
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+    ids = [r["seq_id"] for r in rows]
+    assert ids == list(range(len(rows)))  # dense, ordered
+    for r in rows[:-1]:
+        assert r["n_tokens"] == seq_len, r
+    assert 0 < rows[-1]["n_tokens"] <= seq_len
+    # doc ranges are monotone and overlap only at boundaries
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["first_doc"] <= prev["last_doc"]
+        assert cur["first_doc"] >= prev["last_doc"] - 0  # straddle allowed
+        assert cur["first_doc"] >= prev["first_doc"]
+
+
+def test_pack_sequences_bucket_boundary_exact(spark, tmp_path):
+    """The two-phase prefix sum must be seamless across prefix-bucket
+    boundaries: force multiple tiny buckets and compare against a
+    directly computed global cumsum."""
+    import math
+
+    docs = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 13)), "en", "s")
+            for i in range(50)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(d, t, l, s, len(t)) for d, t, l, s in docs],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    ).write.parquet(f"{path}/documents.parquet")
+
+    from etl_geonet_quakes_spark.llm import corpus
+
+    out = {r["seq_id"]: r for r in
+           corpus.pack_sequences(spark, path, seq_len=16, prefix_bucket=8).collect()}
+    # python reference: straightforward global concat-and-split
+    lens = [len(t.split(" ")) for _, t, _, _ in docs]
+    total = sum(lens)
+    n_seqs = math.ceil(total / 16)
+    assert set(out) == set(range(n_seqs))
+    start = 0
+    ref: dict[int, set] = {}
+    for (doc_id, _, _, _), n in zip(docs, lens):
+        for s in range(start // 16, (start + n - 1) // 16 + 1):
+            ref.setdefault(s, set()).add(doc_id)
+        start += n
+    for s, members in ref.items():
+        assert out[s]["n_docs"] == len(members), s
+        assert out[s]["first_doc"] == min(members)
+        assert out[s]["last_doc"] == max(members)
+
+
+def test_keep_canonical_partitions_corpus(spark, sf_dir):
+    """Keep-list invariants: reps are self-representing cluster
+    minima, n_merged sums to the corpus size, and no two kept docs
+    are near-dup pairs of each other (the whole point)."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    kept = dd.dedup_keep_canonical(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_merged"] for r in kept) == n_docs
+    kept_ids = {r["doc_id"] for r in kept}
+    pairs = dd.dedup_ngram_jaccard(spark, sf_dir).collect()
+    for p in pairs:
+        assert not (p["doc_a"] in kept_ids and p["doc_b"] in kept_ids), p
