@@ -328,3 +328,15 @@ def test_keep_canonical_equi_join_no_cartesian(spark, sf_dir):
 
     p = plan(dedup.dedup_keep_canonical(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quake_pipeline_flat_is_narrow_no_shuffle(spark):
+    """q02's driver-facing flattened projection must keep the
+    pipeline's embarrassingly-parallel shape: explode → filter →
+    project with production thresholds, no join, only the
+    presentation sort may exchange."""
+    from etl_geonet_quakes_spark.queries import _quake_pipeline_flat
+
+    p = plan(_quake_pipeline_flat(spark))
+    assert "Join" not in p
+    assert n_exchanges(p) <= 1  # the orderBy("id") only
