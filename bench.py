@@ -72,6 +72,7 @@ HEADLINE = [
     "q93_dedup_keep_canonical",
     "q94_pack_sequences",
     "q95_vocab_coverage",
+    "q96_media_ppm_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

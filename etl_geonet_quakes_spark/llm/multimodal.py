@@ -147,6 +147,111 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(spark, sf_dir)).orderBy("doc_id")
 
 
+_PPM_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def synthesize_ppm_media(
+    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL image files as binary payloads: one P6 PPM
+    per document, pixel stream value(k) = (doc_id·31 + k) mod 256.
+    The closed-form spec is what lets an external oracle verify the
+    decoder without ever parsing bytes itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = width * height * 3
+                px = bytes((int(doc_id) * 31 + k) % 256 for k in range(n))
+                payloads.append(b"P6\n%d %d\n255\n" % (width, height) + px)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_ppm_features(df: DataFrame) -> DataFrame:
+    """A REAL codec, no external libraries: parse the P6 PPM wire
+    format (magic, whitespace-separated dimensions + maxval header,
+    raw RGB24 payload) and emit per-channel means. This is the
+    fake=False path the container could not previously exercise —
+    the decoder runs against bytes produced by a SEPARATE stage, so
+    a header-offset or stride bug fails the cross-engine hash check
+    rather than cancelling out.
+
+    One-poisoned-row policy: malformed payloads (bad magic, truncated
+    pixels, unsupported maxval) yield valid=false + NULL features,
+    never a job failure — at 100 TB a corrupt blob must not kill the
+    scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(buf):
+            try:
+                if not isinstance(buf, (bytes, bytearray)) or buf[:2] != b"P6":
+                    return None
+                # header = magic + 3 whitespace-separated ints, then
+                # exactly ONE whitespace byte before the raster
+                fields, i, tok = [], 2, b""
+                while len(fields) < 3 and i < len(buf):
+                    c = buf[i : i + 1]
+                    if c.isspace():
+                        if tok:
+                            fields.append(int(tok))
+                            tok = b""
+                    elif c.isdigit():
+                        tok += c
+                    else:
+                        return None
+                    i += 1
+                if len(fields) < 3:
+                    return None
+                w, h, maxval = fields
+                if maxval != 255 or w <= 0 or h <= 0:
+                    return None
+                px = buf[i : i + w * h * 3]
+                if len(px) != w * h * 3:
+                    return None
+                sums = [0, 0, 0]
+                for k, v in enumerate(px):
+                    sums[k % 3] += v
+                n = w * h
+                return (w, h, sums[0] / n, sums[1] / n, sums[2] / n)
+            except Exception:
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = decode(buf)
+                out["doc_id"].append(doc_id)
+                out["valid"].append(r is not None)
+                out["width"].append(r[0] if r else None)
+                out["height"].append(r[1] if r else None)
+                out["mean_r"].append(r[2] if r else None)
+                out["mean_g"].append(r[3] if r else None)
+                out["mean_b"].append(r[4] if r else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_PPM_SCHEMA)
+
+
+def media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-codec path: synthesize P6 files → parse them
+    back with the stdlib-only decoder → per-channel means, ordered.
+    Oracle side replays the closed-form pixel spec, never the bytes."""
+    return (
+        decode_ppm_features(synthesize_ppm_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
 def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:
     """Resize plumbing for opaque media: nearest-neighbor resample of
     the payload to a fixed ``out_len`` bytes — the 1-D stand-in for

@@ -1728,6 +1728,32 @@ SPECS: dict[str, QuerySpec] = {
         """,
         "§2.2 scalar: ANSI try_* error-safe family",
     ),
+    "q100_media_ppm_decode": QuerySpec(
+        multimodal.media_ppm_decode,
+        """
+        -- closed-form replay of the pixel spec v(k) = (doc_id*31+k)%256
+        -- over 16x8 RGB24: the oracle NEVER parses bytes, so a real
+        -- decoder bug (header offset, channel stride, truncation)
+        -- cannot cancel out. Channel means divide by 128 = 2^7 --
+        -- exact in binary floating point on both engines.
+        WITH ks AS (SELECT unnest(range(0, 384)) AS k),
+        px AS (SELECT doc_id, k, (doc_id * 31 + k) % 256 AS v
+               FROM documents CROSS JOIN ks)
+        SELECT doc_id, TRUE AS valid,
+               CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+               CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS DOUBLE) / 128
+                   AS mean_r,
+               CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS DOUBLE) / 128
+                   AS mean_g,
+               CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS DOUBLE) / 128
+                   AS mean_b
+        FROM px GROUP BY doc_id ORDER BY doc_id
+        """,
+        "§2.3 multimodal: REAL codec path — stdlib P6 PPM parser over "
+        "binary payloads a separate stage synthesized; closed-form "
+        "pixel-spec oracle (the previous fake=False NotImplementedError "
+        "stub is now exercised by an actual byte-format decoder)",
+    ),
     "q97_dedup_keep_canonical": QuerySpec(
         dedup.dedup_keep_canonical,
         _CLUSTER_CTE
@@ -1915,6 +1941,7 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q97_dedup_keep_canonical", "q93_dedup_keep_canonical"),
     ("q98_pack_sequences", "q94_pack_sequences"),
     ("q99_vocab_coverage", "q95_vocab_coverage"),
+    ("q100_media_ppm_decode", "q96_media_ppm_decode"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

@@ -62,6 +62,7 @@ EDGE_QUERIES = [
     "q93_dedup_keep_canonical",
     "q94_pack_sequences",
     "q95_vocab_coverage",
+    "q96_media_ppm_decode",
 ]
 
 

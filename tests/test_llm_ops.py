@@ -358,3 +358,32 @@ def test_keep_canonical_partitions_corpus(spark, sf_dir):
     pairs = dd.dedup_ngram_jaccard(spark, sf_dir).collect()
     for p in pairs:
         assert not (p["doc_a"] in kept_ids and p["doc_b"] in kept_ids), p
+
+
+def test_ppm_decoder_rejects_malformed_payloads(spark):
+    """The real decoder must honor the one-poisoned-row policy: bad
+    magic, truncated raster, unsupported maxval and non-numeric
+    header all yield valid=false + NULL features, never an error."""
+    from etl_geonet_quakes_spark.llm import multimodal
+
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    cases = [
+        (0, good, True),
+        (1, b"P5\n2 1\n255\n" + bytes(6), False),  # wrong magic
+        (2, b"P6\n2 1\n255\n" + bytes(5), False),  # truncated raster
+        (3, b"P6\n2 1\n65535\n" + bytes(12), False),  # 16-bit maxval
+        (4, b"P6\n2 x\n255\n" + bytes(6), False),  # non-numeric dim
+        (5, b"", False),  # empty blob
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in cases], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_ppm_features(df).collect()}
+    for i, _, ok in cases:
+        assert out[i]["valid"] is ok, i
+        if not ok:
+            assert out[i]["mean_r"] is None
+    assert out[0]["width"] == 2 and out[0]["height"] == 1
+    assert out[0]["mean_r"] == (10 + 40) / 2.0
+    assert out[0]["mean_g"] == (20 + 50) / 2.0
+    assert out[0]["mean_b"] == (30 + 60) / 2.0
