@@ -87,8 +87,11 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this environment; wire PIL/ffmpeg here"
+                    "generic media decode (JPEG/PNG/audio/video) requires "
+                    "codec libraries not present in this environment; wire "
+                    "PIL/ffmpeg here. For a REAL no-dependency codec path "
+                    "through this exact plumbing see decode_ppm_features "
+                    "(stdlib P6 parser, hash-checked end-to-end as q96)."
                 )
             payloads = pdf["payload"]
             yield pd.DataFrame(
