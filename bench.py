@@ -73,6 +73,7 @@ HEADLINE = [
     "q94_pack_sequences",
     "q95_vocab_coverage",
     "q96_media_ppm_decode",
+    "q97_media_wav_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

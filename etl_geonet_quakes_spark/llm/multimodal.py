@@ -255,6 +255,125 @@ def media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_SCHEMA = (
+    "doc_id long, valid boolean, n_samples int, sample_rate int, "
+    "duration_ms double, mean double, rms double"
+)
+
+
+def synthesize_wav_media(
+    spark: SparkSession, sf_dir: str, n_samples: int = 256, rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL audio files: one RIFF/WAVE (mono PCM16 LE)
+    per document, sample stream s(k) = ((doc_id·7 + k·13) mod 65536)
+    − 32768 — closed-form, so the decode oracle never parses bytes."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                samples = [
+                    ((int(doc_id) * 7 + k * 13) % 65536) - 32768
+                    for k in range(n_samples)
+                ]
+                data = struct.pack("<%dh" % n_samples, *samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """A REAL audio codec, stdlib only: walk the RIFF chunk list
+    (magic, WAVE form type, fmt /data chunks with little-endian
+    sizes), require mono PCM16, and emit duration + exact mean and
+    RMS. Division is by the power-of-two sample count and sum/ssq fit
+    in 2^53, so mean and ssq/n are EXACT doubles and IEEE sqrt makes
+    rms bit-identical on any engine — no rounding step needed.
+
+    One-poisoned-row policy: non-RIFF blobs, missing chunks,
+    compressed or multi-channel formats, truncated data → valid=false
+    + NULL features, never a job failure."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(buf):
+            try:
+                if not isinstance(buf, (bytes, bytearray)) or len(buf) < 12:
+                    return None
+                if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                    return None
+                i, fmt, data = 12, None, None
+                while i + 8 <= len(buf):
+                    cid = bytes(buf[i : i + 4])
+                    (sz,) = struct.unpack_from("<I", buf, i + 4)
+                    if cid == b"fmt " and sz >= 16:
+                        fmt = struct.unpack_from("<HHIIHH", buf, i + 8)
+                    elif cid == b"data":
+                        data = bytes(buf[i + 8 : i + 8 + sz])
+                        if len(data) != sz:
+                            return None  # truncated raster
+                    i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+                if fmt is None or data is None:
+                    return None
+                audio_fmt, channels, rate, _, _, bits = fmt
+                if audio_fmt != 1 or channels != 1 or bits != 16:
+                    return None
+                n = len(data) // 2
+                if n == 0 or len(data) % 2:
+                    return None
+                samples = struct.unpack("<%dh" % n, data)
+                s1 = sum(samples)
+                s2 = sum(v * v for v in samples)
+                # math.sqrt, NOT ** 0.5: pow(x, 0.5) is not guaranteed
+                # correctly rounded, IEEE sqrt is — rms must be
+                # bit-identical to the oracle's sqrt()
+                import math
+
+                return (
+                    n, rate, n * 1000.0 / rate,
+                    s1 / n, math.sqrt(s2 / n),
+                )
+            except Exception:
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "n_samples": [], "sample_rate": [],
+                "duration_ms": [], "mean": [], "rms": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = decode(buf)
+                out["doc_id"].append(doc_id)
+                out["valid"].append(r is not None)
+                for col, j in (
+                    ("n_samples", 0), ("sample_rate", 1),
+                    ("duration_ms", 2), ("mean", 3), ("rms", 4),
+                ):
+                    out[col].append(r[j] if r else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_WAV_SCHEMA)
+
+
+def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-audio path: synthesize RIFF/WAVE files → parse
+    them back with the stdlib chunk-walking decoder → duration/mean/
+    RMS, ordered. The audio twin of media_ppm_decode (q96)."""
+    return (
+        decode_wav_features(synthesize_wav_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
 def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:
     """Resize plumbing for opaque media: nearest-neighbor resample of
     the payload to a fixed ``out_len`` bytes — the 1-D stand-in for

@@ -1754,6 +1754,30 @@ SPECS: dict[str, QuerySpec] = {
         "pixel-spec oracle (the previous fake=False NotImplementedError "
         "stub is now exercised by an actual byte-format decoder)",
     ),
+    "q101_media_wav_decode": QuerySpec(
+        multimodal.media_wav_decode,
+        """
+        -- closed-form replay of the sample spec
+        -- s(k) = ((doc_id*7 + k*13) % 65536) - 32768 over 256 mono
+        -- PCM16 samples at 8 kHz; the oracle never parses bytes.
+        -- sum/ssq fit in 2^53 and divide by 2^8, so mean and ssq/n
+        -- are exact doubles and IEEE sqrt is bit-identical.
+        WITH ks AS (SELECT unnest(range(0, 256)) AS k),
+        sm AS (SELECT doc_id, k,
+                      ((doc_id * 7 + k * 13) % 65536) - 32768 AS v
+               FROM documents CROSS JOIN ks)
+        SELECT doc_id, TRUE AS valid,
+               CAST(256 AS INTEGER) AS n_samples,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(32.0 AS DOUBLE) AS duration_ms,
+               CAST(SUM(v) AS DOUBLE) / 256 AS mean,
+               sqrt(CAST(SUM(v * v) AS DOUBLE) / 256) AS rms
+        FROM sm GROUP BY doc_id ORDER BY doc_id
+        """,
+        "§2.3 multimodal: REAL audio codec path — stdlib RIFF/WAVE "
+        "chunk-walking PCM16 parser over separately-synthesized "
+        "payloads; closed-form sample-spec oracle (audio twin of q96)",
+    ),
     "q97_dedup_keep_canonical": QuerySpec(
         dedup.dedup_keep_canonical,
         _CLUSTER_CTE
@@ -1942,6 +1966,7 @@ _FINAL_ORDER: list[tuple[str, str]] = [
     ("q98_pack_sequences", "q94_pack_sequences"),
     ("q99_vocab_coverage", "q95_vocab_coverage"),
     ("q100_media_ppm_decode", "q96_media_ppm_decode"),
+    ("q101_media_wav_decode", "q97_media_wav_decode"),
 ]
 
 assert len(_FINAL_ORDER) == len(SPECS), (len(_FINAL_ORDER), len(SPECS))

@@ -63,6 +63,7 @@ EDGE_QUERIES = [
     "q94_pack_sequences",
     "q95_vocab_coverage",
     "q96_media_ppm_decode",
+    "q97_media_wav_decode",
 ]
 
 

@@ -387,3 +387,45 @@ def test_ppm_decoder_rejects_malformed_payloads(spark):
     assert out[0]["mean_r"] == (10 + 40) / 2.0
     assert out[0]["mean_g"] == (20 + 50) / 2.0
     assert out[0]["mean_b"] == (30 + 60) / 2.0
+
+
+def test_wav_decoder_rejects_malformed_payloads(spark):
+    """RIFF chunk-walker must reject non-RIFF blobs, missing chunks,
+    stereo/compressed/8-bit formats and truncated data with
+    valid=false, and decode a hand-built good file exactly."""
+    import struct
+
+    from etl_geonet_quakes_spark.llm import multimodal
+
+    def wav(samples, audio_fmt=1, channels=1, rate=8000, bits=16, trunc=0):
+        data = struct.pack("<%dh" % len(samples), *samples)
+        if trunc:
+            data = data[:-trunc]
+        fmt = struct.pack("<HHIIHH", audio_fmt, channels, rate, rate * 2, 2, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(samples) * 2) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    cases = [
+        (0, wav([100, -100, 300, -300]), True),
+        (1, b"OggS" + bytes(40), False),  # not RIFF
+        (2, wav([1, 2], audio_fmt=3), False),  # float PCM
+        (3, wav([1, 2], channels=2), False),  # stereo
+        (4, wav([1, 2], bits=8), False),  # 8-bit
+        (5, wav([1, 2, 3, 4], trunc=3), False),  # truncated data
+        (6, b"RIFF\x04\x00\x00\x00WAVE", False),  # no chunks at all
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in cases], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_wav_features(df).collect()}
+    for i, _, ok in cases:
+        assert out[i]["valid"] is ok, i
+        if not ok:
+            assert out[i]["rms"] is None
+    import math
+    g = out[0]
+    assert g["n_samples"] == 4 and g["sample_rate"] == 8000
+    assert g["duration_ms"] == 0.5
+    assert g["mean"] == 0.0
+    assert g["rms"] == math.sqrt((100**2 + 100**2 + 300**2 + 300**2) / 4)
