@@ -4,12 +4,16 @@ The pattern (SURVEY.md §2.3): media travels as a ``binary`` column
 next to a typed metadata struct (the same nested-struct shape the
 reference uses for feature metadata, task.ts:222-232). Everything
 Spark-side — schema, partitioning, Arrow batch shape through
-mapInPandas — is real and tested; the actual codec work (image
-decode, audio resample, frame sampling) is stubbed because the
-decode libraries aren't in this container. Each stub either raises
-``NotImplementedError`` or applies a clearly-marked deterministic
-fake, so the pipeline shape can be exercised end-to-end today and
-the codec dropped in later without touching the plumbing.
+mapInPandas — is real and tested, and two codecs are REAL as well,
+because their wire formats need only the stdlib: a P6 PPM image
+parser (``decode_ppm_features``, q96) and a RIFF/WAVE PCM16 audio
+parser (``decode_wav_features``, q97), each hash-checked against a
+closed-form oracle that never touches bytes. Library-dependent
+codecs (JPEG/PNG/ffmpeg) stay honestly gated: the fake=False generic
+path raises ``NotImplementedError`` pointing at the real decoders,
+and the deterministic fakes remain for the value-checked plumbing
+queries, so a production codec drops in without touching the
+plumbing.
 """
 
 from __future__ import annotations
