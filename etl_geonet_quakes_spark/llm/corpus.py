@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
-from etl_geonet_quakes_spark.llm.text import tokens
+from etl_geonet_quakes_spark.llm.text import ngram_join, tokens
 
 
 def _hash60(col) -> F.Column:
@@ -329,13 +329,9 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gram_frac(gram_n: int, out: str) -> DataFrame:
         toks = tokens(F.col("text"))
-        k = F.size(toks) - (gram_n - 1)
         grams = F.when(
             F.size(toks) >= gram_n,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, gram_n), " "),
-            ),
+            ngram_join(toks, gram_n),  # zip-sliced fast form, non-distinct
         ).otherwise(F.array().cast("array<string>"))
         rows = d.select("doc_id", F.explode(grams).alias("g"))
         counts = rows.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
