@@ -39,15 +39,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet timestamp[ns]; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long.
-        # Truncate ns → µs exactly like DuckDB's CAST(ts AS TIMESTAMP)
-        # so oracle comparisons line up.
+        # events.ts has shipped as parquet timestamp[ns] (arrives as a
+        # long under spark.sql.legacy.parquet.nanosAsLong) and as
+        # timestamp[us] (arrives as TIMESTAMP_NTZ) across fixture
+        # generations. Normalize both to a session-UTC TIMESTAMP with
+        # µs precision — exactly what DuckDB's scan yields — so oracle
+        # comparisons line up regardless of the on-disk representation.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # integer division — float division would lose precision on
-        # ~1.7e18 nanosecond values (> 2^53)
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer division — float division would lose precision
+            # on ~1.7e18 nanosecond values (> 2^53)
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:
+            # TIMESTAMP_NTZ wall-clock == UTC instant for this fixture;
+            # cast under the session's UTC zone is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,23 +19,36 @@ from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
 
-# events.parquet carries timestamp[ns] (see io.load_table); streaming
-# reads share the same long→µs conversion.
+# events.parquet has carried ts as timestamp[ns] or timestamp[us]
+# across fixture generations (see io.load_table); streaming reads
+# probe the footer and share the same normalization to µs TIMESTAMP.
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType
+
     batch = load_table(spark, sf_dir, "events")
+    # Pre-conversion physical schema differs across fixture
+    # generations (ts as int64-nanos vs timestamp[us]); probe the
+    # footer via a batch read so the stream declares what's on disk,
+    # then apply the same normalization as io.load_table.
+    raw_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    ts_is_long = isinstance(raw_ts, LongType)
     stream = (
         spark.readStream.schema(
-            # pre-conversion schema: ts arrives as long (nanosAsLong)
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
+            f"event_id long, ts {'long' if ts_is_long else raw_ts.simpleString()}, "
+            "user_id long, event_type string, value double, props string"
         )
         # FileStreamSource requires a directory; glob-filter to the
         # single fixture file inside it
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}/")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn(
+            "ts",
+            F.expr("timestamp_micros(ts div 1000)")
+            if ts_is_long
+            else F.col("ts").cast("timestamp"),
+        )
     )
     # keep the batch df around for schema parity assertions in tests
     assert [f.name for f in stream.schema.fields] == [
