@@ -97,6 +97,8 @@ def main() -> None:
         load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    high_variance: list[str] = []
     for name in HEADLINE:
         fn = SPECS[name].fn
         runs: list[float] = []
@@ -105,9 +107,16 @@ def main() -> None:
             n = fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
+        # flag unstable measurements loudly: a max/min run ratio over
+        # ~2x means environment noise is large enough to masquerade as
+        # (or mask) a real regression — such a median is not evidence
+        if max(runs) / max(min(runs), 1e-9) > 2.0:
+            high_variance.append(name)
+            print(f"# VARIANCE WARNING {name}: runs {all_runs[name]}", file=sys.stderr)
         print(
             f"# {name}: median {timings[name]:.3f}s of "
-            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            f"{all_runs[name]} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -119,6 +128,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-run arrays: every perf claim must be reconcilable
+                # against a recorded artifact, not a remembered number
+                "runs": all_runs,
+                "high_variance": high_variance,
                 "sf": sf,
             }
         )
