@@ -32,6 +32,40 @@ TABLES = (
 BROADCAST_SAFE = ("region", "nation")
 
 
+def events_raw_ts_type(spark: SparkSession, sf_dir: str):
+    """Physical type of events.ts straight from the parquet footer:
+    LongType under nanosAsLong for timestamp[ns] fixture generations,
+    TIMESTAMP_NTZ for timestamp[us] ones. Shared by the batch scan and
+    the streaming source (which must DECLARE the on-disk schema)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+
+
+def normalize_events_ts(ts_type):
+    """Column expression normalizing events.ts of physical ``ts_type``
+    to a session-UTC TIMESTAMP with µs precision — exactly what
+    DuckDB's scan yields, so oracle comparisons line up regardless of
+    the on-disk representation. Raises on any OTHER physical type
+    (e.g. a future fixture shipping ts as double epoch-seconds or
+    string): a blind cast('timestamp') would silently shift values or
+    null them, surfacing only as a confusing oracle diff."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(ts_type, LongType):
+        # integer division — float division would lose precision
+        # on ~1.7e18 nanosecond values (> 2^53)
+        return F.expr("timestamp_micros(ts div 1000)")
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        # TIMESTAMP_NTZ wall-clock == UTC instant for this fixture;
+        # cast under the session's UTC zone is value-preserving
+        return F.col("ts").cast("timestamp")
+    raise TypeError(
+        f"events.ts has unsupported physical type {ts_type}; expected "
+        "int64 nanos (nanosAsLong) or timestamp — refusing to guess a "
+        "conversion"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scans get column pruning and
     predicate pushdown from Catalyst automatically."""
@@ -39,24 +73,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts has shipped as parquet timestamp[ns] (arrives as a
-        # long under spark.sql.legacy.parquet.nanosAsLong) and as
-        # timestamp[us] (arrives as TIMESTAMP_NTZ) across fixture
-        # generations. Normalize both to a session-UTC TIMESTAMP with
-        # µs precision — exactly what DuckDB's scan yields — so oracle
-        # comparisons line up regardless of the on-disk representation.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # integer division — float division would lose precision
-            # on ~1.7e18 nanosecond values (> 2^53)
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:
-            # TIMESTAMP_NTZ wall-clock == UTC instant for this fixture;
-            # cast under the session's UTC zone is value-preserving
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # see normalize_events_ts: ns-vs-µs fixture generations
+        df = df.withColumn("ts", normalize_events_ts(df.schema["ts"].dataType))
     return df
 
 

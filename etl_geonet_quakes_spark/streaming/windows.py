@@ -25,30 +25,25 @@ from etl_geonet_quakes_spark.io import load_table
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import LongType
+    from etl_geonet_quakes_spark.io import events_raw_ts_type, normalize_events_ts
 
     batch = load_table(spark, sf_dir, "events")
     # Pre-conversion physical schema differs across fixture
     # generations (ts as int64-nanos vs timestamp[us]); probe the
-    # footer via a batch read so the stream declares what's on disk,
-    # then apply the same normalization as io.load_table.
-    raw_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    ts_is_long = isinstance(raw_ts, LongType)
+    # footer so the stream declares what's on disk, then apply the
+    # SAME normalization expression as io.load_table (shared helpers —
+    # the two paths must not drift).
+    raw_ts = events_raw_ts_type(spark, sf_dir)
     stream = (
         spark.readStream.schema(
-            f"event_id long, ts {'long' if ts_is_long else raw_ts.simpleString()}, "
+            f"event_id long, ts {raw_ts.simpleString()}, "
             "user_id long, event_type string, value double, props string"
         )
         # FileStreamSource requires a directory; glob-filter to the
         # single fixture file inside it
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}/")
-        .withColumn(
-            "ts",
-            F.expr("timestamp_micros(ts div 1000)")
-            if ts_is_long
-            else F.col("ts").cast("timestamp"),
-        )
+        .withColumn("ts", normalize_events_ts(raw_ts))
     )
     # keep the batch df around for schema parity assertions in tests
     assert [f.name for f in stream.schema.fields] == [

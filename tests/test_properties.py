@@ -119,3 +119,34 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
             # data value — allow a 1%-of-range slack
             rng = e["max_price"] - e["min_price"]
             assert abs(a[p] - e[p]) <= 0.01 * rng, (status, p, a[p], e[p])
+
+
+def test_approx_count_distinct_within_rsd_bounds(spark, sf_dir):
+    """q54's HLL++ sketch is the registry's only value-uncheckable
+    query (sketch internals are engine-specific, so no DuckDB oracle).
+    This pins its VALUES in-repo instead: per group, the approximate
+    distinct count must land within a conservative multiple of the
+    requested rsd (0.01) of the exact distinct count — 5 sigma plus a
+    tiny absolute slack for small groups, where HLL++'s sparse mode is
+    effectively exact. Exact counts themselves are hash-checked
+    cross-engine via q51, so this transitively anchors q54 to the
+    oracle-verified surface."""
+    from etl_geonet_quakes_spark.operators.relational import agg_approx_distinct
+
+    from etl_geonet_quakes_spark.io import load_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a - e) <= max(5 * 0.01 * e, 2), (flag, a, e)
