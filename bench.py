@@ -74,6 +74,8 @@ HEADLINE = [
     "q95_vocab_coverage",
     "q96_media_ppm_decode",
     "q97_media_wav_decode",
+    # New in round 4: the full-wire-format PNG codec.
+    "q98_media_png_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

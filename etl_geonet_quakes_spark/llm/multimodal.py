@@ -378,6 +378,212 @@ def media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4 Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synthesize_png_media(
+    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL PNG files: 8-bit RGB, non-interlaced, pixel
+    stream value(k) = (doc_id·37 + k) mod 256, one zlib-compressed
+    IDAT with correct CRC32s. Each scanline uses filter type
+    (doc_id + row) mod 5, so across the corpus ALL FIVE PNG filters
+    (None/Sub/Up/Average/Paeth) are encoded forward here and must be
+    inverted by the decoder — a filter-math bug cannot cancel out,
+    because the oracle replays the RAW pixel spec, never the bytes."""
+    import struct
+    import zlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def encode(doc_id: int) -> bytes:
+            stride = width * 3
+            raw_rows = [
+                bytes(
+                    (doc_id * 37 + row * stride + i) % 256 for i in range(stride)
+                )
+                for row in range(height)
+            ]
+            scanlines = bytearray()
+            for row, raw in enumerate(raw_rows):
+                prior = raw_rows[row - 1] if row else bytes(stride)
+                ft = (doc_id + row) % 5
+                scanlines.append(ft)
+                for i in range(stride):
+                    left = raw[i - 3] if i >= 3 else 0
+                    up = prior[i]
+                    ul = prior[i - 3] if i >= 3 else 0
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = left
+                    elif ft == 2:
+                        pred = up
+                    elif ft == 3:
+                        pred = (left + up) >> 1
+                    else:
+                        pred = _paeth(left, up, ul)
+                    scanlines.append((raw[i] - pred) & 0xFF)
+            ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+            return (
+                _PNG_SIG
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """A REAL image codec, stdlib only (struct + zlib): verify the
+    8-byte signature, walk the chunk list CHECKING EVERY CRC32, parse
+    IHDR (require 8-bit/RGB/deflate/adaptive-filter/non-interlaced),
+    concatenate IDATs, inflate, then invert the per-scanline adaptive
+    filter — all five types, Paeth included — and emit per-channel
+    means. Filters make this a genuinely stateful decode (each row
+    reconstructs against the previous RECONSTRUCTED row), so this is
+    the closest a stdlib codec gets to the PIL/libpng path the
+    container lacks; a library build swaps into the same mapInPandas
+    stage and schema.
+
+    One-poisoned-row policy: bad signature, CRC mismatch, truncated
+    or inconsistent chunks, unsupported bit depth / color type /
+    interlace, wrong inflated length, unknown filter type → all yield
+    valid=false + NULL features, never a job failure."""
+    import struct
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(buf):
+            try:
+                if not isinstance(buf, (bytes, bytearray)):
+                    return None
+                buf = bytes(buf)
+                if buf[:8] != _PNG_SIG:
+                    return None
+                i, ihdr, idat, ended = 8, None, b"", False
+                while i + 12 <= len(buf):
+                    (ln,) = struct.unpack_from(">I", buf, i)
+                    ctype = buf[i + 4 : i + 8]
+                    data = buf[i + 8 : i + 8 + ln]
+                    if len(data) != ln:
+                        return None
+                    (crc,) = struct.unpack_from(">I", buf, i + 8 + ln)
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        return None
+                    if ctype == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        ended = True
+                        break
+                    i += 12 + ln
+                if ihdr is None or not idat or not ended:
+                    return None
+                w, h, depth, color, comp, filt, interlace = ihdr
+                if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    return None
+                if w <= 0 or h <= 0:
+                    return None
+                stride = w * 3
+                raw = zlib.decompress(idat)
+                if len(raw) != h * (1 + stride):
+                    return None
+                sums = [0, 0, 0]
+                prior = bytes(stride)
+                for row in range(h):
+                    base = row * (1 + stride)
+                    ft = raw[base]
+                    line = raw[base + 1 : base + 1 + stride]
+                    recon = bytearray(stride)
+                    for i2 in range(stride):
+                        left = recon[i2 - 3] if i2 >= 3 else 0
+                        up = prior[i2]
+                        ul = prior[i2 - 3] if i2 >= 3 else 0
+                        if ft == 0:
+                            pred = 0
+                        elif ft == 1:
+                            pred = left
+                        elif ft == 2:
+                            pred = up
+                        elif ft == 3:
+                            pred = (left + up) >> 1
+                        elif ft == 4:
+                            pred = _paeth(left, up, ul)
+                        else:
+                            return None
+                        recon[i2] = (line[i2] + pred) & 0xFF
+                        sums[i2 % 3] += recon[i2]
+                    prior = bytes(recon)
+                n = w * h
+                return (w, h, sums[0] / n, sums[1] / n, sums[2] / n)
+            except Exception:
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = decode(buf)
+                out["doc_id"].append(doc_id)
+                out["valid"].append(r is not None)
+                for col, j in (
+                    ("width", 0), ("height", 1),
+                    ("mean_r", 2), ("mean_g", 3), ("mean_b", 4),
+                ):
+                    out[col].append(r[j] if r else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_PNG_SCHEMA)
+
+
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-PNG path: synthesize signed/CRC'd/deflated PNG
+    files (all five adaptive filters across the corpus) → parse them
+    back with the stdlib decoder → per-channel means, ordered. Oracle
+    side replays the closed-form pixel spec, never the bytes."""
+    return (
+        decode_png_features(synthesize_png_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
 def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:
     """Resize plumbing for opaque media: nearest-neighbor resample of
     the payload to a fixed ``out_len`` bytes — the 1-D stand-in for

@@ -1974,6 +1974,37 @@ assert {old for old, _ in _FINAL_ORDER} == set(SPECS)
 assert len({new for _, new in _FINAL_ORDER}) == len(_FINAL_ORDER)
 SPECS = {new: SPECS[old] for old, new in _FINAL_ORDER}
 
+# Round-4 additions register BELOW the renumbering so the driver's
+# first-50 correctness window keeps its (final, per r2) composition.
+SPECS["q98_media_png_decode"] = QuerySpec(
+    multimodal.media_png_decode,
+    """
+    -- closed-form replay of the pixel spec v(k) = (doc_id*37+k)%256
+    -- over 16x8 RGB8: the oracle NEVER parses bytes, so a real
+    -- decoder bug (chunk walking, CRC, inflate, any of the five
+    -- scanline filter inversions incl. Paeth) cannot cancel out.
+    -- Channel means divide by 128 = 2^7 -- exact in binary floating
+    -- point on both engines.
+    WITH ks AS (SELECT unnest(range(0, 384)) AS k),
+    px AS (SELECT doc_id, k, (doc_id * 37 + k) % 256 AS v
+           FROM documents CROSS JOIN ks)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS DOUBLE) / 128
+               AS mean_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS DOUBLE) / 128
+               AS mean_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS DOUBLE) / 128
+               AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal: REAL PNG codec — stdlib struct+zlib parser "
+    "(signature, CRC-checked chunk walk, inflate, all five adaptive "
+    "scanline filters inverted) over separately-synthesized payloads; "
+    "closed-form pixel-spec oracle (the full-wire-format sibling of "
+    "q96's PPM)",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

@@ -429,3 +429,95 @@ def test_wav_decoder_rejects_malformed_payloads(spark):
     assert g["duration_ms"] == 0.5
     assert g["mean"] == 0.0
     assert g["rms"] == math.sqrt((100**2 + 100**2 + 300**2 + 300**2) / 4)
+
+
+def test_png_decoder_rejects_malformed_payloads(spark):
+    """The real PNG decoder must honor the one-poisoned-row policy:
+    bad signature, corrupted CRC, unsupported color type, truncated
+    IDAT, missing IEND and unknown filter types all yield valid=false
+    + NULL features, never an error — and a hand-built good file
+    (Paeth-filtered row included) decodes exactly."""
+    import struct
+    import zlib
+
+    from etl_geonet_quakes_spark.llm import multimodal
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # 2x2 RGB raw rows; row 0 unfiltered, row 1 Paeth-filtered
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    row1_raw = bytes([70, 80, 90, 100, 110, 120])
+    filt1 = bytearray([4])
+    for i in range(6):
+        left = row1_raw[i - 3] if i >= 3 else 0
+        up = row0[i]
+        ul = row0[i - 3] if i >= 3 else 0
+        filt1.append((row1_raw[i] - multimodal._paeth(left, up, ul)) & 0xFF)
+    scan = b"\x00" + row0 + bytes(filt1)
+    good = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    gray_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
+    gray = sig + chunk(b"IHDR", gray_ihdr) + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    short = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scan[:-3])) + chunk(b"IEND", b"")
+    no_end = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(scan))
+    bad_filter = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x07" + row0 + b"\x00" + row1_raw)
+    ) + chunk(b"IEND", b"")
+
+    cases = [
+        (0, good, True),
+        (1, b"\x89PNV" + good[4:], False),  # bad signature
+        (2, bytes(bad_crc), False),  # CRC mismatch
+        (3, gray, False),  # unsupported color type
+        (4, short, False),  # inflated length mismatch
+        (5, no_end, False),  # missing IEND
+        (6, bad_filter, False),  # unknown filter type 7
+        (7, b"", False),  # empty blob
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _ in cases], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_png_features(df).collect()}
+    for i, _, ok in cases:
+        assert out[i]["valid"] is ok, i
+        if not ok:
+            assert out[i]["mean_r"] is None
+    assert out[0]["width"] == 2 and out[0]["height"] == 2
+    assert out[0]["mean_r"] == (10 + 40 + 70 + 100) / 4.0
+    assert out[0]["mean_g"] == (20 + 50 + 80 + 110) / 4.0
+    assert out[0]["mean_b"] == (30 + 60 + 90 + 120) / 4.0
+
+
+def test_png_synthesizer_covers_all_five_filters(spark, sf_dir):
+    """The corpus must actually exercise every PNG filter type in the
+    encode→decode loop: with filter = (doc_id + row) % 5 and 8 rows,
+    every document touches all five — spot-check the wire bytes of a
+    few payloads directly."""
+    import struct
+    import zlib
+
+    from etl_geonet_quakes_spark.llm import multimodal
+
+    rows = (
+        multimodal.synthesize_png_media(spark, sf_dir)
+        .limit(3)
+        .collect()
+    )
+    for r in rows:
+        buf = bytes(r["payload"])
+        # IDAT payload starts after sig(8) + IHDR chunk(12+13)
+        (ln,) = struct.unpack_from(">I", buf, 33)
+        assert buf[37:41] == b"IDAT"
+        raw = zlib.decompress(buf[41 : 41 + ln])
+        fts = {raw[row * 49] for row in range(8)}  # 1 + 16*3 stride
+        assert fts == {0, 1, 2, 3, 4}, (r["doc_id"], fts)
