@@ -74,8 +74,12 @@ HEADLINE = [
     "q95_vocab_coverage",
     "q96_media_ppm_decode",
     "q97_media_wav_decode",
-    # New in round 4: the full-wire-format PNG codec.
+    # New in round 4: the full-wire-format PNG codec, the bloom
+    # semi-join reduction, weighted sampling and BM25 retrieval.
     "q98_media_png_decode",
+    "q99_bloom_semi_join",
+    "q100_weighted_sample",
+    "q101_bm25_topk",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

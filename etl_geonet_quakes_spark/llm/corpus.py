@@ -392,3 +392,33 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         emails.cast("long").alias("n_emails"),
         numbers.cast("long").alias("n_number_runs"),
     ).orderBy("doc_id")
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each document gets rank key
+    u^(1/w) with u uniform in (0,1] and w its weight (here n_chars);
+    the k largest keys form an exact weighted sample — the standard
+    one-pass distributed algorithm (u^(1/w) order statistics commute
+    with partitioning, so a per-partition top-k + global top-k merge
+    is exact; Spark's TakeOrderedAndProject IS that plan).
+
+    Determinism: u derives from the md5 60-bit hash of doc_id (the
+    engine's cross-engine-exact family, +1 so u>0), not an RNG —
+    reproducible across runs, engines and partitionings, like
+    stratified_sample. Ranking uses ln(u)/w (monotone in u^(1/w),
+    numerically safer than the 1/w-th root); key gaps for continuous
+    u dwarf the ~1-ulp libm ln() differences, so the selected SET is
+    engine-stable and the oracle replays it exactly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (_hash60(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("k_"))
+        .orderBy(F.col("k_").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

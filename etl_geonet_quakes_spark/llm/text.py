@@ -295,3 +295,66 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode_outer(ztoks).alias("tok"))
         .orderBy("doc_id", "tok")
     )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = "spark hash join window",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query — the ranking
+    primitive a training-data pipeline uses for targeted corpus
+    search (eval-neighborhood mining, topic filtering). Lucene-form
+    idf = ln(1 + (N-df+0.5)/(df+0.5)) (always positive), per-term
+    score = idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+
+    Scale shape: one explode → pre-filter to the query's terms INSIDE
+    the scan stage (the fan-out never reaches a shuffle for
+    non-matching tokens) → one (doc_id, token) hash agg; df and the
+    corpus stats (N, avgdl) are single-row/terms-sized aggregates
+    broadcast back — the fact side streams once, exactly like tf-idf.
+    Ties: identical (tf, dl) profiles produce bit-identical scores on
+    both engines (same expression tree), broken by doc_id."""
+    terms = query.split()
+    d = load_table(spark, sf_dir, "documents")
+    dl = F.size(tokens(F.col("text"))).cast("double")
+    base = d.select("doc_id", dl.alias("dl"), F.explode(tokens(F.col("text"))).alias("token"))
+    tf = (
+        base.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # corpus stats: ONE row (N, avgdl); df: one row per query term.
+    # Both broadcast — no driver collect, single plan.
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )

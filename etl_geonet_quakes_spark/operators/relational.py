@@ -433,6 +433,90 @@ def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+BLOOM_M = 16384  # bits in the filter
+BLOOM_K = 4  # hash functions per key
+
+
+def _bloom_positions(key, k: int = BLOOM_K, m: int = BLOOM_M) -> list:
+    """k deterministic bit positions for a key: md5-based 60-bit
+    hashes of 'i:key' (the engine's one cross-engine-exact hash
+    family, see dedup.md5_feature_hash) reduced mod m. Salting the
+    hash input with the function index i gives k independent
+    functions from one digest primitive."""
+    out = []
+    for i in range(k):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15), 16, 10
+        ).cast("long")
+        out.append((h % m).cast("int"))
+    return out
+
+
+def bloom_semi_join(
+    spark: SparkSession, sf_dir: str, min_acctbal: float = 7500.0
+) -> DataFrame:
+    """Bloom-filter semi-join reduction — the scale primitive behind
+    runtime row-level filtering: instead of shuffling the fact table
+    to join a filtered dimension, aggregate the dimension's join keys
+    into a fixed-size bit set (here BLOOM_M bits as a sorted array of
+    set positions), broadcast that ONE tiny row, and pre-filter the
+    fact scan with pure column algebra. At 100 TB the probe side
+    never shuffles; the build side collapses to one aggregate row
+    regardless of dimension size, and the false-positive rate is the
+    classic (1-e^{-kn/m})^k — tunable via BLOOM_M/BLOOM_K without
+    changing the plan shape.
+
+    The result reports, per order priority, the bloom-passing order
+    count next to the exact semi-join count, so the FP overcount is
+    part of the checked surface (bloom_pass ≥ exact always; equality
+    when the filter is unsaturated). Deterministic: md5-derived hash
+    positions, engine-exact, so the DuckDB oracle replays the same
+    bit set and the same pass/fail per row."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > min_acctbal
+    )
+    # build: explode each key's k positions, dedup, aggregate to ONE
+    # row holding the sorted set-bit list (≤ BLOOM_M ints, bounded)
+    pos = c.select(
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey").cast("string")))).alias(
+            "p"
+        )
+    )
+    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    probe_pos = _bloom_positions(F.col("o_custkey").cast("string"))
+    passes = probe_pos[0].isNotNull()
+    for p in probe_pos:
+        passes = passes & F.array_contains(F.col("bits"), p)
+    bloom_counts = (
+        o.crossJoin(F.broadcast(bits))
+        .filter(passes)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("bloom_pass"))
+    )
+    exact_counts = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_pass"))
+    )
+    return (
+        bloom_counts.join(exact_counts, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "bloom_pass",
+            F.coalesce("exact_pass", F.lit(0)).alias("exact_pass"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # --------------------------------------------------------------------
 # Windows
 # --------------------------------------------------------------------

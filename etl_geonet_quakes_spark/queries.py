@@ -2005,6 +2005,118 @@ SPECS["q98_media_png_decode"] = QuerySpec(
     "q96's PPM)",
 )
 
+SPECS["q99_bloom_semi_join"] = QuerySpec(
+    rel.bloom_semi_join,
+    """
+    -- replay of the bloom build+probe: same md5-derived positions
+    -- ('i:key' salted, 60-bit, mod 16384), same set-bit list, same
+    -- all-k-contained probe — bloom_pass vs the exact semi-join count
+    -- per priority, so the FP overcount is value-checked, not hidden.
+    WITH ckeys AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0),
+    pos AS (
+      SELECT DISTINCT
+        CAST(concat('0x', substring(md5(concat(CAST(i AS VARCHAR), ':',
+             CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384 AS p
+      FROM ckeys CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    ),
+    bits AS (SELECT list(p ORDER BY p) AS bits FROM pos),
+    probe AS (
+      SELECT o.o_orderpriority
+      FROM orders o CROSS JOIN bits b
+      WHERE list_contains(b.bits,
+              CAST(concat('0x', substring(md5(concat('0:',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384)
+        AND list_contains(b.bits,
+              CAST(concat('0x', substring(md5(concat('1:',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384)
+        AND list_contains(b.bits,
+              CAST(concat('0x', substring(md5(concat('2:',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384)
+        AND list_contains(b.bits,
+              CAST(concat('0x', substring(md5(concat('3:',
+                   CAST(o.o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384)
+    ),
+    bc AS (SELECT o_orderpriority, COUNT(*) AS bloom_pass
+           FROM probe GROUP BY o_orderpriority),
+    ec AS (SELECT o.o_orderpriority, COUNT(*) AS exact_pass
+           FROM orders o WHERE o.o_custkey IN (SELECT c_custkey FROM ckeys)
+           GROUP BY o.o_orderpriority)
+    SELECT bc.o_orderpriority, bc.bloom_pass,
+           COALESCE(ec.exact_pass, 0) AS exact_pass
+    FROM bc LEFT JOIN ec USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    "§2.2 joins: bloom-filter semi-join reduction (runtime row-level "
+    "filtering primitive) — dimension keys aggregate to one broadcast "
+    "bit-set row, fact side pre-filters with column algebra and never "
+    "shuffles; FP overcount reported next to the exact semi-join count",
+)
+
+SPECS["q100_weighted_sample"] = QuerySpec(
+    corpus.weighted_sample,
+    """
+    -- replay of Efraimidis-Spirakis: u from the shared md5 60-bit
+    -- family (+1 so u>0, /2^60), rank key ln(u)/n_chars, top-100.
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) + 1) / 1152921504606846976.0)
+               / n_chars AS k_
+      FROM documents WHERE n_chars > 0
+      ORDER BY k_ DESC, doc_id ASC LIMIT 100
+    )
+    SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id
+    """,
+    "§2.3 corpus prep: deterministic weighted sampling without "
+    "replacement (A-ES u^(1/w) order statistics via ln(u)/w keys; "
+    "md5-derived u, engine-exact) — TakeOrderedAndProject plan, "
+    "no shuffle beyond the top-k merge",
+)
+
+SPECS["q101_bm25_topk"] = QuerySpec(
+    text.bm25_topk,
+    """
+    -- replay of Lucene-form BM25 (k1=1.2, b=0.75) for the fixed
+    -- query terms, mirrored expression order so identical (tf, dl)
+    -- profiles are bit-identical cross-engine; round(6) absorbs the
+    -- ~1-ulp libm ln() spread.
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ('spark', 'hash', 'join', 'window')
+      GROUP BY doc_id, dl, token
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+           GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             ) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    top AS (SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10)
+    SELECT doc_id, round(score, 6) AS score FROM top
+    ORDER BY score DESC, doc_id ASC
+    """,
+    "§2.3 text: BM25 retrieval scoring — explode pre-filtered to the "
+    "query terms inside the scan stage, single (doc,term) hash agg, "
+    "df + corpus stats as broadcast single-row/terms-sized aggregates",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

@@ -521,3 +521,62 @@ def test_png_synthesizer_covers_all_five_filters(spark, sf_dir):
         raw = zlib.decompress(buf[41 : 41 + ln])
         fts = {raw[row * 49] for row in range(8)}  # 1 + 16*3 stride
         assert fts == {0, 1, 2, 3, 4}, (r["doc_id"], fts)
+
+
+def test_bloom_semi_join_superset_invariant(spark, sf_dir):
+    """Bloom membership can only over-approximate: per priority,
+    bloom_pass >= exact_pass, and every priority with exact matches
+    appears. (Value equality vs the replayed bit set is the oracle's
+    job; this pins the structural FP-only guarantee.)"""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    rows = rel.bloom_semi_join(spark, sf_dir).collect()
+    assert rows, "bloom semi-join returned no priorities"
+    for r in rows:
+        assert r["bloom_pass"] >= r["exact_pass"], r
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    """A-ES sampling must be (a) exactly reproducible call-over-call
+    (hash-derived u, no RNG) and (b) genuinely weighted: the sampled
+    mean n_chars must exceed the corpus mean (selection is
+    length-proportional)."""
+    from etl_geonet_quakes_spark.llm import corpus as cp
+
+    s1 = [r["doc_id"] for r in cp.weighted_sample(spark, sf_dir, k=50).collect()]
+    s2 = [r["doc_id"] for r in cp.weighted_sample(spark, sf_dir, k=50).collect()]
+    assert s1 == s2
+    sample_mean = (
+        cp.weighted_sample(spark, sf_dir, k=50)
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_bm25_scores_positive_and_term_bound(spark, sf_dir):
+    """Lucene-form idf is always positive, so every emitted score is
+    > 0; every returned doc must actually contain at least one query
+    term; scores are non-increasing in rank order."""
+    from etl_geonet_quakes_spark.llm import text as tx
+
+    out = tx.bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    scores = [r["score"] for r in out]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    ids = [r["doc_id"] for r in out]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
+    }
+    for i in ids:
+        toks = set(docs[i].split(" "))
+        assert toks & {"spark", "hash", "join", "window"}, i
