@@ -80,6 +80,9 @@ HEADLINE = [
     "q99_bloom_semi_join",
     "q100_weighted_sample",
     "q101_bm25_topk",
+    "q102_kmeans_step",
+    "q103_funnel_conversion",
+    "q104_retention_cohorts",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -308,3 +308,43 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame:
+    """One Lloyd iteration of k-means over the embeddings — the
+    iterative-ML primitive behind IVF centroid training (q21's
+    docstring promises "k-means centroids trained offline"; this is
+    that trainer's inner loop as a single Spark plan). Assignment
+    reuses the Arrow-batched cell scorer (argmax dot ≡ argmin
+    distance for the unit-norm seeded centroids, deterministic
+    cell-id tiebreak — identical semantics to topk_ivf's, already
+    oracle-proven); the update step is posexplode → one partial+final
+    hash agg keyed (cell, dim) — the shuffle carries n_cells·dim
+    aggregate rows per partition, never vectors, which is the
+    scale-correct shape for any corpus size. A full trainer loops
+    this plan with the returned means as the next round's literals
+    (driver-side centroid refresh, n_cells·dim doubles — tiny by
+    construction, the same pattern as the CC loop's per-round sync).
+
+    Emits (cell, dim, c_new, n_members) — the updated centroid matrix
+    in long form, rounded to 6dp (absorbs partial-agg summation-order
+    ulps cross-engine; membership counts are exact)."""
+    cents = _centroids(n_cells)
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+    corpus = e.withColumn(
+        "cell", F.array_min(_cell_scores(F.col("v"), cents))["cell"]
+    )
+    ex = corpus.select("cell", F.posexplode("v").alias("dim", "x"))
+    return (
+        ex.groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("x"), 6).alias("c_new"),
+        )
+        .select("cell", F.col("dim").cast("int").alias("dim"), "c_new", "n_members")
+        .orderBy("cell", "dim")
+    )

@@ -517,6 +517,98 @@ def bloom_semi_join(
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): per user, the
+    earliest view, the earliest click STRICTLY AFTER that view, the
+    earliest purchase strictly after that click — the product-
+    analytics staple that needs sequence semantics, not bag-of-events
+    counts (a purchase before any view must NOT convert).
+
+    Shape at scale: three filtered min-aggregates chained by
+    user_id-keyed joins — every shuffle is on user_id, so the stages
+    co-partition; no windows over the raw event stream, state per
+    user is three timestamps. Emits one row per stage with the user
+    count and the conversion rate vs the funnel head (exact integer
+    counts; the rate divides two exact longs in double space)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_view = views.agg(F.count("*").alias("n_users")).withColumn(
+        "stage_idx", F.lit(1)
+    ).withColumn("stage", F.lit("view"))
+    n_click = clicks.agg(F.count("*").alias("n_users")).withColumn(
+        "stage_idx", F.lit(2)
+    ).withColumn("stage", F.lit("click_after_view"))
+    n_purchase = purchases.agg(F.count("*").alias("n_users")).withColumn(
+        "stage_idx", F.lit(3)
+    ).withColumn("stage", F.lit("purchase_after_click"))
+    stages = n_view.unionByName(n_click).unionByName(n_purchase)
+    head = views.agg(F.count("*").alias("n_head"))
+    return (
+        stages.crossJoin(F.broadcast(head))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_head"), 6
+            ).alias("conversion"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday of each user's FIRST
+    event week; a user is retained at offset k if they have any event
+    in cohort_week + k weeks. The classic growth-analytics triangle,
+    as two user_id-keyed aggregates: first-event per user (one
+    shuffle), then distinct (user, week-offset) activity joined back
+    to the cohort (co-partitioned on user_id) and counted per
+    (cohort, offset) — state is one date per user plus the aggregate
+    cells, never raw events. Week arithmetic stays in whole days
+    (both engines truncate weeks to Monday; the day-diff of two
+    Mondays is exactly divisible by 7), so offsets are exact
+    integers."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 # --------------------------------------------------------------------
 # Windows
 # --------------------------------------------------------------------

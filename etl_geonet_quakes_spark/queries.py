@@ -2117,6 +2117,112 @@ SPECS["q101_bm25_topk"] = QuerySpec(
     "df + corpus stats as broadcast single-row/terms-sized aggregates",
 )
 
+
+def _kmeans_oracle(n_cells: int = 8) -> str:
+    """DuckDB replay of similarity.kmeans_step: seeded centroids
+    inlined as literals (repr round-trips doubles exactly), same
+    argmin-negdot assignment with cell-id tiebreak, then dim-wise
+    AVG. c_new rounded to 6dp on both sides (absorbs summation-order
+    ulps); counts exact."""
+    from etl_geonet_quakes_spark.llm.similarity import _centroids
+
+    cents = _centroids(n_cells)
+    rows = ",\n           ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+     cents(cell, c) AS (
+        SELECT * FROM (VALUES
+           {rows}) t(cell, c)),
+     scored AS (
+        SELECT e.vec_id, e.v, cents.cell,
+               -list_dot_product(e.v, cents.c) AS nd
+        FROM e CROSS JOIN cents),
+     assign AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY nd, cell) AS rn
+            FROM scored) WHERE rn = 1),
+     ex AS (
+        SELECT cell, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+        FROM assign)
+SELECT cell, CAST(dim AS INTEGER) AS dim, ROUND(AVG(x), 6) AS c_new,
+       COUNT(*) AS n_members
+FROM ex GROUP BY cell, dim ORDER BY cell, dim
+"""
+
+
+SPECS["q102_kmeans_step"] = QuerySpec(
+    similarity.kmeans_step,
+    _kmeans_oracle(),
+    "§2.3 similarity: one Lloyd iteration (IVF centroid trainer inner "
+    "loop) — Arrow-batched assignment reusing q21's oracle-proven cell "
+    "scorer, posexplode + one (cell,dim)-keyed partial+final hash agg; "
+    "the shuffle carries aggregate cells, never vectors",
+)
+
+SPECS["q103_funnel_conversion"] = QuerySpec(
+    rel.funnel_conversion,
+    """
+    -- ordered funnel: earliest view, earliest click AFTER it,
+    -- earliest purchase after that — sequence semantics, not
+    -- bag-of-events counts.
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id),
+    h AS (SELECT COUNT(*) AS n_head FROM v),
+    s AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p))
+    SELECT s.stage_idx, s.stage, s.n_users,
+           ROUND(CAST(s.n_users AS DOUBLE) / h.n_head, 6) AS conversion
+    FROM s CROSS JOIN h ORDER BY s.stage_idx
+    """,
+    "§2.2 analytics: ordered event funnel — three filtered min-aggs "
+    "chained by user_id-keyed joins (co-partitioned), per-user state "
+    "is three timestamps; conversion vs funnel head",
+)
+
+SPECS["q104_retention_cohorts"] = QuerySpec(
+    rel.retention_cohorts,
+    """
+    -- weekly cohort retention triangle; week arithmetic in whole
+    -- days (both engines truncate weeks to Monday, so day-diffs of
+    -- cohort/activity weeks are exact multiples of 7).
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', MIN(ts)) AS DATE)
+                          AS cohort_week
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events)
+    SELECT f.cohort_week,
+           CAST((a.wk - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY f.cohort_week, week_offset
+    """,
+    "§2.2 analytics: weekly cohort retention — first-event cohort per "
+    "user + distinct (user, week) activity, both user_id-keyed aggs; "
+    "state is one date per user plus the retention cells",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

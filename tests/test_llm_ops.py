@@ -580,3 +580,56 @@ def test_bm25_scores_positive_and_term_bound(spark, sf_dir):
     for i in ids:
         toks = set(docs[i].split(" "))
         assert toks & {"spark", "hash", "join", "window"}, i
+
+
+def test_kmeans_step_partitions_corpus(spark, sf_dir):
+    """Every (cell, dim) has the same member count within a cell, the
+    per-cell counts sum to the nonzero-vector corpus size, and every
+    non-empty cell emits exactly 64 dims."""
+    from etl_geonet_quakes_spark.llm import similarity as sim
+
+    rows = sim.kmeans_step(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    total = 0
+    for cell, rs in by_cell.items():
+        assert len(rs) == 64, (cell, len(rs))
+        counts = {r["n_members"] for r in rs}
+        assert len(counts) == 1, (cell, counts)
+        total += counts.pop()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as FF
+    nonzero = e.filter(
+        FF.aggregate(
+            FF.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            FF.lit(0.0), lambda a, x: a + x,
+        ) > 0
+    ).count()
+    assert total == nonzero, (total, nonzero)
+
+
+def test_funnel_monotone_and_headed(spark, sf_dir):
+    """Funnel counts must be non-increasing stage over stage and the
+    head stage converts at exactly 1.0."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    rows = sorted(rel.funnel_conversion(spark, sf_dir).collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage_idx"] for r in rows] == [1, 2, 3]
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True), ns
+    assert rows[0]["conversion"] == 1.0
+
+
+def test_retention_offset_zero_is_cohort_size(spark, sf_dir):
+    """Every cohort has an offset-0 row (a user is active in their own
+    first week by definition) and no later offset exceeds it."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    rows = rel.retention_cohorts(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_users"]
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, cohort
+        assert all(n <= offs[0] for n in offs.values()), (cohort, offs)
