@@ -64,6 +64,13 @@ EDGE_QUERIES = [
     "q95_vocab_coverage",
     "q96_media_ppm_decode",
     "q97_media_wav_decode",
+    # round-4 documents-based additions: PNG codec (doc_id-driven
+    # payloads), weighted sampling (empty doc has n_chars=0 → the
+    # w>0 guard fires), BM25 (no query term appears in the edge
+    # corpus → both engines must return an EMPTY result, not error)
+    "q98_media_png_decode",
+    "q100_weighted_sample",
+    "q101_bm25_topk",
 ]
 
 
