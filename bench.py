@@ -83,6 +83,8 @@ HEADLINE = [
     "q102_kmeans_step",
     "q103_funnel_conversion",
     "q104_retention_cohorts",
+    "q105_rolling_time_window",
+    "q106_event_transitions",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

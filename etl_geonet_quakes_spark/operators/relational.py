@@ -476,13 +476,35 @@ def bloom_semi_join(
         F.col("c_acctbal") > min_acctbal
     )
     # build: explode each key's k positions, dedup, aggregate to ONE
-    # row holding the sorted set-bit list (≤ BLOOM_M ints, bounded)
+    # row, then pack the position set into BLOOM_M/64 long WORDS —
+    # an actual bit set. The packing fold is interpreted but runs
+    # once over one row; the probe below is then 3 ALU ops per hash.
+    # (First cut kept the sorted position list and probed with
+    # array_contains: a LINEAR scan per probe — measured 5.8 s at
+    # sf0.1, ~600k probes × ~14k-element scans. The packed form is
+    # the point of a bloom filter: O(1) membership.)
     pos = c.select(
         F.explode(F.array(*_bloom_positions(F.col("c_custkey").cast("string")))).alias(
             "p"
         )
     )
-    bits = pos.agg(F.array_sort(F.collect_set("p")).alias("bits"))
+    pos_set = pos.agg(F.collect_set("p").alias("ps"))
+    n_words = BLOOM_M // 64
+    # call_function: the python shiftleft/shiftright wrappers only
+    # accept an int literal shift; the SQL functions take expressions
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.filter(F.col("ps"), lambda p: F.shiftright(p, 6) == w),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63))
+                )
+            ),
+        ),
+    )
+    bits = pos_set.select(words.alias("bits"))
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority"
@@ -490,7 +512,13 @@ def bloom_semi_join(
     probe_pos = _bloom_positions(F.col("o_custkey").cast("string"))
     passes = probe_pos[0].isNotNull()
     for p in probe_pos:
-        passes = passes & F.array_contains(F.col("bits"), p)
+        word = F.element_at(F.col("bits"), F.shiftright(p, 6) + 1)
+        passes = passes & (
+            F.call_function("shiftright", word, p.bitwiseAND(F.lit(63))).bitwiseAND(
+                F.lit(1)
+            )
+            == 1
+        )
     bloom_counts = (
         o.crossJoin(F.broadcast(bits))
         .filter(passes)
@@ -514,6 +542,75 @@ def bloom_semi_join(
             F.coalesce("exact_pass", F.lit(0)).alias("exact_pass"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+def rolling_time_window(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
+    """Trailing time-interval aggregate (the complement of q86's
+    value-RANGE frame): for every event, the count and value sum of
+    the same user's events in the preceding ``days`` days inclusive —
+    the moving-window metric behind rate limiting, rolling spend and
+    activity scoring. RANGE frame over epoch MICROSECONDS (the
+    fixture's native precision; truncating to seconds would silently
+    merge sub-second neighbors into peers), partitioned by user_id so
+    frames stay bounded at any scale — never a global sort.
+
+    The frame is [t − days, t] inclusive at µs precision. Counts are
+    exact; the value sum is rounded to 6dp because sliding-frame
+    summation order over equal sort keys is engine-internal."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    micros = F.unix_micros(F.col("ts"))
+    span = days * 86400 * 10**6
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-span, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_trailing"),
+            F.round(F.sum("value").over(w), 6).alias("sum_trailing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix (first-order Markov /
+    path analysis): lead(event_type) over each user's event sequence,
+    then (from, to) counts and row-normalized transition
+    probabilities. The window orders by (ts, event_id) — the unique
+    tiebreak makes the successor deterministic even for simultaneous
+    events, which is what lets an external oracle replay it exactly.
+    Probabilities divide two exact longs in double space (IEEE
+    correctly-rounded, bit-identical cross-engine — no rounding
+    step needed). Shape at scale: one user_id-partitioned window
+    (bounded frames, lead carries one row of state) + one tiny
+    (from,to) agg."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return (
+        trans.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(totals)).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 

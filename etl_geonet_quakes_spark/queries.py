@@ -2223,6 +2223,49 @@ SPECS["q104_retention_cohorts"] = QuerySpec(
     "state is one date per user plus the retention cells",
 )
 
+SPECS["q105_rolling_time_window"] = QuerySpec(
+    rel.rolling_time_window,
+    """
+    -- trailing 7-day per-user RANGE frame over epoch MICROSECONDS
+    -- (fixture-native precision), frame [t - 7d, t] inclusive.
+    -- Counts exact; sum rounded 6dp (sliding-frame summation order
+    -- over equal sort keys is engine-internal).
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing,
+           ROUND(SUM(value) OVER w, 6) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    "§2.2 windows: time-interval RANGE frame (trailing 7-day count + "
+    "sum per user) — the temporal complement of q86's value-RANGE "
+    "frame; user-partitioned, frames bounded at any scale",
+)
+
+SPECS["q106_event_transitions"] = QuerySpec(
+    rel.event_transitions,
+    """
+    -- first-order transition matrix; LEAD over (ts, event_id) -- the
+    -- unique tiebreak makes successors deterministic. p divides two
+    -- exact BIGINTs in double space: IEEE correctly-rounded, so no
+    -- rounding step is needed for cross-engine equality.
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    t AS (SELECT from_type, to_type, COUNT(*) AS n FROM nxt
+          WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM t ORDER BY from_type, to_type
+    """,
+    "§2.2 analytics: per-user next-event transition matrix (Markov / "
+    "path analysis) — one user-partitioned lead window + one tiny "
+    "(from,to) agg with row-normalized probabilities",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

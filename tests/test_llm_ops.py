@@ -633,3 +633,34 @@ def test_retention_offset_zero_is_cohort_size(spark, sf_dir):
     for cohort, offs in by_cohort.items():
         assert 0 in offs, cohort
         assert all(n <= offs[0] for n in offs.values()), (cohort, offs)
+
+
+def test_rolling_window_counts_self_and_bounds(spark, sf_dir):
+    """Every event's trailing frame includes at least itself, and no
+    frame exceeds the user's total event count."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    out = rel.rolling_time_window(spark, sf_dir).collect()
+    totals = {}
+    for r in out:
+        totals[r["user_id"]] = totals.get(r["user_id"], 0) + 1
+    for r in out:
+        assert 1 <= r["n_trailing"] <= totals[r["user_id"]], r
+
+
+def test_event_transitions_normalized(spark, sf_dir):
+    """Per-from probabilities sum to ~1 and transition counts sum to
+    (total events - one terminal event per user)."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+    import math
+
+    rows = rel.event_transitions(spark, sf_dir).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, rs in by_from.items():
+        assert math.isclose(sum(r["p"] for r in rs), 1.0, rel_tol=1e-9), ft
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
