@@ -107,6 +107,20 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).count()
 
+    # also warm the Python-worker/Arrow path: daemon startup costs
+    # ~2 s and would otherwise be billed to whichever pandas-UDF
+    # query runs first (q21's recorded first runs were ~3× its warm
+    # median for exactly this reason — same category as the JVM
+    # warm-up above, infra, not query work)
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(v):
+        return v
+
+    spark.range(1024).select(_warm(_F.col("id").cast("double"))).count()
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     high_variance: list[str] = []
