@@ -150,3 +150,51 @@ def test_approx_count_distinct_within_rsd_bounds(spark, sf_dir):
     for flag, a in approx.items():
         e = exact[flag]
         assert abs(a - e) <= max(5 * 0.01 * e, 2), (flag, a, e)
+
+
+def test_bloom_filter_never_false_negative(spark, sf_dir):
+    """The bloom guarantee is one-sided: a key that was INSERTED must
+    always pass the probe (false positives allowed, false negatives
+    never). Probe the filter with the exact build-side keys — every
+    one must pass, at any fill factor."""
+    from pyspark.sql import functions as FF
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.operators.relational import (
+        BLOOM_M,
+        _bloom_positions,
+    )
+
+    c = load_table(spark, sf_dir, "customer").filter(FF.col("c_acctbal") > 7500.0)
+    pos = c.select(
+        FF.explode(
+            FF.array(*_bloom_positions(FF.col("c_custkey").cast("string")))
+        ).alias("p")
+    )
+    pos_set = pos.agg(FF.collect_set("p").alias("ps"))
+    n_words = BLOOM_M // 64
+    words = FF.transform(
+        FF.sequence(FF.lit(0), FF.lit(n_words - 1)),
+        lambda w: FF.aggregate(
+            FF.filter(FF.col("ps"), lambda p: FF.shiftright(p, 6) == w),
+            FF.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                FF.call_function(
+                    "shiftleft", FF.lit(1).cast("long"), p.bitwiseAND(FF.lit(63))
+                )
+            ),
+        ),
+    )
+    bits = pos_set.select(words.alias("bits"))
+    probe_pos = _bloom_positions(FF.col("c_custkey").cast("string"))
+    passes = FF.lit(True)
+    for p in probe_pos:
+        word = FF.element_at(FF.col("bits"), FF.shiftright(p, 6) + 1)
+        passes = passes & (
+            FF.call_function("shiftright", word, p.bitwiseAND(FF.lit(63)))
+            .bitwiseAND(FF.lit(1))
+            == 1
+        )
+    n_keys = c.count()
+    n_pass = c.crossJoin(bits).filter(passes).count()
+    assert n_pass == n_keys, (n_pass, n_keys)
