@@ -85,6 +85,7 @@ HEADLINE = [
     "q104_retention_cohorts",
     "q105_rolling_time_window",
     "q106_event_transitions",
+    "q107_embedding_quantize",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

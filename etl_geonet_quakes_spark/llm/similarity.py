@@ -348,3 +348,54 @@ def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame
         .select("cell", F.col("dim").cast("int").alias("dim"), "c_new", "n_members")
         .orderBy("cell", "dim")
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a 100 TB vector corpus runs before ANN serving
+    (4× smaller than float32, 8× than float64; cell-local scale keeps
+    recall). Per vector: scale = max|x|/127, q_i = floor(x_i/scale +
+    0.5) (explicit half-up — engine-unambiguous, unlike numpy's
+    half-to-even rint), reconstruction error = ||x − q·scale||₂.
+
+    API surface: this is the engine's ``mapInArrow`` exercise — the
+    lowest-level Arrow entry point (raw RecordBatch in/out, no pandas
+    conversion), completing the Python-vectorization family next to
+    the scalar pandas UDF (jsfmt), grouped-agg UDAF (q11), UDTF
+    (q12), applyInPandas (q74), mapInPandas (q32) and
+    applyInPandasWithState (q09). Scale shape: stateless map over the
+    scan, no shuffle until the presentation sort.
+
+    scale is a single IEEE division (bit-identical cross-engine,
+    emitted unrounded); err_l2 sums squares in engine-internal order
+    → rounded to 6dp like every fold-order-sensitive float result."""
+    import pyarrow as pa
+
+    def quant(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("vec_id").to_numpy()
+            vecs = np.asarray(b.column("v").to_pylist(), dtype=np.float64)
+            amax = np.abs(vecs).max(axis=1)
+            scale = amax / 127.0
+            q = np.floor(vecs / scale[:, None] + 0.5)
+            err = np.sqrt(((vecs - q * scale[:, None]) ** 2).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(scale, type=pa.float64()),
+                    pa.array(np.round(err, 6), type=pa.float64()),
+                ],
+                names=["vec_id", "scale", "err_l2"],
+            )
+
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+    return e.mapInArrow(
+        quant, schema="vec_id long, scale double, err_l2 double"
+    ).orderBy("vec_id")

@@ -2266,6 +2266,31 @@ SPECS["q106_event_transitions"] = QuerySpec(
     "(from,to) agg with row-normalized probabilities",
 )
 
+SPECS["q107_embedding_quantize"] = QuerySpec(
+    similarity.embedding_quantize,
+    """
+    -- replay of symmetric int8 quantization: scale = max|x|/127 (one
+    -- IEEE division, bit-identical, emitted unrounded), q = floor(x/
+    -- scale + 0.5) (explicit half-up, engine-unambiguous), err_l2
+    -- rounded 6dp (summation order is engine-internal).
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e)
+    SELECT vec_id, scale,
+           ROUND(sqrt(list_sum(list_transform(v, x ->
+               (x - floor(x / scale + 0.5) * scale)
+               * (x - floor(x / scale + 0.5) * scale)))), 6) AS err_l2
+    FROM s ORDER BY vec_id
+    """,
+    "§2.3 similarity: int8 embedding quantization via mapInArrow (raw "
+    "RecordBatch Arrow path — completes the Python-vectorization API "
+    "family); stateless map over the scan, no shuffle",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

@@ -664,3 +664,14 @@ def test_event_transitions_normalized(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_quantize_error_bounded(spark, sf_dir):
+    """Half-up rounding puts every per-element quantization error at
+    <= scale/2, so err_l2 <= scale * sqrt(64)/2 = 4*scale; scale must
+    be positive for every (nonzero) vector."""
+    from etl_geonet_quakes_spark.llm import similarity as sim
+
+    for r in sim.embedding_quantize(spark, sf_dir).collect():
+        assert r["scale"] > 0, r
+        assert r["err_l2"] <= 4.0 * r["scale"] + 1e-9, r
