@@ -86,6 +86,7 @@ HEADLINE = [
     "q105_rolling_time_window",
     "q106_event_transitions",
     "q107_embedding_quantize",
+    "q108_resample_gapfill",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

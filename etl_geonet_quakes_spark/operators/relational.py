@@ -614,6 +614,55 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with LOCF gap-fill — the time-series
+    regularization step (date spine) that q16's IGNORE-NULLS fill
+    deliberately does NOT do: q16 fills nulls on EXISTING rows, this
+    MATERIALIZES the missing calendar days first. Spine = explode of
+    sequence(first_day, last_day) per user (generated inside the
+    scan stage, no shuffle for the fan-out), left-join of per-day
+    aggregates (both sides user-keyed, co-partitioned), then one
+    user-partitioned LOCF window. Day values are rounded BEFORE the
+    fill so the summation-order-sensitive double never propagates
+    through the window on either engine.
+
+    At 100 TB the spine is bounded by users × days — orders of
+    magnitude below the event count — and every shuffle is on
+    user_id; the gap-fill window state is one value."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("day_value"),
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return (
+        joined.select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): per user, the
     earliest view, the earliest click STRICTLY AFTER that view, the

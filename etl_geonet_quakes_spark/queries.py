@@ -2291,6 +2291,40 @@ SPECS["q107_embedding_quantize"] = QuerySpec(
     "family); stateless map over the scan, no shuffle",
 )
 
+SPECS["q108_resample_gapfill"] = QuerySpec(
+    rel.resample_gapfill,
+    """
+    -- date-spine resample + LOCF: generate_series per user between
+    -- first and last activity day, left-join per-day aggregates
+    -- (rounded BEFORE the fill so fold-order doubles never propagate
+    -- through the window), forward-fill with IGNORE NULLS.
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+               FROM events),
+    daily AS (SELECT user_id, day, COUNT(*) AS n_events,
+                     ROUND(SUM(value), 6) AS day_value
+              FROM e GROUP BY user_id, day),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM e GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(d0, d1,
+                          INTERVAL 1 DAY)) AS DATE) AS day
+              FROM spans)
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+           d.day_value IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ORDER BY s.user_id, s.day
+    """,
+    "§2.2 time series: per-user daily date-spine resample + LOCF "
+    "gap-fill — materializes missing calendar days (q16 fills only "
+    "existing rows); spine bounded by users x days, all shuffles "
+    "user-keyed",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

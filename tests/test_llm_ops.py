@@ -675,3 +675,23 @@ def test_quantize_error_bounded(spark, sf_dir):
     for r in sim.embedding_quantize(spark, sf_dir).collect():
         assert r["scale"] > 0, r
         assert r["err_l2"] <= 4.0 * r["scale"] + 1e-9, r
+
+
+def test_resample_spine_contiguous_and_filled(spark, sf_dir):
+    """Every user's spine is contiguous daily (span length == row
+    count), gap rows carry n_events=0, and filled_value is never NULL
+    (the first spine day always has data by construction)."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    rows = rel.resample_gapfill(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        days = [r["day"] for r in rs]
+        assert (max(days) - min(days)).days + 1 == len(rs), uid
+        assert len(set(days)) == len(days), uid
+        for r in rs:
+            assert r["filled_value"] is not None, r
+            if r["is_gap"]:
+                assert r["n_events"] == 0, r
