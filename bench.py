@@ -87,6 +87,7 @@ HEADLINE = [
     "q106_event_transitions",
     "q107_embedding_quantize",
     "q108_resample_gapfill",
+    "q109_table_fingerprint",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -614,6 +614,45 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented order-independent table checksum — the reconciliation
+    primitive for validating replicated/migrated data WITHOUT moving
+    it: each row hashes to a 60-bit md5 value over a canonical
+    serialization, segments SUM the hashes (commutative ⇒ identical
+    under any partitioning or row order), and two clusters compare
+    one tiny (segment, n_rows, fingerprint) table instead of 100 TB
+    of rows. Per-year segments localize a mismatch to a segment
+    rescan — the merkle-style trade between summary size and rescan
+    blast radius.
+
+    Canonical serialization dodges the cross-engine float-formatting
+    trap: doubles enter as EXACT CENTS (round(price·100) as long —
+    money is 2-decimal by construction), timestamps as a fixed
+    format, nulls as a sentinel. The hash sum accumulates in
+    decimal(38,0) (HUGEINT on the oracle side) so 60-bit values never
+    overflow, and the fingerprint is emitted as a STRING so both
+    engines compare the same canonical digits."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("<NULL>")),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<NULL>")),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("segment"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+        )
+        .orderBy("segment")
+    )
+
+
 def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily resampling with LOCF gap-fill — the time-series
     regularization step (date spine) that q16's IGNORE-NULLS fill

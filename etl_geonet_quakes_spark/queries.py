@@ -2325,6 +2325,35 @@ SPECS["q108_resample_gapfill"] = QuerySpec(
     "user-keyed",
 )
 
+SPECS["q109_table_fingerprint"] = QuerySpec(
+    rel.table_fingerprint,
+    """
+    -- replay of the segmented order-independent checksum: same
+    -- canonical row serialization (cents-exact doubles, fixed
+    -- timestamp format, null sentinel), same md5 60-bit row hash,
+    -- HUGEINT sum (= Spark's decimal(38,0)) emitted as VARCHAR.
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS segment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(concat('0x',
+                substring(md5(row_str), 1, 15)) AS BIGINT) AS HUGEINT))
+                AS VARCHAR) AS fingerprint
+    FROM (
+      SELECT o_orderdate,
+             concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               COALESCE(o_orderstatus, '<NULL>'),
+               COALESCE(o_orderpriority, '<NULL>'),
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ) AS row_str
+      FROM orders)
+    GROUP BY segment ORDER BY segment
+    """,
+    "§2.2 ops: segmented order-independent table fingerprint — "
+    "commutative 60-bit hash sum per year segment; cross-cluster "
+    "data reconciliation without moving rows",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

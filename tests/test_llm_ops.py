@@ -695,3 +695,39 @@ def test_resample_spine_contiguous_and_filled(spark, sf_dir):
             assert r["filled_value"] is not None, r
             if r["is_gap"]:
                 assert r["n_events"] == 0, r
+
+
+def test_fingerprint_is_order_and_partitioning_invariant(spark, sf_dir):
+    """THE property of the commutative hash sum: recomputing the
+    fingerprint from an arbitrarily repartitioned/shuffled copy of
+    the table yields identical segment fingerprints."""
+    from pyspark.sql import functions as FF
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    base = {
+        (r["segment"]): (r["n_rows"], r["fingerprint"])
+        for r in rel.table_fingerprint(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").repartition(7, "o_orderstatus")
+    row_str = FF.concat_ws(
+        "|",
+        FF.col("o_orderkey").cast("string"),
+        FF.col("o_custkey").cast("string"),
+        FF.coalesce(FF.col("o_orderstatus"), FF.lit("<NULL>")),
+        FF.coalesce(FF.col("o_orderpriority"), FF.lit("<NULL>")),
+        FF.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        FF.round(FF.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = FF.conv(FF.substring(FF.md5(row_str), 1, 15), 16, 10).cast("long")
+    again = {
+        r["segment"]: (r["n_rows"], r["fingerprint"])
+        for r in o.groupBy(FF.year("o_orderdate").cast("int").alias("segment"))
+        .agg(
+            FF.count("*").alias("n_rows"),
+            FF.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+        )
+        .collect()
+    }
+    assert base == again
