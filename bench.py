@@ -88,6 +88,7 @@ HEADLINE = [
     "q107_embedding_quantize",
     "q108_resample_gapfill",
     "q109_table_fingerprint",
+    "q110_sql_scripting",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

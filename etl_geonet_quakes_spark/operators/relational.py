@@ -614,6 +614,41 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN…END, DECLARE, WHILE): a
+    procedural iterative search — double a price threshold until at
+    most 1% of orders exceed it — expressed entirely in SQL control
+    flow, the migration target for stored-procedure workloads. Each
+    loop iteration is one catalyst-planned count; the scripting
+    engine drives the loop driver-side exactly like this engine's CC
+    label-propagation loop, so the pattern scales the same way
+    (per-iteration job, no driver data movement beyond one scalar).
+
+    Thresholds are 1000·2^k — exact doubles, so the oracle can replay
+    the fixpoint closed-form (minimal k with n·100 ≤ total) instead
+    of the loop and still hash-match bit-for-bit."""
+    from etl_geonet_quakes_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT COUNT(*) FROM orders);
+          SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > t);
+          WHILE n * 100 > total DO
+            SET t = t * 2;
+            SET n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > t);
+          END WHILE;
+          SELECT t AS threshold, n AS n_above, total AS n_total;
+        END
+        """
+    )
+
+
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented order-independent table checksum — the reconciliation
     primitive for validating replicated/migrated data WITHOUT moving

@@ -2354,6 +2354,30 @@ SPECS["q109_table_fingerprint"] = QuerySpec(
     "data reconciliation without moving rows",
 )
 
+SPECS["q110_sql_scripting"] = QuerySpec(
+    rel.sql_scripting_threshold,
+    """
+    -- closed-form replay of the scripted WHILE loop: thresholds are
+    -- 1000*2^k (exact doubles), so the fixpoint is the minimal k
+    -- with n_above*100 <= total; the initial k=0 state is included
+    -- because the loop exits before doubling when it already holds.
+    WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+    cand AS (SELECT k, 1000.0 * power(2.0, k) AS t FROM ks),
+    total AS (SELECT COUNT(*) AS tot FROM orders),
+    counts AS (SELECT c.k, c.t,
+                      (SELECT COUNT(*) FROM orders o
+                       WHERE o.o_totalprice > c.t) AS n
+               FROM cand c),
+    fix AS (SELECT k, t, n FROM counts CROSS JOIN total
+            WHERE n * 100 <= tot ORDER BY k LIMIT 1)
+    SELECT f.t AS threshold, f.n AS n_above, total.tot AS n_total
+    FROM fix f CROSS JOIN total
+    """,
+    "§2.2 SQL surface: Spark 4 SQL scripting (BEGIN/DECLARE/WHILE) — "
+    "procedural control flow driving per-iteration catalyst-planned "
+    "counts; oracle replays the fixpoint closed-form",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped
