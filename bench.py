@@ -89,6 +89,7 @@ HEADLINE = [
     "q108_resample_gapfill",
     "q109_table_fingerprint",
     "q110_sql_scripting",
+    "q111_collated_group",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -649,6 +649,36 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 COLLATE UTF8_LCASE): a
+    mixed-case projection of event_type (upper for even ids, initcap
+    for odd) groups back together under a case-insensitive collation
+    — the engine-level alternative to scattering lower() through
+    every predicate, and the unlock for locale-correct comparison
+    semantics Catalyst can push into hash aggregation. The display
+    key is lower(CAST(… AS STRING)): grouping by a collated key makes
+    the surviving REPRESENTATIVE string partition-order-dependent, so
+    a deterministic projection (not the raw representative) is what
+    keeps the result engine-stable — the oracle checks the semantic
+    equivalence collated-group ≡ lower()-group."""
+    from etl_geonet_quakes_spark.io import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE initcap(event_type) END AS etype
+          FROM events)
+        SELECT lower(CAST(etype COLLATE UTF8_LCASE AS STRING)) AS etype_lc,
+               COUNT(*) AS n
+        FROM mixed
+        GROUP BY etype COLLATE UTF8_LCASE
+        ORDER BY etype_lc
+        """
+    )
+
+
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmented order-independent table checksum — the reconciliation
     primitive for validating replicated/migrated data WITHOUT moving

@@ -2378,6 +2378,27 @@ SPECS["q110_sql_scripting"] = QuerySpec(
     "counts; oracle replays the fixpoint closed-form",
 )
 
+SPECS["q111_collated_group"] = QuerySpec(
+    rel.collated_group,
+    """
+    -- semantic replay: case-insensitive collated grouping over the
+    -- same mixed-case projection == grouping by lower() for ASCII;
+    -- the deterministic lower() display key is what both engines
+    -- emit (a collated group's raw representative string would be
+    -- partition-order-dependent).
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE CONCAT(upper(substring(event_type, 1, 1)),
+                              lower(substring(event_type, 2))) END AS etype
+      FROM events)
+    SELECT lower(etype) AS etype_lc, COUNT(*) AS n
+    FROM mixed GROUP BY lower(etype) ORDER BY etype_lc
+    """,
+    "§2.2 SQL surface: Spark 4 string collations (COLLATE "
+    "UTF8_LCASE) — case-insensitive grouping as an engine-level "
+    "comparison semantic, hash-aggregation-compatible",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped
