@@ -90,6 +90,7 @@ HEADLINE = [
     "q109_table_fingerprint",
     "q110_sql_scripting",
     "q111_collated_group",
+    "q112_scd2_intervals",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

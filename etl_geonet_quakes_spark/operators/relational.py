@@ -649,6 +649,41 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log: treat
+    each user's event stream as attribute changes, suppress
+    consecutive duplicates (a repeated value is not a new version),
+    and derive validity intervals [effective_from, effective_to) with
+    an open end (NULL + is_current) for the latest version — the
+    standard warehouse pattern for as-of dimension joins. Two
+    user-partitioned windows (lag for change detection on the raw
+    stream, lead for interval close on the CHANGE rows only), unique
+    (ts, event_id) tiebreak so version boundaries are deterministic.
+    At 100 TB both windows are user-keyed — bounded frames, one
+    shuffle shared by both (same partitioning), never a global
+    sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    ch = e.withColumn(
+        "is_change", prev.isNull() | (prev != F.col("event_type"))
+    ).filter(F.col("is_change"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead("ts").over(w2)
+    return (
+        ch.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("effective_from"),
+            eff_to.alias("effective_to"),
+            eff_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from")
+    )
+
+
 def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collation-aware aggregation (Spark 4 COLLATE UTF8_LCASE): a
     mixed-case projection of event_type (upper for even ids, initcap

@@ -2399,6 +2399,35 @@ SPECS["q111_collated_group"] = QuerySpec(
     "comparison semantic, hash-aggregation-compatible",
 )
 
+SPECS["q112_scd2_intervals"] = QuerySpec(
+    rel.scd2_intervals,
+    """
+    -- SCD2 replay: change detection via LAG on the raw stream
+    -- (consecutive duplicates suppressed), interval close via LEAD
+    -- over the CHANGE rows only, same unique (ts, event_id)
+    -- tiebreak.
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS attr_value,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS effective_to,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM ch ORDER BY user_id, effective_from
+    """,
+    "§2.2 warehouse: SCD type-2 interval build from a change log — "
+    "consecutive-duplicate suppression (lag) + validity intervals "
+    "(lead over change rows), open-ended current version; both "
+    "windows share one user-keyed partitioning",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

@@ -731,3 +731,23 @@ def test_fingerprint_is_order_and_partitioning_invariant(spark, sf_dir):
         .collect()
     }
     assert base == again
+
+
+def test_scd2_intervals_tile_timeline(spark, sf_dir):
+    """SCD2 invariants: exactly one open (current) version per user,
+    each version's effective_to equals the next version's
+    effective_from (no gaps, no overlaps), and no two consecutive
+    versions carry the same value (duplicate suppression)."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    rows = rel.scd2_intervals(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["effective_from"])
+        assert sum(1 for r in rs if r["is_current"]) == 1, uid
+        assert rs[-1]["effective_to"] is None, uid
+        for a, b in zip(rs, rs[1:]):
+            assert a["effective_to"] == b["effective_from"], (uid, a, b)
+            assert a["attr_value"] != b["attr_value"], (uid, a, b)
