@@ -250,6 +250,12 @@ VECTOR_QUERIES = [
     "q43_similarity_bruteforce",
     "q44_similarity_lsh",
     "q21_similarity_ivf",
+    # round-4 embedding queries: the zero-norm exclusion guard and
+    # the constant/duplicate/alternating vectors exercise the
+    # assignment + quantization edges (constant vector quantizes with
+    # zero error; duplicates must land in the same k-means cell)
+    "q102_kmeans_step",
+    "q107_embedding_quantize",
 ]
 
 
