@@ -91,6 +91,7 @@ HEADLINE = [
     "q110_sql_scripting",
     "q111_collated_group",
     "q112_scd2_intervals",
+    "q113_robust_outliers",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -649,6 +649,54 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_outliers(spark: SparkSession, sf_dir: str, cutoff: float = 1.2) -> DataFrame:
+    """Robust outlier detection per group: modified z-score from the
+    MEDIAN and MAD (median absolute deviation) instead of mean/stddev
+    — the estimator that doesn't let the outliers it hunts poison the
+    baseline (mean/stddev break down at a single wild value; median/
+    MAD have a 50% breakdown point). z = 0.6745·(x − med)/MAD (the
+    normal-consistency constant), |z| > cutoff flags.
+
+    Shape at scale: two partial+final aggregation passes (group
+    medians, then MAD over the residuals) with the tiny per-group
+    stats broadcast back — the fact side streams twice, never
+    shuffles on itself. MAD=0 groups (>50% identical values) yield
+    NULL z via NULLIF and flag nothing rather than dividing by zero —
+    mirrored exactly in the oracle.
+
+    Default cutoff 1.2 is fixture-calibrated (like q42's cosine
+    threshold): acctbal is uniform, which caps |z| at
+    0.6745·(range/2)/(range/4) ≈ 1.349, so the conventional 2.5–3.5
+    production cutoff would correctly-but-uninformatively flag zero
+    rows; 1.2 exercises the tails on both engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    resid = c.join(F.broadcast(med), "c_mktsegment")
+    mad = resid.groupBy("c_mktsegment").agg(
+        F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("c_acctbal") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        resid.join(F.broadcast(mad), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.round(z, 6).alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > cutoff)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 build from a change log: treat
     each user's event stream as attribute changes, suppress

@@ -2428,6 +2428,34 @@ SPECS["q112_scd2_intervals"] = QuerySpec(
     "windows share one user-keyed partitioning",
 )
 
+SPECS["q113_robust_outliers"] = QuerySpec(
+    rel.robust_outliers,
+    """
+    -- replay of median/MAD modified z-scores: quantile_cont matches
+    -- Spark's exact interpolated percentile(); NULLIF guards MAD=0;
+    -- z rounded 6dp (the filter uses the rounded value on both
+    -- engines so boundary rows cannot diverge).
+    WITH med AS (SELECT c_mktsegment,
+                        quantile_cont(c_acctbal, 0.5) AS med
+                 FROM customer GROUP BY c_mktsegment),
+    resid AS (SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal, m.med
+              FROM customer c JOIN med m USING (c_mktsegment)),
+    mad AS (SELECT c_mktsegment,
+                   quantile_cont(abs(c_acctbal - med), 0.5) AS mad
+            FROM resid GROUP BY c_mktsegment)
+    SELECT r.c_mktsegment, r.c_custkey, r.c_acctbal,
+           ROUND(0.6745 * (r.c_acctbal - r.med)
+                 / NULLIF(m.mad, 0.0), 6) AS robust_z
+    FROM resid r JOIN mad m USING (c_mktsegment)
+    WHERE abs(ROUND(0.6745 * (r.c_acctbal - r.med)
+              / NULLIF(m.mad, 0.0), 6)) > 1.2
+    ORDER BY r.c_mktsegment, r.c_custkey
+    """,
+    "§2.2 robust stats: median/MAD modified z-score outlier flags — "
+    "two partial+final agg passes with tiny group stats broadcast "
+    "back; 50% breakdown point vs mean/stddev's zero",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped
