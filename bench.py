@@ -92,6 +92,8 @@ HEADLINE = [
     "q111_collated_group",
     "q112_scd2_intervals",
     "q113_robust_outliers",
+    "q114_inverted_index",
+    "q115_graph_triangles",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

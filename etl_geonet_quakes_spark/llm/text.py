@@ -358,3 +358,37 @@ def bm25_topk(
         .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str, max_doc: int = 50) -> DataFrame:
+    """Positional inverted-index build — the retrieval-index
+    materialization primitive (BM25/phrase search serve FROM this):
+    token → sorted posting list of (doc_id, position) pairs, plus
+    document frequency. Postings serialize as a canonical
+    'doc:pos,doc:pos' string sorted by (doc_id, pos), which is what
+    makes an array-of-struct aggregation value-hashable across
+    engines. Shape at scale: posexplode inside the scan stage → ONE
+    (token)-keyed hash agg; partition the output BY TOKEN and this is
+    exactly the sharded-index layout a serving tier mmaps. Bounded
+    here to the first ``max_doc`` documents only to keep posting rows
+    display-sized — the plan is corpus-size-agnostic."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc)
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+    postings = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+            lambda s: F.concat_ws(":", s["doc_id"], s["pos"]),
+        ),
+        ",",
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count("*").alias("n_postings"),
+            postings.alias("postings"),
+        )
+        .orderBy("token")
+    )

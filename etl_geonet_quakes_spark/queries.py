@@ -2456,6 +2456,63 @@ SPECS["q113_robust_outliers"] = QuerySpec(
     "back; 50% breakdown point vs mean/stddev's zero",
 )
 
+SPECS["q114_inverted_index"] = QuerySpec(
+    text.inverted_index,
+    """
+    -- replay of the positional index build: 0-based positions
+    -- (generate_subscripts is 1-based), postings serialized
+    -- canonically sorted by (doc_id, pos).
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS BIGINT) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50)
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS n_postings,
+           string_agg(concat(CAST(doc_id AS VARCHAR), ':',
+                             CAST(pos AS VARCHAR)), ','
+                      ORDER BY doc_id, pos) AS postings
+    FROM tok GROUP BY token ORDER BY token
+    """,
+    "§2.3 retrieval: positional inverted-index build — posexplode "
+    "inside the scan stage, one token-keyed hash agg; canonical "
+    "sorted posting serialization makes the index value-hashable",
+)
+
+SPECS["q115_graph_triangles"] = QuerySpec(
+    dedup.graph_triangles,
+    """
+    -- triangle census over the SAME pair set as q40/q45's oracles
+    -- (d/e CTEs verbatim); canonical a<b edges make the
+    -- node-iterator 3-way join count each triangle once.
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.ea = e1.eb
+                      JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
+    ed AS (SELECT COUNT(*) AS n_edges FROM e),
+    vx AS (SELECT COUNT(*) AS n_vertices FROM
+           (SELECT ea AS v FROM e UNION SELECT eb FROM e))
+    SELECT vx.n_vertices, ed.n_edges, tri.n_triangles,
+           ROUND(3.0 * tri.n_triangles / ed.n_edges, 6)
+               AS triangle_edge_ratio
+    FROM vx CROSS JOIN ed CROSS JOIN tri
+    """,
+    "§2.3 graph: triangle census of the near-dup graph (dedup-cluster "
+    "density diagnostic) — canonical-ordered node-iterator join, two "
+    "equi-join shuffles, single-row aggregates crossed",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

@@ -751,3 +751,38 @@ def test_scd2_intervals_tile_timeline(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a["effective_to"] == b["effective_from"], (uid, a, b)
             assert a["attr_value"] != b["attr_value"], (uid, a, b)
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    """df <= n_postings for every token, posting counts sum to the
+    scanned token volume, and posting strings are sorted by
+    (doc_id, pos)."""
+    from etl_geonet_quakes_spark.llm import text as tx
+
+    rows = tx.inverted_index(spark, sf_dir).collect()
+    total = 0
+    for r in rows:
+        assert r["df"] <= r["n_postings"], r["token"]
+        parts = [tuple(map(int, p.split(":"))) for p in r["postings"].split(",")]
+        assert len(parts) == r["n_postings"], r["token"]
+        assert parts == sorted(parts), r["token"]
+        total += r["n_postings"]
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as FF
+    expect = (
+        d.filter(FF.col("doc_id") < 50)
+        .select(FF.size(FF.split("text", " ")).alias("n"))
+        .agg(FF.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == expect, (total, expect)
+
+
+def test_triangle_census_bounds(spark, sf_dir):
+    """Structural sanity: triangles <= edges*(edges-1)/3 trivially,
+    vertices <= 2*edges, and the ratio field reproduces 3*tri/edges."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    r = dd.graph_triangles(spark, sf_dir).collect()[0]
+    assert r["n_vertices"] <= 2 * r["n_edges"]
+    assert abs(r["triangle_edge_ratio"] - round(3.0 * r["n_triangles"] / r["n_edges"], 6)) < 1e-12
