@@ -94,6 +94,8 @@ HEADLINE = [
     "q113_robust_outliers",
     "q114_inverted_index",
     "q115_graph_triangles",
+    "q116_profile_columns",
+    "q117_token_cooccurrence",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -392,3 +392,35 @@ def inverted_index(spark: SparkSession, sf_dir: str, max_doc: int = 50) -> DataF
         )
         .orderBy("token")
     )
+
+
+def token_cooccurrence(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Top-k token co-occurrence pairs (document-level market-basket
+    mining — the statistic behind collocation extraction and
+    association rules): for each unordered token pair, in how many
+    documents do both appear. Shape at scale: explode DISTINCT tokens
+    per doc (set semantics, so a doc contributes each pair once),
+    self-equi-join on doc_id with t1 < t2 canonical ordering, one
+    (t1, t2) hash agg, TakeOrderedAndProject top-k. The doc_id join
+    is co-partitioned with the explode's natural layout; pair volume
+    is Σ per-doc C(|distinct|, 2), bounded by the vocabulary — at
+    100 TB the standard mitigation (prune tokens above a df ceiling
+    before pairing) drops in as one broadcast filter without changing
+    the shape."""
+    dt = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    a, b = dt.alias("a"), dt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("token_a"), F.col("b.t").alias("token_b")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
+        .limit(k)
+    )

@@ -1737,3 +1737,72 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # index 3 is past the end for every row → NULL, not an error
         F.try_element_at(parts, F.lit(3)).alias("missing_part"),
     ).orderBy("o_orderkey")
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary — the audit primitive a pipeline runs
+    before trusting a new drop: per column of orders, row/null/
+    distinct counts and min/max, in ONE aggregation pass (every
+    statistic is a partial+final agg over the same scan; at 100 TB
+    this is one pass over the table, not one per column, which is the
+    difference between a profile and six). Long-form output (one row
+    per column) so downstream checks are data, not schema.
+
+    Min/max serialize deterministically per type: longs and strings
+    verbatim, timestamps in the engines' shared canonical format,
+    doubles through printf('%.2f') — the one formatting both engines
+    render identically (the raw double-to-string path differs between
+    JVM shortest-roundtrip and DuckDB formatting, the same trap
+    q109's fingerprint dodges with cents)."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count("*")
+
+    def prof(col: str, mn, mx):
+        return F.struct(
+            F.lit(col).alias("col_name"),
+            n.alias("n_rows"),
+            (n - F.count(col)).alias("n_nulls"),
+            F.count_distinct(col).alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+
+    profiles = o.agg(
+        F.array(
+            # numeric columns: min/max over the VALUE, then cast —
+            # min over stringified numbers would be lexicographic
+            prof(
+                "o_orderkey",
+                F.min("o_orderkey").cast("string"),
+                F.max("o_orderkey").cast("string"),
+            ),
+            prof(
+                "o_custkey",
+                F.min("o_custkey").cast("string"),
+                F.max("o_custkey").cast("string"),
+            ),
+            prof(
+                "o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus")
+            ),
+            prof(
+                "o_totalprice",
+                F.format_string("%.2f", F.min("o_totalprice")),
+                F.format_string("%.2f", F.max("o_totalprice")),
+            ),
+            prof(
+                "o_orderdate",
+                F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            ),
+            prof(
+                "o_orderpriority",
+                F.min("o_orderpriority"),
+                F.max("o_orderpriority"),
+            ),
+        ).alias("p")
+    )
+    return (
+        profiles.select(F.explode("p").alias("c"))
+        .select("c.*")
+        .orderBy("col_name")
+    )

@@ -2513,6 +2513,84 @@ SPECS["q115_graph_triangles"] = QuerySpec(
     "equi-join shuffles, single-row aggregates crossed",
 )
 
+SPECS["q116_profile_columns"] = QuerySpec(
+    rel.profile_columns,
+    """
+    -- replay of the one-pass column profile; min/max serialization
+    -- per type mirrors the Spark side (printf %.2f for doubles, the
+    -- canonical timestamp format, verbatim casts otherwise).
+    WITH p AS (
+      SELECT * FROM (VALUES
+        ('o_orderkey',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_orderkey) FROM orders),
+         (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+         (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders),
+         (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders)),
+        ('o_custkey',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_custkey) FROM orders),
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+         (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders)),
+        ('o_orderstatus',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders),
+         (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+         (SELECT MIN(o_orderstatus) FROM orders),
+         (SELECT MAX(o_orderstatus) FROM orders)),
+        ('o_totalprice',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_totalprice) FROM orders),
+         (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+         (SELECT printf('%.2f', MIN(o_totalprice)) FROM orders),
+         (SELECT printf('%.2f', MAX(o_totalprice)) FROM orders)),
+        ('o_orderdate',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_orderdate) FROM orders),
+         (SELECT COUNT(DISTINCT o_orderdate) FROM orders),
+         (SELECT strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')
+          FROM orders),
+         (SELECT strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+          FROM orders)),
+        ('o_orderpriority',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) - COUNT(o_orderpriority) FROM orders),
+         (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+         (SELECT MIN(o_orderpriority) FROM orders),
+         (SELECT MAX(o_orderpriority) FROM orders))
+      ) t(col_name, n_rows, n_nulls, n_distinct, min_value, max_value))
+    SELECT col_name, n_rows, n_nulls, n_distinct,
+           min_value, max_value
+    FROM p ORDER BY col_name
+    """,
+    "§2.2 ops: one-pass column profiling (row/null/distinct counts, "
+    "typed min/max serialization) — the data-quality audit primitive; "
+    "every statistic is a partial+final agg over ONE scan",
+)
+
+SPECS["q117_token_cooccurrence"] = QuerySpec(
+    text.token_cooccurrence,
+    """
+    -- replay of document-level co-occurrence mining: distinct tokens
+    -- per doc, canonical t1 < t2 pairs, doc-count support, top-25
+    -- with (count desc, tokens asc) tiebreak.
+    WITH dt AS (SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' ')))
+                           AS t
+                FROM documents)
+    SELECT a.t AS token_a, b.t AS token_b, COUNT(*) AS n_docs
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY a.t, b.t
+    ORDER BY n_docs DESC, token_a, token_b
+    LIMIT 25
+    """,
+    "§2.3 text: top-k token co-occurrence (document-level "
+    "market-basket mining) — set-semantic explode, canonical-ordered "
+    "self-equi-join on doc_id, one pair-keyed hash agg, "
+    "TakeOrderedAndProject",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped
