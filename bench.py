@@ -130,7 +130,24 @@ def main() -> None:
     def _warm(v):
         return v
 
-    spark.range(1024).select(_warm(_F.col("id").cast("double"))).count()
+    # aggregate OVER the UDF output so Catalyst cannot prune it: a bare
+    # select+count let the optimizer drop the unused deterministic UDF
+    # column, planning no ArrowEvalPython node and starting no Python
+    # daemon — the warm-up was a silent no-op and the first pandas-UDF
+    # query still paid the ~2 s cold start (round-4 advisor finding)
+    warm_plan = spark.range(1024).agg(_F.sum(_warm(_F.col("id").cast("double"))))
+    assert "ArrowEvalPython" in warm_plan._jdf.queryExecution().executedPlan().toString(), (
+        "pandas-UDF warm-up was optimized away — Python daemon not warmed"
+    )
+    warm_plan.collect()
+
+    # warm collation codegen too: q111's first run measured ~6× its
+    # warm median (1.34 s vs 0.20) because the first collated
+    # group-by compiles the UTF8_LCASE comparator path
+    spark.sql(
+        "SELECT lower(CAST(c COLLATE UTF8_LCASE AS STRING)), COUNT(*) "
+        "FROM VALUES ('A'),('a') AS t(c) GROUP BY c COLLATE UTF8_LCASE"
+    ).collect()
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}

@@ -630,7 +630,22 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonet_quakes_spark.io import register_views
 
     register_views(spark, sf_dir, ("orders",))
+    # scripting is needed only to PARSE the block below; restore the
+    # prior value so the shared bench/test session doesn't carry the
+    # flag into every later query (the returned DataFrame's plan is
+    # already built by the time spark.sql returns)
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return _sql_script_threshold(spark)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
+
+
+def _sql_script_threshold(spark: SparkSession) -> DataFrame:
     return spark.sql(
         """
         BEGIN

@@ -2485,8 +2485,11 @@ SPECS["q115_graph_triangles"] = QuerySpec(
     dedup.graph_triangles,
     """
     -- triangle census over the SAME pair set as q40/q45's oracles
-    -- (d/e CTEs verbatim); canonical a<b edges make the
-    -- node-iterator 3-way join count each triangle once.
+    -- (d/e CTEs verbatim). Triangle count is orientation-invariant,
+    -- so the oracle keeps the naive canonical a<b 3-way join — the
+    -- Spark side's degree-oriented join must produce the identical
+    -- count (that equivalence IS what this oracle checks); wedges =
+    -- sum over vertices of C(deg, 2).
     WITH d AS (SELECT doc_id, source,
                       list_distinct(string_split(text, ' ')) AS tk
                FROM documents),
@@ -2500,17 +2503,25 @@ SPECS["q115_graph_triangles"] = QuerySpec(
     tri AS (SELECT COUNT(*) AS n_triangles
             FROM e e1 JOIN e e2 ON e2.ea = e1.eb
                       JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
-    ed AS (SELECT COUNT(*) AS n_edges FROM e),
-    vx AS (SELECT COUNT(*) AS n_vertices FROM
-           (SELECT ea AS v FROM e UNION SELECT eb FROM e))
-    SELECT vx.n_vertices, ed.n_edges, tri.n_triangles,
-           ROUND(3.0 * tri.n_triangles / ed.n_edges, 6)
-               AS triangle_edge_ratio
-    FROM vx CROSS JOIN ed CROSS JOIN tri
+    deg AS (SELECT v, COUNT(*) AS deg FROM
+            (SELECT ea AS v FROM e UNION ALL SELECT eb FROM e)
+            GROUP BY v),
+    st AS (SELECT COUNT(*) AS n_vertices,
+                  CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+                  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg)
+    SELECT st.n_vertices, st.n_edges, st.n_wedges, tri.n_triangles,
+           CASE WHEN st.n_wedges > 0
+                THEN ROUND(3.0 * tri.n_triangles / st.n_wedges, 6)
+           END AS global_clustering,
+           ROUND(3.0 * tri.n_triangles / st.n_edges, 6)
+               AS triangles_per_edge
+    FROM st CROSS JOIN tri
     """,
     "§2.3 graph: triangle census of the near-dup graph (dedup-cluster "
-    "density diagnostic) — canonical-ordered node-iterator join, two "
-    "equi-join shuffles, single-row aggregates crossed",
+    "density diagnostic) — DEGREE-ORIENTED node-iterator join "
+    "(wedges Σ out-deg² ≤ O(E^1.5), immune to giant-clique skew) + "
+    "true global clustering coefficient 3·tri/wedges",
 )
 
 SPECS["q116_profile_columns"] = QuerySpec(

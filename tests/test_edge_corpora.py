@@ -383,6 +383,94 @@ def test_edge_events_poisoned_json_yields_nulls(spark, edge_events_dir):
     assert agg["click"]["n"] == 3
 
 
+CLIQUE_N = 200  # one boilerplate near-dup clique (round-4 scale item)
+STAR_LEAVES = 8  # skew probe: hub similar to every leaf, leaves not to each other
+
+
+@pytest.fixture(scope="module")
+def clique_dir(spark, tmp_path_factory) -> str:
+    """Adversarial dedup-graph shapes a real 100 TB corpus always has:
+    a ~200-doc near-identical boilerplate CLIQUE (every pair Jaccard
+    1.0) plus a hub-and-spoke STAR (hub ≥ 0.8-similar to each leaf,
+    leaves pairwise 0.76 < τ — possible because Jaccard is not
+    transitive), plus isolated docs. The clique makes any un-oriented
+    wedge join blow up; the star makes per-vertex deg² blow up at the
+    hub even when triangles are zero."""
+    path = str(tmp_path_factory.mktemp("clique_corpus"))
+    clique_text = " ".join(f"boiler{i}" for i in range(40))
+    hub_toks = [f"star{i}" for i in range(100)]
+    rows = [(i, clique_text, "en", "cliq") for i in range(CLIQUE_N)]
+    rows.append((1000, " ".join(hub_toks), "en", "star"))
+    for j in range(STAR_LEAVES):
+        # leaf j drops a distinct 12-token block: J(hub, leaf) = 88/100
+        # = 0.88 ≥ τ; J(leaf_i, leaf_j) = 76/100 = 0.76 < τ
+        keep = [t for k, t in enumerate(hub_toks) if not (12 * j <= k < 12 * j + 12)]
+        rows.append((1001 + j, " ".join(keep), "en", "star"))
+    rows.append((2000, "an unrelated isolated document", "en", "iso"))
+    rows.append((2001, "another genuinely unique text body", "en", "iso"))
+    rows = [(doc_id, text, lang, source, len(text)) for doc_id, text, lang, source in rows]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_clique_corpus_triangle_census_matches_oracle(spark, clique_dir):
+    """Cross-engine check ON the adversarial shape: the degree-oriented
+    Spark join must produce the identical census to DuckDB's naive
+    canonical 3-way join — closed-form expected values pinned too."""
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{clique_dir}/documents.parquet/*.parquet')"
+    )
+    spec = SPECS["q115_graph_triangles"]
+    s = SPECS["q115_graph_triangles"].fn(spark, clique_dir).collect()[0]
+    d = con.sql(spec.oracle).fetchall()[0]
+    dcols = con.sql(spec.oracle).columns
+    drow = dict(zip(dcols, d))
+    for c in ("n_vertices", "n_edges", "n_wedges", "n_triangles"):
+        assert s[c] == drow[c], (c, s[c], drow[c])
+    n = CLIQUE_N
+    assert s["n_vertices"] == n + 1 + STAR_LEAVES
+    assert s["n_edges"] == n * (n - 1) // 2 + STAR_LEAVES
+    assert s["n_triangles"] == n * (n - 1) * (n - 2) // 6
+    expected_wedges = n * ((n - 1) * (n - 2) // 2) + STAR_LEAVES * (STAR_LEAVES - 1) // 2
+    assert s["n_wedges"] == expected_wedges
+    assert float(s["global_clustering"]) == round(
+        3.0 * s["n_triangles"] / expected_wedges, 6
+    )
+
+
+def test_clique_corpus_orientation_bounds_wedge_work(spark, clique_dir):
+    """THE scale invariant the orientation buys (round-4 finding): the
+    wedge rows the oriented join generates are Σ C(out-deg, 2). On the
+    clique that is exactly C(n,3) — every candidate IS a triangle,
+    zero wasted rows (the un-oriented Σ C(deg,2) form generates 3×
+    that). On the star it is ZERO: the hub is every edge's HEAD (max
+    degree), leaves have out-degree 1 — whereas an un-oriented join
+    pivots C(8,2)=28 dead wedges through the hub. Pinned exactly."""
+    from pyspark.sql import functions as F
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    o = dd.oriented_dedup_edges(spark, clique_dir)
+    out_deg = o.groupBy("src").agg(F.count("*").alias("od"))
+    work = out_deg.agg(
+        F.sum(F.expr("od * (od - 1) div 2")).alias("wedge_rows"),
+        F.max("od").alias("max_out_deg"),
+    ).collect()[0]
+    n = CLIQUE_N
+    assert work["wedge_rows"] == n * (n - 1) * (n - 2) // 6  # == n_triangles
+    # orientation caps out-degree at the clique's chain max (n-1 for
+    # the first vertex in the total order — within one clique the
+    # (deg,id) order is a chain), never the hub's full degree
+    hub_out = o.filter(F.col("src") == 1000).count()
+    assert hub_out == 0  # all 8 star edges point INTO the max-degree hub
+    # star contributes zero wedge rows: every leaf has out-degree 1
+    star_srcs = o.filter(F.col("dst") == 1000).select("src").collect()
+    assert len(star_srcs) == STAR_LEAVES
+
+
 def test_edge_redact_pii_semantics(spark, edge_dir):
     from etl_geonet_quakes_spark.llm import corpus
 
