@@ -471,6 +471,76 @@ def test_clique_corpus_orientation_bounds_wedge_work(spark, clique_dir):
     assert len(star_srcs) == STAR_LEAVES
 
 
+DUP_COPIES = 600  # adversarial: one document repeated 600×
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory) -> str:
+    """Saturated-bucket stress corpus: 600 byte-identical copies of
+    one document (every LSH band-bucket and every ngram size-block
+    holds all 600) plus 30 unique docs. The exact pair contract is
+    C(600,2)=179,700 pairs — the chaining mode must collapse that to
+    599 star pairs without touching the unique docs."""
+    import random
+
+    path = str(tmp_path_factory.mktemp("dup_corpus"))
+    random.seed(7)
+    text = " ".join(f"dup{i}" for i in range(60))
+    rows = [(i, text, "en", "web") for i in range(DUP_COPIES)]
+    for i in range(DUP_COPIES, DUP_COPIES + 30):
+        rows.append(
+            (i, " ".join(f"u{i}w{j}r{random.randrange(10**6)}" for j in range(60)),
+             "en", "web")
+        )
+    rows = [(d, t, lg, s, len(t)) for d, t, lg, s in rows]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(4).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_saturated_bucket_chaining_is_linear_and_verified(spark, dup_dir):
+    """With the cap set, a saturated clique emits exactly n−1 star
+    pairs (linear, rep = min doc_id), every pair still exact-verified
+    at Jaccard 1.0, and the transitive closure over the star equals
+    the closure over the full C(n,2) listing — the cluster result is
+    preserved while the pair volume drops 300×."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    for fn, kw in (
+        (dd.dedup_minhash_lsh, {"threshold": 0.7, "saturated_bucket_cap": 50}),
+        (dd.dedup_ngram_jaccard, {"threshold": 0.8, "saturated_block_cap": 50}),
+    ):
+        rows = fn(spark, dup_dir, **kw).collect()
+        assert len(rows) == DUP_COPIES - 1, (fn.__name__, len(rows))
+        assert all(r["doc_a"] == 0 for r in rows), fn.__name__
+        assert all(r["jaccard"] == 1.0 for r in rows), fn.__name__
+        assert {r["doc_b"] for r in rows} == set(range(1, DUP_COPIES)), fn.__name__
+
+
+def test_saturated_bucket_cap_off_or_unsaturated_is_exact(spark, dup_dir, sf_dir):
+    """Cap semantics: a cap no bucket reaches must produce the
+    byte-identical pair set to exact mode on the real fixture (code
+    path equivalence), and on the dup corpus the default exact mode
+    must still emit the full quadratic listing (the contract q38/q40's
+    oracles pin)."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    exact = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dd.dedup_minhash_lsh(spark, sf_dir).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in dd.dedup_minhash_lsh(spark, sf_dir, saturated_bucket_cap=10**9).collect()}
+    assert exact == capped
+    exact_ng = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                for r in dd.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    capped_ng = {(r["doc_a"], r["doc_b"], r["jaccard"])
+                 for r in dd.dedup_ngram_jaccard(spark, sf_dir, saturated_block_cap=10**9).collect()}
+    assert exact_ng == capped_ng
+    # exact mode on the clique: the full quadratic listing
+    n_exact = dd.dedup_ngram_jaccard(spark, dup_dir).count()
+    assert n_exact == DUP_COPIES * (DUP_COPIES - 1) // 2 + 0
+
+
 def test_edge_redact_pii_semantics(spark, edge_dir):
     from etl_geonet_quakes_spark.llm import corpus
 
