@@ -96,6 +96,9 @@ HEADLINE = [
     "q115_graph_triangles",
     "q116_profile_columns",
     "q117_token_cooccurrence",
+    # New in round 5: iterative k-means centroid training (5 Lloyd
+    # rounds, driver-state loop).
+    "q118_kmeans_train",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

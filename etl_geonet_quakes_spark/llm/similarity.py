@@ -350,6 +350,89 @@ def kmeans_step(spark: SparkSession, sf_dir: str, n_cells: int = 8) -> DataFrame
     )
 
 
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8, n_iters: int = 5
+) -> DataFrame:
+    """k-means training: ``n_iters`` Lloyd iterations from the seeded
+    centroids — the trainer q21's docstring promises ("k-means
+    centroids trained offline"), closing the one seeded-constants gap
+    in the ANN story. kmeans_step (q102) is this loop's body run
+    once; here the loop actually iterates, with the refreshed
+    centroids fed back as next-round literals.
+
+    Distributed shape (the CC-loop pattern, cluster_labels): each
+    round is one independent Spark job — Arrow-matmul assignment
+    (argmax dot ≡ argmin distance for these centroids, deterministic
+    cell tiebreak) → posexplode → (cell, dim)-keyed partial+final
+    avg — and the ONLY driver-side state is the n_cells×dim centroid
+    matrix (512 doubles; the analog of the CC loop's convergence
+    count). No checkpointing is needed, unlike CC: the iteration
+    state lives on the driver, so every round's lineage starts at
+    the parquet scan — lineage never grows. At 100 TB each round is
+    a scan + one tiny-keyed agg; the shuffle carries n_cells·dim
+    aggregate cells, never vectors.
+
+    A FIXED iteration count (not a tolerance stop) is the contract:
+    it makes the result replayable by a non-iterative engine — the
+    DuckDB oracle unrolls exactly n_iters assign→update rounds as
+    CTEs and must hash-match. Convergence is still verified:
+    tests/test_llm_ops.py pins the per-round centroid shift trajectory
+    (strictly decreasing, final shift ≲ 1e-2 on every fixture sf)
+    against an independent numpy replay, plus the non-empty-cell
+    invariant. Per-round means are rounded to 6dp BEFORE feeding the
+    next round (both engines see identical literals, so cross-engine
+    float drift cannot compound across rounds); empty cells carry
+    their previous centroid unrounded.
+
+    Emits (cell, dim, c_trained, n_members) — the trained centroid
+    matrix in long form after the final update."""
+    dim = DIM
+    cents = [[float(x) for x in c] for c in _centroids(n_cells)]
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+
+    def round_means(cur: list[list[float]]) -> DataFrame:
+        corpus = e.withColumn(
+            "cell", F.array_min(_cell_scores(F.col("v"), cur))["cell"]
+        )
+        ex = corpus.select("cell", F.posexplode("v").alias("dim", "x"))
+        return ex.groupBy("cell", "dim").agg(
+            F.count("*").alias("n"), F.round(F.avg("x"), 6).alias("c")
+        )
+
+    # rounds 1..n_iters-1 update driver-side state; the FINAL round
+    # stays a plan so the returned DataFrame computes distributed
+    for _ in range(n_iters - 1):
+        got = {
+            (r["cell"], r["dim"]): r["c"] for r in round_means(cents).collect()
+        }
+        cents = [
+            [got.get((ci, di), cents[ci][di]) for di in range(dim)]
+            for ci in range(n_cells)
+        ]
+
+    grid = spark.createDataFrame(
+        [(ci, di, cents[ci][di]) for ci in range(n_cells) for di in range(dim)],
+        "cell int, dim int, carry double",
+    )
+    # the means side is ≤ n_cells·dim aggregate rows — broadcast it
+    # (the RIGHT side of the left-outer, the side Spark can broadcast)
+    m = F.broadcast(round_means(cents))
+    return (
+        grid.join(m, ["cell", "dim"], "left")
+        .select(
+            "cell",
+            "dim",
+            F.round(F.coalesce(F.col("c"), F.col("carry")), 6).alias("c_trained"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_members"),
+        )
+        .orderBy("cell", "dim")
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the
     compression step a 100 TB vector corpus runs before ANN serving

@@ -282,6 +282,72 @@ WHERE rnk <= {k} ORDER BY query_id, rnk
 """
 
 
+def _kmeans_train_oracle(n_cells: int = 8, n_iters: int = 5) -> str:
+    """DuckDB replay of similarity.kmeans_train: the seeded centroids
+    are inlined as literals, then exactly ``n_iters`` Lloyd rounds are
+    UNROLLED as CTE pairs (assignment by max dot / min cell tiebreak →
+    per-(cell,dim) mean) — the fixed-iteration contract is what makes
+    an iterative trainer replayable by a non-iterative engine. Means
+    are rounded to 6dp before the next round on both engines, so
+    cross-engine float drift cannot compound; empty cells carry the
+    previous centroid unrounded (COALESCE over the prior grid)."""
+    from etl_geonet_quakes_spark.llm.similarity import _centroids
+
+    cents = _centroids(n_cells)
+    c0 = ",\n           ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+     c0(cell, c) AS (SELECT * FROM (VALUES
+           {c0}) t(cell, c))"""
+    ]
+    for r in range(1, n_iters + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f""",
+     a{r} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, k.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY -list_dot_product(e.v, k.c), k.cell) AS rn
+            FROM e CROSS JOIN {prev} k) WHERE rn = 1),
+     m{r} AS (
+        SELECT cell, dim, ROUND(AVG(x), 6) AS c, COUNT(*) AS n
+        FROM (SELECT cell,
+                     CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim,
+                     unnest(v) AS x
+              FROM a{r})
+        GROUP BY cell, dim),
+     g{r} AS (
+        SELECT cell, CAST(generate_subscripts(c, 1) - 1 AS INTEGER) AS dim,
+               unnest(c) AS x
+        FROM {prev})"""
+        )
+        if r < n_iters:
+            parts.append(
+                f""",
+     c{r}(cell, c) AS (
+        SELECT g.cell, list(COALESCE(m.c, g.x) ORDER BY g.dim)
+        FROM g{r} g LEFT JOIN m{r} m USING (cell, dim)
+        GROUP BY g.cell)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(g.cell AS INTEGER) AS cell, CAST(g.dim AS INTEGER) AS dim,
+       ROUND(COALESCE(m.c, g.x), 6) AS c_trained,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members
+FROM g{n_iters} g LEFT JOIN m{n_iters} m USING (cell, dim)
+ORDER BY cell, dim
+"""
+    )
+    return "".join(parts)
+
+
 def _lsh_ann_oracle(
     n_queries: int = 5, k: int = 5, n_bits: int = 6, n_tables: int = 6
 ) -> str:
@@ -2600,6 +2666,17 @@ SPECS["q117_token_cooccurrence"] = QuerySpec(
     "market-basket mining) — set-semantic explode, canonical-ordered "
     "self-equi-join on doc_id, one pair-keyed hash agg, "
     "TakeOrderedAndProject",
+)
+
+SPECS["q118_kmeans_train"] = QuerySpec(
+    similarity.kmeans_train,
+    _kmeans_train_oracle(),
+    "§2.3 similarity: k-means centroid TRAINING — a driver-orchestrated "
+    "Lloyd loop (Arrow-matmul assignment → (cell,dim)-keyed "
+    "partial+final mean per round, 512-double driver state, lineage "
+    "restarts at the scan each round); fixed n_iters=5 contract so the "
+    "oracle unrolls the same rounds as CTEs; closes q21's "
+    "seeded-constants gap",
 )
 
 # transformWithStateInPandas (streaming/windows.py::

@@ -158,6 +158,55 @@ def test_ivf_cell_score_margins_dwarf_float_error():
             )
 
 
+def test_kmeans_train_converges_and_matches_numpy(spark, sf_dir):
+    """Independent ground-truth anchor for q118 (beyond the DuckDB
+    oracle): an in-process numpy replay of the same 5 Lloyd rounds
+    must land on the same trained centroids, the per-round max
+    centroid shift must collapse after round 1 and end small
+    (convergence), every cell must stay non-empty on the fixtures,
+    and every round's argmin decision gap must dwarf float error so
+    the cross-engine assignment can never flip (measured trajectories:
+    shift 0.34→0.012 over 5 rounds; min gap 1.2e-6 vs 1.5e-11 bound)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    n_cells, n_iters = 8, 5
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    v = v[np.linalg.norm(v, axis=1) > 0]
+    cents = np.asarray(similarity._centroids(n_cells), dtype=np.float64)
+    err_bound = 64 * np.finfo(np.float64).eps * 64 * 16
+    shifts = []
+    counts = None
+    for _ in range(n_iters):
+        scores = -(v @ cents.T)
+        srt = np.sort(scores, axis=1)
+        assert (srt[:, 1] - srt[:, 0]).min() > 1e4 * err_bound
+        assign = np.argmin(scores, axis=1)  # first occurrence = min cell
+        new = cents.copy()
+        counts = [int((assign == c).sum()) for c in range(n_cells)]
+        assert min(counts) > 0, "empty cell on fixture corpus"
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                new[c] = np.round(v[m].mean(axis=0), 6)
+        shifts.append(float(np.abs(new - cents).max()))
+        cents = new
+    assert shifts[0] > 10 * shifts[-1], shifts  # round 1 does the big move
+    assert shifts[-1] < 0.05, shifts  # settled
+    rows = similarity.kmeans_train(spark, sf_dir, n_cells, n_iters).collect()
+    assert len(rows) == n_cells * 64
+    got = np.zeros((n_cells, 64))
+    n_by_cell = {}
+    for r in rows:
+        got[r["cell"], r["dim"]] = r["c_trained"]
+        n_by_cell[r["cell"]] = r["n_members"]
+    # 2e-6 absorbs a 6dp rounding-boundary flip from avg fold order
+    assert np.abs(got - cents).max() < 2e-6
+    assert [n_by_cell[c] for c in range(n_cells)] == counts
+    assert sum(counts) == len(v)
+
+
 def test_winnow_fingerprint_invariants(spark, sf_dir):
     """Winnowing guarantees (SIGMOD'03): fingerprints are a subset of
     shingle hashes, nonempty for docs with >= k+w-1 tokens, and the
