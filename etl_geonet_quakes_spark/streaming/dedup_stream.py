@@ -1,0 +1,204 @@
+"""Incremental (streaming) MinHash-LSH dedup.
+
+The reference's schedule-tick contract re-fetches the world every 30 s
+and upserts by key (task.ts:142-143, 195-203); ``SnapshotDiffSink``
+re-expresses that as snapshot diffs. This module is the same
+incremental contract applied to CORPUS dedup: documents arrive in
+micro-batches, and each batch must be deduplicated against everything
+already seen WITHOUT re-running the full-corpus pair join.
+
+State is a parquet band-bucket index (doc_id, band, bucket) plus the
+doc texts needed by the verify tier — both append-only (a micro-batch
+only ever ADDS documents; at cluster scale the bucket index would be
+a table partitioned by bucket, so each batch's probe prunes to the
+buckets it touches). Per batch the work is:
+
+1. signature/banding for the BATCH only (``band_buckets`` — the exact
+   stage batch q38 runs, so batch ≡ incremental bit-for-bit);
+2. candidates = batch buckets ⋈ (index ∪ batch buckets) on
+   (band, bucket) — new-vs-old and new-vs-new in one equi-join,
+   canonicalized to doc_a < doc_b;
+3. exact string-shingle Jaccard verify on candidates only (same
+   verify tier as batch);
+4. append batch buckets + texts to state.
+
+Every pair of the full corpus is emitted exactly once — at the batch
+where its LATER member arrives — so the union of per-batch outputs
+equals the one-shot batch pair set (pinned by
+tests/test_quake_stream.py-style equivalence in test_llm_ops.py).
+
+Scale shape: per-batch cost is |batch| signatures + an equi-join
+whose left side is batch-sized; the accumulated index is touched only
+on the (band, bucket) keys the batch populates. The scratch-parquet
+materialization before state append mirrors ``SnapshotDiffSink``
+(quakes/sink.py): break lineage durably BEFORE mutating the state the
+lazy result reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.llm.dedup import band_buckets, shingles_str
+
+_BUCKET_SCHEMA = "doc_id long, band int, bucket long"
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+class StreamingMinHashIndex:
+    """Incremental LSH dedup state over micro-batches of documents.
+
+    ``process_batch(batch_df)`` ingests one micro-batch of
+    (doc_id, text) rows (doc_ids unique across the stream — the
+    upsert-key contract) and returns the VERIFIED near-dup pairs that
+    involve at least one batch document, materialized to scratch
+    parquet so the result survives the state append. ``foreach_batch``
+    adapts it to ``writeStream.foreachBatch``.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        n_hashes: int = 24,
+        bands: int = 12,
+        threshold: float = 0.7,
+    ) -> None:
+        self.state_dir = state_dir
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.threshold = threshold
+        self._buckets_path = os.path.join(state_dir, "bucket_index")
+        self._docs_path = os.path.join(state_dir, "doc_store")
+        self._seq = 0
+
+    def _state(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.schema(schema).parquet(path)
+        except Exception:  # first batch: empty state
+            return spark.createDataFrame([], schema)
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        spark = batch_df.sparkSession
+        new_docs = batch_df.select("doc_id", "text")
+        nb = band_buckets(new_docs, self.n_hashes, self.bands)
+        old_b = self._state(spark, self._buckets_path, _BUCKET_SCHEMA)
+        old_docs = self._state(spark, self._docs_path, _DOC_SCHEMA)
+
+        # one equi-join covers new-vs-old AND new-vs-new: the right
+        # side is the union index. a.doc_id != b.doc_id plus
+        # least/greatest canonicalization counts each unordered pair
+        # once after dropDuplicates (a new-new pair matches from both
+        # sides; a new-old pair from one).
+        a = nb.alias("a")
+        b = old_b.unionByName(nb).alias("b")
+        cand_ids = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        # verify tier — identical to batch q38: string shingles of the
+        # candidate docs only, exact Jaccard, threshold filter. The
+        # candidate side is batch-bounded, so broadcast it.
+        all_docs = old_docs.unionByName(new_docs)
+        cand_doc_ids = F.broadcast(
+            cand_ids.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            ).distinct()
+        )
+        toks_small = F.broadcast(
+            all_docs.join(cand_doc_ids, "doc_id").select(
+                "doc_id", shingles_str(F.col("text")).alias("toks")
+            )
+        )
+        cand = cand_ids.join(
+            toks_small.select(
+                F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+            ),
+            "doc_a",
+        ).join(
+            toks_small.select(
+                F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+            ),
+            "doc_b",
+        )
+        jac = (
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b"))
+        )
+        pairs = cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= self.threshold
+        )
+
+        # materialize the result BEFORE appending state (the lazy plan
+        # reads the doc store; appending first would double-read the
+        # batch docs into their own verify join) — SnapshotDiffSink's
+        # scratch pattern, unique path per batch
+        self._seq += 1
+        scratch = os.path.join(self.state_dir, f"_pairs_scratch_{self._seq:06d}")
+        pairs.write.mode("overwrite").parquet(scratch)
+        nb.write.mode("append").parquet(self._buckets_path)
+        new_docs.write.mode("append").parquet(self._docs_path)
+        return spark.read.parquet(scratch)
+
+    def foreach_batch(self, handler=None):
+        """Adapter: ``writeStream.foreachBatch(idx.foreach_batch(fn))``
+        with ``fn(pairs_rows, epoch_id)`` receiving the batch's
+        verified pairs as collected rows (pair volume is bounded by
+        the batch's true near-dups — tiny by construction)."""
+
+        def run(batch_df: DataFrame, epoch_id: int) -> None:
+            out = self.process_batch(batch_df)
+            if handler is not None:
+                handler(out.collect(), epoch_id)
+
+        return run
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    n_hashes: int = 24,
+    bands: int = 12,
+    threshold: float = 0.7,
+    pair_handler=None,
+) -> list[int]:
+    """Drive the incremental index from a parquet file stream — one
+    document file per micro-batch (``maxFilesPerTrigger=1``, arrival
+    order), the run_quake_stream shape with the dedup index as the
+    stateful sink. Returns processed epoch ids;
+    ``pair_handler(pairs_rows, epoch)`` receives each batch's verified
+    near-dup pairs. At production scale the file source swaps for
+    Kafka without touching the index — foreachBatch isolates it."""
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    idx = StreamingMinHashIndex(state_dir, n_hashes, bands, threshold)
+    inner = idx.foreach_batch(pair_handler)
+    epochs: list[int] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        inner(batch_df, epoch_id)
+        epochs.append(epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return epochs

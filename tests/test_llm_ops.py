@@ -207,6 +207,80 @@ def test_kmeans_train_converges_and_matches_numpy(spark, sf_dir):
     assert sum(counts) == len(v)
 
 
+def test_streaming_minhash_equals_batch_pairs(spark, sf_dir, tmp_path):
+    """Batch ≡ incremental: three micro-batches through the streaming
+    band-bucket index must union to EXACTLY the one-shot q38 pair set
+    (ids and jaccard values), with every pair emitted exactly once —
+    at the batch where its later member arrives."""
+    from etl_geonet_quakes_spark.llm import dedup
+    from etl_geonet_quakes_spark.streaming.dedup_stream import StreamingMinHashIndex
+
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert batch_pairs, "fixture must contain near-dups"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    idx = StreamingMinHashIndex(str(tmp_path / "state"))
+    got: set = set()
+    n_emitted = 0
+    for lo, hi in ((0, 150), (150, 320), (320, 10**9)):
+        out = idx.process_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        ).collect()
+        n_emitted += len(out)
+        got |= {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out}
+    assert got == batch_pairs
+    assert n_emitted == len(got), "a pair was emitted in more than one batch"
+
+
+def test_streaming_minhash_file_stream_drive(spark, sf_dir, tmp_path):
+    """The same equivalence through a REAL file stream: one parquet
+    file per micro-batch (availableNow + maxFilesPerTrigger=1),
+    foreachBatch feeding the incremental index — the reference's
+    schedule-tick contract (task.ts:142-143) at corpus scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_geonet_quakes_spark.llm import dedup
+    from etl_geonet_quakes_spark.streaming.dedup_stream import run_dedup_stream
+
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    thirds = [docs[i::3] for i in range(3)]
+    for i, chunk in enumerate(thirds):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                }
+            ),
+            str(feed / f"b{i}.parquet"),
+        )
+    emitted = []
+    epochs = run_dedup_stream(
+        spark,
+        str(feed),
+        str(tmp_path / "sstate"),
+        pair_handler=lambda rows, epoch: emitted.append((epoch, rows)),
+    )
+    assert len(epochs) == 3, "maxFilesPerTrigger=1 must yield one batch per file"
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for _, rows in emitted for r in rows
+    }
+    assert got == batch_pairs
+
+
 def test_winnow_fingerprint_invariants(spark, sf_dir):
     """Winnowing guarantees (SIGMOD'03): fingerprints are a subset of
     shingle hashes, nonempty for docs with >= k+w-1 tokens, and the
