@@ -424,3 +424,147 @@ def token_cooccurrence(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFra
         .orderBy(F.col("n_docs").desc(), "token_a", "token_b")
         .limit(k)
     )
+
+
+def heavy_hitters(
+    spark: SparkSession, sf_dir: str, phi_inv: int = 5000, depth: int = 4
+) -> DataFrame:
+    """φ-heavy hitters over 3-gram shingle occurrences via a
+    count-min-sketch prefilter + exact confirm (Cormode & Muthukrishnan
+    2005). Emits every shingle whose occurrence count ≥ total/φ_inv,
+    with its EXACT count — the output is exact, the sketch only bounds
+    the work.
+
+    The 100 TB shape, stage by stage:
+
+    1. **Sketch build** — every occurrence maps to ``depth`` (d,
+       bucket) cells (xxhash64 re-seeded per row); a hash agg reduces
+       the stream to ≤ depth × width counter rows (width = ⌈2e·φ_inv⌉,
+       i.e. ε = φ/2, so a key with zero true count has expected
+       overcount total/width < threshold/e). Partial aggregation means
+       the shuffle carries counters, never occurrences.
+    2. **Candidate generation** — per distinct key, est = min over d
+       of its counters, via an equi-join against the BROADCAST sketch
+       (the sketch is tiny by construction — that is its point).
+       CMS never underestimates, so every true heavy hitter survives:
+       zero false negatives, provably.
+    3. **Exact confirm** — only candidates (≲ 1/φ heavy buckets worth)
+       are re-counted exactly via a broadcast semi-join on the
+       occurrence stream; false positives die here.
+
+    So the full-vocabulary count table (the thing that at 100 TB has
+    billions of distinct keys and dominates the naive plan's shuffle)
+    is never materialized wider than (distinct keys → depth rows →
+    min-agg); the only exact count is over the tiny candidate set.
+    The integer compare cnt·φ_inv ≥ total avoids any float threshold
+    boundary. Oracle = plain frequency filter (valid precisely
+    because the sketch tier has no false negatives and the confirm
+    tier no false positives). No reference analog; north-star
+    corpus-statistics surface.
+    """
+    import math
+
+    width = math.ceil(2 * math.e * phi_inv)
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    occ = (
+        d.filter(F.size(toks) >= 3)
+        .select(F.explode(ngram_join(toks, 3)).alias("s"))
+    )
+    totals = occ.agg(F.count("*").alias("total"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(F.col("s"), F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    sketch = (
+        occ.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    est = (
+        occ.select("s")
+        .distinct()
+        .select("s", F.explode(cells).alias("c"))
+        .join(F.broadcast(sketch), (F.col("c.d") == F.col("d")) & (F.col("c.bucket") == F.col("bucket")))
+        .groupBy("s")
+        .agg(F.min("cnt").alias("est"))
+    )
+    candidates = (
+        est.crossJoin(F.broadcast(totals))
+        .filter(F.col("est") * phi_inv >= F.col("total"))
+        .select("s")
+    )
+    return (
+        occ.join(F.broadcast(candidates), "s")
+        .groupBy("s")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n_occurrences") * phi_inv >= F.col("total"))
+        .select(
+            F.col("s").alias("shingle"),
+            "n_occurrences",
+            F.col("total").alias("total_shingles"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "shingle")
+    )
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1), fixture-calibrated: minimum word count,
+    mean-word-length band, unique-token ratio (the repetition gate),
+    and a stop-word-presence check. Emits per-doc rule verdicts plus
+    the conjunction — the filter a 100 TB pretraining pipeline runs
+    FIRST, because it is a pure map (one scan, zero shuffles beyond
+    the final tiny sort, every rule whole-stage-codegen'd column
+    algebra).
+
+    Every threshold compare is INTEGER arithmetic (sum_len ≥ 4·n_words
+    instead of mean ≥ 4.0, 5·n_uniq ≥ 2·n_words instead of ratio ≥
+    0.4), so no float boundary can flip a verdict cross-engine; the
+    reported means/ratios are rounded to 6dp for display only. The
+    stop-word list {'the','a'} is the fixture vocabulary's function-
+    word subset (a real run uses the standard English list — the plan
+    shape is identical). No reference analog; north-star surface.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_len"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.array_contains(tk, "the").alias("has_the"),
+        F.array_contains(tk, "a").alias("has_a"),
+    )
+    r_min_words = (F.col("n_words") >= 30).cast("int")
+    r_word_len = (
+        (F.col("sum_len") >= 4 * F.col("n_words"))
+        & (F.col("sum_len") <= 5 * F.col("n_words"))
+    ).cast("int")
+    r_unique = (5 * F.col("n_uniq") >= 2 * F.col("n_words")).cast("int")
+    r_stopwords = (F.col("has_the") & F.col("has_a")).cast("int")
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_len").cast("double") / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_uniq").cast("double") / F.col("n_words"), 6).alias(
+            "uniq_ratio"
+        ),
+        r_min_words.alias("r_min_words"),
+        r_word_len.alias("r_word_len"),
+        r_unique.alias("r_unique"),
+        r_stopwords.alias("r_stopwords"),
+        (r_min_words * r_word_len * r_unique * r_stopwords).alias("pass_all"),
+    ).orderBy("doc_id")

@@ -2679,6 +2679,112 @@ SPECS["q118_kmeans_train"] = QuerySpec(
     "seeded-constants gap",
 )
 
+def _semdedup_oracle(n_cells: int = 8, threshold: float = 0.4) -> str:
+    """DuckDB replay of dedup.dedup_semantic: seeded centroids inlined
+    as literals, nearest-cell assignment by max dot (min negdot, cell
+    tiebreak — the q21 convention), within-cell pair join with cosine
+    rounded to 6dp BEFORE the τ compare (same as the Spark side; the
+    fixture's |cos − τ| margin is pinned ~500× above the quantum by
+    tests/test_llm_ops.py)."""
+    from etl_geonet_quakes_spark.llm.similarity import _centroids
+
+    cents = _centroids(n_cells)
+    c0 = ",\n           ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+     cents(cell, c) AS (SELECT * FROM (VALUES
+           {c0}) t(cell, c)),
+     scored AS (SELECT vec_id, v, cell,
+                       -list_dot_product(v, c) AS nd
+                FROM e CROSS JOIN cents),
+     assign AS (SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY nd, cell) AS rn
+            FROM scored) WHERE rn = 1),
+     dropped AS (SELECT DISTINCT b.vec_id
+                 FROM assign a JOIN assign b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 WHERE ROUND(list_dot_product(a.v, b.v)
+                       / (SQRT(list_dot_product(a.v, a.v))
+                          * SQRT(list_dot_product(b.v, b.v))), 6)
+                       >= {threshold})
+SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
+SPECS["q119_dedup_semantic"] = QuerySpec(
+    dedup.dedup_semantic,
+    _semdedup_oracle(),
+    "§2.3 near-dup: SemDeDup semantic dedup (arXiv:2303.09540) — "
+    "coarse-quantizer cell assignment (Arrow-matmul, the IVF map pass) "
+    "bounds pair work to Σ|cell|²; within-cell cosine prune keeps the "
+    "lowest id; cell is the shuffle key throughout",
+)
+
+SPECS["q120_heavy_hitters"] = QuerySpec(
+    text.heavy_hitters,
+    """
+    -- exact φ-heavy-hitter set: valid as the oracle because the CMS
+    -- tier provably has no false negatives (min of counters never
+    -- underestimates) and the exact-confirm tier no false positives.
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         sh AS (SELECT unnest(list_transform(range(0, len(toks) - 2),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+                FROM t WHERE len(toks) >= 3),
+         tot AS (SELECT COUNT(*) AS total FROM sh),
+         c AS (SELECT s, COUNT(*) AS n FROM sh GROUP BY s)
+    SELECT s AS shingle, n AS n_occurrences, total AS total_shingles
+    FROM c, tot WHERE n * 5000 >= total
+    ORDER BY n_occurrences DESC, shingle
+    """,
+    "§2.3 corpus stats: φ-heavy hitters via count-min-sketch prefilter "
+    "+ exact confirm — the shuffle carries ≤ depth×width counters, "
+    "never the vocabulary; integer threshold compare",
+)
+
+SPECS["q121_gopher_quality"] = QuerySpec(
+    text.gopher_quality,
+    """
+    -- Gopher rule replay; every verdict compare is integer arithmetic
+    -- (sum_len vs 4·n_words etc.), floats are display-only (6dp).
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         b AS (SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_words,
+                      CAST(list_sum(list_transform(toks,
+                           x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sum_len,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                      list_contains(toks, 'the') AS has_the,
+                      list_contains(toks, 'a') AS has_a
+               FROM t)
+    SELECT doc_id, n_words,
+           ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_ratio,
+           CAST(n_words >= 30 AS INTEGER) AS r_min_words,
+           CAST(sum_len >= 4 * n_words AND sum_len <= 5 * n_words
+                AS INTEGER) AS r_word_len,
+           CAST(5 * n_uniq >= 2 * n_words AS INTEGER) AS r_unique,
+           CAST(has_the AND has_a AS INTEGER) AS r_stopwords,
+           CAST(n_words >= 30 AS INTEGER)
+             * CAST(sum_len >= 4 * n_words AND sum_len <= 5 * n_words
+                    AS INTEGER)
+             * CAST(5 * n_uniq >= 2 * n_words AS INTEGER)
+             * CAST(has_the AND has_a AS INTEGER) AS pass_all
+    FROM b ORDER BY doc_id
+    """,
+    "§2.3 text quality: Gopher document-quality rules "
+    "(arXiv:2112.11446 §A.1.1) — pure map, zero shuffles, "
+    "integer-arithmetic verdicts immune to float boundaries",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

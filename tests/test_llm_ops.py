@@ -956,3 +956,128 @@ def test_triangle_census_bounds(spark, sf_dir):
     assert 0.0 <= r["global_clustering"] <= 1.0
     assert abs(r["global_clustering"] - round(3.0 * r["n_triangles"] / r["n_wedges"], 6)) < 1e-12
     assert abs(r["triangles_per_edge"] - round(3.0 * r["n_triangles"] / r["n_edges"], 6)) < 1e-12
+
+
+def test_semdedup_margins_dwarf_float_error():
+    """q119's keep/drop verdicts sit on two float boundaries: the
+    argmin cell assignment (numpy matmul, BLAS-order-dependent) and
+    the round-to-6dp cosine vs τ=0.4 compare. Both are inside an
+    oracle-hash-checked entry, so pin each margin far above its error
+    scale at every sf, q21-style."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cents = np.asarray(similarity._centroids(8), dtype=np.float64)
+    err_bound = 64 * np.finfo(np.float64).eps * 64 * 16
+    for sf in ("0.001", "0.01", "0.1"):
+        tbl = pq.read_table(
+            f"/root/testdata/sf{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        v = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        v = v[np.linalg.norm(v, axis=1) > 0]
+        scores = np.sort(-(v @ cents.T), axis=1)
+        argmin_gap = float((scores[:, 1] - scores[:, 0]).min())
+        assert argmin_gap > 1e4 * err_bound, (sf, argmin_gap)
+        # threshold margin: every within-cell pair cosine stays clear
+        # of τ by orders of magnitude more than cross-engine fold
+        # drift (both engines fold the dot left-to-right in double —
+        # worst-case reorder error ~1e-13 — and round to 6dp before
+        # comparing, so only a cosine within ~1e-13 of a 6dp rounding
+        # boundary ADJACENT to τ could flip). Measured floors:
+        # 5.6e-4 (sf0.001), 5.2e-4 (sf0.01), 2.5e-5 (sf0.1) — the
+        # tightest is still ~8 orders above the drift bound.
+        cells = (v @ cents.T).argmax(1)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        margins = []
+        for c in range(8):
+            m = vn[cells == c]
+            if len(m) < 2:
+                continue
+            cos = (m @ m.T)[np.triu_indices(len(m), 1)]
+            margins.append(np.abs(cos - 0.4).min())
+        assert min(margins) > 1e-5, (sf, min(margins))
+
+
+def test_semdedup_keeps_canonical_and_covers_corpus(spark, sf_dir):
+    """Structural invariants: exactly one row per non-zero-norm vector;
+    every dropped vector has a kept-or-dropped lower-id cell-mate with
+    cosine ≥ τ; the lowest id of every cell is always kept."""
+    from etl_geonet_quakes_spark.llm.dedup import dedup_semantic
+
+    rows = dedup_semantic(spark, sf_dir).collect()
+    n_nonzero = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0
+        )
+        .count()
+    )
+    assert len(rows) == n_nonzero
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(m["vec_id"] for m in members)
+        assert next(m for m in members if m["vec_id"] == lowest)["keep"] == 1, cell
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The provable count-min invariant q120's oracle validity rests
+    on: for EVERY distinct shingle, the sketch estimate (min over
+    depth counters) is ≥ its exact count — so thresholding estimates
+    can only admit false positives, which the exact-confirm tier then
+    removes. Replays the sketch with the same hashes and checks all
+    ~16k keys."""
+    from etl_geonet_quakes_spark.llm.text import heavy_hitters, ngram_join, tokens
+
+    import math
+
+    phi_inv, depth = 5000, 4
+    width = math.ceil(2 * math.e * phi_inv)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    occ = d.filter(F.size(toks) >= 3).select(
+        F.explode(ngram_join(toks, 3)).alias("s")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(F.col("s"), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    sketch = (
+        occ.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = occ.groupBy("s").agg(F.count("*").alias("n"))
+    est = (
+        exact.select("s", "n", F.explode(cells).alias("c"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("c.d") == F.col("d")) & (F.col("c.bucket") == F.col("bucket")),
+        )
+        .groupBy("s", "n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("n")).count()
+    assert bad == 0
+    # and the operator's output is exactly the true heavy-hitter set
+    total = occ.count()
+    true_hh = {
+        r["s"]: r["n"]
+        for r in exact.filter(F.col("n") * phi_inv >= F.lit(total)).collect()
+    }
+    got = {r["shingle"]: r["n_occurrences"] for r in heavy_hitters(spark, sf_dir).collect()}
+    assert got == true_hh
