@@ -422,3 +422,57 @@ def weighted_sample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based source mixture sampling (the multinomial
+    reweighting of Lample & Conneau 2019 / XLM-R, arXiv:1911.02116
+    §3): resample so source s's share follows n_s^α instead of n_s —
+    α<1 upweights small sources against boilerplate-heavy giants. The
+    per-row keep rate is r_s = (n_min/n_s)^(1−α) (∝ n_s^(α−1),
+    normalized so the SMALLEST source keeps everything), which needs
+    no cross-source sum: n_min comes from a MIN aggregate, so the
+    rate is one division + one pow — bit-identical cross-engine,
+    unlike a Σ n_t^α denominator whose float summation order is
+    engine- and partitioning-dependent.
+
+    Selection is a deterministic hash gate, not rand(): keep iff
+    h(doc_id) < r_s with h = (doc_id·2654435761 mod 2³²)/2³² (Knuth
+    multiplicative hashing — exact integer arithmetic both engines,
+    BIGINT-safe for doc_id < 2³²). Deterministic sampling is the
+    100 TB requirement: re-runs, retries, and the train/holdout split
+    must all see the same sample (same argument as q100's A-ES
+    sampling). The h-vs-rate margin is pinned >> double error by a
+    test. Plan: count agg → single-row MIN cross (broadcast) →
+    broadcast rate join on source → scan-side filter; the corpus
+    never shuffles. No reference analog; north-star surface."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    nmin = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n_s",
+        F.pow(
+            F.col("n_min").cast("double") / F.col("n_s").cast("double"),
+            F.lit(1.0 - alpha),
+        ).alias("r_s"),
+    )
+    h = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast(
+            "double"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(h < F.col("r_s"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_s").alias("n_source"),
+            F.round("r_s", 6).alias("keep_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1821,3 +1821,83 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c.*")
         .orderBy("col_name")
     )
+
+
+def ewma_anomaly(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3, band: float = 150.0
+) -> DataFrame:
+    """Per-user EWMA smoothing + prediction-residual anomaly flag —
+    the streaming-adjacent drift detector (metric monitoring, fraud
+    scoring) that a window frame CANNOT express: the EWMA recursion
+    ewma_i = α·x_i + (1−α)·ewma_{i−1} references its own previous
+    OUTPUT, not previous inputs, so it needs per-key sequential state.
+    The Spark-native home for that is applyInPandas keyed by user_id
+    (at true streaming scale, applyInPandasWithState — same body):
+    each user's series arrives as one Arrow batch, the recursion runs
+    in-batch, and nothing about the operator limits parallelism
+    across keys. A per-key time sort inside the group replaces any
+    global sort.
+
+    The residual is value_i − ewma_{i−1} (the one-step-ahead
+    prediction error — NULL at each user's first event), flagged when
+    |round(resid, 6)| > band.
+
+    Cross-engine exactness: the recursion is implemented as the SAME
+    IEEE expression on both sides — α·x + (1 − α)·prev, α cast to
+    double, same association order — so every intermediate ewma is
+    bit-identical to the DuckDB recursive-CTE replay WITHOUT
+    intermediate rounding (outputs rounded to 6dp for display; the
+    flag compares the rounded residual, and the fixture's minimum
+    |‖resid‖ − band| margin ≈ 4e-3 is pinned >> the 1e-6 quantum by a
+    test). Ordering within a user is (ts, event_id) — the unique
+    tiebreak that makes the successor deterministic (q106
+    convention). No reference analog; north-star telemetry surface.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    a = float(alpha)
+    b = float(band)
+
+    def run(pdf):
+        # self-contained closure (foreign-cwd executor contract)
+        import pandas as _pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        xs = pdf["value"].tolist()
+        ewma, resid = [], []
+        prev = None
+        for x in xs:
+            if prev is None:
+                ewma.append(x)
+                resid.append(None)
+                prev = x
+            else:
+                resid.append(x - prev)
+                prev = a * x + (1 - a) * prev
+                ewma.append(prev)
+        return _pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "rn": range(1, len(xs) + 1),
+                "ewma": ewma,
+                "resid": resid,
+            }
+        )
+
+    raw = e.groupBy("user_id").applyInPandas(
+        run, "user_id long, event_id long, rn long, ewma double, resid double"
+    )
+    # rounding + flag OUTSIDE the UDF: F.round is HALF_UP like DuckDB's
+    # ROUND (Python's round() is banker's — a silent convention break)
+    return raw.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.round("ewma", 6).alias("ewma"),
+        F.round("resid", 6).alias("resid"),
+        F.coalesce(
+            (F.abs(F.round("resid", 6)) > F.lit(b)).cast("int"), F.lit(0)
+        ).alias("is_anomaly"),
+    ).orderBy("event_id")

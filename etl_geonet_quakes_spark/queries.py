@@ -2785,6 +2785,136 @@ SPECS["q121_gopher_quality"] = QuerySpec(
     "integer-arithmetic verdicts immune to float boundaries",
 )
 
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    """DuckDB replay of dedup.graph_pagerank: the q115 pair CTEs
+    verbatim, then exactly ``n_iters`` power-iteration rounds
+    UNROLLED (the kmeans_train convention). Every constant is CAST to
+    DOUBLE — DuckDB parses bare 0.85 as DECIMAL, whose exact 0.15
+    differs from IEEE ``1.0 - 0.85`` by 1 ulp, which would diverge
+    from the Spark side's Python-double teleport term. Ranks are
+    rounded to 6dp before feeding the next round on both engines."""
+    parts = [
+        """
+WITH d AS (SELECT doc_id, source,
+                  list_distinct(string_split(text, ' ')) AS tk
+           FROM documents),
+e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+       FROM d a JOIN d b
+         ON a.source = b.source AND a.doc_id < b.doc_id
+        AND least(len(a.tk), len(b.tk))
+            >= 0.8 * greatest(len(a.tk), len(b.tk))
+       WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+ed AS (SELECT ea AS src, eb AS dst FROM e0
+       UNION ALL SELECT eb, ea FROM e0),
+dg AS (SELECT src AS v, COUNT(*) AS deg FROM ed GROUP BY src),
+nn AS (SELECT COUNT(*) AS nv FROM dg),
+p0 AS (SELECT v, CAST(1 AS DOUBLE) / (SELECT nv FROM nn) AS pr FROM dg)"""
+    ]
+    for r in range(1, n_iters + 1):
+        prev = f"p{r - 1}"
+        parts.append(
+            f""",
+c{r} AS (SELECT ed.dst AS v, SUM(p.pr / g.deg) AS m
+         FROM ed JOIN {prev} p ON ed.src = p.v
+                 JOIN dg g ON ed.src = g.v
+         GROUP BY ed.dst),
+p{r} AS (SELECT g.v,
+                ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                          / (SELECT nv FROM nn)
+                      + CAST(0.85 AS DOUBLE) * COALESCE(c.m, 0), 6) AS pr
+         FROM dg g LEFT JOIN c{r} c ON g.v = c.v)"""
+        )
+    parts.append(
+        f"""
+SELECT g.v AS doc_id, g.deg, p.pr AS pagerank
+FROM dg g JOIN p{n_iters} p ON g.v = p.v
+ORDER BY doc_id
+"""
+    )
+    return "".join(parts)
+
+
+SPECS["q122_graph_pagerank"] = QuerySpec(
+    dedup.graph_pagerank,
+    _pagerank_oracle(),
+    "§2.3 graph: PageRank over the near-dup graph (canonical-document "
+    "centrality) — CC-pattern iteration (edge list checkpointed once, "
+    "per-round edge-keyed join + dst-keyed sum, lazy checkpoint keeps "
+    "lineage one round deep); fixed n_iters + per-round 6dp rounding "
+    "is the cross-engine replay contract",
+)
+
+SPECS["q123_ewma_anomaly"] = QuerySpec(
+    rel.ewma_anomaly,
+    """
+    -- EWMA recursion replayed as a recursive CTE: the SAME IEEE
+    -- expression (0.3 cast to double, same association order) per
+    -- step, so intermediates are bit-identical without per-step
+    -- rounding. Output rounding must mirror Spark's F.round, which
+    -- rounds the SHORTEST-REPR decimal of the double
+    -- (BigDecimal.valueOf) HALF_UP — DuckDB's ROUND(double) rounds
+    -- the exact binary value instead, and the fixture contains a
+    -- true halfway case (resid −32.7764835 at sf0.01) where the two
+    -- disagree; VARCHAR→DECIMAL reproduces the Java semantics.
+    WITH RECURSIVE o AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    r AS (
+        SELECT user_id, event_id, rn, value, value AS ewma,
+               CAST(NULL AS DOUBLE) AS resid
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.rn, o.value,
+               CAST(0.3 AS DOUBLE) * o.value
+                   + (1 - CAST(0.3 AS DOUBLE)) * r.ewma,
+               o.value - r.ewma
+        FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+    rr AS (
+        SELECT user_id, event_id, rn,
+               CAST(ROUND(CAST(CAST(ewma AS VARCHAR)
+                    AS DECIMAL(38,18)), 6) AS DOUBLE) AS ewma,
+               CAST(ROUND(CAST(CAST(resid AS VARCHAR)
+                    AS DECIMAL(38,18)), 6) AS DOUBLE) AS resid
+        FROM r)
+    SELECT user_id, event_id, rn, ewma, resid,
+           COALESCE(CAST(ABS(resid) > 150.0 AS INTEGER), 0) AS is_anomaly
+    FROM rr ORDER BY event_id
+    """,
+    "§2.2 time series: per-key EWMA + prediction-residual anomaly "
+    "flag — per-key sequential state a window frame cannot express; "
+    "applyInPandas keyed by user_id (applyInPandasWithState at "
+    "streaming scale), bit-identical IEEE recursion both engines",
+)
+
+SPECS["q124_mixture_sample"] = QuerySpec(
+    corpus.mixture_sample,
+    """
+    -- temperature mixture replay: rate = (n_min/n_s)^(1-α) is one
+    -- division + one pow (no cross-source float sum), hash gate is
+    -- exact integer arithmetic; margin pinned by a test.
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents
+               GROUP BY source),
+         m AS (SELECT MIN(n_s) AS n_min FROM c),
+         r AS (SELECT source, n_s,
+                      POW(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE),
+                          CAST(0.5 AS DOUBLE)) AS r_s
+               FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.source, r.n_s AS n_source,
+           ROUND(r.r_s, 6) AS keep_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296.0 < r.r_s
+    ORDER BY d.doc_id
+    """,
+    "§2.3 corpus prep: temperature-based source mixture sampling "
+    "(arXiv:1911.02116 §3) — deterministic Knuth-hash gate, "
+    "broadcast rate join, corpus never shuffles; rate formula avoids "
+    "order-dependent float sums entirely",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

