@@ -1901,3 +1901,61 @@ def ewma_anomaly(
             (F.abs(F.round("resid", 6)) > F.lit(b)).cast("int"), F.lit(0)
         ).alias("is_anomaly"),
     ).orderBy("event_id")
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout audit over orders — the
+    multi-dimensional clustering primitive behind data-skipping
+    layouts (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleaving the
+    bits of (o_custkey, order-day) gives a 1-D sort key whose ranges
+    cover small RECTANGLES in (customer, time) space, so files
+    written in z-order carry tight min/max on BOTH dims and a scan
+    filtered on either column prunes most files — a lexicographic
+    sort would only ever prune on its leading column.
+
+    This operator computes the z-value in pure integer column algebra
+    (the classic mask-shift bit spread: 16 bits → 32, no UDF, fully
+    codegen'd), assigns each row to its top-20-bit z-bucket (the
+    "file" in this audit; 20 bits = 10 per dim, so each bucket is a
+    64-aligned window per dimension — granular enough that the
+    fixture's modest key ranges split into many buckets), and emits
+    per-bucket row counts + min/max of both dims — i.e. exactly the
+    metadata a file skipper would see. The per-bucket spans
+    demonstrate the rectangle bound: each bucket covers at most a
+    64×64 cell of the 65536² grid (pinned by a test). Writing in this layout at 100 TB is
+    `df.repartitionByRange(F.col('z')).sortWithinPartitions('z')` —
+    the audit is the part worth oracle-checking, and it is exact
+    integer arithmetic end to end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 65536).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.to_date(F.lit("1970-01-01")),
+            )
+            % 65536
+        ).alias("y"),
+    )
+
+    def spread(v: Column) -> Column:
+        # Column | / & are LOGICAL operators in PySpark; bitwise ops
+        # are the bitwiseOR/bitwiseAND methods
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    z = spread(F.col("x")).bitwiseOR(F.shiftleft(spread(F.col("y")), 1))
+    return (
+        o.select("x", "y", F.shiftright(z, 12).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )

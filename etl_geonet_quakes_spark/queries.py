@@ -2915,6 +2915,71 @@ SPECS["q124_mixture_sample"] = QuerySpec(
     "order-dependent float sums entirely",
 )
 
+SPECS["q125_dedup_prefix_filter"] = QuerySpec(
+    dedup.dedup_prefix_filter,
+    f"""
+    -- oracle = exact all-pairs Jaccard at τ=7/10 (valid because
+    -- prefix filtering is complete by THEOREM, not probability —
+    -- every qualifying pair shares a prefix shingle); all compares
+    -- integer (τ_den·common ≥ τ_num·union, τ_num·max ≤ τ_den·min).
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, {{_SHINGLES}} AS sh FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.sh, b.sh)) AS n_common,
+                      len(list_distinct(list_concat(a.sh, b.sh)))
+                          AS n_union
+               FROM s a JOIN s b
+                 ON a.doc_id < b.doc_id
+                AND 7 * greatest(len(a.sh), len(b.sh))
+                    <= 10 * least(len(a.sh), len(b.sh)))
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+    FROM p WHERE 10 * n_common >= 7 * n_union
+    ORDER BY doc_a, doc_b
+    """.format(_SHINGLES=_SHINGLES),
+    "§2.3 near-dup: exact corpus-wide Jaccard self-join via PREFIX "
+    "FILTERING (SSJoin/PPJoin) — deterministic complete candidate "
+    "generation on the rarest shingles, no blocking key, integer "
+    "thresholds; the provable-recall complement to q38's LSH",
+)
+
+SPECS["q126_zorder_layout"] = QuerySpec(
+    rel.zorder_layout,
+    """
+    -- Morton bit-interleave replayed with the same mask-shift
+    -- algebra; exact integer arithmetic end to end.
+    WITH o AS (SELECT o_custkey % 65536 AS x,
+                      (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                          % 65536 AS y
+               FROM orders),
+         sp AS (SELECT x, y,
+                       ((((x | (x << 8)) & 16711935)
+                          | (((x | (x << 8)) & 16711935) << 4)) & 252645135)
+                           AS x4,
+                       ((((y | (y << 8)) & 16711935)
+                          | (((y | (y << 8)) & 16711935) << 4)) & 252645135)
+                           AS y4
+                FROM o),
+         sp2 AS (SELECT x, y,
+                        (((x4 | (x4 << 2)) & 858993459)
+                         | ((((x4 | (x4 << 2)) & 858993459) << 1)))
+                            & 1431655765 AS xs,
+                        (((y4 | (y4 << 2)) & 858993459)
+                         | ((((y4 | (y4 << 2)) & 858993459) << 1)))
+                            & 1431655765 AS ys
+                 FROM sp),
+         z AS (SELECT x, y, (xs | (ys << 1)) >> 12 AS z_bucket FROM sp2)
+    SELECT z_bucket, COUNT(*) AS n_rows,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_day, MAX(y) AS max_day
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    "§2.2 layout: Z-order (Morton) clustering audit — bit-interleave "
+    "in pure integer column algebra, per-z-bucket min/max rectangle "
+    "metadata (the data-skipping contract), no UDF, no float",
+)
+
 # transformWithStateInPandas (streaming/windows.py::
 # stream_transform_with_state) is implemented and covered by
 # tests/test_streaming_upsert.py::test_transform_with_state (skipped

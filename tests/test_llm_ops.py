@@ -1184,3 +1184,21 @@ def test_mixture_sample_margin_and_bias(spark, sf_dir):
     smallest = min(nsrc, key=lambda s: nsrc[s])
     assert rate[smallest] == 1.0
     assert kept[smallest] == nsrc[smallest]
+
+
+def test_zorder_buckets_are_bounded_rectangles(spark, sf_dir):
+    """The data-skipping contract q126 demonstrates: a top-20-bit
+    z-bucket fixes the 10 high bits of BOTH dims, so every bucket's
+    min/max span sits inside one 64-aligned window per dimension —
+    the rectangle bound that makes z-ordered file metadata prunable
+    on either column. Also require the fixture actually splits into
+    many buckets (the audit is vacuous on one mega-bucket)."""
+    from etl_geonet_quakes_spark.operators.relational import zorder_layout
+
+    rows = zorder_layout(spark, sf_dir).collect()
+    assert len(rows) > 10, len(rows)
+    for r in rows:
+        assert r["max_cust"] - r["min_cust"] <= 63, r
+        assert r["max_day"] - r["min_day"] <= 63, r
+        assert r["min_cust"] // 64 == r["max_cust"] // 64, r
+        assert r["min_day"] // 64 == r["max_day"] // 64, r

@@ -198,3 +198,39 @@ def test_bloom_filter_never_false_negative(spark, sf_dir):
     n_keys = c.count()
     n_pass = c.crossJoin(bits).filter(passes).count()
     assert n_pass == n_keys, (n_pass, n_keys)
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_theorem(sets):
+    """The completeness theorem q125's oracle validity rests on: for
+    ANY corpus and any pair with J(A,B) ≥ τ, the prefixes (first
+    |X| − ⌈τ|X|⌉ + 1 elements in global ascending-frequency order,
+    ties by value) intersect. Pure-Python model over random set
+    corpora — if this ever fails the candidate join has false
+    negatives and the oracle comparison is invalid."""
+    tau_num, tau_den = 7, 10
+    freq: dict[int, int] = {}
+    for s in sets:
+        for t in s:
+            freq[t] = freq.get(t, 0) + 1
+    order = lambda t: (freq[t], t)  # noqa: E731
+
+    def prefix(s):
+        n = len(s)
+        ceil_tau = (tau_num * n + tau_den - 1) // tau_den
+        return set(sorted(s, key=order)[: n - ceil_tau + 1])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if tau_den * inter >= tau_num * union:
+                assert prefix(a) & prefix(b), (a, b)
