@@ -99,6 +99,12 @@ HEADLINE = [
     # New in round 5: iterative k-means centroid training (5 Lloyd
     # rounds, driver-state loop).
     "q118_kmeans_train",
+    "q127_merge_upsert",
+    "q128_session_paths",
+    "q129_group_ols",
+    "q130_spearman_corr",
+    "q133_token_entropy",
+    "q135_equidepth_histogram",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

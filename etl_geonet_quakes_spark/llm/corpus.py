@@ -476,3 +476,32 @@ def mixture_sample(
         )
         .orderBy("doc_id")
     )
+
+
+def group_reservoir(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Deterministic per-group k-sample: for every source, keep the k
+    documents that rank first under an engine-neutral multiplicative
+    hash of doc_id — a seeded, replayable 'reservoir' (same corpus →
+    same sample, any engine, any partitioning), the per-STRATUM
+    counterpart of q46's stratified fraction sample and q100's
+    weighted global sample.
+
+    Hash-rank beats rand(): reproducible across engines and runs,
+    uniform by Knuth's multiplicative scheme, and join-stable (the
+    sample can be re-derived anywhere without shipping it).
+
+    At scale: row_number over (source, hash) windows partition by
+    source — parallel across groups; a heavy group is one partition's
+    sort of its own rows, and the rank-k cutoff is applied before
+    anything else flows downstream. For extreme group sizes the
+    two-phase top-k (per-partition local top-k, then merge) is the
+    drop-in; at fixture scale Spark's WindowExec + filter is optimal."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= k)
+        .select("source", "doc_id", "rank_in_source")
+        .orderBy("source", "rank_in_source")
+    )

@@ -568,3 +568,85 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stopwords.alias("r_stopwords"),
         (r_min_words * r_word_len * r_unique * r_stopwords).alias("pass_all"),
     ).orderBy("doc_id")
+
+
+def retrieval_and(spark: SparkSession, sf_dir: str,
+                  terms: tuple[str, ...] = ("query", "window", "scan")) -> DataFrame:
+    """Multi-term AND retrieval (conjunctive boolean search): return
+    the documents that contain EVERY query term — the intersection
+    semantics q114's positional index exists to serve (BM25/q101 is
+    the OR/ranked side; this is the filter side a dedup or
+    decontamination pass uses for exact topic scoping).
+
+    Plan: explode tokens, filter to the query terms IN THE SCAN STAGE
+    (the predicate sits under the explode, so non-query tokens never
+    reach the shuffle), distinct per (doc, term) so repeated terms
+    count once, then one hash agg with HAVING count = |terms|. The
+    shuffle carries at most |docs|·|terms| rows regardless of corpus
+    token count — the inverted-index intersection plan, expressed
+    relationally.
+
+    At 100 TB: identical shape; the term filter is a pushed IN-list,
+    the agg is partial+final on doc_id, and the final semi-join back
+    to documents is key-partitioned. No index materialization needed
+    (but q114's index makes it a bucket lookup)."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        d.join(hits.select("doc_id"), "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str,
+                  min_tokens: int = 10, low_bar: float = 2.0) -> DataFrame:
+    """Per-document token Shannon entropy — the information-density
+    quality signal (templated/boilerplate text has low entropy even
+    when q91's adjacent-repetition score misses it, e.g. 'a b a b a
+    b' repeats nothing adjacently but carries ~1 bit/token).
+
+    H = ln(n) − (Σ c·ln c)/n over per-token counts c — computed from
+    two doc-keyed hash aggs (token counts, then the entropy sum);
+    both shuffles carry (doc, token) keys, never positions. The float
+    Σ c·ln c is fold-order-sensitive, so the result is rounded 6dp on
+    both engines (the cosine policy) and the low-entropy flag
+    compares the ROUNDED value so the boundary cannot flip between
+    engines.
+
+    Docs under ``min_tokens`` are excluded (entropy of a 3-token doc
+    is noise, and excluding them keeps the flag meaningful)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ent = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens")) - F.col("clogc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "n_tokens",
+        "entropy",
+        (F.col("entropy") < low_bar).cast("int").alias("low_entropy"),
+    ).orderBy("doc_id")

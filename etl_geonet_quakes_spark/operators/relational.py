@@ -1272,7 +1272,10 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 4) -
     """Edit-distance near-matches (fuzzy string dedup building block):
     part-name pairs within the same brand with Levenshtein ≤ k.
     Brand blocking bounds the self-join exactly like ``source`` does
-    for documents."""
+    for documents. The |Δlen| ≤ k pre-filter is a THEOREM of edit
+    distance (each edit changes length by ≤1) — lossless, and it
+    sits before the O(len²) levenshtein kernel in the join condition
+    so non-candidates never pay for the DP table."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
@@ -1280,7 +1283,11 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 4) -
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= max_dist
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("key_a"),
@@ -1959,3 +1966,387 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# --------------------------------------------------------------------
+# Round 5: batch MERGE, behavioral paths, rank statistics, data-quality
+# diagnostics
+# --------------------------------------------------------------------
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (upsert with deletes): apply a changeset to a
+    keyed target snapshot and classify every output row by the action
+    the merge took — the batch counterpart of the streaming
+    ``SnapshotDiffSink`` (quakes/sink.py, reference upsert contract at
+    task.ts:195-203) and the core of any warehouse ingestion loop.
+
+    Fixture framing: target = the stored snapshot (orderkeys not
+    divisible by 3), source = today's changeset (even orderkeys) with
+    a 10% repricing; changeset rows whose status is 'F' are tombstones
+    (MERGE ... WHEN MATCHED AND cond THEN DELETE).
+
+    Semantics (classic MERGE):
+      matched  + tombstone  -> delete (dropped from merged output)
+      matched  + live       -> update (take source price)
+      unmatched source, live-> insert
+      unmatched target      -> keep   (untouched snapshot rows)
+    Tombstones for keys the target never had are no-ops and must NOT
+    insert.
+
+    Output: one row per action with row count and the exact-decimal
+    total price of the SURVIVING rows for that action (deletes
+    contribute n_rows only, price 0) — the reconciliation totals an
+    ingestion audit wants.
+
+    At scale: one shuffle on the merge key for the full outer join
+    (co-partitioned/bucketed storage makes it zero-Exchange — proven
+    in test_bucketing.py); the action classification and totals are
+    partial+final hash aggs. No driver materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast(D_MONEY).alias("t_price"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast(D_MONEY) * F.lit("1.10").cast("decimal(4,2)"))
+        .cast("decimal(22,4)")
+        .alias("s_price"),
+        (F.col("o_orderstatus") == "F").alias("tombstone"),
+    )
+    merged = target.join(source, "k", "full_outer").select(
+        "k",
+        F.when(F.col("s_price").isNotNull() & F.col("t_price").isNotNull(),
+               F.when(F.col("tombstone"), F.lit("delete")).otherwise(F.lit("update")))
+        .when(F.col("t_price").isNull(),
+              F.when(F.col("tombstone"), F.lit("noop")).otherwise(F.lit("insert")))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(F.col("tombstone"), F.lit(None).cast("decimal(22,4)"))
+        .otherwise(F.coalesce(F.col("s_price"), F.col("t_price").cast("decimal(22,4)")))
+        .alias("out_price"),
+    )
+    return (
+        merged.filter(F.col("action") != "noop")
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("out_price").cast("double"), F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("action")
+    )
+
+
+def session_paths(spark: SparkSession, sf_dir: str, max_steps: int = 8,
+                  top_n: int = 20) -> DataFrame:
+    """Behavioral path mining: each user's first ``max_steps`` events
+    (ordered by ts, event_id) become an ordered path string
+    'a>b>c...'; paths are then ranked by how many users follow them —
+    the product-analytics view q106's single-step transition matrix
+    cannot give (it marginalizes away order beyond one hop).
+
+    At scale: the per-user window partitions by user_id (parallel,
+    no global sort); path assembly is array_sort over an
+    already-truncated ≤max_steps collect_list (bounded per group);
+    the path ranking is a hash agg + TakeOrderedAndProject top-n.
+    Ties in the ranking are broken by the path string itself."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                                   "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_k = e.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_steps
+    )
+    paths = first_k.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(top_n)
+    )
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part retail price and size —
+    the monotonic-association statistic (Pearson on fractional ranks,
+    with the standard tie handling: tied values share the average of
+    the row numbers they span).
+
+    Determinism: fractional ranks are half-integers, so 2·rank is an
+    exact BIGINT; every co-moment is accumulated as an exact decimal
+    sum of integer products (order-insensitive), and the final rho is
+    one double expression over those identical integers on both
+    engines — bit-identical, no 6dp rounding crutch.
+
+    At scale: ranks come from per-VALUE aggregation (count per
+    distinct value) + an ordered prefix window over the DISTINCT-value
+    domain only — never a global window over the fact table (the q94
+    two-phase prefix sum is the drop-in if even the distinct domain is
+    huge). The fact table itself is never globally sorted; each row
+    gets its rank by a broadcast join on its value."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_retailprice").cast(D_MONEY).alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+
+    def franks2(df: DataFrame, col: str) -> DataFrame:
+        """Per-row 2·fractional-rank of ``col`` as exact BIGINT: for a
+        value v, rank = (#rows < v) + (#rows == v + 1)/2, so
+        2·rank = 2·cum_lt + n_eq + 1 — all integers."""
+        per_val = df.groupBy(col).agg(F.count("*").alias("n_eq"))
+        wv = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        per_val = per_val.withColumn(
+            "cum_lt", F.coalesce(F.sum("n_eq").over(wv), F.lit(0))
+        ).withColumn("r2", 2 * F.col("cum_lt") + F.col("n_eq") + 1)
+        return df.join(F.broadcast(per_val.select(col, "r2")), col).select(
+            "k", F.col("r2").alias(f"r2_{col}")
+        )
+
+    rx = franks2(p, "x")
+    ry = franks2(p, "y")
+    j = rx.join(ry, "k")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_y")).alias("sxy"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("r2_y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("r2_x").cast("decimal(38,0)") * F.col("r2_x")).alias("sxx"),
+        F.sum(F.col("r2_y").cast("decimal(38,0)") * F.col("r2_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return agg.select(
+        F.col("n"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+    )
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed first
+    significant digit distribution vs the Benford expectation
+    log10(1+1/d) — the classic fraud/synthetic-data smell test.
+
+    The first digit is extracted in EXACT integer space: 2-dp money →
+    cents as BIGINT, digit = cents div 10^(digits-1) via the decimal
+    string length — no log10-of-double boundary hazards (log10(1000.)
+    landing at 2.9999... on one engine would misbin every power of
+    ten).
+
+    At scale: one narrow projection + a 9-group hash agg; the total
+    for shares is a broadcast single-row aggregate (BNLJ against one
+    row, intended)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    d = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("p_obs"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("p_benford"),
+        )
+        .orderBy("digit")
+    )
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str,
+                        n_buckets: int = 10,
+                        range_step: float = 10000.0) -> DataFrame:
+    """Exact equi-depth (quantile) histogram of order totals: every
+    bucket holds the same row count ±1, with exact min/max fences and
+    decimal-exact bucket totals — the layout statistic approximate
+    percentile sketches cannot certify.
+
+    The global rank is the scale hazard (a naive row_number() over a
+    global ORDER BY is one task). This uses the q94 two-phase form on
+    the VALUE axis: rows bucket by a coarse range of the sort key
+    (range_step), rank locally within each range bucket (parallel
+    window), and only the tiny per-bucket totals take an ordered
+    prefix window before broadcasting offsets back. Tie-break inside
+    a range bucket is (price, orderkey); ties can never straddle
+    range buckets because equal prices share a bucket.
+
+    bucket = (rank-1)·n_buckets div n (exact integer form — NOT
+    ntile, whose remainder placement is engine-defined-but-different
+    from this formula; the oracle replays the same arithmetic)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    o = o.withColumn("rb", (F.col("price") / range_step).cast("long"))
+    wl = Window.partitionBy("rb").orderBy("price", "k")
+    o = o.withColumn("local_rn", F.row_number().over(wl))
+    totals = o.groupBy("rb").agg(F.count("*").alias("rb_n"))
+    wo = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "rb_off", F.coalesce(F.sum("rb_n").over(wo), F.lit(0))
+    )
+    n_total = totals.agg(F.sum("rb_n").alias("n_total"))
+    ranked = o.join(F.broadcast(offsets.select("rb", "rb_off")), "rb").join(
+        F.broadcast(n_total)
+    )
+    ranked = ranked.withColumn(
+        "bucket",
+        F.expr(f"(rb_off + local_rn - 1) * {n_buckets} DIV n_total"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def partition_skew_audit(spark: SparkSession, sf_dir: str,
+                         n_parts: int = 32) -> DataFrame:
+    """Shuffle-skew diagnostic: simulate hash-partitioning the
+    lineitem fact on its join key (l_partkey) into ``n_parts`` reducers
+    with an engine-neutral multiplicative hash, and report each
+    simulated reducer's row count plus its load factor vs the ideal
+    (n/parts) — the pre-flight a 100 TB join wants before committing
+    to a partitioning (a load factor ≫ 1 predicts a straggler; the
+    fix is salting, q19, or AQE skew split).
+
+    Engine-neutral on purpose: Spark's internal Murmur3 hash is not
+    reproducible in DuckDB, so the audit uses the Knuth multiplicative
+    hash (golden-ratio constant) both engines compute exactly in
+    64-bit integer space. One narrow scan + a 32-group hash agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part_id = (F.col("l_partkey") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(
+        n_parts
+    )
+    tot = li.agg(F.count("*").alias("n_total"))
+    return (
+        li.select(part_id.cast("long").alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_rows"))
+        .join(F.broadcast(tot))
+        .select(
+            "part_id",
+            "n_rows",
+            F.round(F.col("n_rows") * F.lit(n_parts) / F.col("n_total"), 6).alias(
+                "load_factor"
+            ),
+        )
+        .orderBy("part_id")
+    )
+
+
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categoricals
+    (order priority × order status): per-cell observed count, expected
+    count under independence (row_total · col_total / n), and the
+    chi-square contribution (obs−exp)²/exp — the drift/association
+    check a feature pipeline runs between a label and a candidate
+    feature.
+
+    Determinism: every total is an exact integer; expected and
+    contribution are single double expressions over identical
+    integers (bit-identical), rounded 6dp only for display parity.
+
+    At scale: one hash agg over the fact table builds the contingency
+    cells; marginals derive FROM the cells (grouping a ≤|A|·|B| row
+    table, broadcast-joined back) — the fact table is scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    cells = o.groupBy("pri", "st").agg(F.count("*").alias("n_obs"))
+    row_m = cells.groupBy("pri").agg(F.sum("n_obs").alias("n_pri"))
+    col_m = cells.groupBy("st").agg(F.sum("n_obs").alias("n_st"))
+    tot = cells.agg(F.sum("n_obs").alias("n_total"))
+    exp = (
+        F.col("n_pri").cast("double")
+        * F.col("n_st").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    contrib = (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    return (
+        cells.join(F.broadcast(row_m), "pri")
+        .join(F.broadcast(col_m), "st")
+        .join(F.broadcast(tot))
+        .select(
+            "pri",
+            "st",
+            "n_obs",
+            F.round(exp, 6).alias("n_exp"),
+            F.round(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy("pri", "st")
+    )
+
+
+def group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares regression: per return flag, fit
+    extendedprice = slope·quantity + intercept and report the fit
+    quality (r²) — the per-segment trend statistic (regr_slope /
+    regr_intercept / regr_r2 in SQL:2016 terms), computed from
+    first principles so it is REPRODUCIBLE:
+
+    the five co-moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact decimal
+    sums (both columns are 2-dp money/qty; products carry 4 decimal
+    digits exactly, and decimal addition is associative, so partition
+    order cannot change a bit). slope/intercept/r² are then single
+    double expressions over identical operands on both engines —
+    bit-identical, no tolerance. The built-in regr_* aggregates fold
+    doubles in partition order and are NOT reproducible; that is why
+    this operator exists.
+
+    At scale: one partial+final hash agg over the scan (co-moments
+    combine associatively — the textbook map-side-combine shape);
+    output is one row per group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast(D_QTY).alias("x"),
+        F.col("l_extendedprice").cast(D_MONEY).alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"),
+    ).orderBy("l_returnflag")

@@ -2995,3 +2995,274 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle}
+
+# --- round 5: MERGE, path mining, rank stats, data-quality audits ----
+
+SPECS["q127_merge_upsert"] = QuerySpec(
+    rel.merge_upsert,
+    """
+    -- MERGE replay: same changeset framing, same action taxonomy,
+    -- decimal-exact repricing (1.10 is exact in DECIMAL(4,2)).
+    WITH t AS (SELECT o_orderkey AS k,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS t_price
+               FROM orders WHERE o_orderkey % 3 <> 0),
+         s AS (SELECT o_orderkey AS k,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(1.10 AS DECIMAL(4,2)) AS DECIMAL(22,4))
+                          AS s_price,
+                      o_orderstatus = 'F' AS tombstone
+               FROM orders WHERE o_orderkey % 2 = 0),
+         m AS (SELECT CASE
+                        WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN
+                          CASE WHEN tombstone THEN 'delete' ELSE 'update' END
+                        WHEN t.k IS NULL THEN
+                          CASE WHEN tombstone THEN 'noop' ELSE 'insert' END
+                        ELSE 'keep' END AS action,
+                      CASE WHEN COALESCE(tombstone, FALSE) THEN NULL
+                           ELSE COALESCE(s_price,
+                                         CAST(t_price AS DECIMAL(22,4)))
+                      END AS out_price
+               FROM t FULL OUTER JOIN s ON t.k = s.k)
+    SELECT action, COUNT(*) AS n_rows,
+           COALESCE(CAST(SUM(out_price) AS DOUBLE), 0.0) AS total_price
+    FROM m WHERE action <> 'noop'
+    GROUP BY action ORDER BY action
+    """,
+    "§2.2 batch MERGE INTO (upsert + tombstone delete + audit totals) "
+    "— the batch form of the reference's upsert/expiry contract "
+    "(task.ts:195-203); full-outer join on the key, action taxonomy, "
+    "decimal-exact reconciliation totals",
+)
+
+SPECS["q128_session_paths"] = QuerySpec(
+    rel.session_paths,
+    """
+    WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+         p AS (SELECT user_id,
+                      string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 8 GROUP BY user_id)
+    SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    "§2.2 product analytics: ordered behavioral path mining (first-8 "
+    "event paths ranked by user count) — the multi-step view q106's "
+    "one-hop transition matrix marginalizes away",
+)
+
+SPECS["q129_group_ols"] = QuerySpec(
+    rel.group_ols,
+    """
+    -- identical exact-decimal co-moments; slope/intercept/r2 are one
+    -- double expression over identical operands — bit-identical (the
+    -- built-in regr_* aggregates fold doubles in partition order and
+    -- would NOT be).
+    WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sxy,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sxx,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS syy
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m ORDER BY l_returnflag
+    """,
+    "§2.2 statistics: grouped OLS regression (regr_slope/intercept/r2 "
+    "semantics) from exact-decimal co-moments — associative partial+"
+    "final agg, bit-identical across engines and partitionings",
+)
+
+SPECS["q130_spearman_corr"] = QuerySpec(
+    rel.spearman_corr,
+    """
+    -- identical integer fractional-rank algebra (2·rank is exact
+    -- BIGINT); co-moments are exact integer sums on both engines, so
+    -- rho is one double expression over identical operands.
+    WITH p AS (SELECT p_partkey AS k,
+                      CAST(p_retailprice AS DECIMAL(18,2)) AS x,
+                      CAST(p_size AS BIGINT) AS y FROM part),
+         vx AS (SELECT x, COUNT(*) AS n_eq FROM p GROUP BY x),
+         vx2 AS (SELECT x,
+                        2 * COALESCE(SUM(n_eq) OVER (ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + n_eq + 1 AS r2x
+                 FROM vx),
+         vy AS (SELECT y, COUNT(*) AS n_eq FROM p GROUP BY y),
+         vy2 AS (SELECT y,
+                        2 * COALESCE(SUM(n_eq) OVER (ORDER BY y
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + n_eq + 1 AS r2y
+                 FROM vy),
+         j AS (SELECT r2x, r2y FROM p JOIN vx2 USING (x) JOIN vy2 USING (y)),
+         st AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(r2x * r2y) AS DOUBLE) AS sxy,
+                       CAST(SUM(r2x) AS DOUBLE) AS sx,
+                       CAST(SUM(r2y) AS DOUBLE) AS sy,
+                       CAST(SUM(r2x * r2x) AS DOUBLE) AS sxx,
+                       CAST(SUM(r2y * r2y) AS DOUBLE) AS syy
+                FROM j)
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM st
+    """,
+    "§2.2 statistics: Spearman rank correlation with average-rank tie "
+    "handling — per-VALUE rank derivation (never a fact-table global "
+    "window), exact-integer co-moments, bit-identical rho",
+)
+
+SPECS["q131_benford_digits"] = QuerySpec(
+    rel.benford_digits,
+    """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         d AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1)
+                           AS INTEGER) AS digit FROM c),
+         t AS (SELECT COUNT(*) AS n_total FROM d)
+    SELECT digit, COUNT(*) AS n_obs,
+           ROUND(COUNT(*) / n_total, 6) AS p_obs,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS p_benford
+    FROM d CROSS JOIN t GROUP BY digit, n_total ORDER BY digit
+    """,
+    "§2.2 data-quality audit: Benford first-significant-digit "
+    "distribution vs log10(1+1/d) — digit extracted in exact integer "
+    "space (cents → decimal string), no log10-of-double binning hazard",
+)
+
+SPECS["q132_retrieval_and"] = QuerySpec(
+    text.retrieval_and,
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         hits AS (SELECT doc_id FROM
+                    (SELECT DISTINCT doc_id, tok FROM tok
+                     WHERE tok IN ('query', 'window', 'scan'))
+                  GROUP BY doc_id HAVING COUNT(*) = 3)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN hits USING (doc_id) ORDER BY doc_id
+    """,
+    "§2.3 retrieval: conjunctive (AND) boolean search — term filter "
+    "under the explode so only query-term postings shuffle; the "
+    "inverted-index intersection plan expressed relationally",
+)
+
+SPECS["q133_token_entropy"] = QuerySpec(
+    text.token_entropy,
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      SUM(c * LN(c)) AS clogc
+               FROM c GROUP BY doc_id HAVING SUM(c) >= 10),
+         r AS (SELECT doc_id, n_tokens,
+                      ROUND(LN(n_tokens) - clogc / n_tokens, 6) AS entropy
+               FROM e)
+    SELECT doc_id, n_tokens, entropy,
+           CAST(entropy < 2.0 AS INTEGER) AS low_entropy
+    FROM r ORDER BY doc_id
+    """,
+    "§2.3 text quality: per-document token Shannon entropy "
+    "(information-density signal catching non-adjacent boilerplate "
+    "q91 misses); doc-keyed hash aggs, 6dp float policy, flag "
+    "compares the ROUNDED value on both engines",
+)
+
+SPECS["q134_group_reservoir"] = QuerySpec(
+    corpus.group_reservoir,
+    """
+    WITH h AS (SELECT source, doc_id,
+                      (doc_id * 2654435761) % 4294967296 AS hh
+               FROM documents),
+         r AS (SELECT source, doc_id,
+                      CAST(row_number() OVER (PARTITION BY source
+                                              ORDER BY hh, doc_id)
+                           AS INTEGER) AS rank_in_source
+               FROM h)
+    SELECT source, doc_id, rank_in_source FROM r
+    WHERE rank_in_source <= 5 ORDER BY source, rank_in_source
+    """,
+    "§2.3 corpus prep: deterministic per-group k-reservoir via "
+    "engine-neutral hash rank — replayable per-stratum sampling "
+    "(q46 is fraction-based, q100 weight-based; this is exact-k)",
+)
+
+SPECS["q135_equidepth_histogram"] = QuerySpec(
+    rel.equidepth_histogram,
+    """
+    -- oracle deliberately uses the naive single-window global rank
+    -- (fine for DuckDB single-node); the Spark plan is the two-phase
+    -- range-bucketed prefix sum. Same rank, same bucket formula.
+    WITH r AS (SELECT o_totalprice AS price, o_orderkey,
+                      row_number() OVER (ORDER BY o_totalprice,
+                                         o_orderkey) AS rn,
+                      COUNT(*) OVER () AS n FROM orders)
+    SELECT ((rn - 1) * 10) // n AS bucket, COUNT(*) AS n_rows,
+           MIN(price) AS min_price, MAX(price) AS max_price,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+    "§2.2 statistics/layout: EXACT equi-depth decile histogram via "
+    "two-phase distributed rank (q94's prefix-sum form on the value "
+    "axis) — certified quantile fences approx sketches cannot give",
+)
+
+SPECS["q136_partition_skew_audit"] = QuerySpec(
+    rel.partition_skew_audit,
+    """
+    WITH p AS (SELECT ((l_partkey * 2654435761) % 4294967296) % 32
+                   AS part_id FROM lineitem),
+         t AS (SELECT COUNT(*) AS n_total FROM p)
+    SELECT part_id, COUNT(*) AS n_rows,
+           ROUND(COUNT(*) * 32 / n_total, 6) AS load_factor
+    FROM p CROSS JOIN t GROUP BY part_id, n_total ORDER BY part_id
+    """,
+    "§2.2 diagnostics: shuffle-skew pre-flight — simulate hash "
+    "partitioning the fact's join key into 32 reducers with an "
+    "engine-neutral multiplicative hash; load factor ≫ 1 predicts "
+    "the straggler salting/AQE-skew-split would fix",
+)
+
+SPECS["q137_chisq_independence"] = QuerySpec(
+    rel.chisq_independence,
+    """
+    WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                          COUNT(*) AS n_obs FROM orders GROUP BY 1, 2),
+         rm AS (SELECT pri, CAST(SUM(n_obs) AS BIGINT) AS n_pri
+                FROM cells GROUP BY pri),
+         cm AS (SELECT st, CAST(SUM(n_obs) AS BIGINT) AS n_st
+                FROM cells GROUP BY st),
+         t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cells)
+    SELECT pri, st, n_obs,
+           ROUND(CAST(n_pri AS DOUBLE) * CAST(n_st AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 6) AS n_exp,
+           ROUND((n_obs - CAST(n_pri AS DOUBLE) * CAST(n_st AS DOUBLE)
+                          / CAST(n_total AS DOUBLE))
+                 * (n_obs - CAST(n_pri AS DOUBLE) * CAST(n_st AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))
+                 / (CAST(n_pri AS DOUBLE) * CAST(n_st AS DOUBLE)
+                    / CAST(n_total AS DOUBLE)), 6) AS chi2_contrib
+    FROM cells JOIN rm USING (pri) JOIN cm USING (st) CROSS JOIN t
+    ORDER BY pri, st
+    """,
+    "§2.2 statistics: chi-square independence audit over a "
+    "contingency table — marginals derive from the cells (fact "
+    "scanned once), expected/contribution are double expressions "
+    "over identical exact integers",
+)

@@ -1,0 +1,194 @@
+"""Semantic invariants for the round-5 operators (q127–q137) beyond
+exact oracle parity (tests/test_oracle_parity.py carries the
+cross-engine hash checks; these pin the PROPERTIES that make each
+answer right, so a future refactor that keeps both engines wrong in
+the same way still fails loudly)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+from etl_geonet_quakes_spark.llm import corpus, text
+from etl_geonet_quakes_spark.operators import relational as rel
+
+
+def test_merge_upsert_reconciles(spark, sf_dir):
+    """The action counts must exactly reconcile against the target /
+    source framings: keep+update+delete == |target|, insert == live
+    source keys absent from the target, and tombstones for unknown
+    keys (noops) never surface."""
+    out = {r["action"]: r for r in rel.merge_upsert(spark, sf_dir).collect()}
+    assert set(out) == {"delete", "insert", "keep", "update"}
+    orders = load_table(spark, sf_dir, "orders")
+    n_target = orders.filter(F.col("o_orderkey") % 3 != 0).count()
+    assert (
+        out["keep"]["n_rows"] + out["update"]["n_rows"] + out["delete"]["n_rows"]
+        == n_target
+    )
+    n_insert = orders.filter(
+        (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderkey") % 3 == 0)
+        & (F.col("o_orderstatus") != "F")
+    ).count()
+    assert out["insert"]["n_rows"] == n_insert
+    assert out["delete"]["total_price"] == 0.0
+
+
+def test_session_paths_bounded_and_ranked(spark, sf_dir):
+    rows = rel.session_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(counts) <= n_users
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 8
+
+
+def test_string_distance_length_prune_is_lossless(spark, sf_dir):
+    """q88's new |Δlen| ≤ k pre-filter must drop NO qualifying pair
+    (the edit-distance theorem): compare against the unpruned
+    brute-force join."""
+    got = {
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in rel.string_distance_pairs(spark, sf_dir).collect()
+    }
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    brute = {
+        (r["ka"], r["kb"], r["d"])
+        for r in a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("ka"),
+            F.col("b.p_partkey").alias("kb"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("d"),
+        )
+        .filter(F.col("d") <= 4)
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_group_ols_matches_closed_form(spark, sf_dir):
+    """Cross-check slope/intercept/r² against a numpy lstsq fit per
+    group (tolerance 1e-5 — numpy folds doubles, ours is exact
+    decimal, so tiny drift is expected and bounded)."""
+    import numpy as np
+
+    rows = rel.group_ols(spark, sf_dir).collect()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict[str, list[tuple[float, float]]] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"])
+        )
+    for r in rows:
+        xy = np.array(by_flag[r["l_returnflag"]])
+        A = np.vstack([xy[:, 0], np.ones(len(xy))]).T
+        (slope, intercept), res, *_ = np.linalg.lstsq(A, xy[:, 1], rcond=None)
+        assert abs(r["slope"] - slope) < 1e-5
+        assert abs(r["intercept"] - intercept) < 1e-4
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n"] == len(xy)
+
+
+def test_spearman_bounds_and_self_correlation(spark, sf_dir):
+    row = rel.spearman_corr(spark, sf_dir).collect()[0]
+    assert row["n"] == load_table(spark, sf_dir, "part").count()
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_benford_is_a_distribution(spark, sf_dir):
+    rows = rel.benford_digits(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    # Benford expectation itself sums to 1 over d=1..9
+    assert abs(sum(math.log10(1 + 1 / d) for d in range(1, 10)) - 1.0) < 1e-12
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    rows = rel.equidepth_histogram(spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equi-depth ±1
+    # fences are monotone and non-overlapping
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_price"] <= hi["min_price"]
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(sizes) == n_orders
+
+
+def test_partition_skew_audit_totals(spark, sf_dir):
+    rows = rel.partition_skew_audit(spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n_li
+    # load factors average to ~1 over the populated reducers
+    mean_lf = sum(r["load_factor"] * r["n_rows"] for r in rows) / n_li
+    assert mean_lf >= 1.0  # weighted by rows, skew can only push it up
+    assert all(r["load_factor"] > 0 for r in rows)
+
+
+def test_chisq_marginals_reconcile(spark, sf_dir):
+    rows = rel.chisq_independence(spark, sf_dir).collect()
+    n = sum(r["n_obs"] for r in rows)
+    assert abs(sum(r["n_exp"] for r in rows) - n) < 1e-3
+    assert all(r["chi2_contrib"] >= 0.0 for r in rows)
+
+
+def test_retrieval_and_is_conjunctive(spark, sf_dir):
+    terms = ("query", "window", "scan")
+    hit_ids = {r["doc_id"] for r in text.retrieval_and(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {
+        r["doc_id"]
+        for r in docs
+        if all(t in r["text"].split(" ") for t in terms)
+    }
+    assert hit_ids == expected and len(hit_ids) > 0
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_tokens) (uniform upper bound), and a doc of k
+    repeats of one token would score exactly 0 — pinned via the
+    lower bound being attained only when every token is identical."""
+    rows = text.token_entropy(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # 6dp display rounding can exceed the exact ln(n) bound by ≤5e-7
+        assert -1e-6 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-6
+        assert r["low_entropy"] in (0, 1)
+        assert r["low_entropy"] == (1 if r["entropy"] < 2.0 else 0)
+
+
+def test_group_reservoir_exact_k_per_group(spark, sf_dir):
+    rows = corpus.group_reservoir(spark, sf_dir).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["rank_in_source"])
+    d = load_table(spark, sf_dir, "documents")
+    src_sizes = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, ranks in by_src.items():
+        k = min(5, src_sizes[src])
+        assert sorted(ranks) == list(range(1, k + 1))
+    assert set(by_src) == set(src_sizes)
+    # determinism: a second run returns the identical sample
+    again = corpus.group_reservoir(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
