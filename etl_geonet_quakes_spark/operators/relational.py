@@ -2350,3 +2350,149 @@ def group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+def gap_islands(spark: SparkSession, sf_dir: str,
+                prefix_bucket: int = 4096) -> DataFrame:
+    """Gaps-and-islands: collapse a sparse key set (open orders'
+    orderkeys) into its maximal contiguous runs — the completeness
+    audit for sequence-keyed ingestion (missing-id detection, WAL/
+    offset hole hunting). An island is a maximal run of consecutive
+    present keys; the classic trick groups by key − rank(key), which
+    is constant exactly within an island.
+
+    The global rank is the scale hazard, so this reuses the q94/q135
+    two-phase form: bucket by key DIV prefix_bucket (order-aligned
+    with the key), rank locally per bucket (parallel window), prefix
+    the tiny per-bucket totals, broadcast offsets back. Islands that
+    straddle bucket boundaries come out whole because the rank is
+    globally exact — no boundary patch-up pass needed."""
+    ids = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("id"))
+    )
+    ids = ids.withColumn("bkt", F.expr(f"id DIV {prefix_bucket}"))
+    wl = Window.partitionBy("bkt").orderBy("id")
+    ids = ids.withColumn("local_rn", F.row_number().over(wl))
+    totals = ids.groupBy("bkt").agg(F.count("*").alias("n"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("n").over(wo), F.lit(0))
+    ).select("bkt", "off")
+    ranked = ids.join(F.broadcast(offsets), "bkt").withColumn(
+        "grp", F.col("id") - (F.col("off") + F.col("local_rn"))
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.min("id").alias("island_start"),
+            F.max("id").alias("island_end"),
+            F.count("*").alias("n_keys"),
+        )
+        .select("island_start", "island_end", "n_keys")
+        .orderBy("island_start")
+    )
+
+
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest quantity value whose
+    cumulative revenue weight reaches half the group total — the
+    order statistic that answers 'the median DOLLAR was spent on
+    shipments of what size' (the unweighted q113-family median
+    answers the median ROW, a different question under skewed
+    weights).
+
+    Exactness: weights are decimal sums; the half-total comparison is
+    2·cum ≥ total in decimal space (no division, no float) — the
+    selected value is engine-exact, not tolerance-matched.
+
+    At scale: weights collapse per (group, value) FIRST (partial+
+    final hash agg — the shuffle carries distinct values, not rows);
+    the cumulative window runs over the per-group distinct-VALUE
+    domain; group totals broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").cast(D_MONEY).alias("w"),
+    )
+    g = li.groupBy("l_returnflag", "qty").agg(F.sum("w").alias("w"))
+    tot = g.groupBy("l_returnflag").agg(F.sum("w").alias("tot"))
+    cum = F.sum("w").over(
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = g.join(F.broadcast(tot), "l_returnflag").withColumn("cum", cum)
+    med = (
+        j.filter(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("qty").alias("weighted_median_qty"))
+    )
+    return (
+        med.join(F.broadcast(tot), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "weighted_median_qty",
+            F.col("tot").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def winsorize(spark: SparkSession, sf_dir: str,
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Winsorization audit per group: clip account balances at the
+    exact interpolated p05/p95 fences and report how many rows each
+    tail clipped plus the winsorized sum — the robust-preprocessing
+    step that tames outliers without dropping rows (q113 flags them;
+    this bounds them).
+
+    Determinism: exact interpolated percentile ≡ quantile_cont
+    cross-engine (the q113 precedent); the winsorized sum is ONE
+    fixed expression tree — n_low·p05 + n_high·p95 + exact-decimal
+    mid-sum — over identical doubles, so no fold-order drift.
+
+    At scale: two passes over the group (percentile agg, then the
+    clip accounting) with the tiny per-group fences broadcast back —
+    the q113 shape."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    pct = c.groupBy("c_mktsegment").agg(
+        F.expr(f"percentile(c_acctbal, {lo})").alias("p05"),
+        F.expr(f"percentile(c_acctbal, {hi})").alias("p95"),
+    )
+    j = c.join(F.broadcast(pct), "c_mktsegment")
+    is_low = F.col("c_acctbal") < F.col("p05")
+    is_high = F.col("c_acctbal") > F.col("p95")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(is_low.cast("long")).alias("n_low"),
+            F.sum(is_high.cast("long")).alias("n_high"),
+            F.first("p05").alias("_p05"),
+            F.first("p95").alias("_p95"),
+            F.sum(
+                F.when(~is_low & ~is_high, F.col("c_acctbal").cast(D_MONEY))
+            )
+            .cast("double")
+            .alias("_mid"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            "n_low",
+            "n_high",
+            F.round("_p05", 6).alias("p05"),
+            F.round("_p95", 6).alias("p95"),
+            F.round(
+                F.col("n_low") * F.col("_p05")
+                + F.col("n_high") * F.col("_p95")
+                + F.col("_mid"),
+                6,
+            ).alias("sum_winsorized"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.llm import corpus, dedup, multimodal, similarity, text
+from etl_geonet_quakes_spark.operators import geo
 from etl_geonet_quakes_spark.operators import relational as rel
 from etl_geonet_quakes_spark.streaming import windows as stw
 
@@ -3265,4 +3266,122 @@ SPECS["q137_chisq_independence"] = QuerySpec(
     "contingency table — marginals derive from the cells (fact "
     "scanned once), expected/contribution are double expressions "
     "over identical exact integers",
+)
+
+SPECS["q138_quake_geo"] = QuerySpec(
+    geo.quake_geo,
+    f"""
+    -- haversine replayed with the SAME expression tree (association
+    -- order matters for float parity); distances rounded to 4dp km
+    -- (0.1 m) against the ~1-ulp JVM-vs-libm trig drift.
+    WITH raw AS (SELECT unnest(features) AS f
+                 FROM read_json('{{_FIXTURE_JSON}}')),
+         x AS (SELECT f.properties.publicID AS public_id,
+                      f.properties.magnitude AS magnitude,
+                      f.geometry.coordinates[1] AS lon,
+                      f.geometry.coordinates[2] AS lat
+               FROM raw),
+         a AS (SELECT public_id, magnitude, lat, lon,
+                      sin(radians(-41.2889 - lat) / 2) AS sdlat,
+                      sin(radians(174.7772 - lon) / 2) AS sdlon,
+                      cos(radians(lat)) AS c1,
+                      cos(radians(-41.2889)) AS c2
+               FROM x),
+         h AS (SELECT public_id, magnitude, lat, lon,
+                      sdlat * sdlat + c1 * c2 * sdlon * sdlon AS av
+               FROM a),
+         d AS (SELECT public_id, magnitude,
+                      ROUND(2 * 6371.0 * atan2(sqrt(av), sqrt(1 - av)), 4)
+                          AS dist_km,
+                      CAST(floor((lat + 90.0) / 1.0) AS BIGINT) * 360
+                          + CAST(floor((lon + 180.0) / 1.0) AS BIGINT)
+                          AS cell_id
+               FROM h)
+    SELECT public_id, magnitude, dist_km, cell_id,
+           CAST(row_number() OVER (ORDER BY dist_km, public_id)
+                AS INTEGER) AS proximity_rank
+    FROM d ORDER BY proximity_rank
+    """.format(_FIXTURE_JSON=_FIXTURE_JSON),
+    "§2.1/§2.2 geo kit over the reference's own domain: haversine "
+    "distance from Wellington, proximity ranking, 1° grid-cell "
+    "bucketing (the spatial shuffle key) — task.ts:228-233 ships "
+    "lon/lat untouched; this computes with it. Pure column algebra",
+)
+
+SPECS["q139_gap_islands"] = QuerySpec(
+    rel.gap_islands,
+    """
+    -- classic key − rank(key) island grouping; oracle uses the naive
+    -- single global window (single-node DuckDB), the Spark plan is
+    -- the two-phase bucketed rank.
+    WITH ids AS (SELECT o_orderkey AS id FROM orders
+                 WHERE o_orderstatus = 'O'),
+         r AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp
+               FROM ids)
+    SELECT MIN(id) AS island_start, MAX(id) AS island_end,
+           COUNT(*) AS n_keys
+    FROM r GROUP BY grp ORDER BY island_start
+    """,
+    "§2.2 sequence analytics: gaps-and-islands (maximal contiguous "
+    "key runs — missing-id/offset-hole audit) via the two-phase "
+    "distributed rank; boundary-straddling islands come out whole "
+    "because the rank is globally exact",
+)
+
+SPECS["q140_weighted_median"] = QuerySpec(
+    rel.weighted_median,
+    """
+    WITH g AS (SELECT l_returnflag, l_quantity AS qty,
+                      SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+               FROM lineitem GROUP BY 1, 2),
+         t AS (SELECT l_returnflag, SUM(w) AS tot FROM g
+               GROUP BY l_returnflag),
+         c AS (SELECT g.l_returnflag, qty,
+                      SUM(w) OVER (PARTITION BY g.l_returnflag
+                                   ORDER BY qty
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+                      tot
+               FROM g JOIN t USING (l_returnflag)),
+         m AS (SELECT l_returnflag, MIN(qty) AS weighted_median_qty
+               FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag)
+    SELECT m.l_returnflag, weighted_median_qty,
+           CAST(tot AS DOUBLE) AS total_weight
+    FROM m JOIN t USING (l_returnflag) ORDER BY m.l_returnflag
+    """,
+    "§2.2 statistics: revenue-weighted median quantity per group — "
+    "cumulative DECIMAL weights over the per-group distinct-value "
+    "domain, half-total test as 2·cum ≥ tot in exact decimal (no "
+    "division, no float, no tolerance)",
+)
+
+SPECS["q141_winsorize"] = QuerySpec(
+    rel.winsorize,
+    """
+    WITH p AS (SELECT c_mktsegment,
+                      quantile_cont(c_acctbal, 0.05) AS f05,
+                      quantile_cont(c_acctbal, 0.95) AS f95
+               FROM customer GROUP BY c_mktsegment),
+         j AS (SELECT c.c_mktsegment AS seg, c_acctbal AS v, f05, f95
+               FROM customer c JOIN p USING (c_mktsegment))
+    SELECT seg AS c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN v < f05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+           CAST(SUM(CASE WHEN v > f95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+           ROUND(MIN(f05), 6) AS p05,
+           ROUND(MIN(f95), 6) AS p95,
+           ROUND(CAST(SUM(CASE WHEN v < f05 THEN 1 ELSE 0 END) AS BIGINT)
+                     * MIN(f05)
+                 + CAST(SUM(CASE WHEN v > f95 THEN 1 ELSE 0 END) AS BIGINT)
+                     * MIN(f95)
+                 + CAST(SUM(CASE WHEN v >= f05 AND v <= f95
+                                 THEN CAST(v AS DECIMAL(18,2)) END)
+                        AS DOUBLE), 6) AS sum_winsorized
+    FROM j GROUP BY seg ORDER BY c_mktsegment
+    """,
+    "§2.2 robust preprocessing: per-group winsorization at exact "
+    "interpolated p05/p95 (quantile_cont parity per q113) — clip "
+    "accounting + a single fixed expression tree for the winsorized "
+    "sum (n_low·p05 + n_high·p95 + exact-decimal mid), no fold drift",
 )

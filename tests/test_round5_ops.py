@@ -192,3 +192,96 @@ def test_group_reservoir_exact_k_per_group(spark, sf_dir):
     # determinism: a second run returns the identical sample
     again = corpus.group_reservoir(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_quake_geo_distances_and_cells(spark, sf_dir):
+    from etl_geonet_quakes_spark.operators import geo
+
+    rows = geo.quake_geo(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert [r["proximity_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    dists = [r["dist_km"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    # haversine column algebra ≡ python reference on the raw fixture
+    from etl_geonet_quakes_spark.io import read_geojson
+    from etl_geonet_quakes_spark.quakes import GEONET_RESPONSE_SCHEMA
+
+    raw = read_geojson(spark, geo._FIXTURE_JSON, GEONET_RESPONSE_SCHEMA)
+    feats = raw.selectExpr("explode(features) AS f").select(
+        F.col("f.properties.publicID").alias("pid"),
+        F.col("f.geometry.coordinates")[0].alias("lon"),
+        F.col("f.geometry.coordinates")[1].alias("lat"),
+    ).collect()
+    ref = {
+        r["pid"]: round(
+            geo.haversine_km_py(r["lat"], r["lon"], geo.POI_LAT, geo.POI_LON), 4
+        )
+        for r in feats
+    }
+    cells = {
+        r["pid"]: (math.floor((r["lat"] + 90.0)) * 360 + math.floor(r["lon"] + 180.0))
+        for r in feats
+    }
+    for r in rows:
+        assert abs(r["dist_km"] - ref[r["public_id"]]) < 1e-3
+        assert r["cell_id"] == cells[r["public_id"]]
+
+
+def test_gap_islands_partition_the_key_set(spark, sf_dir):
+    rows = rel.gap_islands(spark, sf_dir).collect()
+    ids = sorted(
+        r["id"]
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("id"))
+        .collect()
+    )
+    covered = []
+    prev_end = None
+    for r in rows:
+        assert r["island_start"] <= r["island_end"]
+        assert r["n_keys"] == r["island_end"] - r["island_start"] + 1  # contiguous
+        if prev_end is not None:
+            assert r["island_start"] > prev_end + 1  # maximal: a real gap between
+        prev_end = r["island_end"]
+        covered.extend(range(r["island_start"], r["island_end"] + 1))
+    assert covered == ids  # islands exactly tile the key set
+
+
+def test_weighted_median_matches_sequential_scan(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in rel.weighted_median(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    per_flag: dict[str, dict[float, Decimal]] = defaultdict(lambda: defaultdict(Decimal))
+    for r in li:
+        per_flag[r["l_returnflag"]][r["l_quantity"]] += Decimal(
+            str(round(r["l_extendedprice"], 2))
+        )
+    for flag, wmap in per_flag.items():
+        tot = sum(wmap.values())
+        cum = Decimal(0)
+        med = None
+        for qty in sorted(wmap):
+            cum += wmap[qty]
+            if 2 * cum >= tot:
+                med = qty
+                break
+        assert rows[flag]["weighted_median_qty"] == med
+        assert abs(rows[flag]["total_weight"] - float(tot)) < 1e-6
+
+
+def test_winsorize_accounting(spark, sf_dir):
+    rows = rel.winsorize(spark, sf_dir).collect()
+    for r in rows:
+        assert r["p05"] <= r["p95"]
+        assert r["n_low"] + r["n_high"] <= r["n"]
+        # ~5% in each tail (interpolated percentile ⇒ within ±1 row)
+        assert r["n_low"] <= r["n"] * 0.05 + 1
+        assert r["n_high"] <= r["n"] * 0.05 + 1
+        assert r["n"] * r["p05"] - 1e-6 <= r["sum_winsorized"] <= r["n"] * r["p95"] + 1e-6
