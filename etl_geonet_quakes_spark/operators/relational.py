@@ -2496,3 +2496,32 @@ def winsorize(spark: SparkSession, sf_dir: str,
         )
         .orderBy("c_mktsegment")
     )
+
+
+def window_distinct(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFrame:
+    """Trailing distinct count over a time-RANGE frame: for every
+    event, how many DISTINCT event types the same user produced in
+    the preceding ``days`` days inclusive — the behavioral-diversity
+    metric (q105 counts rows; distinct-of-category needs set
+    semantics a plain frame aggregate cannot give).
+
+    collect_set over the frame is exact and order-insensitive (set
+    size doesn't care how partitions fold); frames stay bounded
+    because the window partitions by user. State per frame is
+    O(|event types|) — small by construction (category domains are
+    tiny; this is NOT the operator for high-cardinality distinct,
+    which is q54's HLL territory)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    micros = F.unix_micros(F.col("ts"))
+    span = days * 86400 * 10**6
+    w = Window.partitionBy("user_id").orderBy(micros).rangeBetween(-span, 0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+        )
+        .orderBy("event_id")
+    )

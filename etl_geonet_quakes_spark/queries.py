@@ -3385,3 +3385,59 @@ SPECS["q141_winsorize"] = QuerySpec(
     "accounting + a single fixed expression tree for the winsorized "
     "sum (n_low·p05 + n_high·p95 + exact-decimal mid), no fold drift",
 )
+
+SPECS["q142_spatial_join"] = QuerySpec(
+    geo.spatial_join,
+    """
+    -- oracle = unblocked brute-force cross product + the SAME
+    -- haversine expression tree (valid because the 3x3 cell probe is
+    -- complete BY GEOMETRY at these latitudes: 25 km < 0.5-degree
+    -- cell in both axes); same pseudo-coordinate hash.
+    WITH c AS (SELECT c_custkey AS custkey,
+                      -47.0 + 13.0 * (((c_custkey * 2654435761)
+                          % 4294967296) / 4294967296.0) AS clat,
+                      166.0 + 13.0 * (((c_custkey * 2246822519)
+                          % 4294967296) / 4294967296.0) AS clon
+               FROM customer),
+         s AS (SELECT s_suppkey AS suppkey,
+                      -47.0 + 13.0 * (((s_suppkey * 2654435761)
+                          % 4294967296) / 4294967296.0) AS slat,
+                      166.0 + 13.0 * (((s_suppkey * 2246822519)
+                          % 4294967296) / 4294967296.0) AS slon
+               FROM supplier),
+         p AS (SELECT suppkey, custkey, slat, slon, clat, clon,
+                      sin(radians(clat - slat) / 2) AS sdlat,
+                      sin(radians(clon - slon) / 2) AS sdlon
+               FROM s CROSS JOIN c),
+         d AS (SELECT suppkey, custkey,
+                      2 * 6371.0 * atan2(
+                          sqrt(sdlat * sdlat + cos(radians(slat))
+                               * cos(radians(clat)) * sdlon * sdlon),
+                          sqrt(1 - (sdlat * sdlat + cos(radians(slat))
+                               * cos(radians(clat)) * sdlon * sdlon)))
+                          AS dist
+               FROM p)
+    SELECT suppkey, custkey, ROUND(dist, 4) AS dist_km
+    FROM d WHERE dist <= 25.0 ORDER BY suppkey, custkey
+    """,
+    "§2.2 joins: spatial radius join via grid-cell blocking + 3×3 "
+    "neighbor probe (the geo analog of an LSH band join; no cross "
+    "join ever exists on the Spark side) — completeness is a theorem "
+    "of the cell geometry, asserted against brute force in tests",
+)
+
+SPECS["q143_window_distinct"] = QuerySpec(
+    rel.window_distinct,
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+               AS INTEGER) AS n_distinct_types
+    FROM events ORDER BY event_id
+    """,
+    "§2.2 windows: trailing 7-day DISTINCT count per user "
+    "(behavioral diversity — q105 counts rows; distinct-of-category "
+    "needs frame set semantics); collect_set size is exact and "
+    "fold-order-insensitive, frames bounded by the user partition",
+)

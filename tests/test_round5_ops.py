@@ -285,3 +285,55 @@ def test_winsorize_accounting(spark, sf_dir):
         assert r["n_low"] <= r["n"] * 0.05 + 1
         assert r["n_high"] <= r["n"] * 0.05 + 1
         assert r["n"] * r["p05"] - 1e-6 <= r["sum_winsorized"] <= r["n"] * r["p95"] + 1e-6
+
+
+def test_two_phase_rank_invariant_to_bucket_granularity(spark, sf_dir):
+    """The two-phase distributed rank must produce IDENTICAL output
+    for any range/prefix bucket granularity — including the
+    degenerate single-bucket case (≡ the naive global window). If
+    this breaks, the parallel plan and the oracle have diverged."""
+    base = rel.equidepth_histogram(spark, sf_dir).collect()
+    for step in (500.0, 1e9):  # many small buckets / one giant bucket
+        alt = rel.equidepth_histogram(spark, sf_dir, range_step=step).collect()
+        assert sorted(map(tuple, alt)) == sorted(map(tuple, base)), step
+
+    base_i = rel.gap_islands(spark, sf_dir).collect()
+    for b in (64, 1 << 40):
+        alt_i = rel.gap_islands(spark, sf_dir, prefix_bucket=b).collect()
+        assert sorted(map(tuple, alt_i)) == sorted(map(tuple, base_i)), b
+
+
+def test_spatial_join_cell_probe_is_complete(spark, sf_dir):
+    """The 3×3 neighbor-cell probe must find EXACTLY the brute-force
+    radius pairs (completeness is a theorem of the cell geometry at
+    these latitudes — this asserts it)."""
+    from etl_geonet_quakes_spark.operators import geo
+
+    got = {
+        (r["suppkey"], r["custkey"]) for r in geo.spatial_join(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        geo._pseudo_coord(F.col("c_custkey"), 2654435761, -47.0, 13.0).alias("clat"),
+        geo._pseudo_coord(F.col("c_custkey"), 2246822519, 166.0, 13.0).alias("clon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        geo._pseudo_coord(F.col("s_suppkey"), 2654435761, -47.0, 13.0).alias("slat"),
+        geo._pseudo_coord(F.col("s_suppkey"), 2246822519, 166.0, 13.0).alias("slon"),
+    )
+    d = geo.haversine_km(F.col("slat"), F.col("slon"), F.col("clat"), F.col("clon"))
+    brute = {
+        (r["suppkey"], r["custkey"])
+        for r in supp.crossJoin(cust).filter(d <= 25.0).collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_window_distinct_bounds(spark, sf_dir):
+    rows = rel.window_distinct(spark, sf_dir).collect()
+    n_types = (
+        load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert len(rows) > 0
+    assert all(1 <= r["n_distinct_types"] <= n_types for r in rows)
