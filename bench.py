@@ -105,6 +105,7 @@ HEADLINE = [
     "q130_spearman_corr",
     "q133_token_entropy",
     "q135_equidepth_histogram",
+    "q144_tpch_q5",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -2525,3 +2525,64 @@ def window_distinct(spark: SparkSession, sf_dir: str, days: int = 7) -> DataFram
         )
         .orderBy("event_id")
     )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
+                                  region: str = "ASIA",
+                                  year: str = "1996") -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation from
+    lineitems where the supplier and the ordering customer share a
+    nation, scoped to one region and one order year — the classic
+    6-table snowflake join and the heaviest standard relational
+    workload shape in the registry.
+
+    Plan shape at scale (the whole point of Q5):
+    - region→nation are fixed-cardinality → broadcast; the region
+      filter PRUNES nations before any fact is touched;
+    - customer ⋈ filtered-nation broadcast-prunes customers to the
+      region (~1/5) before joining orders;
+    - orders carries the pushed o_orderdate year predicate INTO the
+      parquet scan;
+    - the only big-big joins are orders ⋈ lineitem and
+      lineitem ⋈ supplier on their natural keys (shuffle or bucketed
+      co-location — test_bucketing.py proves the zero-Exchange
+      variant of this pattern);
+    - the same-nation condition is an equi-predicate
+      (c_nationkey = s_nationkey), NOT a filter after a wider join —
+      Catalyst evaluates it inside the supplier join.
+
+    Revenue is exact decimal (the q01 policy, string-bridged to
+    double)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    n = load_table(spark, sf_dir, "nation")
+    rn = n.join(
+        F.broadcast(r), n.n_regionkey == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{year}-01-01")
+        & (F.col("o_orderdate") < f"{int(year) + 1}-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    revenue = F.col("l_extendedprice").cast(D_MONEY) * (
+        F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE)
+    )
+    return (
+        c.join(F.broadcast(rn), c.c_nationkey == F.col("n_nationkey"))
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("string").cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

@@ -3441,3 +3441,31 @@ SPECS["q143_window_distinct"] = QuerySpec(
     "needs frame set semantics); collect_set size is exact and "
     "fold-order-insensitive, frames bounded by the user partition",
 )
+
+SPECS["q144_tpch_q5"] = QuerySpec(
+    rel.tpch_q5_local_supplier_volume,
+    """
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4))))
+                     AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "§2.2 joins: TPC-H Q5 — the 6-table snowflake with broadcast "
+    "dimension pruning before any fact is touched, pushed year "
+    "predicate on the orders scan, same-nation as an equi-predicate "
+    "inside the supplier join, exact-decimal revenue",
+)
