@@ -2586,3 +2586,78 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with LINEAR interpolation — the
+    numeric complement of q108's LOCF: a gap day gets the value on
+    the straight line between its bracketing observed days
+    (v_prev + (v_next − v_prev) · Δdays_prev / Δdays_span), the
+    fill a metrics pipeline wants for continuous quantities where
+    LOCF's step function biases downstream aggregates.
+
+    Head/tail policy: days before the first observation backfill,
+    days after the last carry forward (both degenerate cases of the
+    same line). Observed days pass through untouched.
+
+    Determinism: day values are rounded 6dp BEFORE interpolation (the
+    q108 policy), day deltas are exact integers, and the interpolation
+    is one fixed expression tree over those identical operands —
+    bit-identical, with one final display round.
+
+    At scale: identical shape to q108 (spine bounded by users × days,
+    all shuffles user-keyed) plus two bounded-state windows (last
+    non-null behind, first non-null ahead)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 6).alias("day_value")
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    j = joined.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("d_prev"),
+        F.first("day_value", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("d_next"),
+    )
+    span = F.datediff(F.col("d_next"), F.col("d_prev"))
+    frac = F.datediff(F.col("day"), F.col("d_prev")) / span
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        F.when(
+            F.col("v_prev").isNotNull() & F.col("v_next").isNotNull(),
+            F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac,
+        ).otherwise(F.coalesce("v_prev", "v_next"))
+    )
+    return (
+        j.select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().alias("is_gap"),
+            F.round(interp, 6).alias("interp_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -3469,3 +3469,83 @@ SPECS["q144_tpch_q5"] = QuerySpec(
     "predicate on the orders scan, same-nation as an equi-predicate "
     "inside the supplier join, exact-decimal revenue",
 )
+
+SPECS["q145_interp_gapfill"] = QuerySpec(
+    rel.interp_gapfill,
+    """
+    -- linear interpolation replayed with the SAME expression tree:
+    -- values rounded 6dp BEFORE interpolation, integer day deltas,
+    -- one final display round.
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+               FROM events),
+    daily AS (SELECT user_id, day, ROUND(SUM(value), 6) AS day_value
+              FROM e GROUP BY user_id, day),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM e GROUP BY user_id),
+    spine AS (SELECT user_id,
+                     CAST(unnest(generate_series(d0, d1,
+                          INTERVAL 1 DAY)) AS DATE) AS day
+              FROM spans),
+    j AS (SELECT s.user_id, s.day, d.day_value,
+                 last_value(d.day_value IGNORE NULLS) OVER wb AS v_prev,
+                 last_value(CASE WHEN d.day_value IS NOT NULL
+                                 THEN s.day END IGNORE NULLS)
+                     OVER wb AS d_prev,
+                 first_value(d.day_value IGNORE NULLS) OVER wf AS v_next,
+                 first_value(CASE WHEN d.day_value IS NOT NULL
+                                  THEN s.day END IGNORE NULLS)
+                     OVER wf AS d_next
+          FROM spine s LEFT JOIN daily d USING (user_id, day)
+          WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW),
+                 wf AS (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day, day_value IS NULL AS is_gap,
+           ROUND(CASE WHEN day_value IS NOT NULL THEN day_value
+                      WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+                      THEN v_prev + (v_next - v_prev)
+                           * ((day - d_prev) * 1.0 / (d_next - d_prev))
+                      ELSE COALESCE(v_prev, v_next) END, 6)
+               AS interp_value
+    FROM j ORDER BY user_id, day
+    """,
+    "§2.2 time series: per-user daily LINEAR-interpolation gap-fill "
+    "(the numeric complement of q108's LOCF step function) — spine "
+    "bounded by users × days, user-keyed shuffles, two bounded-state "
+    "IGNORE-NULLS windows, fixed-tree float parity",
+)
+
+SPECS["q146_graph_bfs"] = QuerySpec(
+    dedup.graph_bfs,
+    """
+    -- bounded-depth recursive BFS over the SAME edge CTE family as
+    -- q40/q45/q122; recursive UNION dedups (v, dh) states so clique
+    -- path blow-up cannot occur.
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source,
+                 list_distinct(string_split(text, ' ')) AS tk
+          FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+    r(v, dh) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT ee.eb, r.dh + 1 FROM r JOIN ee ON r.v = ee.ea
+        WHERE r.dh < 4)
+    SELECT v AS doc_id, CAST(MIN(dh) AS INTEGER) AS dist
+    FROM r GROUP BY v ORDER BY doc_id
+    """,
+    "§2.3 graph: multi-source bounded BFS over the near-dup graph "
+    "(contamination blast radius — hop distance from a seed set; "
+    "q45 answers WHICH component, q122 HOW central, this HOW FAR) — "
+    "Pregel-style frontier expansion, per-round shuffle bounded by "
+    "frontier out-edges",
+)

@@ -337,3 +337,45 @@ def test_window_distinct_bounds(spark, sf_dir):
     )
     assert len(rows) > 0
     assert all(1 <= r["n_distinct_types"] <= n_types for r in rows)
+
+
+def test_interp_gapfill_lies_between_brackets(spark, sf_dir):
+    rows = rel.interp_gapfill(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps_seen = 0
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        obs = [(i, r["interp_value"]) for i, r in enumerate(rs) if not r["is_gap"]]
+        # span endpoints are observed days by construction
+        assert not rs[0]["is_gap"] and not rs[-1]["is_gap"]
+        for i, r in enumerate(rs):
+            if not r["is_gap"]:
+                continue
+            gaps_seen += 1
+            prev = max((j, v) for j, v in obs if j < i)
+            nxt = min((j, v) for j, v in obs if j > i)
+            lo, hi = sorted((prev[1], nxt[1]))
+            assert lo - 1e-6 <= r["interp_value"] <= hi + 1e-6
+    assert gaps_seen > 0
+
+
+def test_graph_bfs_distances_are_consistent(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm import dedup
+
+    rows = {r["doc_id"]: r["dist"] for r in dedup.graph_bfs(spark, sf_dir).collect()}
+    assert len(rows) > 0
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir, 0.8).select("doc_a", "doc_b")
+    adj: dict[int, set[int]] = {}
+    for r in pairs.collect():
+        adj.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        adj.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    seeds = {d for d, dist in rows.items() if dist == 0}
+    assert seeds and all(d % 97 == 0 for d in seeds)
+    for d, dist in rows.items():
+        if dist == 0:
+            continue
+        # BFS invariant: a vertex at distance k has a neighbor at k-1
+        assert any(rows.get(nb) == dist - 1 for nb in adj.get(d, ())), (d, dist)
