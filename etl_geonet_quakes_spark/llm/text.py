@@ -650,3 +650,70 @@ def token_entropy(spark: SparkSession, sf_dir: str,
         "entropy",
         (F.col("entropy") < low_bar).cast("int").alias("low_entropy"),
     ).orderBy("doc_id")
+
+
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the perplexity
+    quality filter (CCNet/Wikipedia-LM style, arXiv:1911.00359 §3.3):
+    train add-one-smoothed bigram statistics on the corpus itself,
+    then score every document by its average bigram negative
+    log-likelihood. High NLL = improbable word sequences = the
+    gibberish/boilerplate tail a perplexity filter drops.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) the
+    count of bigrams STARTING at w1 and V the unigram vocabulary.
+    avg_nll = −Σ ln P / n_bigrams per document; single-token docs are
+    excluded (no bigram evidence).
+
+    Distributed shape: bigram extraction is a scan-stage transform+
+    explode (positions never shuffle); corpus counts are two
+    partial+final hash aggs keyed by bigram / head token; scoring is
+    ONE bigram-keyed equi-join of doc-bigrams against the count
+    table (both sides partitioned by the same key) + a doc-keyed
+    sum. V is a broadcast single-row aggregate. At 100 TB every
+    shuffle carries (key, count) pairs — never raw text; the count
+    table join is the same shape as q27's tf-idf df join.
+
+    Floats: Σ ln P is fold-order-sensitive → rounded 6dp on both
+    engines (the cosine policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws("\x01", a, b),
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    head_counts = bg_counts.withColumn(
+        "w1", F.split(F.col("bg"), "\x01").getItem(0)
+    ).groupBy("w1").agg(F.sum("c_bg").alias("c_head"))
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .withColumn("w1", F.split(F.col("bg"), "\x01").getItem(0))
+        .join(head_counts, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_bg") + 1).cast("double")
+                / (F.col("c_head") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count("*"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

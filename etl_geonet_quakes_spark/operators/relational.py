@@ -2661,3 +2661,99 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (A/B experiment readout): split users
+    into arms by id parity, measure each arm's purchase-conversion
+    rate, and emit the pooled-variance z statistic — the
+    experimentation primitive that closes the stats suite (q137
+    tests association, q129/q130 trend, this tests a DIFFERENCE).
+
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)), p̂ pooled.
+
+    Conversion metric: the user's FIRST event (by ts, event_id) is a
+    purchase — a ~20% base rate on the fixture ("did the landing
+    convert"); the naive any-purchase metric saturates at 100% on
+    this event volume and makes z undefined (pooled variance 0).
+
+    Determinism: all counts are exact integers; every rate and the z
+    itself are single double expressions over those integers —
+    bit-identical, rounded 6dp for display only.
+
+    At scale: one user-partitioned first-event window (bounded
+    frames) then a 2-group agg. Nothing else."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    users = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        )
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)  # two single-row aggregates
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool)
+        * (1 / F.col("n_a").cast("double") + 1 / F.col("n_b").cast("double"))
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def rolling_median(spark: SparkSession, sf_dir: str, frame: int = 6) -> DataFrame:
+    """Rolling (sliding-frame) MEDIAN per user: the exact order
+    statistic over each event's trailing ``frame``+1-row window —
+    the robust smoother where q105's rolling sum/count is the moment
+    family (a single spike poisons a rolling mean; the rolling
+    median shrugs).
+
+    Exact interpolated percentile over a bounded ROWS frame (≤7
+    values of state); the q113 precedent pins percentile ≡
+    quantile_cont cross-engine, and a ≤7-value interpolated median
+    is reproducible double arithmetic. Frames are user-partitioned —
+    bounded at any scale, never a global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-frame, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_frame"),
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+                "rolling_median"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -3549,3 +3549,86 @@ SPECS["q146_graph_bfs"] = QuerySpec(
     "Pregel-style frontier expansion, per-round shuffle bounded by "
     "frontier out-edges",
 )
+
+SPECS["q147_perplexity_score"] = QuerySpec(
+    text.perplexity_score,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+         b AS (SELECT doc_id, tk[i] || chr(1) || tk[i + 1] AS bg
+               FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         bgc AS (SELECT bg, COUNT(*) AS c_bg FROM b GROUP BY bg),
+         hc AS (SELECT string_split(bg, chr(1))[1] AS w1,
+                       CAST(SUM(c_bg) AS BIGINT) AS c_head
+                FROM bgc GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+                 (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)),
+         s AS (SELECT doc_id,
+                      LN(CAST(c_bg + 1 AS DOUBLE)
+                         / CAST(c_head + v AS DOUBLE)) AS lp
+               FROM b JOIN bgc USING (bg)
+               JOIN hc ON string_split(b.bg, chr(1))[1] = hc.w1
+               CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-SUM(lp) / COUNT(*), 6) AS avg_nll
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 text quality: corpus-trained add-one bigram LM perplexity "
+    "scoring (the CCNet-style perplexity filter, arXiv:1911.00359) — "
+    "scan-stage bigram extraction, count tables keyed by bigram/head, "
+    "one bigram-keyed scoring join; shuffles carry counts, never text",
+)
+
+SPECS["q148_ab_test"] = QuerySpec(
+    rel.ab_test_proportions,
+    """
+    WITH r AS (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+         u AS (SELECT user_id,
+                      CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END AS converted
+               FROM r WHERE rn = 1),
+         arms AS (SELECT user_id % 2 AS arm, COUNT(*) AS n_users,
+                         CAST(SUM(converted) AS BIGINT) AS n_converted
+                  FROM u GROUP BY 1),
+         a AS (SELECT n_users AS n_a, n_converted AS c_a FROM arms
+               WHERE arm = 0),
+         b AS (SELECT n_users AS n_b, n_converted AS c_b FROM arms
+               WHERE arm = 1)
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(CAST(c_a + c_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE)
+                        * (1 - CAST(c_a + c_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                        * (1 / CAST(n_a AS DOUBLE)
+                           + 1 / CAST(n_b AS DOUBLE))), 6) AS z_score
+    FROM a CROSS JOIN b
+    """,
+    "§2.2 statistics: two-proportion z-test A/B readout (pooled "
+    "variance) — user-keyed conversion dedup then a 2-group agg; "
+    "exact-integer counts, single double expression for z",
+)
+
+SPECS["q149_rolling_median"] = QuerySpec(
+    rel.rolling_median,
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_frame,
+           ROUND(quantile_cont(value, 0.5) OVER w, 6) AS rolling_median
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    "§2.2 windows: rolling exact MEDIAN per user (trailing 7-row "
+    "order statistic — the robust smoother; q105 is the moment "
+    "family) — bounded frame state, user-partitioned, quantile_cont "
+    "parity per q113",
+)

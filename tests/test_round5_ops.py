@@ -379,3 +379,47 @@ def test_graph_bfs_distances_are_consistent(spark, sf_dir):
             continue
         # BFS invariant: a vertex at distance k has a neighbor at k-1
         assert any(rows.get(nb) == dist - 1 for nb in adj.get(d, ())), (d, dist)
+
+
+def test_perplexity_flags_repetitive_text_as_likely(spark, sf_dir):
+    """Model sanity: a document's avg NLL is bounded by ln of the
+    worst-case denominator, and the per-doc bigram count reconciles
+    with its token count."""
+    rows = text.perplexity_score(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_toks = {r["doc_id"]: len(r["text"].split(" ")) for r in docs}
+    vocab = len({t for r in docs for t in r["text"].split(" ")})
+    total_bigrams = sum(max(n - 1, 0) for n in n_toks.values())
+    # worst case: unseen-ish bigram prob 1/(c_head + V) ≥ 1/(total + V)
+    max_nll = math.log(total_bigrams + vocab)
+    for r in rows:
+        assert r["n_bigrams"] == n_toks[r["doc_id"]] - 1
+        assert 0.0 < r["avg_nll"] <= max_nll + 1e-6
+
+
+def test_ab_test_reconciles(spark, sf_dir):
+    row = rel.ab_test_proportions(spark, sf_dir).collect()[0]
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert row["n_a"] + row["n_b"] == n_users
+    assert 0.0 <= row["rate_a"] <= 1.0 and 0.0 <= row["rate_b"] <= 1.0
+    # z's sign follows the rate difference whenever it is defined
+    # (pooled rate strictly inside (0,1); at sf0.001's 15 users an
+    # arm can legitimately sit at 0%)
+    if row["z_score"] == row["z_score"] and row["rate_a"] != row["rate_b"]:
+        assert (row["z_score"] > 0) == (row["rate_a"] > row["rate_b"])
+
+
+def test_rolling_median_within_frame_bounds(spark, sf_dir):
+    rows = rel.rolling_median(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(1 <= r["n_frame"] <= 7 for r in rows)
+    # the first event of each user has a frame of itself → median == value
+    e = load_table(spark, sf_dir, "events").collect()
+    first = {}
+    for r in sorted(e, key=lambda r: (r["ts"], r["event_id"])):
+        first.setdefault(r["user_id"], (r["event_id"], r["value"]))
+    by_id = {r["event_id"]: r for r in rows}
+    for user, (eid, val) in first.items():
+        assert by_id[eid]["n_frame"] == 1
+        assert abs(by_id[eid]["rolling_median"] - round(val, 6)) < 1e-9

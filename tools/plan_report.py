@@ -76,6 +76,8 @@ BNLJ_INTENDED = {
     ),
     "q136_partition_skew_audit": "BNLJ intended: single-row broadcast total cross",
     "q137_chisq_independence": "BNLJ intended: single-row broadcast grand-total cross",
+    "q147_perplexity_score": "BNLJ intended: single-row broadcast vocab-size cross",
+    "q148_ab_test": "BNLJ intended: two single-row arm aggregates crossed",
 }
 
 
