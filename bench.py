@@ -106,6 +106,12 @@ HEADLINE = [
     "q133_token_entropy",
     "q135_equidepth_histogram",
     "q144_tpch_q5",
+    "q122_graph_pagerank",
+    "q146_graph_bfs",
+    "q145_interp_gapfill",
+    "q147_perplexity_score",
+    "q149_rolling_median",
+    "q150_feature_scale",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -2757,3 +2757,53 @@ def rolling_median(spark: SparkSession, sf_dir: str, frame: int = 6) -> DataFram
         )
         .orderBy("event_id")
     )
+
+
+def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling — the ML-prep standardization pass:
+    every account balance reported as its within-segment z-score
+    ((x − μ)/σ) and min-max position ((x − min)/(max − min)), the two
+    normalizations a feature pipeline applies before anything
+    distance- or gradient-based touches the data.
+
+    Determinism: μ and σ derive from exact decimal co-moments
+    (Σx, Σx² — associative, partition-order-free); min/max are exact;
+    each row's scaled values are then one fixed double expression
+    over identical operands, rounded 6dp for display. Population σ
+    (÷n), guarded by NULLIF for degenerate single-value groups.
+
+    At scale: one partial+final agg for the per-group stats (tiny),
+    broadcast back over the fact — the q113/q141 shape; the scan
+    streams once per pass and nothing wide shuffles."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    stats = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast(D_MONEY)).cast("double").alias("sx"),
+        F.sum(
+            F.col("c_acctbal").cast(D_MONEY) * F.col("c_acctbal").cast(D_MONEY)
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = F.col("sxx") / n - mean * mean
+    z = (F.col("c_acctbal") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    mm = (F.col("c_acctbal") - F.col("mn")) / F.nullif(
+        F.col("mx") - F.col("mn"), F.lit(0.0)
+    )
+    return (
+        c.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.round(z, 6).alias("zscore"),
+            F.round(mm, 6).alias("minmax"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

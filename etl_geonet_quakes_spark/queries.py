@@ -3632,3 +3632,28 @@ SPECS["q149_rolling_median"] = QuerySpec(
     "family) — bounded frame state, user-partitioned, quantile_cont "
     "parity per q113",
 )
+
+SPECS["q150_feature_scale"] = QuerySpec(
+    rel.feature_scale,
+    """
+    WITH s AS (SELECT c_mktsegment, COUNT(*) AS n,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                               * CAST(c_acctbal AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sxx,
+                      MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+               FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment, c_custkey, c_acctbal,
+           ROUND((c_acctbal - sx / n)
+                 / NULLIF(sqrt(sxx / n - (sx / n) * (sx / n)), 0.0), 6)
+               AS zscore,
+           ROUND((c_acctbal - mn) / NULLIF(mx - mn, 0.0), 6) AS minmax
+    FROM customer c JOIN s USING (c_mktsegment)
+    ORDER BY c.c_mktsegment, c_custkey
+    """,
+    "§2.2 ML prep: per-group feature scaling (z-score + min-max) "
+    "from exact decimal co-moments — associative partial+final "
+    "stats broadcast over the fact, fixed-tree float parity, NULLIF "
+    "guards for degenerate groups",
+)

@@ -423,3 +423,19 @@ def test_rolling_median_within_frame_bounds(spark, sf_dir):
     for user, (eid, val) in first.items():
         assert by_id[eid]["n_frame"] == 1
         assert abs(by_id[eid]["rolling_median"] - round(val, 6)) < 1e-9
+
+
+def test_feature_scale_properties(spark, sf_dir):
+    """Per group: z-scores average to ~0 with unit population
+    variance; min-max spans exactly [0, 1]."""
+    rows = rel.feature_scale(spark, sf_dir).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rs in by_seg.items():
+        zs = [r["zscore"] for r in rs if r["zscore"] is not None]
+        mms = [r["minmax"] for r in rs if r["minmax"] is not None]
+        if len(zs) > 1:
+            assert abs(sum(zs) / len(zs)) < 1e-4
+            assert abs(sum(z * z for z in zs) / len(zs) - 1.0) < 1e-3
+        assert min(mms) == 0.0 and max(mms) == 1.0
