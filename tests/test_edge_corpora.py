@@ -71,6 +71,17 @@ EDGE_QUERIES = [
     "q98_media_png_decode",
     "q100_weighted_sample",
     "q101_bm25_topk",
+    # round-5 documents-based additions: AND retrieval (no doc holds
+    # all query terms -> empty result, not error), token entropy
+    # (empty/1-token docs fall under min_tokens), hash reservoir
+    # (single source, fewer docs than k branches), bigram-LM scoring
+    # (0- and 1-token docs produce no bigram evidence and must be
+    # EXCLUDED identically), bounded BFS (doc 0 is the only seed).
+    "q132_retrieval_and",
+    "q133_token_entropy",
+    "q134_group_reservoir",
+    "q147_perplexity_score",
+    "q146_graph_bfs",
 ]
 
 
@@ -349,6 +360,15 @@ EDGE_EVENT_QUERIES = [
     "q81_time_window_tumbling",
     "q78_case_when_buckets",
     "q49_join_asof",
+    # round-5 events-based additions: identical-instant rows exercise
+    # the (ts, event_id) tie-breaks in path assembly and frame order;
+    # single-event users hit the 1-row frame / 1-step path branches;
+    # interp must pass observed days through and bridge the 200-min
+    # gap user linearly.
+    "q128_session_paths",
+    "q143_window_distinct",
+    "q145_interp_gapfill",
+    "q149_rolling_median",
 ]
 
 
