@@ -3657,3 +3657,19 @@ SPECS["q150_feature_scale"] = QuerySpec(
     "stats broadcast over the fact, fixed-tree float parity, NULLIF "
     "guards for degenerate groups",
 )
+
+
+SPECS["q151_stream_dedup_minhash"] = QuerySpec(
+    __import__(
+        "etl_geonet_quakes_spark.streaming.dedup_stream",
+        fromlist=["stream_dedup_minhash"],
+    ).stream_dedup_minhash,
+    SPECS["q38_dedup_minhash_lsh"].oracle,
+    "§2.2 streaming / §2.3 near-dup: INCREMENTAL MinHash-LSH dedup "
+    "driven through a real file stream (availableNow, one file per "
+    "micro-batch, foreachBatch band-bucket index) — the union of "
+    "per-batch emissions must equal the one-shot batch pair set, so "
+    "the streaming path carries q38's EXACT oracle (the reference's "
+    "schedule-tick upsert contract, task.ts:142-143/195-203, at "
+    "corpus scale)",
+)

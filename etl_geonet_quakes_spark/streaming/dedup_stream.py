@@ -202,3 +202,55 @@ def run_dedup_stream(
     )
     q.awaitTermination()
     return epochs
+
+
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry adapter: replay the documents table as three
+    arrival-ordered micro-batch files through the incremental index
+    (availableNow + maxFilesPerTrigger=1) and return the UNION of the
+    per-batch verified pair emissions.
+
+    The streaming invariant — every pair emitted exactly once, at the
+    batch where its later member arrives — makes that union equal the
+    one-shot batch pair set, so this STREAMING operator carries q38's
+    EXACT SQL oracle (full exact-Jaccard pair set): the cross-engine
+    hash gate certifies the incremental path end-to-end, not just a
+    rows-only count. Scratch feed/state dirs are per-invocation
+    temporaries; unordered-set semantics make the result independent
+    of file arrival order."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_geonet_quakes_spark.io import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_q151_")
+    feed = os.path.join(base, "feed")
+    os.makedirs(feed)
+    thirds = [docs[i::3] for i in range(3)]
+    for i, chunk in enumerate(thirds):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                    "text": pa.array([r["text"] for r in chunk], pa.string()),
+                }
+            ),
+            os.path.join(feed, f"b{i}.parquet"),
+        )
+    emitted: list = []
+    run_dedup_stream(
+        spark,
+        feed,
+        os.path.join(base, "state"),
+        pair_handler=lambda rows, epoch: emitted.extend(rows),
+    )
+    out = spark.createDataFrame(
+        [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in emitted],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    return out.orderBy("doc_a", "doc_b")
