@@ -482,3 +482,81 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         quant, schema="vec_id long, scale double, err_l2 double"
     ).orderBy("vec_id")
+
+
+def power_iteration(
+    spark: SparkSession, sf_dir: str, n_iters: int = 3
+) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION — the dominant right-singular vector of the raw
+    (uncentered) vector stack, the core of PCA whitening /
+    anisotropy diagnostics ("all-but-the-top", arXiv:1702.01417)
+    over an embedding corpus.
+
+    Each round is two distributed contractions, never a materialized
+    64×64 covariance (at 100 TB the Gram matrix is the wrong object —
+    the matvec streams the corpus instead):
+      s_i = ⟨v_i, x⟩   (per-vector dot with the broadcast literal x)
+      y_d = Σ_i v_id·s_i  (one (dim)-keyed partial+final agg —
+            the shuffle carries 64 cells, never vectors)
+    then x ← round(y/‖y‖, 6dp).
+
+    Replay contract (the q118 convention): FIXED iteration count,
+    x₀ = 1/√64 = 0.125 exactly, per-round output rounded to 6dp so
+    both engines feed identical literals into the next round and
+    float drift cannot compound. Rounds 1..n−1 update driver state
+    (64 doubles); the FINAL round stays a plan. The oracle unrolls
+    the same rounds as CTEs. Sign is pinned by x₀.
+
+    Convergence is geometric in the spectral-gap ratio, so on a
+    near-isotropic corpus (like this fixture) the fixed-round result
+    is an ESTIMATE whose guarantee is Rayleigh-quotient monotonicity,
+    not SVD alignment — the test pins exactly that plus an
+    independent numpy replay of the contract.
+
+    Emits (dim, loading) — the unit iterate after n_iters rounds."""
+    dim = DIM
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+
+    def dots(x: list[float]):
+        xs = F.array(*[F.lit(c) for c in x])
+        return F.aggregate(
+            F.zip_with(F.col("v"), xs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def y_frame(x: list[float]) -> DataFrame:
+        s = e.select("vec_id", dots(x).alias("s"))
+        return (
+            e.join(s, "vec_id")
+            .select(F.posexplode("v").alias("dim", "val"), "s")
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("y"))
+        )
+
+    def round6_away(v: float) -> float:
+        # half-away-from-zero at 6dp — Spark round()/DuckDB ROUND()
+        import math as _m
+
+        scaled = v * 1e6
+        return (_m.floor(scaled + 0.5) if v >= 0 else _m.ceil(scaled - 0.5)) / 1e6
+
+    x = [0.125] * dim
+    for _ in range(n_iters - 1):
+        got = {r["dim"]: r["y"] for r in y_frame(x).collect()}
+        ys = [got.get(d, 0.0) for d in range(dim)]
+        norm = sum(v * v for v in ys) ** 0.5
+        x = [round6_away(v / norm) for v in ys]
+
+    y = y_frame(x)
+    n = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
+    return (
+        y.join(F.broadcast(n))
+        .select("dim", F.round(F.col("y") / F.col("n"), 6).alias("loading"))
+        .orderBy("dim")
+    )

@@ -3673,3 +3673,50 @@ SPECS["q151_stream_dedup_minhash"] = QuerySpec(
     "schedule-tick upsert contract, task.ts:142-143/195-203, at "
     "corpus scale)",
 )
+
+
+SPECS["q152_power_iteration"] = QuerySpec(
+    similarity.power_iteration,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+         x0(x) AS (SELECT [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125]),
+         s1 AS (SELECT vec_id, list_dot_product(e.v, x0.x) AS s
+                FROM e CROSS JOIN x0),
+         y1 AS (SELECT i - 1 AS dim, SUM(val * s) AS y FROM
+                  (SELECT s1.s, unnest(e.v) AS val,
+                          generate_subscripts(e.v, 1) AS i
+                   FROM e JOIN s1 USING (vec_id))
+                GROUP BY i),
+         n1 AS (SELECT sqrt(SUM(y * y)) AS n FROM y1),
+         x1(x) AS (SELECT list(ROUND(y / n, 6) ORDER BY dim)
+                FROM y1 CROSS JOIN n1),
+         s2 AS (SELECT vec_id, list_dot_product(e.v, x1.x) AS s
+                FROM e CROSS JOIN x1),
+         y2 AS (SELECT i - 1 AS dim, SUM(val * s) AS y FROM
+                  (SELECT s2.s, unnest(e.v) AS val,
+                          generate_subscripts(e.v, 1) AS i
+                   FROM e JOIN s2 USING (vec_id))
+                GROUP BY i),
+         n2 AS (SELECT sqrt(SUM(y * y)) AS n FROM y2),
+         x2(x) AS (SELECT list(ROUND(y / n, 6) ORDER BY dim)
+                FROM y2 CROSS JOIN n2),
+         s3 AS (SELECT vec_id, list_dot_product(e.v, x2.x) AS s
+                FROM e CROSS JOIN x2),
+         y3 AS (SELECT i - 1 AS dim, SUM(val * s) AS y FROM
+                  (SELECT s3.s, unnest(e.v) AS val,
+                          generate_subscripts(e.v, 1) AS i
+                   FROM e JOIN s3 USING (vec_id))
+                GROUP BY i),
+         n3 AS (SELECT sqrt(SUM(y * y)) AS n FROM y3)
+    SELECT dim, ROUND(y / n, 6) AS loading
+    FROM y3 CROSS JOIN n3 ORDER BY dim
+""",
+    "§2.3 vectors: top principal direction by power iteration — two "
+    "distributed contractions per round (never a materialized Gram "
+    "matrix; the (dim)-keyed shuffle carries 64 cells), q118 replay "
+    "convention (fixed rounds, 6dp inter-round rounding, sign pinned "
+    "by x0)",
+)

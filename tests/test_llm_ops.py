@@ -1202,3 +1202,40 @@ def test_zorder_buckets_are_bounded_rectangles(spark, sf_dir):
         assert r["max_day"] - r["min_day"] <= 63, r
         assert r["min_cust"] // 64 == r["max_cust"] // 64, r
         assert r["min_day"] // 64 == r["max_day"] // 64, r
+
+
+def test_power_iteration_rayleigh_quotient_is_monotone(spark, sf_dir):
+    """What fixed-round power iteration GUARANTEES (independent of the
+    spectral gap — the near-isotropic fixture's gap is tiny, so
+    alignment-with-SVD is NOT a valid invariant here): each iterate's
+    Rayleigh quotient xᵀAᵀAx is non-decreasing, so the 3-round result
+    must beat both the uniform start vector and the mean eigenvalue;
+    and the emitted loading vector is unit-norm. Replayed against an
+    independent numpy implementation of the same contract (same x0,
+    same 6dp inter-round rounding) — the iterates must agree."""
+    import numpy as np
+
+    from etl_geonet_quakes_spark.llm import similarity
+
+    rows = similarity.power_iteration(spark, sf_dir).collect()
+    x = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(x) - 1.0) < 1e-4
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    vecs = vecs[(vecs * vecs).sum(axis=1) > 0]
+    A = vecs.T @ vecs
+    x0 = np.full(64, 0.125)
+    rq = lambda v: float(v @ A @ v) / float(v @ v)  # noqa: E731
+    assert rq(x) >= rq(x0) - 1e-6
+    assert rq(x) >= np.trace(A) / 64  # beats the average eigenvalue
+    # independent replay of the exact contract
+    xi = x0
+    for k in range(3):
+        y = A @ xi
+        xi = np.array([round(v, 6) for v in y / np.linalg.norm(y)])
+    assert np.max(np.abs(xi - x)) < 2e-6
