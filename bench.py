@@ -112,6 +112,7 @@ HEADLINE = [
     "q147_perplexity_score",
     "q149_rolling_median",
     "q150_feature_scale",
+    "q152_power_iteration",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a
