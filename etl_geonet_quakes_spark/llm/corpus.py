@@ -505,3 +505,69 @@ def group_reservoir(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .select("source", "doc_id", "rank_in_source")
         .orderBy("source", "rank_in_source")
     )
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting: every document
+    assigned by an engine-neutral hash of its id — 80/10/10 by
+    ``hash mod 10`` — with per-(split, source) document and token
+    counts, the composition report a dataset card needs. Hash-based
+    (not random) so the split is REPLAYABLE and join-stable: any
+    engine, any partitioning, any rerun lands every doc in the same
+    split — the q46/q134 sampling contract applied to the one
+    decision a training pipeline must never shuffle under itself.
+
+    One scan → narrow projection → (split, source)-keyed partial+
+    final agg. Nothing else; the split column itself is free at any
+    scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10)
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def cluster_sample(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    """Diversity-preserving dedup: keep up to ``k`` documents per
+    near-dup cluster by hash rank — the middle ground between keeping
+    everything (q45 only labels) and keep-canonical's single survivor
+    (q93): bounded duplication preserves paraphrase diversity a
+    training mix may want, while still capping any boilerplate
+    clique's contribution at k.
+
+    Reuses the converged CC labels (cluster_labels cache — the q93
+    path) + the q134 hash-rank reservoir WITHIN each cluster; emits
+    the kept docs with their cluster and rank. Shuffles are
+    label-keyed; the rank window partitions by cluster (bounded by
+    cluster size, and the giant-clique hazard is exactly what the
+    cap is for)."""
+    from etl_geonet_quakes_spark.llm.dedup import cluster_labels
+
+    labels = cluster_labels(spark, sf_dir)
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lbl").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        labels.withColumn("rank_in_cluster", F.row_number().over(w))
+        .filter(F.col("rank_in_cluster") <= k)
+        .select(
+            F.col("lbl").alias("cluster_rep"),
+            "doc_id",
+            "rank_in_cluster",
+        )
+        .orderBy("cluster_rep", "rank_in_cluster", "doc_id")
+    )

@@ -3720,3 +3720,48 @@ SPECS["q152_power_iteration"] = QuerySpec(
     "convention (fixed rounds, 6dp inter-round rounding, sign pinned "
     "by x0)",
 )
+
+SPECS["q153_train_split"] = QuerySpec(
+    corpus.train_split,
+    """
+    WITH d AS (SELECT CASE
+                        WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+                            THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9
+                            THEN 'val'
+                        ELSE 'test' END AS split,
+                      source,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+    SELECT split, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY split, source ORDER BY split, source
+    """,
+    "§2.3 corpus prep: deterministic 80/10/10 train/val/test split "
+    "accounting — engine-neutral hash assignment (replayable, "
+    "join-stable; a split must never shuffle under a rerun), "
+    "per-(split, source) dataset-card composition",
+)
+
+SPECS["q154_cluster_sample"] = QuerySpec(
+    corpus.cluster_sample,
+    _CLUSTER_CTE
+    + """
+    , hs AS (SELECT cc.doc AS doc_id, cc.cluster_rep,
+                    (cc.doc * 2654435761) % 4294967296 AS hh
+             FROM cc),
+    rk AS (SELECT cluster_rep, doc_id,
+                  CAST(row_number() OVER (PARTITION BY cluster_rep
+                                          ORDER BY hh, doc_id)
+                       AS INTEGER) AS rank_in_cluster
+           FROM hs)
+    SELECT cluster_rep, doc_id, rank_in_cluster FROM rk
+    WHERE rank_in_cluster <= 2
+    ORDER BY cluster_rep, rank_in_cluster, doc_id
+    """,
+    "§2.3 dedup: diversity-preserving cluster sampling — keep ≤k "
+    "docs per near-dup cluster by hash rank (between q45's "
+    "label-only and q93's single-survivor), capping boilerplate "
+    "cliques at k while preserving paraphrase diversity; reuses the "
+    "converged CC labels + the q134 reservoir contract",
+)

@@ -439,3 +439,38 @@ def test_feature_scale_properties(spark, sf_dir):
             assert abs(sum(zs) / len(zs)) < 1e-4
             assert abs(sum(z * z for z in zs) / len(zs) - 1.0) < 1e-3
         assert min(mms) == 0.0 and max(mms) == 1.0
+
+
+def test_train_split_partitions_the_corpus(spark, sf_dir):
+    rows = corpus.train_split(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = sum(by_split.values())
+    # hash split: ~80/10/10 (loose bounds — it's a hash, not a quota)
+    assert 0.6 * total < by_split.get("train", 0) < 0.95 * total
+    assert by_split.get("val", 0) > 0 and by_split.get("test", 0) > 0
+    # determinism
+    again = corpus.train_split(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cluster_sample_caps_every_cluster(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm.dedup import cluster_labels
+
+    rows = corpus.cluster_sample(spark, sf_dir).collect()
+    per_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_rep"], []).append(r["rank_in_cluster"])
+    sizes = {
+        r["lbl"]: r["n"]
+        for r in cluster_labels(spark, sf_dir)
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_cluster) == set(sizes)  # every cluster represented
+    for rep, ranks in per_cluster.items():
+        assert sorted(ranks) == list(range(1, min(2, sizes[rep]) + 1))

@@ -47,6 +47,7 @@ EAGER = {
         "giant-clique/hub skew — pinned in test_edge_corpora.py"
     ),
     "q118_kmeans_train": "Lloyd rounds 1..n-1 run at build time (driver-state loop); plan is the final round",
+    "q154_cluster_sample": "reuses the converged CC label cache (the q93 path)",
     "q152_power_iteration": "matvec rounds 1..n-1 run at build time (driver-state loop, 64 doubles); plan is the final round",
     "q151_stream_dedup_minhash": (
         "availableNow micro-batch replay runs at build time "
