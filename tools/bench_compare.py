@@ -1,0 +1,52 @@
+"""Compare two bench.py JSON artifacts query-by-query.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [ratio_flag]
+
+Prints per-query old/new medians and the ratio for the overlapping
+set, sorted worst-first, plus totals over the overlap; flags ratios
+above the threshold (default 1.3). Per-run arrays (when present) are
+shown for flagged rows so noise is distinguishable from regression.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    def load(p):
+        d = json.load(open(p))
+        # driver BENCH_r{N}.json wraps the bench line under "parsed"
+        # (or, if unparsed, as the raw "tail" text)
+        if "queries" in d:
+            return d
+        if d.get("parsed"):
+            return d["parsed"]
+        tail = d["tail"]
+        return json.loads(tail[tail.index('{"metric"'):]) if '{"metric"' in tail             else json.loads("{" + tail[tail.index('"metric"'):])
+
+    old = load(old_p)
+    new = load(new_p)
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for q in common:
+        o, n = old["queries"][q], new["queries"][q]
+        rows.append((n / max(o, 1e-9), o, n, q))
+    rows.sort(reverse=True)
+    o_tot = sum(r[1] for r in rows)
+    n_tot = sum(r[2] for r in rows)
+    print(f"overlap: {len(common)} queries  old={o_tot:.2f}s  "
+          f"new={n_tot:.2f}s  ratio={n_tot / o_tot:.2f}x")
+    for ratio, o, n, q in rows:
+        flag = "  <-- REGRESSION" if ratio > thresh else ""
+        line = f"{ratio:5.2f}x  {o:7.3f} -> {n:7.3f}  {q}{flag}"
+        if flag and "runs" in new and q in new["runs"]:
+            line += f"  runs={new['runs'][q]}"
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
