@@ -2807,3 +2807,64 @@ def feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str,
+                       range_step: float = 1000.0) -> DataFrame:
+    """Quantile normalization: replace every value with the GLOBAL
+    value at its within-group quantile, so every group ends up with
+    the same marginal distribution — the batch-effect correction
+    (classic in bioinformatics, equally at home aligning per-source
+    score distributions before a corpus-wide quality threshold).
+
+    Mapping is nearest-rank and ALL-INTEGER: within-group rank r of
+    n_g rows sits at quantile p = (2r−1)/(2n_g) (midpoint rule);
+    the global target is the k-th order statistic with
+    k = ceil(p·N) = ((2r−1)·N + 2n_g − 1) div (2n_g) — no float ever
+    enters the index math, so both engines select the identical
+    global value exactly (the output VALUES are input values, not
+    interpolations).
+
+    At scale: within-group ranks partition by group (parallel);
+    the global rank table uses the q135 two-phase range-bucketed
+    form (parallel local windows + tiny offset prefix); the final
+    lookup is one k-keyed equi-join against the N-row rank table."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    wg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    grouped = c.withColumn("r", F.row_number().over(wg))
+    sizes = c.groupBy("c_mktsegment").agg(F.count("*").alias("n_g"))
+
+    # global rank table, two-phase (q135 pattern)
+    g = c.select("c_custkey", "c_acctbal").withColumn(
+        "rb", (F.col("c_acctbal") / range_step).cast("long")
+    )
+    wl = Window.partitionBy("rb").orderBy("c_acctbal", "c_custkey")
+    g = g.withColumn("local_rn", F.row_number().over(wl))
+    totals = g.groupBy("rb").agg(F.count("*").alias("rb_n"))
+    wo = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "rb_off", F.coalesce(F.sum("rb_n").over(wo), F.lit(0))
+    )
+    n_total = totals.agg(F.sum("rb_n").alias("n_total"))
+    ranked = g.join(F.broadcast(offsets.select("rb", "rb_off")), "rb").select(
+        (F.col("rb_off") + F.col("local_rn")).alias("k"),
+        F.col("c_acctbal").alias("global_value"),
+    )
+
+    out = (
+        grouped.join(F.broadcast(sizes), "c_mktsegment")
+        .join(F.broadcast(n_total))
+        .withColumn(
+            "k",
+            F.expr("((2 * r - 1) * n_total + 2 * n_g - 1) DIV (2 * n_g)"),
+        )
+        .join(ranked, "k")
+    )
+    return out.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        "global_value",
+    ).orderBy("c_mktsegment", "c_custkey")

@@ -3765,3 +3765,32 @@ SPECS["q154_cluster_sample"] = QuerySpec(
     "cliques at k while preserving paraphrase diversity; reuses the "
     "converged CC labels + the q134 reservoir contract",
 )
+
+SPECS["q155_quantile_normalize"] = QuerySpec(
+    rel.quantile_normalize,
+    """
+    -- naive single-window oracle; Spark runs the two-phase ranks.
+    -- identical all-integer nearest-rank index math on both engines.
+    WITH grouped AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+                            row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS r
+                     FROM customer),
+         sizes AS (SELECT c_mktsegment, COUNT(*) AS n_g FROM customer
+                   GROUP BY c_mktsegment),
+         g AS (SELECT c_acctbal AS global_value,
+                      row_number() OVER (ORDER BY c_acctbal, c_custkey)
+                          AS k
+               FROM customer),
+         t AS (SELECT COUNT(*) AS n_total FROM customer)
+    SELECT gr.c_mktsegment, gr.c_custkey, gr.c_acctbal, g.global_value
+    FROM grouped gr
+    JOIN sizes USING (c_mktsegment) CROSS JOIN t
+    JOIN g ON g.k = ((2 * gr.r - 1) * n_total + 2 * n_g - 1)
+                  // (2 * n_g)
+    ORDER BY gr.c_mktsegment, gr.c_custkey
+    """,
+    "§2.2 ML prep: quantile normalization (align every group's "
+    "marginal to the global distribution) — all-integer nearest-rank "
+    "mapping, within-group ranks partitioned by group, global rank "
+    "table via the q135 two-phase form, k-keyed lookup join",
+)

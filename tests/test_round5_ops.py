@@ -474,3 +474,26 @@ def test_cluster_sample_caps_every_cluster(spark, sf_dir):
     assert set(per_cluster) == set(sizes)  # every cluster represented
     for rep, ranks in per_cluster.items():
         assert sorted(ranks) == list(range(1, min(2, sizes[rep]) + 1))
+
+
+def test_quantile_normalize_aligns_marginals(spark, sf_dir):
+    """After normalization every group's values are drawn from the
+    global value set, rank order is preserved within each group, and
+    each group's normalized distribution spans the global range."""
+    rows = rel.quantile_normalize(spark, sf_dir).collect()
+    all_vals = {
+        r["c_acctbal"]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        assert r["global_value"] in all_vals
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    lo, hi = min(all_vals), max(all_vals)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: (r["c_acctbal"], r["c_custkey"]))
+        normed = [r["global_value"] for r in rs]
+        assert normed == sorted(normed)  # monotone mapping
+        # midpoint nearest-rank: extremes land near the global extremes
+        assert normed[0] <= lo + (hi - lo) * 0.25
+        assert normed[-1] >= hi - (hi - lo) * 0.25
