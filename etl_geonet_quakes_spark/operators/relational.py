@@ -2868,3 +2868,53 @@ def quantile_normalize(spark: SparkSession, sf_dir: str,
         "c_acctbal",
         "global_value",
     ).orderBy("c_mktsegment", "c_custkey")
+
+
+def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) query: the parts not DOMINATED on
+    (price ↓, size ↑) — no other part is at-least-as-cheap AND
+    at-least-as-big with one strict — the multi-criteria shortlist
+    behind any "best tradeoff" product question.
+
+    The textbook formulation is a quadratic NOT EXISTS self-join
+    (the oracle deliberately runs exactly that); the engine instead
+    uses the O(n log n) WINDOW form: over cents-exact price order,
+    a part is dominated iff max(size) over STRICTLY cheaper rows
+    ≥ its size (price strict), or max(size) over EQUAL-price rows
+    > its size (size strict). Both maxima are value-RANGE frames on
+    integer cents — exact, tie-safe, and at scale the global price
+    order runs through the q135 two-phase rank (per-range windows +
+    broadcast offsets); the frame state is one running max.
+
+    Duplicate (price, size) points dominate nothing about each other
+    (no strict inequality) and all survive — pinned by the oracle's
+    NOT EXISTS semantics."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    w_cheaper = (
+        Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.orderBy("cents").rangeBetween(0, 0)
+    flagged = p.select(
+        "p_partkey",
+        "p_retailprice",
+        "size",
+        F.max("size").over(w_cheaper).alias("mx_cheaper"),
+        F.max("size").over(w_equal).alias("mx_equal"),
+    )
+    return (
+        flagged.filter(
+            (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("size")))
+            & (F.col("mx_equal") <= F.col("size"))
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("size").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )

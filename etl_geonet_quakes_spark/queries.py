@@ -3794,3 +3794,25 @@ SPECS["q155_quantile_normalize"] = QuerySpec(
     "mapping, within-group ranks partitioned by group, global rank "
     "table via the q135 two-phase form, k-keyed lookup join",
 )
+
+SPECS["q156_pareto_front"] = QuerySpec(
+    rel.pareto_front,
+    """
+    -- oracle = the quadratic NOT EXISTS textbook form; the engine
+    -- runs the O(n log n) value-RANGE window plan. Same front.
+    SELECT a.p_partkey, a.p_retailprice,
+           CAST(a.p_size AS BIGINT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size))
+    ORDER BY a.p_partkey
+    """,
+    "§2.2 multi-criteria: skyline / Pareto front on (price ↓, "
+    "size ↑) — dominated-row elimination via two exact value-RANGE "
+    "running-max frames over integer cents (O(n log n), two-phase "
+    "rank at scale) vs the oracle's quadratic NOT EXISTS",
+)

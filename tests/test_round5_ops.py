@@ -497,3 +497,23 @@ def test_quantile_normalize_aligns_marginals(spark, sf_dir):
         # midpoint nearest-rank: extremes land near the global extremes
         assert normed[0] <= lo + (hi - lo) * 0.25
         assert normed[-1] >= hi - (hi - lo) * 0.25
+
+
+def test_pareto_front_dominance_semantics(spark, sf_dir):
+    """Brute-force replay of the dominance definition in python; and
+    the front must be an antichain (no member dominates another)."""
+    front = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in rel.pareto_front(spark, sf_dir).collect()
+    }
+    pts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    dom = lambda b, a: (  # noqa: E731
+        b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+    )
+    expected = {a for a in pts if not any(dom(b, a) for b in pts)}
+    assert front == expected and len(front) > 0
+    for a in front:
+        assert not any(dom(b, a) for b in front if b != a)
