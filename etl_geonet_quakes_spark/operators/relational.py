@@ -2918,3 +2918,125 @@ def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit: evaluate a suite of
+    constraints over the star schema and emit one row per rule with
+    its violation count — the dbt-test / Deequ-style quality gate a
+    pipeline runs before publishing a table. Rules exercised:
+
+      not_null       o_orderdate IS NOT NULL
+      range          0 < o_totalprice (money must be positive)
+      domain         o_orderstatus ∈ {O, F, P}
+      unique_key     o_orderkey has no duplicates
+      fk_orders_customer    every o_custkey exists in customer
+      fk_lineitem_orders    every l_orderkey exists in orders
+      rate_bounds    0 ≤ l_discount ≤ 1 AND 0 ≤ l_tax ≤ 1
+
+    Shapes: null/range/domain rules are pushed-filter counts (scan
+    stage); uniqueness is a partial+final count-per-key with HAVING;
+    FK orphans are broadcast anti-joins (dimension side) or
+    key-partitioned anti-joins (fact-fact). Each rule is one small
+    job; the union of single-row aggregates is driver-cheap. The
+    fixture is clean by construction, so every count is 0 there;
+    `test_constraint_audit_catches_poisoned_rows` runs the same
+    audit over a deliberately poisoned snapshot and pins the exact
+    per-rule violation counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    checks = [
+        one("not_null_orderdate", o.filter(F.col("o_orderdate").isNull())),
+        one("range_totalprice_pos", o.filter(~(F.col("o_totalprice") > 0))),
+        one(
+            "domain_orderstatus",
+            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        one("unique_orderkey", dup_keys),
+        one(
+            "fk_orders_customer",
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        one(
+            "fk_lineitem_orders",
+            li.join(o.select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"), "left_anti"),
+        ),
+        one(
+            "rate_bounds",
+            li.filter(
+                ~(
+                    (F.col("l_discount") >= 0)
+                    & (F.col("l_discount") <= 1)
+                    & (F.col("l_tax") >= 0)
+                    & (F.col("l_tax") <= 1)
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out.orderBy("rule")
+
+
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: refresh a materialized
+    per-priority revenue summary from a BASE partial state plus a
+    CHANGESET partial state — combining aggregate states instead of
+    rescanning the base fact (the warehouse-maintenance algebra:
+    sum/count merge by +, min/max by min/max; avg re-derives from
+    merged sum/count, which is WHY the state carries sum+count and
+    never avg).
+
+    Fixture framing: base = orders with orderkey % 4 != 0 (the
+    already-materialized world), delta = the rest (today's load).
+    Both partials are decimal-exact, so merged == full-recompute
+    BIT-FOR-BIT — which is exactly what the oracle checks (it
+    recomputes from the full table; the engine never touches base
+    rows after its partial is built).
+
+    At scale: the merge's shuffle carries 2 rows per group (one per
+    partial), regardless of fact size — the entire point."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(D_MONEY)).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 4 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 4 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").alias("s2"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s2").cast("double").alias("revenue"),
+        (F.col("s2").cast("double") / F.col("n_orders")).alias("avg_price"),
+        "min_price",
+        "max_price",
+    ).orderBy("o_orderpriority")

@@ -3816,3 +3816,60 @@ SPECS["q156_pareto_front"] = QuerySpec(
     "running-max frames over integer cents (O(n log n), two-phase "
     "rank at scale) vs the oracle's quadratic NOT EXISTS",
 )
+
+SPECS["q157_constraint_audit"] = QuerySpec(
+    rel.constraint_audit,
+    """
+    SELECT rule, n_violations FROM (
+      SELECT 'not_null_orderdate' AS rule, COUNT(*) AS n_violations
+      FROM orders WHERE o_orderdate IS NULL
+      UNION ALL
+      SELECT 'range_totalprice_pos', COUNT(*) FROM orders
+      WHERE NOT (o_totalprice > 0)
+      UNION ALL
+      SELECT 'domain_orderstatus', COUNT(*) FROM orders
+      WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+      UNION ALL
+      SELECT 'unique_orderkey', COUNT(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+         HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'fk_orders_customer', COUNT(*) FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'fk_lineitem_orders', COUNT(*) FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'rate_bounds', COUNT(*) FROM lineitem
+      WHERE NOT (l_discount >= 0 AND l_discount <= 1
+                 AND l_tax >= 0 AND l_tax <= 1)
+    ) ORDER BY rule
+    """,
+    "§2.2 data contracts: declarative constraint-suite audit "
+    "(not-null / range / domain / unique-key / two FK-orphan "
+    "anti-joins / rate bounds) — pushed-filter counts, HAVING "
+    "uniqueness, broadcast + key-partitioned anti-joins; one row "
+    "per rule (the Deequ/dbt-test gate)",
+)
+
+SPECS["q158_incremental_agg"] = QuerySpec(
+    rel.incremental_agg,
+    """
+    -- oracle recomputes from the FULL table; the engine merges two
+    -- partial states (base + changeset) and must match bit-for-bit
+    -- because the state algebra is decimal-exact.
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "§2.2 warehouse maintenance: incremental aggregate refresh by "
+    "PARTIAL-STATE MERGE (sum/count by +, min/max by min/max, avg "
+    "re-derived from merged state) — merged result must equal the "
+    "full recompute bit-for-bit; the merge shuffles 2 rows per "
+    "group regardless of fact size",
+)

@@ -517,3 +517,85 @@ def test_pareto_front_dominance_semantics(spark, sf_dir):
     assert front == expected and len(front) > 0
     for a in front:
         assert not any(dom(b, a) for b in front if b != a)
+
+
+def test_constraint_audit_clean_fixture_is_clean(spark, sf_dir):
+    rows = {r["rule"]: r["n_violations"] for r in rel.constraint_audit(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_constraint_audit_catches_poisoned_rows(spark, tmp_path):
+    """Poison every rule once and pin the exact counts."""
+    import datetime as dt
+
+    path = str(tmp_path)
+    ts = dt.datetime(2024, 1, 1)
+    orders = [
+        # (key, custkey, status, price, date, priority)
+        (1, 10, "O", 100.0, ts, "1-URGENT"),
+        (1, 10, "O", 100.0, ts, "1-URGENT"),   # duplicate key (1 rule hit)
+        (2, 999, "O", 50.0, ts, "1-URGENT"),   # FK orphan custkey
+        (3, 10, "X", 50.0, ts, "1-URGENT"),    # bad status domain
+        (4, 10, "F", -5.0, ts, "1-URGENT"),    # non-positive price
+        (5, 10, "P", 50.0, None, "1-URGENT"),  # null orderdate
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{path}/orders.parquet")
+    lineitem = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.1, 0.05, "N", "O", ts),
+        (99, 1, 1, 1, 1.0, 10.0, 1.5, 0.05, "N", "O", ts),  # orphan + bad rate
+    ]
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.parquet(f"{path}/lineitem.parquet")
+    spark.createDataFrame([(10, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string").write.parquet(f"{path}/customer.parquet")
+
+    got = {r["rule"]: r["n_violations"] for r in rel.constraint_audit(spark, path).collect()}
+    assert got == {
+        "not_null_orderdate": 1,
+        "range_totalprice_pos": 1,
+        "domain_orderstatus": 1,
+        "unique_orderkey": 1,
+        "fk_orders_customer": 1,
+        "fk_lineitem_orders": 1,
+        "rate_bounds": 1,
+    }
+
+
+def test_incremental_agg_merge_equals_recompute(spark, sf_dir):
+    """The partial-state merge must equal a direct full-table
+    aggregation bit-for-bit (the decimal algebra guarantee)."""
+    merged = sorted(map(tuple, rel.incremental_agg(spark, sf_dir).collect()))
+    o = load_table(spark, sf_dir, "orders")
+    from etl_geonet_quakes_spark.operators.relational import D_MONEY
+
+    full = sorted(
+        map(
+            tuple,
+            o.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast(D_MONEY))
+                .cast("double")
+                .alias("revenue"),
+                (
+                    F.sum(F.col("o_totalprice").cast(D_MONEY)).cast("double")
+                    / F.count("*")
+                ).alias("avg_price"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+            .collect(),
+        )
+    )
+    assert merged == full
