@@ -3040,3 +3040,44 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     ).orderBy("o_orderpriority")
+
+
+def temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-interval lookup: resolve every event to
+    the SCD2 version (q112's interval build) valid AT its timestamp —
+    the as-of dimension lookup every fact load against a versioned
+    dimension performs (q49's as-of join pairs two event streams;
+    this pairs a stream against VALIDITY INTERVALS, the warehouse
+    shape).
+
+    Join: same user, effective_from ≤ ts, and (ts < effective_to or
+    open current version). Interval semantics make the match unique:
+    versions tile each user's timeline half-open [from, to), so even
+    same-instant change collisions (an empty [t, t) interval) cannot
+    double-match — pinned by the uniqueness invariant test.
+
+    At scale: the versions side is bounded by change count (≪ event
+    count); the join is a user-keyed equi-join with the interval
+    predicate evaluated inside it — broadcast when the dimension
+    fits, co-partitioned otherwise. Never a cross join."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    v = scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("v_user"),
+        "attr_value",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+    j = e.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("effective_from") <= F.col("ts"))
+        & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("attr_value").alias("version_value"),
+        F.col("effective_from").alias("version_from"),
+        "is_current",
+    ).orderBy("event_id")

@@ -3873,3 +3873,38 @@ SPECS["q158_incremental_agg"] = QuerySpec(
     "full recompute bit-for-bit; the merge shuffles 2 rows per "
     "group regardless of fact size",
 )
+
+SPECS["q159_temporal_lookup"] = QuerySpec(
+    rel.temporal_lookup,
+    """
+    -- q112's interval CTE verbatim + the point-in-interval join.
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    v AS (
+      SELECT user_id, event_type AS attr_value,
+             ts AS effective_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS effective_to
+      FROM ch)
+    SELECT e.event_id, e.user_id,
+           v.attr_value AS version_value,
+           v.effective_from AS version_from,
+           v.effective_to IS NULL AS is_current
+    FROM events e JOIN v
+      ON e.user_id = v.user_id
+     AND v.effective_from <= e.ts
+     AND (v.effective_to IS NULL OR e.ts < v.effective_to)
+    ORDER BY e.event_id
+    """,
+    "§2.2 warehouse: bitemporal point-in-interval lookup — every "
+    "event resolved to the SCD2 version valid at its timestamp; "
+    "half-open interval tiling makes the match unique (same-instant "
+    "collisions yield empty intervals that match nothing); "
+    "user-keyed join, versions side bounded by change count",
+)

@@ -599,3 +599,21 @@ def test_incremental_agg_merge_equals_recompute(spark, sf_dir):
         )
     )
     assert merged == full
+
+
+def test_temporal_lookup_is_total_and_unique(spark, sf_dir):
+    """Every event resolves to EXACTLY one version (the half-open
+    tiling guarantee), and a change event resolves to the version it
+    opened (its own event type)."""
+    rows = rel.temporal_lookup(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(rows) == n_events  # total AND unique (no dup event_ids)
+    assert len({r["event_id"] for r in rows}) == n_events
+    # spot-check: each user's first event opens its first version
+    e = load_table(spark, sf_dir, "events").collect()
+    first = {}
+    for r in sorted(e, key=lambda r: (r["ts"], r["event_id"])):
+        first.setdefault(r["user_id"], r)
+    by_id = {r["event_id"]: r for r in rows}
+    for u, r in first.items():
+        assert by_id[r["event_id"]]["version_value"] == r["event_type"]
