@@ -267,6 +267,9 @@ VECTOR_QUERIES = [
     # zero error; duplicates must land in the same k-means cell)
     "q102_kmeans_step",
     "q107_embedding_quantize",
+    # round-5: power iteration must exclude the zero vector on both
+    # engines and converge identically from the edge fixture
+    "q152_power_iteration",
 ]
 
 
