@@ -3081,3 +3081,82 @@ def temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_from").alias("version_from"),
         "is_current",
     ).orderBy("event_id")
+
+
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine two generations of the same
+    feed whose schemas drifted (the old extract lacks a column the
+    new one added, and vice versa) by NAME with missing columns
+    nulled, plus a provenance column — the ingestion-compat shape
+    every long-lived pipeline grows (positional UNION would silently
+    misalign or reject).
+
+    Fixture framing: generation v1 = orders before 1997 WITHOUT the
+    priority column (it didn't exist yet); v2 = 1997+ WITHOUT the
+    status column (deprecated). unionByName(allowMissingColumns)
+    aligns by name; the per-generation null accounting verifies no
+    value landed in the wrong column.
+
+    At scale: a union is plan-level concatenation — zero shuffle;
+    the per-(generation, nullity) audit agg is the only exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .withColumn("generation", F.lit("v1"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderdate") >= "1997-01-01")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("generation", F.lit("v2"))
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("generation")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_orderstatus").isNull().cast("long")).alias(
+                "null_status"
+            ),
+            F.sum(F.col("o_orderpriority").isNull().cast("long")).alias(
+                "null_priority"
+            ),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("generation")
+    )
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user: each event's value
+    holds until the next event, so the mean weights every value by
+    its holding DURATION — the correct average for sampled state
+    (balance, price, gauge), where the row-weighted q105-style mean
+    over-counts bursts of short-lived readings.
+
+    twap = Σ value_i · Δt_i / Σ Δt_i over [first, last), Δt in exact
+    integer microseconds via LEAD; single-event users have no holding
+    interval and are excluded (the honest contract — emitting the
+    raw value would silently change semantics). The value·duration
+    sum folds doubles → rounded 6dp both engines.
+
+    At scale: one user-partitioned LEAD window + one user-keyed agg —
+    bounded frames, no global sort."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                                   "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    d = e.withColumn("dt", F.lead(micros).over(w) - micros).filter(
+        F.col("dt").isNotNull()
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt").alias("span_us"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

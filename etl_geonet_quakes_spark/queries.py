@@ -3908,3 +3908,51 @@ SPECS["q159_temporal_lookup"] = QuerySpec(
     "collisions yield empty intervals that match nothing); "
     "user-keyed join, versions side bounded by change count",
 )
+
+SPECS["q160_schema_drift_union"] = QuerySpec(
+    rel.schema_drift_union,
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       CAST(NULL AS VARCHAR) AS o_orderpriority,
+                       'v1' AS generation
+                FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         v2 AS (SELECT o_orderkey, o_totalprice,
+                       CAST(NULL AS VARCHAR) AS o_orderstatus,
+                       o_orderpriority, 'v2' AS generation
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+         u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT generation, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM u GROUP BY generation ORDER BY generation
+    """,
+    "§2.2 schema evolution: union-by-name across drifted feed "
+    "generations (missing columns nulled, provenance column, "
+    "per-generation null accounting) — plan-level concatenation, "
+    "zero shuffle for the union itself",
+)
+
+SPECS["q161_time_weighted_avg"] = QuerySpec(
+    rel.time_weighted_avg,
+    """
+    WITH d AS (SELECT user_id, value,
+                      LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) - epoch_us(ts) AS dt
+               FROM events)
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           ROUND(SUM(value * dt) / SUM(dt), 6) AS twap
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "§2.2 time series: time-weighted average (TWAP) per user — "
+    "holding-duration weights via LEAD in exact integer "
+    "microseconds; the correct mean for sampled state where "
+    "row-weighted means over-count bursts; single-event users "
+    "honestly excluded",
+)

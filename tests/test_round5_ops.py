@@ -617,3 +617,34 @@ def test_temporal_lookup_is_total_and_unique(spark, sf_dir):
     by_id = {r["event_id"]: r for r in rows}
     for u, r in first.items():
         assert by_id[r["event_id"]]["version_value"] == r["event_type"]
+
+
+def test_schema_drift_union_accounting(spark, sf_dir):
+    rows = {r["generation"]: r for r in rel.schema_drift_union(spark, sf_dir).collect()}
+    assert set(rows) == {"v1", "v2"}
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert rows["v1"]["n_rows"] + rows["v2"]["n_rows"] == n_orders
+    # missing columns are FULLY null in the generation that lacks them
+    assert rows["v1"]["null_priority"] == rows["v1"]["n_rows"]
+    assert rows["v1"]["null_status"] == 0
+    assert rows["v2"]["null_status"] == rows["v2"]["n_rows"]
+    assert rows["v2"]["null_priority"] == 0
+
+
+def test_time_weighted_avg_bounds_and_span(spark, sf_dir):
+    rows = rel.time_weighted_avg(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r["user_id"], []).append(r)
+    got = {r["user_id"]: r for r in rows}
+    for u, rs in by_user.items():
+        if len(rs) < 2:
+            assert u not in got  # single-event users excluded
+            continue
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        span = int((rs[-1]["ts"] - rs[0]["ts"]).total_seconds() * 1e6)
+        assert got[u]["span_us"] == span
+        assert got[u]["n_intervals"] == len(rs) - 1
+        vals = [r["value"] for r in rs[:-1]]  # last value holds nothing
+        assert min(vals) - 1e-6 <= got[u]["twap"] <= max(vals) + 1e-6
