@@ -3160,3 +3160,88 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis (ratio-to-parent /
+    ratio-to-report): revenue per nation with its share of the
+    parent region and of the grand total — the drill-down decomposition
+    every BI layer ships (SHARE OF PARENT in MDX terms).
+
+    Plan: one fact aggregation to the finest grain (nation), then
+    parent and total derive FROM those ~25 rows (re-aggregated and
+    broadcast back) — the fact table is scanned once, the hierarchy
+    math never touches it. Shares divide exact decimal sums cast to
+    double (identical operands ⇒ identical quotients, 6dp display)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(D_MONEY)).alias("rev"))
+    )
+    per_region = per_nation.groupBy("r_name").agg(
+        F.sum("rev").alias("region_rev")
+    )
+    total = per_nation.agg(F.sum("rev").alias("total_rev"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .join(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("region_rev").cast("double"),
+                6,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("rev").cast("double") / F.col("total_rev").cast("double"),
+                6,
+            ).alias("share_of_total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users, NEW users (first-ever
+    activity that day), returning users (active − new), and the
+    cumulative registered-user count — the DAU decomposition every
+    product dashboard leads with (q104's cohort retention is the
+    matrix view; this is the timeline view).
+
+    Shapes: first-seen day is one user-keyed min-agg; daily actives
+    are a (day, user)-distinct count; the cumulative curve is a
+    running sum over the ~days-sized daily-new table (tiny — the
+    ordered window never sees user-level rows). All exact integers."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_active = e.distinct().groupBy("day").agg(
+        F.count("*").alias("n_active")
+    )
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(
+            daily_new.withColumnRenamed("first_day", "day"), "day", "left"
+        )
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("n_active") - F.coalesce("n_new", F.lit(0))).alias(
+                "n_returning"
+            ),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )

@@ -3956,3 +3956,56 @@ SPECS["q161_time_weighted_avg"] = QuerySpec(
     "row-weighted means over-count bursts; single-event users "
     "honestly excluded",
 )
+
+SPECS["q162_contribution_shares"] = QuerySpec(
+    rel.contribution_shares,
+    """
+    WITH pn AS (SELECT r_name, n_name,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name),
+         pr AS (SELECT r_name, SUM(rev) AS region_rev FROM pn
+                GROUP BY r_name),
+         t AS (SELECT SUM(rev) AS total_rev FROM pn)
+    SELECT pn.r_name, pn.n_name,
+           CAST(pn.rev AS DOUBLE) AS revenue,
+           ROUND(CAST(pn.rev AS DOUBLE) / CAST(pr.region_rev AS DOUBLE),
+                 6) AS share_of_region,
+           ROUND(CAST(pn.rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE),
+                 6) AS share_of_total
+    FROM pn JOIN pr USING (r_name) CROSS JOIN t
+    ORDER BY pn.r_name, pn.n_name
+    """,
+    "§2.2 BI analytics: hierarchical contribution shares "
+    "(ratio-to-parent + ratio-to-report) — fact aggregated once to "
+    "the finest grain, hierarchy math over the tiny grain table "
+    "broadcast back; exact-decimal numerators/denominators",
+)
+
+SPECS["q163_growth_accounting"] = QuerySpec(
+    rel.growth_accounting,
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         fs AS (SELECT user_id, MIN(day) AS first_day FROM e
+                GROUP BY user_id),
+         da AS (SELECT day, COUNT(*) AS n_active FROM
+                  (SELECT DISTINCT user_id, day FROM e)
+                GROUP BY day),
+         dn AS (SELECT first_day AS day, COUNT(*) AS n_new FROM fs
+                GROUP BY first_day)
+    SELECT da.day, da.n_active,
+           COALESCE(dn.n_new, 0) AS n_new,
+           da.n_active - COALESCE(dn.n_new, 0) AS n_returning,
+           CAST(SUM(COALESCE(dn.n_new, 0)) OVER (ORDER BY da.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM da LEFT JOIN dn USING (day) ORDER BY da.day
+    """,
+    "§2.2 product analytics: daily growth accounting (active / new / "
+    "returning / cumulative users — the DAU decomposition; q104 is "
+    "the cohort-matrix view) — user-keyed min-agg + distinct count; "
+    "the running sum windows only the days-sized table",
+)

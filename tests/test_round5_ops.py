@@ -648,3 +648,26 @@ def test_time_weighted_avg_bounds_and_span(spark, sf_dir):
         assert got[u]["n_intervals"] == len(rs) - 1
         vals = [r["value"] for r in rs[:-1]]  # last value holds nothing
         assert min(vals) - 1e-6 <= got[u]["twap"] <= max(vals) + 1e-6
+
+
+def test_contribution_shares_sum_to_one(spark, sf_dir):
+    rows = rel.contribution_shares(spark, sf_dir).collect()
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-3
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r["r_name"]] = by_region.get(r["r_name"], 0.0) + r["share_of_region"]
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-3, region
+
+
+def test_growth_accounting_reconciles(spark, sf_dir):
+    rows = rel.growth_accounting(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    assert rows[-1]["cum_users"] == n_users  # everyone registers eventually
+    assert sum(r["n_new"] for r in rows) == n_users
+    cum = 0
+    for r in rows:
+        assert r["n_returning"] == r["n_active"] - r["n_new"] >= 0
+        cum += r["n_new"]
+        assert r["cum_users"] == cum  # running sum is exact
