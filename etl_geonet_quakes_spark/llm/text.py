@@ -717,3 +717,55 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def token_mutual_information(spark: SparkSession, sf_dir: str,
+                             k: int = 25, min_docs: int = 20) -> DataFrame:
+    """Token↔source mutual information — the feature-selection
+    statistic (which tokens carry SIGNAL about a document's
+    provenance): MI(T;S) = Σ p(t,s)·ln(p(t,s)/(p(t)p(s))) over the
+    document-level presence contingency of each token, top-k by MI.
+    High-MI tokens identify domain shibboleths (dedup leakage,
+    contamination markers, source-classifier features); near-zero MI
+    means the token is provenance-neutral.
+
+    Counts are DOCUMENT-level presence (distinct (doc, token)), so a
+    token spamming one document cannot fake corpus-level signal.
+    Every probability is an exact-integer ratio; the MI sum folds
+    ≤|sources| doubles per token → 6dp rounding parity.
+
+    At scale: one (token, source)-keyed hash agg over the distinct
+    presence pairs, marginals derived FROM it (grouping the count
+    table, not the corpus), single-row totals broadcast; top-k is
+    TakeOrderedAndProject. The corpus streams once."""
+    d = load_table(spark, sf_dir, "documents")
+    pres = (
+        d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    ts = pres.groupBy("tok", "source").agg(F.count("*").alias("n_ts"))
+    t_m = ts.groupBy("tok").agg(F.sum("n_ts").alias("n_t"))
+    s_m = ts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    tot = s_m.agg(F.sum("n_s").alias("n"))
+    mi_term = (
+        F.col("n_ts").cast("double")
+        / F.col("n").cast("double")
+        * F.log(
+            F.col("n_ts").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("n_t").cast("double") * F.col("n_s").cast("double"))
+        )
+    )
+    return (
+        ts.join(t_m, "tok")
+        .join(F.broadcast(s_m), "source")
+        .join(F.broadcast(tot))
+        .groupBy("tok")
+        .agg(
+            F.max("n_t").alias("n_docs"),
+            F.round(F.sum(mi_term), 6).alias("mi"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("mi"), "tok")
+        .limit(k)
+    )

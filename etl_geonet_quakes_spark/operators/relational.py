@@ -3245,3 +3245,47 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_users", F.sum("n_new").over(w))
         .orderBy("day")
     )
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from each user's
+    first CLICK to their first PURCHASE AFTER it, summarized as exact
+    interpolated p50/p90 plus mean — the "how long does conversion
+    take" readout that q103's funnel (how many convert) doesn't give.
+
+    Latencies are exact integer seconds (microsecond timestamps
+    subtracted then DIV 10^6 — no float time math); percentiles use
+    the q113-proven exact interpolated percentile ≡ quantile_cont
+    parity; the mean divides an exact integer sum. Non-converting
+    users simply drop out of the min-agg join (no nulls to police).
+
+    At scale: two user-keyed filtered min-aggs (first click, first
+    purchase-after-click) joined on user — the q103 funnel shape —
+    then one global summary agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    conv = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("p_us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("purchase_us"), F.min("click_us").alias("click_us"))
+        .select(
+            "user_id",
+            F.expr("(purchase_us - click_us) DIV 1000000").alias("latency_s"),
+        )
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(latency_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
+        F.round(F.sum("latency_s") / F.count("*"), 6).alias("mean_s"),
+    )

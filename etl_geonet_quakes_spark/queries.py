@@ -4009,3 +4009,58 @@ SPECS["q163_growth_accounting"] = QuerySpec(
     "the cohort-matrix view) — user-keyed min-agg + distinct count; "
     "the running sum windows only the days-sized table",
 )
+
+SPECS["q164_token_mi"] = QuerySpec(
+    text.token_mutual_information,
+    """
+    WITH pres AS (SELECT DISTINCT doc_id, source, tok FROM
+                    (SELECT doc_id, source,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents)),
+         ts AS (SELECT tok, source, COUNT(*) AS n_ts FROM pres
+                GROUP BY tok, source),
+         tm AS (SELECT tok, CAST(SUM(n_ts) AS BIGINT) AS n_t FROM ts
+                GROUP BY tok),
+         sm AS (SELECT source, CAST(SUM(n_ts) AS BIGINT) AS n_s FROM ts
+                GROUP BY source),
+         t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM sm)
+    SELECT tok, CAST(MAX(n_t) AS BIGINT) AS n_docs,
+           ROUND(SUM(CAST(n_ts AS DOUBLE) / CAST(n AS DOUBLE)
+                     * LN(CAST(n_ts AS DOUBLE) * CAST(n AS DOUBLE)
+                          / (CAST(n_t AS DOUBLE)
+                             * CAST(n_s AS DOUBLE)))), 6) AS mi
+    FROM ts JOIN tm USING (tok) JOIN sm USING (source) CROSS JOIN t
+    GROUP BY tok HAVING MAX(n_t) >= 20
+    ORDER BY mi DESC, tok LIMIT 25
+    """,
+    "§2.3 text analysis: token↔source mutual information (feature "
+    "selection / domain-shibboleth detection) — document-level "
+    "presence contingency, marginals derived from the count table, "
+    "corpus streams once; exact-integer probabilities, 6dp MI",
+)
+
+SPECS["q165_conversion_latency"] = QuerySpec(
+    rel.conversion_latency,
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+               FROM events),
+         fc AS (SELECT user_id, MIN(us) AS click_us FROM e
+                WHERE event_type = 'click' GROUP BY user_id),
+         conv AS (SELECT e.user_id,
+                         (MIN(e.us) - MIN(fc.click_us)) // 1000000
+                             AS latency_s
+                  FROM e JOIN fc ON e.user_id = fc.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND e.us >= fc.click_us
+                  GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_converted,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s,
+           ROUND(SUM(latency_s) / COUNT(*), 6) AS mean_s
+    FROM conv
+    """,
+    "§2.2 product analytics: conversion-latency distribution (first "
+    "click → first purchase after it) — exact integer-second "
+    "latencies, interpolated p50/p90 (quantile_cont parity per "
+    "q113); the time dimension q103's conversion counts lack",
+)

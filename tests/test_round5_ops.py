@@ -671,3 +671,39 @@ def test_growth_accounting_reconciles(spark, sf_dir):
         assert r["n_returning"] == r["n_active"] - r["n_new"] >= 0
         cum += r["n_new"]
         assert r["cum_users"] == cum  # running sum is exact
+
+
+def test_token_mi_is_nonnegative_and_doc_counted(spark, sf_dir):
+    """MI of a joint distribution is ≥ 0 (up to 6dp rounding), and
+    n_docs counts DOCUMENT presence (a token repeated in one doc
+    counts once)."""
+    rows = text.token_mutual_information(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in rows:
+        assert r["mi"] >= -1e-6
+        n_docs = sum(1 for d in docs if r["tok"] in d["text"].split(" "))
+        assert r["n_docs"] == n_docs
+
+
+def test_conversion_latency_reconciles_with_funnel_semantics(spark, sf_dir):
+    row = rel.conversion_latency(spark, sf_dir).collect()[0]
+    assert row["n_converted"] > 0
+    assert 0 <= row["p50_s"] <= row["p90_s"]
+    assert row["mean_s"] >= 0
+    # brute-force replay
+    e = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r["user_id"], []).append(r)
+    lats = []
+    for u, rs in by_user.items():
+        clicks = [r["ts"] for r in rs if r["event_type"] == "click"]
+        if not clicks:
+            continue
+        c0 = min(clicks)
+        purch = [r["ts"] for r in rs if r["event_type"] == "purchase" and r["ts"] >= c0]
+        if purch:
+            lats.append(int((min(purch) - c0).total_seconds()))
+    assert row["n_converted"] == len(lats)
+    assert abs(row["mean_s"] - sum(lats) / len(lats)) < 1e-6
