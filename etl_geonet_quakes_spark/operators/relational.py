@@ -3289,3 +3289,121 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(latency_s, 0.9)").alias("p90_s"),
         F.round(F.sum("latency_s") / F.count("*"), 6).alias("mean_s"),
     )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str,
+                     gap_minutes: int = 30,
+                     bucket_hours: int = 24) -> DataFrame:
+    """Peak session concurrency by SWEEP LINE: build user sessions
+    (the q50 gap rule), emit +1/−1 deltas at each session's start/end
+    (half-open — an end coinciding with another start frees the slot
+    first), and take the running sum's maximum — 'how many sessions
+    were ever open at once', the capacity question interval data
+    exists to answer.
+
+    The running sum over global time order is the scale hazard, so
+    this is the THIRD reuse of the two-phase prefix form (q94 tokens,
+    q135 values, now TIME): deltas bucket by wall-clock window,
+    cumsum locally per bucket (parallel), only per-bucket totals take
+    the ordered prefix window, offsets broadcast back. Deterministic
+    sweep order (ts, delta, user_id) on both engines.
+
+    Emits one row: the peak, when it was first reached, and the
+    session count — the headline a capacity planner wants."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = (
+        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0)
+    )
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn(
+            "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    deltas = sess.select(
+        F.col("s_us").alias("us"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        sess.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"), "user_id")
+    )
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    deltas = deltas.withColumn("bkt", F.expr(f"us DIV {bucket_us}"))
+    wl = Window.partitionBy("bkt").orderBy("us", "delta", "user_id")
+    deltas = deltas.withColumn(
+        "local_cum", F.sum("delta").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = deltas.groupBy("bkt").agg(F.sum("delta").alias("bkt_sum"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "bkt_off", F.coalesce(F.sum("bkt_sum").over(wo), F.lit(0))
+    )
+    running = deltas.join(F.broadcast(offsets.select("bkt", "bkt_off")), "bkt").select(
+        "us", (F.col("bkt_off") + F.col("local_cum")).alias("open_now")
+    )
+    n_sessions = sess.count()
+    peak = running.agg(F.max("open_now").alias("peak_concurrency"))
+    first_at = (
+        running.join(F.broadcast(peak))
+        .filter(F.col("open_now") == F.col("peak_concurrency"))
+        .agg(F.min("us").alias("first_peak_us"))
+    )
+    return (
+        peak.join(F.broadcast(first_at))
+        .select(
+            "peak_concurrency",
+            "first_peak_us",
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on event VALUES between the
+    two id-parity arms — the two-MEANS complement of q148's
+    two-proportion z (and the test a metrics experiment actually
+    runs: revenue-per-event is a mean, not a rate).
+
+    t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b), sample variances.
+
+    Determinism: values are 2-dp fixture money, so Σx and Σx² are
+    exact decimal sums; means/variances/t are one double expression
+    tree over those identical operands — bit-identical, 6dp display.
+
+    At scale: one partial+final 2-group agg over the scan. That's
+    the entire plan."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("value").cast(D_MONEY).alias("v"),
+    )
+    g = e.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(b)  # two single-row aggregates
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a") / na
+    mb = F.col("s_b") / nb
+    va = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / na) / (na - 1)
+    vb = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - 1)
+    t = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(va, 6).alias("var_a"),
+        F.round(vb, 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+    )

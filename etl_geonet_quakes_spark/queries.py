@@ -4064,3 +4064,76 @@ SPECS["q165_conversion_latency"] = QuerySpec(
     "latencies, interpolated p50/p90 (quantile_cont parity per "
     "q113); the time dimension q103's conversion counts lack",
 )
+
+SPECS["q166_peak_concurrency"] = QuerySpec(
+    rel.peak_concurrency,
+    """
+    -- naive single-window sweep oracle; the engine runs the
+    -- two-phase time-bucketed prefix form. Same deterministic sweep
+    -- order (ts, delta, user_id), same half-open end-frees-first
+    -- convention.
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+               FROM events),
+         g AS (SELECT user_id, us, event_id,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, us,
+                      SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+               FROM g),
+         sess AS (SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+                  FROM s GROUP BY user_id, sid),
+         d AS (SELECT s_us AS us, 1 AS delta, user_id FROM sess
+               UNION ALL
+               SELECT e_us AS us, -1 AS delta, user_id FROM sess),
+         r AS (SELECT us, SUM(delta) OVER (ORDER BY us, delta, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS open_now
+               FROM d),
+         p AS (SELECT MAX(open_now) AS peak_concurrency FROM r)
+    SELECT p.peak_concurrency,
+           (SELECT MIN(us) FROM r WHERE open_now = p.peak_concurrency)
+               AS first_peak_us,
+           (SELECT COUNT(*) FROM sess) AS n_sessions
+    FROM p
+    """,
+    "§2.2 interval analytics: peak session concurrency by sweep "
+    "line (+1/−1 deltas, running-sum max) — the THIRD reuse of the "
+    "two-phase prefix form, on the TIME axis; deterministic sweep "
+    "order, half-open intervals",
+)
+
+SPECS["q167_welch_t_test"] = QuerySpec(
+    rel.welch_t_test,
+    """
+    WITH g AS (SELECT user_id % 2 AS arm, COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                           AS DOUBLE) AS s,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2))
+                               * CAST(value AS DECIMAL(18,2)))
+                           AS DOUBLE) AS ss
+               FROM events GROUP BY 1),
+         a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM g
+               WHERE arm = 0),
+         b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM g
+               WHERE arm = 1)
+    SELECT n_a, n_b,
+           ROUND(s_a / n_a, 6) AS mean_a,
+           ROUND(s_b / n_b, 6) AS mean_b,
+           ROUND((ss_a - s_a * s_a / n_a) / (n_a - 1), 6) AS var_a,
+           ROUND((ss_b - s_b * s_b / n_b) / (n_b - 1), 6) AS var_b,
+           ROUND((s_a / n_a - s_b / n_b)
+                 / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                        + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
+                 6) AS t_stat
+    FROM a CROSS JOIN b
+    """,
+    "§2.2 statistics: Welch's unequal-variance t-test on event "
+    "values between id-parity arms (the two-MEANS complement of "
+    "q148's two-proportion z) — exact-decimal co-moments, one "
+    "2-group agg, fixed-tree t",
+)

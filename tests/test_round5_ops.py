@@ -707,3 +707,50 @@ def test_conversion_latency_reconciles_with_funnel_semantics(spark, sf_dir):
             lats.append(int((min(purch) - c0).total_seconds()))
     assert row["n_converted"] == len(lats)
     assert abs(row["mean_s"] - sum(lats) / len(lats)) < 1e-6
+
+
+def test_peak_concurrency_brute_force(spark, sf_dir):
+    """Replay the sweep in python from the session intervals."""
+    row = rel.peak_concurrency(spark, sf_dir).collect()[0]
+    e = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    gap = 30 * 60
+    sessions = []
+    cur = None
+    for r in e:
+        t = r["ts"].timestamp()
+        if cur and r["user_id"] == cur[0] and t - cur[2] <= gap:
+            cur = (cur[0], cur[1], t)
+        else:
+            if cur:
+                sessions.append(cur)
+            cur = (r["user_id"], t, t)
+    if cur:
+        sessions.append(cur)
+    assert row["n_sessions"] == len(sessions)
+    deltas = sorted(
+        [(s[1], 1) for s in sessions] + [(s[2], -1) for s in sessions],
+        key=lambda d: (d[0], d[1]),
+    )
+    peak = run = 0
+    for _, d in deltas:
+        run += d
+        peak = max(peak, run)
+    assert row["peak_concurrency"] == peak
+
+
+def test_welch_t_matches_scipy_free_formula(spark, sf_dir):
+    import numpy as np
+
+    row = rel.welch_t_test(spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events").select("user_id", "value").collect()
+    a = np.array([r["value"] for r in e if r["user_id"] % 2 == 0])
+    b = np.array([r["value"] for r in e if r["user_id"] % 2 == 1])
+    t = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["t_stat"] - t) < 1e-4
+    assert abs(row["mean_a"] - a.mean()) < 1e-4

@@ -85,6 +85,8 @@ BNLJ_INTENDED = {
     "q137_chisq_independence": "BNLJ intended: single-row broadcast grand-total cross",
     "q147_perplexity_score": "BNLJ intended: single-row broadcast vocab-size cross",
     "q148_ab_test": "BNLJ intended: two single-row arm aggregates crossed",
+    "q167_welch_t_test": "BNLJ intended: two single-row arm aggregates crossed",
+    "q166_peak_concurrency": "BNLJ intended: single-row peak/first-at aggregates crossed; session count evaluated at build",
 }
 
 
