@@ -3407,3 +3407,70 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vb, 6).alias("var_b"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+def trimmed_mean(spark: SparkSession, sf_dir: str,
+                 lo: float = 0.1, hi: float = 0.9) -> DataFrame:
+    """Two-sided trimmed mean per group: DROP the tails outside the
+    exact interpolated p10/p90 fences and average the middle — the
+    robust-location triplet closer (q113 FLAGS outliers, q141 CLIPS
+    them, this REMOVES them; olympic scoring / robust KPI baseline).
+
+    Determinism: fences are exact interpolated percentiles (the q113
+    quantile_cont parity); the kept-row mean is an exact decimal sum
+    over rows selected by identical fence comparisons, divided by an
+    exact count — bit-identical.
+
+    At scale: the q113/q141 shape — one percentile agg, tiny fences
+    broadcast back, one filtered partial+final agg."""
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    pct = c.groupBy("c_mktsegment").agg(
+        F.expr(f"percentile(c_acctbal, {lo})").alias("f_lo"),
+        F.expr(f"percentile(c_acctbal, {hi})").alias("f_hi"),
+    )
+    j = c.join(F.broadcast(pct), "c_mktsegment")
+    kept = F.col("c_acctbal").between(F.col("f_lo"), F.col("f_hi"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            (
+                F.sum(F.when(kept, F.col("c_acctbal").cast(D_MONEY))).cast(
+                    "double"
+                )
+                / F.sum(kept.cast("long"))
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement metric behind every habit loop: distinct activity
+    days, islands via the day − dense_rank trick (constant within a
+    run of consecutive days), max run length.
+
+    Everything partitions by user (dense_rank runs inside each
+    user's partition — parallel, bounded by that user's day count);
+    integer day arithmetic, nothing floats. The global q139 islands
+    needed the two-phase rank; per-user islands don't (the partition
+    IS the parallelism)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = e.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+        - F.dense_rank().over(w),
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("streak_start")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+    return best.orderBy("user_id")

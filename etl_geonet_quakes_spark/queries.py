@@ -4137,3 +4137,49 @@ SPECS["q167_welch_t_test"] = QuerySpec(
     "q148's two-proportion z) — exact-decimal co-moments, one "
     "2-group agg, fixed-tree t",
 )
+
+SPECS["q168_trimmed_mean"] = QuerySpec(
+    rel.trimmed_mean,
+    """
+    WITH p AS (SELECT c_mktsegment,
+                      quantile_cont(c_acctbal, 0.1) AS f_lo,
+                      quantile_cont(c_acctbal, 0.9) AS f_hi
+               FROM customer GROUP BY c_mktsegment),
+         j AS (SELECT c.c_mktsegment, c_acctbal, f_lo, f_hi
+               FROM customer c JOIN p USING (c_mktsegment))
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_acctbal BETWEEN f_lo AND f_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c_acctbal BETWEEN f_lo AND f_hi
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+               / SUM(CASE WHEN c_acctbal BETWEEN f_lo AND f_hi
+                          THEN 1 ELSE 0 END) AS trimmed_mean
+    FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "§2.2 robust statistics: two-sided trimmed mean per group "
+    "(q113 flags, q141 clips, this REMOVES) — exact interpolated "
+    "fences broadcast back, decimal-exact kept-row mean",
+)
+
+SPECS["q169_longest_streak"] = QuerySpec(
+    rel.longest_streak,
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+         r AS (SELECT user_id, day,
+                      (day - DATE '1970-01-01')
+                      - dense_rank() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS grp
+               FROM d),
+         s AS (SELECT user_id, grp, COUNT(*) AS len FROM r
+               GROUP BY user_id, grp)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    "§2.2 product analytics: longest consecutive-day streak per "
+    "user (day − dense_rank islands, user-partitioned — the "
+    "per-group form of q139's global islands); exact integer day "
+    "arithmetic",
+)

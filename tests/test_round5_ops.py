@@ -754,3 +754,39 @@ def test_welch_t_matches_scipy_free_formula(spark, sf_dir):
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert abs(row["t_stat"] - t) < 1e-4
     assert abs(row["mean_a"] - a.mean()) < 1e-4
+
+
+def test_trimmed_mean_is_robust_location(spark, sf_dir):
+    rows = rel.trimmed_mean(spark, sf_dir).collect()
+    c = load_table(spark, sf_dir, "customer").collect()
+    by_seg: dict[str, list[float]] = {}
+    for r in c:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["c_acctbal"])
+    for r in rows:
+        vals = sorted(by_seg[r["c_mktsegment"]])
+        assert r["n"] == len(vals)
+        # trimming keeps ~80% of rows (exact fences, inclusive; ±2
+        # rows of slack for interpolation at small group sizes)
+        assert 0.8 * len(vals) - 2 <= r["n_kept"] <= 0.8 * len(vals) + 3
+        assert vals[0] <= r["trimmed_mean"] <= vals[-1]
+
+
+def test_longest_streak_brute_force(spark, sf_dir):
+    rows = {r["user_id"]: r for r in rel.longest_streak(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events").collect()
+    days: dict[int, set] = {}
+    for r in e:
+        days.setdefault(r["user_id"], set()).add(r["ts"].date())
+    for u, ds in days.items():
+        sd = sorted(ds)
+        best = cur = 1
+        n_streaks = 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                n_streaks += 1
+                cur = 1
+            best = max(best, cur)
+        assert rows[u]["longest_streak"] == best, u
+        assert rows[u]["n_streaks"] == n_streaks, u
