@@ -3474,3 +3474,82 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
     )
     return best.orderBy("user_id")
+
+
+def session_copresence(spark: SparkSession, sf_dir: str,
+                       gap_minutes: int = 30,
+                       bucket_hours: int = 6,
+                       top_n: int = 50) -> DataFrame:
+    """INTERVAL-OVERLAP join: pairs of users whose sessions were open
+    at the same time, ranked by total overlap — the co-presence query
+    (fraud rings, shared infrastructure, social coincidence) that
+    completes the temporal-join taxonomy: q49 as-of (point↔point),
+    q159 point-in-interval, this interval↔interval.
+
+    Scale shape — the same blocking discipline as the spatial join
+    (q142): sessions EXPLODE to the time buckets they span (bounded
+    fan-out: span/bucket + 1), candidates equi-join on the bucket,
+    the exact overlap predicate filters, and per-bucket double counts
+    dedupe by attributing each overlap to the bucket containing its
+    overlap START. Never a cross join; a hot bucket (everyone online
+    at once) is AQE-splittable.
+
+    Overlap seconds are exact integer arithmetic
+    (min(end)−max(start) in µs DIV 10⁶, summed per pair)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    brk = F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1).otherwise(0)
+    sess = (
+        e.withColumn("brk", brk)
+        .withColumn(
+            "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+        .filter(F.col("e_us") > F.col("s_us"))  # zero-length: no presence
+    )
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    spans = sess.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {bucket_us}"), F.expr(f"e_us DIV {bucket_us}")
+            )
+        ).alias("bkt"),
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    ov_start = F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+    ov_end = F.least(F.col("a.e_us"), F.col("b.e_us"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (ov_end > ov_start)
+            # attribute each overlapping session-pair to ONE bucket
+            # (the one holding the overlap start) so the multi-bucket
+            # explode cannot double count
+            & (F.expr(f"greatest(a.s_us, b.s_us) DIV {bucket_us}") == F.col("a.bkt")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.expr(
+                f"(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) DIV 1000000"
+            ).alias("ov_s"),
+        )
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.sum("ov_s").alias("overlap_s"),
+        )
+        .orderBy(F.desc("overlap_s"), "user_a", "user_b")
+        .limit(top_n)
+    )

@@ -4183,3 +4183,42 @@ SPECS["q169_longest_streak"] = QuerySpec(
     "per-group form of q139's global islands); exact integer day "
     "arithmetic",
 )
+
+SPECS["q170_session_copresence"] = QuerySpec(
+    rel.session_copresence,
+    """
+    -- brute-force interval-overlap oracle (no blocking); the engine
+    -- runs the bucket-blocked join with start-bucket attribution.
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+               FROM events),
+         g AS (SELECT user_id, us, event_id,
+                      CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, us,
+                      SUM(brk) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+               FROM g),
+         sess AS (SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+                  FROM s GROUP BY user_id, sid
+                  HAVING MAX(us) > MIN(us)),
+         p AS (SELECT a.user_id AS user_a, b.user_id AS user_b,
+                      (least(a.e_us, b.e_us)
+                       - greatest(a.s_us, b.s_us)) // 1000000 AS ov_s
+               FROM sess a JOIN sess b
+                 ON a.user_id < b.user_id
+                AND least(a.e_us, b.e_us) > greatest(a.s_us, b.s_us))
+    SELECT user_a, user_b, COUNT(*) AS n_overlaps,
+           CAST(SUM(ov_s) AS BIGINT) AS overlap_s
+    FROM p GROUP BY user_a, user_b
+    ORDER BY overlap_s DESC, user_a, user_b LIMIT 50
+    """,
+    "§2.2 joins: interval-overlap (co-presence) join completing the "
+    "temporal taxonomy (as-of q49, point-in-interval q159, "
+    "interval↔interval here) — time-bucket blocking with "
+    "start-bucket attribution (no double count, no cross join), "
+    "exact integer overlap seconds",
+)

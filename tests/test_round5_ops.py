@@ -790,3 +790,47 @@ def test_longest_streak_brute_force(spark, sf_dir):
             best = max(best, cur)
         assert rows[u]["longest_streak"] == best, u
         assert rows[u]["n_streaks"] == n_streaks, u
+
+
+def test_copresence_bucket_blocking_is_lossless(spark, sf_dir):
+    """The bucket-blocked pair set must equal the unblocked
+    brute-force interval join (sessions always co-bucket at their
+    overlap start — attribution is both complete and single-count)."""
+    got = {
+        (r["user_a"], r["user_b"], r["n_overlaps"], r["overlap_s"])
+        for r in rel.session_copresence(spark, sf_dir, top_n=10**9).collect()
+    }
+    # brute force from the same session build
+    e = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    gap = 30 * 60
+    sessions = []
+    cur = None
+    for r in e:
+        t = r["ts"].timestamp()
+        if cur and r["user_id"] == cur[0] and t - cur[2] <= gap:
+            cur = (cur[0], cur[1], t)
+        else:
+            if cur:
+                sessions.append(cur)
+            cur = (r["user_id"], t, t)
+    if cur:
+        sessions.append(cur)
+    sessions = [s for s in sessions if s[2] > s[1]]
+    agg: dict[tuple, list] = {}
+    for i, a in enumerate(sessions):
+        for b in sessions[i + 1:]:
+            ua, ub = sorted((a[0], b[0]))
+            if a[0] == b[0]:
+                continue
+            lo = max(a[1], b[1])
+            hi = min(a[2], b[2])
+            if hi > lo:
+                k = (ua, ub)
+                cur2 = agg.setdefault(k, [0, 0])
+                cur2[0] += 1
+                cur2[1] += int(hi - lo)
+    brute = {(k[0], k[1], v[0], v[1]) for k, v in agg.items()}
+    assert got == brute and len(got) > 0
