@@ -3479,7 +3479,7 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_copresence(spark: SparkSession, sf_dir: str,
                        gap_minutes: int = 30,
                        bucket_hours: int = 6,
-                       top_n: int = 50) -> DataFrame:
+                       top_n: int | None = 50) -> DataFrame:
     """INTERVAL-OVERLAP join: pairs of users whose sessions were open
     at the same time, ranked by total overlap — the co-presence query
     (fraud rings, shared infrastructure, social coincidence) that
@@ -3544,12 +3544,10 @@ def session_copresence(spark: SparkSession, sf_dir: str,
             ).alias("ov_s"),
         )
     )
-    return (
-        pairs.groupBy("user_a", "user_b")
-        .agg(
-            F.count("*").alias("n_overlaps"),
-            F.sum("ov_s").alias("overlap_s"),
-        )
-        .orderBy(F.desc("overlap_s"), "user_a", "user_b")
-        .limit(top_n)
+    agg = pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("ov_s").alias("overlap_s"),
     )
+    if top_n is None:  # full pair set (tests); no top-k buffer
+        return agg.orderBy(F.desc("overlap_s"), "user_a", "user_b")
+    return agg.orderBy(F.desc("overlap_s"), "user_a", "user_b").limit(top_n)

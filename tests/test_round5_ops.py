@@ -798,7 +798,7 @@ def test_copresence_bucket_blocking_is_lossless(spark, sf_dir):
     overlap start — attribution is both complete and single-count)."""
     got = {
         (r["user_a"], r["user_b"], r["n_overlaps"], r["overlap_s"])
-        for r in rel.session_copresence(spark, sf_dir, top_n=10**9).collect()
+        for r in rel.session_copresence(spark, sf_dir, top_n=None).collect()
     }
     # brute force from the same session build
     e = sorted(
