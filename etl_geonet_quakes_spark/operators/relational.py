@@ -3551,3 +3551,33 @@ def session_copresence(spark: SparkSession, sf_dir: str,
     if top_n is None:  # full pair set (tests); no top-k buffer
         return agg.orderBy(F.desc("overlap_s"), "user_a", "user_b")
     return agg.orderBy(F.desc("overlap_s"), "user_a", "user_b").limit(top_n)
+
+
+def group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent quantity per return
+    flag, deterministic smallest-value tie-break) — the third member
+    of the location triad (mean q01, median q113/q140, MODE here),
+    and the statistic that needs FREQUENCY structure, not order
+    structure.
+
+    Plan: value-collapse first ((group, value)-keyed partial+final
+    count — the shuffle carries distinct values, not rows), then a
+    top-1 per group over the tiny count table (row_number by
+    count desc, value asc). The fact table never sorts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").alias("qty")
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("l_returnflag")
+    )

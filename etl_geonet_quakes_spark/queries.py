@@ -4222,3 +4222,21 @@ SPECS["q170_session_copresence"] = QuerySpec(
     "start-bucket attribution (no double count, no cross join), "
     "exact integer overlap seconds",
 )
+
+SPECS["q171_group_mode"] = QuerySpec(
+    rel.group_mode,
+    """
+    WITH c AS (SELECT l_returnflag, l_quantity AS qty,
+                      COUNT(*) AS n
+               FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, qty, n,
+                      row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY n DESC, qty ASC) AS rn
+               FROM c)
+    SELECT l_returnflag, qty AS mode_qty, n AS n_occurrences
+    FROM r WHERE rn = 1 ORDER BY l_returnflag
+    """,
+    "§2.2 statistics: modal value per group (mean/median/MODE triad "
+    "closer, deterministic smallest-value tie-break) — value-collapse "
+    "agg first so the top-1 window sees distinct values, never rows",
+)

@@ -834,3 +834,18 @@ def test_copresence_bucket_blocking_is_lossless(spark, sf_dir):
                 cur2[1] += int(hi - lo)
     brute = {(k[0], k[1], v[0], v[1]) for k, v in agg.items()}
     assert got == brute and len(got) > 0
+
+
+def test_group_mode_is_the_argmax_frequency(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in rel.group_mode(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    from collections import Counter
+
+    by_flag: dict[str, Counter] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], Counter())[r["l_quantity"]] += 1
+    for flag, cnt in by_flag.items():
+        best_n = max(cnt.values())
+        best_q = min(q for q, n in cnt.items() if n == best_n)
+        assert rows[flag]["mode_qty"] == best_q
+        assert rows[flag]["n_occurrences"] == best_n
