@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.llm.text import ngram_join, tokens
+from etl_geonet_quakes_spark.operators.prefix import two_phase_cumsum
 
 
 def _hash60(col) -> F.Column:
@@ -205,7 +206,7 @@ def pack_sequences(
     The global token offset is a prefix sum, and a naive
     ``Window.orderBy(doc_id)`` cumsum is the textbook non-scalable
     plan: Spark executes an un-partitioned ordered window in ONE task.
-    This implements the scalable two-phase form instead:
+    This runs the shared two-phase form (operators/prefix.py):
 
     1. bucket documents by ``doc_id // prefix_bucket``; cumsum WITHIN
        each bucket (``partitionBy(bucket)`` — parallel);
@@ -223,23 +224,9 @@ def pack_sequences(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n")
     )
     d = d.withColumn("bkt", (F.col("doc_id") / prefix_bucket).cast("long"))
-    local = F.sum("n").over(
-        Window.partitionBy("bkt").orderBy("doc_id")
-    )
-    d = d.withColumn("local_end", local)
-    totals = d.groupBy("bkt").agg(F.sum("n").alias("bkt_total"))
-    offsets = totals.withColumn(
-        "bkt_offset",
-        F.coalesce(
-            F.sum("bkt_total").over(
-                Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("bkt", "bkt_offset")
-    d = d.join(F.broadcast(offsets), "bkt")
-    start = F.col("bkt_offset") + F.col("local_end") - F.col("n")
-    end = F.col("bkt_offset") + F.col("local_end")
+    d, _ = two_phase_cumsum(d, "bkt", ["doc_id"], "n", "global_end")
+    start = F.col("global_end") - F.col("n")
+    end = F.col("global_end")
     # integer DIV, not floor(double /): token offsets at 100 TB sit
     # near 2^53 where double division drops low bits
     spans = d.select("doc_id", start.alias("st"), end.alias("en")).select(

@@ -180,9 +180,14 @@ def spatial_join(spark: SparkSession, sf_dir: str,
     dist = haversine_km(
         F.col("slat"), F.col("slon"), F.col("clat"), F.col("clon")
     )
+    # membership tests the 4dp-ROUNDED distance (both engines): the
+    # raw double can drift ~1 ulp between JVM and libm trig, and a
+    # pair sitting exactly on the radius must not flip between
+    # engines — same compare-the-rounded-value policy as
+    # token_entropy's flag
     return (
         supp.join(cust, "cell")
-        .filter(dist <= radius_km)
+        .filter(F.round(dist, 4) <= radius_km)
         .select(
             "suppkey",
             "custkey",

@@ -35,6 +35,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
+from etl_geonet_quakes_spark.operators.prefix import (
+    BUCKET_TOTAL,
+    two_phase_cumsum,
+    two_phase_rank,
+    two_phase_strict_prefix_max,
+)
 
 # Decimal shapes: values are 2-dp money / 2-dp rates in the fixtures;
 # scale 2/4 is exact and leaves ~20 integer digits of headroom for sums.
@@ -2005,21 +2011,26 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggs. No driver materialization."""
     orders = load_table(spark, sf_dir, "orders")
     target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        F.col("o_orderkey").alias("k"),
+        F.col("o_orderkey").alias("tk"),
         F.col("o_totalprice").cast(D_MONEY).alias("t_price"),
     )
     source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        F.col("o_orderkey").alias("k"),
+        F.col("o_orderkey").alias("sk"),
         (F.col("o_totalprice").cast(D_MONEY) * F.lit("1.10").cast("decimal(4,2)"))
         .cast("decimal(22,4)")
         .alias("s_price"),
         (F.col("o_orderstatus") == "F").alias("tombstone"),
     )
-    merged = target.join(source, "k", "full_outer").select(
-        "k",
-        F.when(F.col("s_price").isNotNull() & F.col("t_price").isNotNull(),
+    # classify on KEY nullness (matched = both join keys present), not
+    # on price nullness — mirrors the oracle's s.k/t.k IS NOT NULL and
+    # stays correct on fixtures where a price column itself is NULL
+    merged = target.join(
+        source, target.tk == source.sk, "full_outer"
+    ).select(
+        F.coalesce("tk", "sk").alias("k"),
+        F.when(F.col("sk").isNotNull() & F.col("tk").isNotNull(),
                F.when(F.col("tombstone"), F.lit("delete")).otherwise(F.lit("update")))
-        .when(F.col("t_price").isNull(),
+        .when(F.col("tk").isNull(),
               F.when(F.col("tombstone"), F.lit("noop")).otherwise(F.lit("insert")))
         .otherwise(F.lit("keep"))
         .alias("action"),
@@ -2184,13 +2195,13 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str,
     percentile sketches cannot certify.
 
     The global rank is the scale hazard (a naive row_number() over a
-    global ORDER BY is one task). This uses the q94 two-phase form on
-    the VALUE axis: rows bucket by a coarse range of the sort key
-    (range_step), rank locally within each range bucket (parallel
-    window), and only the tiny per-bucket totals take an ordered
-    prefix window before broadcasting offsets back. Tie-break inside
-    a range bucket is (price, orderkey); ties can never straddle
-    range buckets because equal prices share a bucket.
+    global ORDER BY is one task). This uses the shared two-phase rank
+    (prefix.py) on the VALUE axis: rows bucket by a coarse range of
+    the sort key (range_step), rank locally within each range bucket
+    (parallel window), and only the tiny per-bucket totals take an
+    ordered prefix window before broadcasting offsets back. Tie-break
+    inside a range bucket is (price, orderkey); ties can never
+    straddle range buckets because equal prices share a bucket.
 
     bucket = (rank-1)·n_buckets div n (exact integer form — NOT
     ntile, whose remainder placement is engine-defined-but-different
@@ -2200,20 +2211,11 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str,
         F.col("o_totalprice").alias("price"),
     )
     o = o.withColumn("rb", (F.col("price") / range_step).cast("long"))
-    wl = Window.partitionBy("rb").orderBy("price", "k")
-    o = o.withColumn("local_rn", F.row_number().over(wl))
-    totals = o.groupBy("rb").agg(F.count("*").alias("rb_n"))
-    wo = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "rb_off", F.coalesce(F.sum("rb_n").over(wo), F.lit(0))
-    )
-    n_total = totals.agg(F.sum("rb_n").alias("n_total"))
-    ranked = o.join(F.broadcast(offsets.select("rb", "rb_off")), "rb").join(
-        F.broadcast(n_total)
-    )
-    ranked = ranked.withColumn(
+    ranked, totals = two_phase_rank(o, "rb", ["price", "k"], "grank")
+    n_total = totals.agg(F.sum(BUCKET_TOTAL).alias("n_total"))
+    ranked = ranked.join(F.broadcast(n_total)).withColumn(
         "bucket",
-        F.expr(f"(rb_off + local_rn - 1) * {n_buckets} DIV n_total"),
+        F.expr(f"(grank - 1) * {n_buckets} DIV n_total"),
     )
     return (
         ranked.groupBy("bucket")
@@ -2361,28 +2363,21 @@ def gap_islands(spark: SparkSession, sf_dir: str,
     present keys; the classic trick groups by key − rank(key), which
     is constant exactly within an island.
 
-    The global rank is the scale hazard, so this reuses the q94/q135
-    two-phase form: bucket by key DIV prefix_bucket (order-aligned
-    with the key), rank locally per bucket (parallel window), prefix
-    the tiny per-bucket totals, broadcast offsets back. Islands that
-    straddle bucket boundaries come out whole because the rank is
-    globally exact — no boundary patch-up pass needed."""
+    The global rank is the scale hazard, so this runs the shared
+    two-phase rank (prefix.py): bucket by key DIV prefix_bucket
+    (order-aligned with the key), rank locally per bucket (parallel
+    window), prefix the tiny per-bucket totals, broadcast offsets
+    back. Islands that straddle bucket boundaries come out whole
+    because the rank is globally exact — no boundary patch-up pass
+    needed."""
     ids = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
         .select(F.col("o_orderkey").alias("id"))
     )
     ids = ids.withColumn("bkt", F.expr(f"id DIV {prefix_bucket}"))
-    wl = Window.partitionBy("bkt").orderBy("id")
-    ids = ids.withColumn("local_rn", F.row_number().over(wl))
-    totals = ids.groupBy("bkt").agg(F.count("*").alias("n"))
-    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "off", F.coalesce(F.sum("n").over(wo), F.lit(0))
-    ).select("bkt", "off")
-    ranked = ids.join(F.broadcast(offsets), "bkt").withColumn(
-        "grp", F.col("id") - (F.col("off") + F.col("local_rn"))
-    )
+    ranked, _ = two_phase_rank(ids, "bkt", ["id"], "grank")
+    ranked = ranked.withColumn("grp", F.col("id") - F.col("grank"))
     return (
         ranked.groupBy("grp")
         .agg(
@@ -2826,9 +2821,10 @@ def quantile_normalize(spark: SparkSession, sf_dir: str,
     interpolations).
 
     At scale: within-group ranks partition by group (parallel);
-    the global rank table uses the q135 two-phase range-bucketed
-    form (parallel local windows + tiny offset prefix); the final
-    lookup is one k-keyed equi-join against the N-row rank table."""
+    the global rank table uses the shared two-phase rank (prefix.py,
+    range-bucketed parallel local windows + tiny offset prefix); the
+    final lookup is one k-keyed equi-join against the N-row rank
+    table."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_custkey", "c_acctbal"
     )
@@ -2836,22 +2832,13 @@ def quantile_normalize(spark: SparkSession, sf_dir: str,
     grouped = c.withColumn("r", F.row_number().over(wg))
     sizes = c.groupBy("c_mktsegment").agg(F.count("*").alias("n_g"))
 
-    # global rank table, two-phase (q135 pattern)
+    # global rank table, two-phase
     g = c.select("c_custkey", "c_acctbal").withColumn(
         "rb", (F.col("c_acctbal") / range_step).cast("long")
     )
-    wl = Window.partitionBy("rb").orderBy("c_acctbal", "c_custkey")
-    g = g.withColumn("local_rn", F.row_number().over(wl))
-    totals = g.groupBy("rb").agg(F.count("*").alias("rb_n"))
-    wo = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "rb_off", F.coalesce(F.sum("rb_n").over(wo), F.lit(0))
-    )
-    n_total = totals.agg(F.sum("rb_n").alias("n_total"))
-    ranked = g.join(F.broadcast(offsets.select("rb", "rb_off")), "rb").select(
-        (F.col("rb_off") + F.col("local_rn")).alias("k"),
-        F.col("c_acctbal").alias("global_value"),
-    )
+    g, totals = two_phase_rank(g, "rb", ["c_acctbal", "c_custkey"], "k")
+    n_total = totals.agg(F.sum(BUCKET_TOTAL).alias("n_total"))
+    ranked = g.select("k", F.col("c_acctbal").alias("global_value"))
 
     out = (
         grouped.join(F.broadcast(sizes), "c_mktsegment")
@@ -2881,10 +2868,11 @@ def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the O(n log n) WINDOW form: over cents-exact price order,
     a part is dominated iff max(size) over STRICTLY cheaper rows
     ≥ its size (price strict), or max(size) over EQUAL-price rows
-    > its size (size strict). Both maxima are value-RANGE frames on
-    integer cents — exact, tie-safe, and at scale the global price
-    order runs through the q135 two-phase rank (per-range windows +
-    broadcast offsets); the frame state is one running max.
+    > its size (size strict). The strictly-cheaper running max runs
+    through the shared two-phase strict-prefix-max (prefix.py —
+    per-range-bucket strict windows + broadcast bucket-prefix
+    maxima, never a global single-task window); the equal-price max
+    partitions by exact cents, fully parallel.
 
     Duplicate (price, size) points dominate nothing about each other
     (no strict inequality) and all survive — pinned by the oracle's
@@ -2894,17 +2882,11 @@ def pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.col("p_size").cast("long").alias("size"),
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
-    )
-    w_cheaper = (
-        Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_equal = Window.orderBy("cents").rangeBetween(0, 0)
-    flagged = p.select(
-        "p_partkey",
-        "p_retailprice",
-        "size",
-        F.max("size").over(w_cheaper).alias("mx_cheaper"),
-        F.max("size").over(w_equal).alias("mx_equal"),
+    ).withColumn("rb", F.expr("cents DIV 10000"))
+    flagged = two_phase_strict_prefix_max(
+        p, "rb", "cents", "size", "mx_cheaper"
+    ).withColumn(
+        "mx_equal", F.max("size").over(Window.partitionBy("cents"))
     )
     return (
         flagged.filter(
@@ -3302,8 +3284,8 @@ def peak_concurrency(spark: SparkSession, sf_dir: str,
     exists to answer.
 
     The running sum over global time order is the scale hazard, so
-    this is the THIRD reuse of the two-phase prefix form (q94 tokens,
-    q135 values, now TIME): deltas bucket by wall-clock window,
+    this reuses the shared two-phase prefix form (prefix.py — q94
+    tokens, q135 values, now TIME): deltas bucket by wall-clock window,
     cumsum locally per bucket (parallel), only per-bucket totals take
     the ordered prefix window, offsets broadcast back. Deterministic
     sweep order (ts, delta, user_id) on both engines.
@@ -3333,18 +3315,10 @@ def peak_concurrency(spark: SparkSession, sf_dir: str,
     )
     bucket_us = bucket_hours * 3600 * 1_000_000
     deltas = deltas.withColumn("bkt", F.expr(f"us DIV {bucket_us}"))
-    wl = Window.partitionBy("bkt").orderBy("us", "delta", "user_id")
-    deltas = deltas.withColumn(
-        "local_cum", F.sum("delta").over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    running, _ = two_phase_cumsum(
+        deltas, "bkt", ["us", "delta", "user_id"], "delta", "open_now"
     )
-    totals = deltas.groupBy("bkt").agg(F.sum("delta").alias("bkt_sum"))
-    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "bkt_off", F.coalesce(F.sum("bkt_sum").over(wo), F.lit(0))
-    )
-    running = deltas.join(F.broadcast(offsets.select("bkt", "bkt_off")), "bkt").select(
-        "us", (F.col("bkt_off") + F.col("local_cum")).alias("open_now")
-    )
+    running = running.select("us", "open_now")
     n_sessions = sess.count()
     peak = running.agg(F.max("open_now").alias("peak_concurrency"))
     first_at = (

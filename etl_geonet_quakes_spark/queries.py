@@ -3418,7 +3418,7 @@ SPECS["q142_spatial_join"] = QuerySpec(
                           AS dist
                FROM p)
     SELECT suppkey, custkey, ROUND(dist, 4) AS dist_km
-    FROM d WHERE dist <= 25.0 ORDER BY suppkey, custkey
+    FROM d WHERE ROUND(dist, 4) <= 25.0 ORDER BY suppkey, custkey
     """,
     "§2.2 joins: spatial radius join via grid-cell blocking + 3×3 "
     "neighbor probe (the geo analog of an LSH band join; no cross "

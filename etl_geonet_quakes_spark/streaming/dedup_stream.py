@@ -217,40 +217,38 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate certifies the incremental path end-to-end, not just a
     rows-only count. Scratch feed/state dirs are per-invocation
     temporaries; unordered-set semantics make the result independent
-    of file arrival order."""
-    import tempfile
+    of file arrival order.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    Nothing touches the driver: the 3-file feed is a DISTRIBUTED
+    Spark write (hash-repartitioned by batch id so each batch is
+    exactly one file, then metadata-only renames into the flat feed
+    dir the file source expects), and the result is the Spark-side
+    union of the per-batch pair-scratch parquets the index already
+    durably writes — no ``collect()`` anywhere in the path, so the
+    same adapter works when ``documents`` is corpus-sized."""
+    import glob
+    import tempfile
 
     from etl_geonet_quakes_spark.io import load_table
 
-    docs = (
-        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    )
     base = tempfile.mkdtemp(prefix="stream_dedup_q151_")
     feed = os.path.join(base, "feed")
+    staging = os.path.join(base, "staging")
     os.makedirs(feed)
-    thirds = [docs[i::3] for i in range(3)]
-    for i, chunk in enumerate(thirds):
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
-                    "text": pa.array([r["text"] for r in chunk], pa.string()),
-                }
-            ),
-            os.path.join(feed, f"b{i}.parquet"),
-        )
-    emitted: list = []
-    run_dedup_stream(
-        spark,
-        feed,
-        os.path.join(base, "state"),
-        pair_handler=lambda rows, epoch: emitted.extend(rows),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.withColumn("b", F.col("doc_id") % F.lit(3))
+        .repartition(3, "b")  # one task per batch id -> one file per b= dir
+        .write.partitionBy("b")
+        .parquet(staging)
     )
-    out = spark.createDataFrame(
-        [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in emitted],
-        "doc_a long, doc_b long, jaccard double",
+    for i in range(3):  # flatten: metadata-only renames, no data movement
+        part = glob.glob(os.path.join(staging, f"b={i}", "part-*.parquet"))
+        assert len(part) == 1, part
+        os.rename(part[0], os.path.join(feed, f"b{i}.parquet"))
+    state = os.path.join(base, "state")
+    run_dedup_stream(spark, feed, state)
+    out = spark.read.schema("doc_a long, doc_b long, jaccard double").parquet(
+        os.path.join(state, "_pairs_scratch_*")
     )
     return out.orderBy("doc_a", "doc_b")
