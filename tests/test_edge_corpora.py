@@ -586,3 +586,99 @@ def test_edge_redact_pii_semantics(spark, edge_dir):
     r13 = out[13]
     assert r13["n_emails"] == 2 and r13["n_number_runs"] == 0
     assert r13["clean_text"] == "Reach <EMAIL> or <EMAIL> now"
+
+
+# PPJoin positional-filter probe (round-6 item): boilerplate docs are
+# a common 72-word block (70 shared shingles, df = n_docs, so they
+# sort LAST in the prefix order) preceded by u_d globally-unique
+# words (u_d doc-unique shingles, df = 1, sorting FIRST). Every pair
+# shares common-shingle #1 inside both prefixes, so plain SSJoin
+# emits ALL pairs as candidates; true Jaccard = 70/(u_a + u_b + 70)
+# ≥ 0.7 iff u_a + u_b ≤ 30, and the pair-level positional bound
+# 1 + min(n_a − min_i, n_b − min_j) = 70 ≥ α = ⌈0.7(n_a+n_b)/1.7⌉
+# reduces to exactly the same inequality — on this corpus the
+# positional filter prunes every false candidate before verify.
+PPJOIN_U = [0, 5, 10, 15, 20, 25, 30]
+
+
+@pytest.fixture(scope="module")
+def boilerplate_dir(spark, tmp_path_factory) -> str:
+    path = str(tmp_path_factory.mktemp("ppjoin_corpus"))
+    common = " ".join(f"c{k}" for k in range(72))
+    rows = []
+    for d, u in enumerate(PPJOIN_U):
+        text = " ".join(f"u{d}w{k}" for k in range(u))
+        text = (text + " " + common).strip()
+        rows.append((d, text, "en", "boiler", len(text)))
+    spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_ppjoin_positional_filter_prunes_and_is_complete(spark, boilerplate_dir):
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.prefix_filter_candidates(
+            spark, boilerplate_dir, positional=False
+        ).collect()
+    }
+    pos = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.prefix_filter_candidates(
+            spark, boilerplate_dir, positional=True
+        ).collect()
+    }
+    n = len(PPJOIN_U)
+    true_pairs = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if PPJOIN_U[a] + PPJOIN_U[b] <= 30
+    }
+    # plain SSJoin: every pair is a candidate (21 of them)
+    assert plain == {(a, b) for a in range(n) for b in range(a + 1, n)}
+    # positional filter: exactly the true pairs survive (12) — a
+    # pinned 9-candidate reduction on this corpus
+    assert pos == true_pairs
+    assert len(plain) - len(pos) == 9
+    # completeness + final answer unchanged: verify returns exactly
+    # the true pairs with exact Jaccard
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.dedup_prefix_filter(spark, boilerplate_dir).collect()
+    }
+    assert set(got) == true_pairs
+    for (a, b), j in got.items():
+        expect = 70 / (PPJOIN_U[a] + PPJOIN_U[b] + 70)
+        assert j == round(expect, 6), (a, b, j, expect)
+
+
+def test_ppjoin_positional_filter_on_clique_corpus(spark, clique_dir):
+    """On the adversarial clique/star corpus the positional filter
+    must lose NOTHING: near-identical docs pass the bound at every
+    match, so candidates and verified pairs are identical with the
+    filter on and off."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.prefix_filter_candidates(
+            spark, clique_dir, positional=False
+        ).collect()
+    }
+    pos = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.prefix_filter_candidates(
+            spark, clique_dir, positional=True
+        ).collect()
+    }
+    assert pos <= plain
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.dedup_prefix_filter(spark, clique_dir).collect()
+    }
+    assert verified <= pos  # completeness: no true pair was pruned
