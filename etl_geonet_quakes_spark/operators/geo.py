@@ -128,7 +128,8 @@ def _pseudo_coord(key: Column, mult: int, base: float, span: float) -> Column:
 
 
 def spatial_join(spark: SparkSession, sf_dir: str,
-                 radius_km: float = 25.0, cell_deg: float = 0.5) -> DataFrame:
+                 radius_km: float = 25.0, cell_deg: float = 0.5,
+                 hot_chunks: int = 1) -> DataFrame:
     """Spatial radius join: supplier–customer pairs within
     ``radius_km`` great-circle km — the geo join q138's grid cell
     exists to serve, in its scalable form:
@@ -152,7 +153,14 @@ def spatial_join(spark: SparkSession, sf_dir: str,
 
     At scale: the neighbor-explode side should be the smaller input
     (suppliers); the join is a plain equi-shuffle (or broadcast when
-    the dim side fits), AQE-splittable if a city-cell is hot."""
+    the dim side fits). A HOT city-cell (both sides dense in one
+    cell) is quadratic by nature; ``hot_chunks=C`` parallelizes it
+    with the same deterministic fragment-replicate chunking as the
+    interval join (q170): each point hashes to one of C chunks, each
+    side replicates across the other side's C chunk ids, join key
+    becomes (cell, chunk_s, chunk_c) — every pair meets exactly
+    once, ×C shuffle for ×C² smaller max-task candidate work
+    (pinned by test_hot_cell_chunking_*)."""
     n_lon = int(round(360 / cell_deg))
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
@@ -177,6 +185,16 @@ def spatial_join(spark: SparkSession, sf_dir: str,
         ]
     )
     supp = supp.withColumn("cell", F.explode(probe_cells))
+    join_on = ["cell"]
+    if hot_chunks > 1:
+        rep = F.explode(F.array(*[F.lit(i) for i in range(hot_chunks)]))
+        supp = supp.withColumn(
+            "cs", F.pmod(F.hash("suppkey"), F.lit(hot_chunks))
+        ).withColumn("cc", rep)
+        cust = cust.withColumn(
+            "cc", F.pmod(F.hash("custkey"), F.lit(hot_chunks))
+        ).withColumn("cs", rep)
+        join_on += ["cs", "cc"]
     dist = haversine_km(
         F.col("slat"), F.col("slon"), F.col("clat"), F.col("clon")
     )
@@ -186,7 +204,7 @@ def spatial_join(spark: SparkSession, sf_dir: str,
     # engines — same compare-the-rounded-value policy as
     # token_entropy's flag
     return (
-        supp.join(cust, "cell")
+        supp.join(cust, join_on)
         .filter(F.round(dist, 4) <= radius_km)
         .select(
             "suppkey",

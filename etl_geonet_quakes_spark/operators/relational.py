@@ -3453,7 +3453,8 @@ def longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_copresence(spark: SparkSession, sf_dir: str,
                        gap_minutes: int = 30,
                        bucket_hours: int = 6,
-                       top_n: int | None = 50) -> DataFrame:
+                       top_n: int | None = 50,
+                       hot_chunks: int = 1) -> DataFrame:
     """INTERVAL-OVERLAP join: pairs of users whose sessions were open
     at the same time, ranked by total overlap — the co-presence query
     (fraud rings, shared infrastructure, social coincidence) that
@@ -3465,8 +3466,20 @@ def session_copresence(spark: SparkSession, sf_dir: str,
     fan-out: span/bucket + 1), candidates equi-join on the bucket,
     the exact overlap predicate filters, and per-bucket double counts
     dedupe by attributing each overlap to the bucket containing its
-    overlap START. Never a cross join; a hot bucket (everyone online
-    at once) is AQE-splittable.
+    overlap START. Never a cross join.
+
+    A HOT bucket (everyone online at once) makes within-bucket pair
+    work quadratic by the QUESTION's nature — the scale lever is
+    parallelizing it, and AQE's skew split cannot help here (a
+    self-join reuses one exchange, which OptimizeSkewedJoin does not
+    split — measured, see SCALE.md). ``hot_chunks=C`` instead
+    applies deterministic fragment-replicate chunking: each session
+    hashes to one of C chunks, the a-side replicates across the C
+    b-chunk ids and vice versa, and the join key becomes
+    (bkt, chunk_a, chunk_b) — every pair meets exactly once, shuffle
+    volume rises ×C, and the largest task's candidate work drops
+    ×C² (pinned by test_hot_bucket_chunking_*). Default 1 keeps the
+    plain plan for ordinarily-skewed data.
 
     Overlap seconds are exact integer arithmetic
     (min(end)−max(start) in µs DIV 10⁶, summed per pair)."""
@@ -3496,13 +3509,28 @@ def session_copresence(spark: SparkSession, sf_dir: str,
             )
         ).alias("bkt"),
     )
-    a, b = spans.alias("a"), spans.alias("b")
+    join_keys = [F.col("a.bkt") == F.col("b.bkt")]
+    if hot_chunks > 1:
+        chunk = F.pmod(F.hash("user_id", "s_us"), F.lit(hot_chunks))
+        rep = F.explode(F.array(*[F.lit(i) for i in range(hot_chunks)]))
+        a_spans = spans.withColumn("ca", chunk).withColumn("cb", rep)
+        b_spans = spans.withColumn("cb", chunk).withColumn("ca", rep)
+        join_keys += [
+            F.col("a.ca") == F.col("b.ca"),
+            F.col("a.cb") == F.col("b.cb"),
+        ]
+    else:
+        a_spans = b_spans = spans
+    a, b = a_spans.alias("a"), b_spans.alias("b")
     ov_start = F.greatest(F.col("a.s_us"), F.col("b.s_us"))
     ov_end = F.least(F.col("a.e_us"), F.col("b.e_us"))
+    cond = join_keys[0]
+    for k in join_keys[1:]:
+        cond = cond & k
     pairs = (
         a.join(
             b,
-            (F.col("a.bkt") == F.col("b.bkt"))
+            cond
             & (F.col("a.user_id") < F.col("b.user_id"))
             & (ov_end > ov_start)
             # attribute each overlapping session-pair to ONE bucket
