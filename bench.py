@@ -203,9 +203,50 @@ def main() -> None:
                 "runs": all_runs,
                 "high_variance": high_variance,
                 "sf": sf,
+                # environment stamp (round-6 item): cross-round drift
+                # (r4→r5 measured a uniform ~1.3× on identical code)
+                # must be attributable from the artifact alone
+                "env": _env_stamp(spark),
             }
         )
     )
+
+
+def _env_stamp(spark) -> dict:
+    """Machine state that explains cross-round wall-time drift:
+    JVM + Python versions, CPU count, 1/5/15-min loadavg at bench
+    end (competing load is the usual drift culprit), total/available
+    memory, and a coarse page-cache size (a cold cache inflates the
+    first scans)."""
+    stamp: dict = {
+        "python": sys.version.split()[0],
+        "cpu_count": os.cpu_count(),
+        "spark_version": spark.version,
+        "master": spark.sparkContext.master,
+    }
+    try:
+        stamp["java_version"] = (
+            spark.sparkContext._jvm.java.lang.System.getProperty("java.version")
+        )
+    except Exception:
+        stamp["java_version"] = None
+    try:
+        stamp["loadavg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        stamp["loadavg_1_5_15"] = None
+    try:
+        mem = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("MemTotal", "MemAvailable", "Cached"):
+                    mem[k] = int(v.strip().split()[0])  # kB
+        stamp["mem_total_kb"] = mem.get("MemTotal")
+        stamp["mem_available_kb"] = mem.get("MemAvailable")
+        stamp["page_cache_kb"] = mem.get("Cached")
+    except OSError:
+        pass
+    return stamp
 
 
 if __name__ == "__main__":

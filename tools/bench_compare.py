@@ -30,6 +30,20 @@ def main() -> None:
 
     old = load(old_p)
     new = load(new_p)
+    # environment stamps (present from round 6 on): print both so
+    # uniform drift is attributable — differing loadavg / page cache
+    # between rounds explains a uniform ratio; identical stamps with
+    # a localized ratio point at the code
+    for label, d in (("old", old), ("new", new)):
+        env = d.get("env")
+        if env:
+            print(
+                f"env[{label}]: java={env.get('java_version')} "
+                f"python={env.get('python')} cpus={env.get('cpu_count')} "
+                f"load={env.get('loadavg_1_5_15')} "
+                f"mem_avail_kb={env.get('mem_available_kb')} "
+                f"page_cache_kb={env.get('page_cache_kb')}"
+            )
     common = sorted(set(old["queries"]) & set(new["queries"]))
     rows = []
     for q in common:
