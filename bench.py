@@ -113,6 +113,10 @@ HEADLINE = [
     "q149_rolling_median",
     "q150_feature_scale",
     "q152_power_iteration",
+    # round 6: tokenizer induction, graph completion, containment
+    "q172_bpe_pair_counts",
+    "q174_link_prediction",
+    "q180_dedup_containment",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -560,3 +560,59 @@ def power_iteration(
         .select("dim", F.round(F.col("y") / F.col("n"), 6).alias("loading"))
         .orderBy("dim")
     )
+
+
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 3
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    ``k`` most-cosine-similar corpus vectors with a DIFFERENT label —
+    the mining step that builds (anchor, hard-negative) pairs for
+    embedding-model training. Same exact-scoring discipline as q43
+    (the un-filtered top-k); the label inequality is the only new
+    predicate, so the two operators bracket the retrieval surface:
+    nearest overall vs nearest wrong-class.
+
+    Scale shape identical to q43: tiny query side broadcast, corpus
+    side never shuffles, per-query top-k via partitioned window.
+    The label filter composes into the broadcast-join predicate, so
+    pruning happens before scoring. Ties break by neighbor_id;
+    scores are ranked unrounded (deterministic fold order both
+    engines) and emitted rounded 6dp."""
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+    )
+    pairs = e.crossJoin(F.broadcast(queries)).filter(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("query_label"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "rnk",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cos", 6).alias("cos"),
+        )
+        .orderBy("query_id", "rnk")
+    )

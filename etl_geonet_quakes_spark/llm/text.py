@@ -7,7 +7,7 @@ input bytes. At 100 TB these are embarrassingly parallel scans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
@@ -768,4 +768,98 @@ def token_mutual_information(spark: SparkSession, sf_dir: str,
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(F.desc("mi"), "tok")
         .limit(k)
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """One BPE-induction step: corpus-wide adjacent-token-pair
+    frequencies, top-``k`` — the statistic a byte-pair/word-pair
+    tokenizer trainer computes each merge round (the merge IS
+    "pick the top pair"). No reference analog (the reference never
+    tokenizes, task.ts has no text ops); north-star tokenizer surface.
+
+    Shape: per-doc adjacent pairs come from zipping the token array
+    with itself shifted by one (two ``slice``s + ``zip_with`` — scan
+    stage, no shuffle, no UDF), then one partial+final hash count and
+    a TakeOrderedAndProject top-k. The shuffle carries (pair, count)
+    partials — vocabulary-bounded, never the token stream. Ties break
+    lexicographically so the merge choice is deterministic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(k)
+    )
+
+
+def contamination_spans(
+    spark: SparkSession, sf_dir: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document repeated n-gram spans: every ``n``-token
+    shingle occurring in ≥ ``min_docs`` distinct documents, merged
+    per document into MAXIMAL repeated regions — the span-level
+    contamination/boilerplate detector (benchmark leakage, license
+    headers, templated passages) that doc-level dedup (q38/q40) and
+    shingle-level df (q120 heavy hitters) both miss: it answers
+    WHERE in the document the shared material sits.
+
+    Shape: positioned shingles from one scan-stage transform over
+    ``sequence(1, len−n+1)`` (no UDF); shingle→distinct-doc counts
+    is a hash agg whose shuffle carries the shingle vocabulary;
+    repeated positions join back (broadcast-size df table at small
+    sf; key-partitioned at scale); the island merge is the q139
+    gaps-and-islands trick per document (window partitioned by
+    doc_id — parallel, frame bounded by the doc's repeated-shingle
+    count). Two spans merge when their token ranges touch: a break
+    needs pos − prev_pos > n."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= n)
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, {n})) AS sh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh"))
+    df_tbl = g.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    ).filter(F.col("ndocs") >= min_docs)
+    rep = g.join(df_tbl.select("sh"), "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > n, 1
+    ).otherwise(0)
+    isl = rep.withColumn("brk", brk).withColumn(
+        "grp", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_rep_shingles"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_rep_shingles",
+        )
+        .orderBy("doc_id", "span_start")
     )

@@ -3583,3 +3583,203 @@ def group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# Round 6: temporal-join completion, snapshot reconciliation, decayed
+# averages
+# --------------------------------------------------------------------
+
+
+def join_asof_forward_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_hours: int = 48
+) -> DataFrame:
+    """FORWARD as-of join with tolerance: for every click, the user's
+    NEXT purchase at-or-after the click but within ``tolerance_hours``
+    — conversion attribution, the mirror of q49's backward as-of and
+    the form ad-attribution windows actually use. LEFT semantics:
+    every click emits; the purchase columns are NULL when no purchase
+    lands in the window.
+
+    Same scale-correct shape as q49: UNION both sides, ONE window per
+    user ordered DESCENDING by time carrying the nearest following
+    purchase backward, keep the click rows — one shuffle on user_id,
+    never a per-user theta join. Equal-instant ties let the purchase
+    match its own instant's click (purchases sort first in the desc
+    scan), and simultaneous purchases pre-dedupe to min event_id so
+    both engines pick the identical match. The tolerance is applied
+    AFTER the match (the nearest purchase beyond tolerance proves no
+    nearer one exists, so null-out is exact, not approximate)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("p_id"))
+    )
+    u = clicks.select(
+        "user_id",
+        F.col("c_ts").alias("ts"),
+        "click_id",
+        F.lit(None).cast("long").alias("p_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            "p_id",
+        )
+    )
+    # descending scan: the "last seen purchase" is the next in time;
+    # purchases sort before clicks at an equal instant (p_id desc
+    # puts non-null first) so a same-instant purchase is visible
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("p_id").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt_p_ts = F.when(F.col("p_id").isNotNull(), F.col("ts"))
+    out = (
+        u.withColumn("np_ts", F.last(nxt_p_ts, ignorenulls=True).over(w))
+        .withColumn("np_id", F.last("p_id", ignorenulls=True).over(w))
+        .filter(F.col("click_id").isNotNull())
+    )
+    tol_us = tolerance_hours * 3600 * 1_000_000
+    gap = F.unix_micros("np_ts") - F.unix_micros("ts")
+    within = F.col("np_ts").isNotNull() & (gap <= tol_us)
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.when(within, F.col("np_id")).alias("purchase_id"),
+        F.when(within, (gap / 1_000_000).cast("long")).alias("gap_s"),
+    ).orderBy("click_id")
+
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation: diff two keyed snapshots of
+    the orders table and report, per diff class, row counts and the
+    decimal-exact net price movement — the audit a pipeline runs
+    between yesterday's and today's publish (q109 fingerprints say
+    WHETHER tables differ; this says WHERE and BY HOW MUCH). Distinct
+    from q127's MERGE: no changeset semantics, just set comparison of
+    two materialized states with per-COLUMN change attribution.
+
+    Fixture framing: old = orderkeys not divisible by 5; new =
+    orderkeys not divisible by 7, with keys divisible by 11 repriced
+    ×1.05 (exact decimal) and keys divisible by 13 status-flipped to
+    'X'. Classes: added (new only), removed (old only), changed
+    (both, any column differs — attributed to price/status/both),
+    unchanged.
+
+    At scale: one key-shuffle full outer join (bucketed storage makes
+    it zero-Exchange), classification is a projection, totals are
+    partial+final hash aggs."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").cast(D_MONEY).alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            (F.col("o_totalprice").cast(D_MONEY)
+             * F.lit("1.05").cast("decimal(4,2)")).cast("decimal(22,4)"),
+        )
+        .otherwise(F.col("o_totalprice").cast(D_MONEY).cast("decimal(22,4)"))
+        .alias("new_price"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+    )
+    j = old.join(new, old.ok == new.nk, "full_outer")
+    price_chg = F.col("new_price") != F.col("old_price").cast("decimal(22,4)")
+    status_chg = F.col("new_status") != F.col("old_status")
+    cls = (
+        F.when(F.col("ok").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("removed"))
+        .when(price_chg & status_chg, F.lit("changed_both"))
+        .when(price_chg, F.lit("changed_price"))
+        .when(status_chg, F.lit("changed_status"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(
+        F.col("new_price"), F.lit("0").cast("decimal(22,4)")
+    ) - F.coalesce(F.col("old_price").cast("decimal(22,4)"),
+                   F.lit("0").cast("decimal(22,4)"))
+    return (
+        j.select(cls.alias("diff_class"), delta.alias("delta"))
+        .groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("delta").cast("double").alias("net_price_delta"),
+        )
+        .orderBy("diff_class")
+    )
+
+
+def decayed_average(
+    spark: SparkSession, sf_dir: str, last_k: int = 20
+) -> DataFrame:
+    """Exact exponentially-decayed average (EMA, α = 1/4) of each
+    customer's last ``last_k`` order totals, newest orders weighted
+    most — the recency-weighted spend statistic (training-data
+    recency weighting, churn scoring) whose naive form is an
+    unbounded per-row recursion no engine reproduces bit-stably.
+
+    Exactness by construction: over the kept window the recursion
+    closes to e = [Σ_j w_j·cents_j] / (100·4^(n−1)) with INTEGER
+    weights w_1 = 3^(n−1) (oldest), w_j = 4^(j−2)·3^(n−j) — every
+    weight and product is exact in DECIMAL, and the single final
+    double division of identical operands is identical across
+    engines. Bounding to last_k ≤ 20 keeps 4^(n−1) inside exact
+    double range (4¹⁹ < 2⁵³) — and is also the statistically honest
+    cut: older terms carry weight < (3/4)²⁰ ≈ 0.003.
+
+    At scale: per-customer windows partition by custkey (parallel,
+    frames bounded by last_k); the weighted sum is one hash agg.
+    Deterministic tie-break (o_orderdate, o_orderkey)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)").alias("cents"),
+    )
+    w_desc = Window.partitionBy("cust").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    kept = o.withColumn("rdesc", F.row_number().over(w_desc)).filter(
+        F.col("rdesc") <= last_k
+    )
+    n_tbl = kept.groupBy("cust").agg(F.max("rdesc").alias("n"))
+    kept = kept.join(n_tbl, "cust").withColumn(
+        "j", F.col("n") - F.col("rdesc") + 1  # 1 = oldest kept
+    )
+    # integer weights, exact in double (exponents ≤ 19), cast decimal
+    weight = F.when(
+        F.col("j") == 1, F.pow(F.lit(3.0), F.col("n") - 1)
+    ).otherwise(
+        F.pow(F.lit(4.0), F.col("j") - 2) * F.pow(F.lit(3.0), F.col("n") - F.col("j"))
+    ).cast("decimal(18,0)")
+    term = (F.col("cents") * weight).cast("decimal(38,0)")
+    return (
+        kept.withColumn("term_v", term)
+        .groupBy("cust", "n")
+        .agg(F.sum("term_v").alias("wsum"))
+        .select(
+            F.col("cust").alias("c_custkey"),
+            F.col("n").alias("n_orders_used"),
+            F.round(
+                F.col("wsum").cast("double")
+                / (F.lit(100.0) * F.pow(F.lit(4.0), F.col("n") - 1)),
+                6,
+            ).alias("decayed_avg"),
+        )
+        .orderBy("c_custkey")
+    )

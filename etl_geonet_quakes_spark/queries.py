@@ -4240,3 +4240,272 @@ SPECS["q171_group_mode"] = QuerySpec(
     "closer, deterministic smallest-value tie-break) — value-collapse "
     "agg first so the top-1 window sees distinct values, never rows",
 )
+
+# --- round 6: tokenizer induction, contrastive mining, graph
+# completion, normalization dedup, contamination spans, forward as-of,
+# snapshot diff, decayed averages, containment join -----------------
+
+SPECS["q172_bpe_pair_counts"] = QuerySpec(
+    text.bpe_pair_counts,
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         u AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+    SELECT toks[i] || ' ' || toks[i+1] AS pair, COUNT(*) AS n
+    FROM u GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    "§2.3 tokenizer induction: one BPE merge step — corpus-wide "
+    "adjacent-pair frequencies via slice+zip_with (scan stage, no "
+    "UDF), vocabulary-bounded shuffle, deterministic lexicographic "
+    "tie-break on the merge choice",
+)
+
+SPECS["q173_hard_negatives"] = QuerySpec(
+    similarity.hard_negative_mining,
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+         q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+               FROM e WHERE vec_id < 8),
+         scored AS (
+            SELECT query_id, query_label, e.vec_id AS neighbor_id,
+                   e.label AS neighbor_label,
+                   list_dot_product(qv, v)
+                       / (SQRT(list_dot_product(qv, qv))
+                          * SQRT(list_dot_product(v, v))) AS cos_raw
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id AND e.label <> q.query_label),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id ASC) AS rnk
+            FROM scored)
+    SELECT query_id, query_label, CAST(rnk AS INTEGER) AS rnk,
+           neighbor_id, neighbor_label, ROUND(cos_raw, 6) AS cos
+    FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk
+    """,
+    "§2.3 similarity: contrastive hard-negative mining — exact top-k "
+    "cosine restricted to different-label corpus vectors (q43's "
+    "broadcast/no-corpus-shuffle shape with the label predicate "
+    "composed into the join)",
+)
+
+SPECS["q174_link_prediction"] = QuerySpec(
+    dedup.link_prediction_common_neighbors,
+    """
+    -- same d/e pair CTEs as q115's oracle (the shared near-dup graph)
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    sym AS (SELECT ea AS src, eb AS dst FROM e
+            UNION ALL SELECT eb, ea FROM e),
+    w AS (SELECT x.src AS u, y.dst AS v
+          FROM sym x JOIN sym y ON x.dst = y.src AND x.src < y.dst),
+    cn AS (SELECT u, v, COUNT(*) AS common_neighbors FROM w GROUP BY u, v),
+    cand AS (SELECT cn.u, cn.v, cn.common_neighbors
+             FROM cn LEFT JOIN e ON cn.u = e.ea AND cn.v = e.eb
+             WHERE e.ea IS NULL),
+    deg AS (SELECT src AS w, COUNT(*) AS deg FROM sym GROUP BY src)
+    SELECT u, v, common_neighbors,
+           ROUND(CAST(common_neighbors AS DOUBLE)
+                     / (du.deg + dv.deg - common_neighbors), 6)
+               AS nb_jaccard
+    FROM cand JOIN deg du ON cand.u = du.w JOIN deg dv ON cand.v = dv.w
+    ORDER BY common_neighbors DESC, u, v LIMIT 20
+    """,
+    "§2.3 graph: common-neighbor link prediction over the near-dup "
+    "graph — wedge equi-join on the middle vertex, anti-join removes "
+    "existing edges, neighborhood Jaccard from degree table; finds "
+    "the transitive near-dup pairs the pairwise pass missed",
+)
+
+SPECS["q175_dedup_normalized"] = QuerySpec(
+    dedup.dedup_normalized,
+    """
+    WITH n AS (SELECT doc_id,
+                      array_to_string(list_sort(list_distinct(
+                          string_split(trim(regexp_replace(
+                              regexp_replace(lower(text),
+                                  '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')), ' '))), ' ') AS norm
+               FROM documents),
+         g AS (SELECT norm, MIN(doc_id) AS canonical
+               FROM n GROUP BY norm HAVING COUNT(*) > 1)
+    SELECT g.canonical, n.doc_id AS dup_id
+    FROM n JOIN g USING (norm) WHERE n.doc_id <> g.canonical
+    ORDER BY canonical, dup_id
+    """,
+    "§2.3 dedup: bag-of-words normalized exact dedup (lowercase + "
+    "strip punctuation + collapse whitespace + sorted distinct token "
+    "set, all codegen'd — no UDF) grouped on a sha2 digest so the "
+    "shuffle never carries the text; catches case/punct/order/"
+    "repetition variants q41 misses, zero thresholds",
+)
+
+SPECS["q176_contamination_spans"] = QuerySpec(
+    text.contamination_spans,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+               FROM t WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, pos,
+                      array_to_string(toks[pos:pos+7], ' ') AS sh
+               FROM s),
+         df AS (SELECT sh FROM g GROUP BY sh
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+         r AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (sh)),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                               ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+               FROM r),
+         i AS (SELECT doc_id, pos,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS grp
+               FROM b)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+           COUNT(*) AS n_rep_shingles
+    FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start
+    """,
+    "§2.3 contamination: cross-document repeated 8-gram spans — "
+    "positioned shingles (scan-stage transform), distinct-doc df "
+    "filter, per-doc gaps-and-islands merge into maximal regions; "
+    "answers WHERE the shared material sits, not just which docs",
+)
+
+SPECS["q177_asof_forward_tolerance"] = QuerySpec(
+    rel.join_asof_forward_tolerance,
+    f"""
+    WITH c AS (SELECT event_id AS click_id, user_id, {_TS} AS c_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, {_TS} AS t, MIN(event_id) AS p_id
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, {_TS}),
+         j AS (SELECT c.click_id, c.user_id, c.c_ts, p.t AS p_ts, p.p_id
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.c_ts <= p.t)
+    SELECT click_id, user_id, epoch_us(c_ts) AS click_us,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(c_ts)
+                     <= CAST(48 AS BIGINT) * 3600 * 1000000
+                THEN p_id END AS purchase_id,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(c_ts)
+                     <= CAST(48 AS BIGINT) * 3600 * 1000000
+                THEN (epoch_us(p_ts) - epoch_us(c_ts)) // 1000000
+                END AS gap_s
+    FROM j ORDER BY click_id
+    """,
+    "§2.2 temporal joins: FORWARD as-of with tolerance (conversion "
+    "attribution) — union+one-descending-window in Spark, native "
+    "forward ASOF oracle; tolerance applied after the match (exact: "
+    "nearest beyond tolerance proves none nearer), LEFT semantics",
+)
+
+SPECS["q178_snapshot_table_diff"] = QuerySpec(
+    rel.snapshot_table_diff,
+    """
+    WITH old AS (SELECT o_orderkey AS ok,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS old_price,
+                        o_orderstatus AS old_status
+                 FROM orders WHERE o_orderkey % 5 <> 0),
+         new AS (SELECT o_orderkey AS nk,
+                        CASE WHEN o_orderkey % 11 = 0
+                             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                       * CAST('1.05' AS DECIMAL(4,2))
+                                       AS DECIMAL(22,4))
+                             ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                       AS DECIMAL(22,4)) END AS new_price,
+                        CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                             ELSE o_orderstatus END AS new_status
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+         j AS (SELECT * FROM old FULL OUTER JOIN new ON old.ok = new.nk),
+         c AS (SELECT CASE
+                   WHEN ok IS NULL THEN 'added'
+                   WHEN nk IS NULL THEN 'removed'
+                   WHEN new_price <> CAST(old_price AS DECIMAL(22,4))
+                        AND new_status <> old_status THEN 'changed_both'
+                   WHEN new_price <> CAST(old_price AS DECIMAL(22,4))
+                        THEN 'changed_price'
+                   WHEN new_status <> old_status THEN 'changed_status'
+                   ELSE 'unchanged' END AS diff_class,
+               COALESCE(new_price, CAST('0' AS DECIMAL(22,4)))
+                   - COALESCE(CAST(old_price AS DECIMAL(22,4)),
+                              CAST('0' AS DECIMAL(22,4))) AS delta
+               FROM j)
+    SELECT diff_class, COUNT(*) AS n_rows,
+           CAST(SUM(delta) AS DOUBLE) AS net_price_delta
+    FROM c GROUP BY diff_class ORDER BY diff_class
+    """,
+    "§2.2 reconciliation: row-level snapshot diff with per-column "
+    "change attribution and decimal-exact net movement — q109 says "
+    "WHETHER two snapshots differ, this says WHERE and BY HOW MUCH; "
+    "one key-shuffle full outer join",
+)
+
+SPECS["q179_decayed_average"] = QuerySpec(
+    rel.decayed_average,
+    """
+    WITH o AS (SELECT o_custkey AS cust, o_orderdate, o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS DECIMAL(18,0))
+                          AS cents
+               FROM orders),
+         k AS (SELECT *, row_number() OVER (PARTITION BY cust
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rdesc
+               FROM o),
+         kk AS (SELECT * FROM k WHERE rdesc <= 20),
+         n_tbl AS (SELECT cust, MAX(rdesc) AS n FROM kk GROUP BY cust),
+         j AS (SELECT kk.cust, kk.cents, n_tbl.n,
+                      n_tbl.n - kk.rdesc + 1 AS jj
+               FROM kk JOIN n_tbl USING (cust)),
+         w AS (SELECT cust, n, cents,
+                      CAST(CASE WHEN jj = 1 THEN POWER(3.0, n - 1)
+                                ELSE POWER(4.0, jj - 2)
+                                     * POWER(3.0, n - jj) END
+                           AS DECIMAL(18,0)) AS wt
+               FROM j)
+    SELECT cust AS c_custkey, CAST(n AS INTEGER) AS n_orders_used,
+           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * wt) AS DOUBLE)
+                     / (100.0 * POWER(4.0, n - 1)), 6) AS decayed_avg
+    FROM w GROUP BY cust, n ORDER BY c_custkey
+    """,
+    "§2.2 statistics: exact exponentially-decayed average (α=1/4) of "
+    "each customer's last-20 order totals — the per-row EMA recursion "
+    "closed into integer weights 3^a·4^b so every product is exact "
+    "decimal and the single final double division is engine-identical",
+)
+
+SPECS["q180_dedup_containment"] = QuerySpec(
+    dedup.dedup_containment,
+    f"""
+    -- oracle = all-pairs exact containment (prefix filter complete
+    -- by theorem); pruned by the necessary size condition
+    -- n_b >= tau * n_a (containment needs that many shared shingles)
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, {{_SHINGLES}} AS sh FROM t),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.sh, b.sh)) AS n_common,
+                      len(a.sh) AS n_a
+               FROM s a JOIN s b
+                 ON a.doc_id <> b.doc_id
+                AND 10 * len(b.sh) >= 9 * len(a.sh))
+    SELECT doc_a, doc_b, n_common, n_a,
+           ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS containment
+    FROM p WHERE 10 * n_common >= 9 * n_a
+    ORDER BY doc_a, doc_b
+    """.format(_SHINGLES=_SHINGLES),
+    "§2.3 dedup: asymmetric CONTAINMENT self-join (|A∩B|/|A| ≥ 0.9) "
+    "— subset-duplication detector Jaccard misses; containment-form "
+    "prefix filter joins A's rarest shingles against B's inverted "
+    "index, integer-threshold verify",
+)
