@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from etl_geonet_quakes_spark.llm import corpus, dedup, multimodal, similarity, text
 from etl_geonet_quakes_spark.operators import geo
 from etl_geonet_quakes_spark.operators import relational as rel
+from etl_geonet_quakes_spark.streaming import incremental as sti
 from etl_geonet_quakes_spark.streaming import windows as stw
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4508,4 +4509,33 @@ SPECS["q180_dedup_containment"] = QuerySpec(
     "— subset-duplication detector Jaccard misses; containment-form "
     "prefix filter joins A's rarest shingles against B's inverted "
     "index, integer-threshold verify",
+)
+
+SPECS["q181_stream_incremental_counts"] = QuerySpec(
+    sti.stream_incremental_token_counts,
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+    SELECT tok, COUNT(*) AS n FROM t
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+    """,
+    "§2.2 streaming: incremental aggregate maintenance — per-batch "
+    "partial counts merged into versioned durable state (the q158 "
+    "contract under the streaming tick); final state ≡ one-shot "
+    "batch count BY THEOREM, so the oracle checks the incremental "
+    "machinery exactly",
+)
+
+SPECS["q182_stream_static_enrich"] = QuerySpec(
+    stw.stream_static_enrich,
+    f"""
+    SELECT CAST({_TS} AS DATE) AS day, c_mktsegment, COUNT(*) AS n,
+           {_dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY day, c_mktsegment
+    """,
+    "§2.2 streaming: stream-static broadcast enrichment + watermarked "
+    "tumbling window (the stream↔static leg of the join taxonomy; "
+    "q10 covers stream↔stream) — dim side re-planned per batch, "
+    "stream side never shuffles for the join",
 )

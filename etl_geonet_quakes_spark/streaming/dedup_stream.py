@@ -220,32 +220,20 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of file arrival order.
 
     Nothing touches the driver: the 3-file feed is a DISTRIBUTED
-    Spark write (hash-repartitioned by batch id so each batch is
-    exactly one file, then metadata-only renames into the flat feed
-    dir the file source expects), and the result is the Spark-side
-    union of the per-batch pair-scratch parquets the index already
-    durably writes — no ``collect()`` anywhere in the path, so the
-    same adapter works when ``documents`` is corpus-sized."""
-    import glob
+    Spark write (``streaming.feed.write_micro_batch_feed`` —
+    hash-repartitioned by batch id, metadata-only renames into the
+    flat feed dir), and the result is the Spark-side union of the
+    per-batch pair-scratch parquets the index already durably writes
+    — no ``collect()`` anywhere in the path, so the same adapter
+    works when ``documents`` is corpus-sized."""
     import tempfile
 
     from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.streaming.feed import write_micro_batch_feed
 
     base = tempfile.mkdtemp(prefix="stream_dedup_q151_")
-    feed = os.path.join(base, "feed")
-    staging = os.path.join(base, "staging")
-    os.makedirs(feed)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    (
-        docs.withColumn("b", F.col("doc_id") % F.lit(3))
-        .repartition(3, "b")  # one task per batch id -> one file per b= dir
-        .write.partitionBy("b")
-        .parquet(staging)
-    )
-    for i in range(3):  # flatten: metadata-only renames, no data movement
-        part = glob.glob(os.path.join(staging, f"b={i}", "part-*.parquet"))
-        assert len(part) == 1, part
-        os.rename(part[0], os.path.join(feed, f"b{i}.parquet"))
+    feed = write_micro_batch_feed(docs, base, 3, "doc_id")
     state = os.path.join(base, "state")
     run_dedup_stream(spark, feed, state)
     out = spark.read.schema("doc_a long, doc_b long, jaccard double").parquet(

@@ -322,3 +322,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_users"))
     name = _run_to_memory(agg, "complete")
     return spark.table(name).orderBy("event_type")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    STATIC customer dimension (re-read per micro-batch by contract —
+    Spark re-plans the static side each batch, which is what makes
+    slowly-refreshed dims pick up changes), then a watermarked 1-day
+    tumbling window aggregates per market segment — the canonical
+    "enrich the stream with reference data, then window" topology the
+    taxonomy was missing (q10 covers stream↔stream, this covers
+    stream↔static).
+
+    Join key: user_id = c_custkey (the fixture's users ARE the
+    customer keys' range); inner semantics — unmatched events carry
+    no segment and drop, exactly like the batch oracle. The dim side
+    is explicitly broadcast, so the stream side never shuffles for
+    the join; only the windowed agg shuffles, keyed by
+    (window, segment). Sums are exact decimal (dsum discipline)."""
+    e = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = e.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = _run_to_memory(agg, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+        .orderBy("day", "c_mktsegment")
+    )

