@@ -3783,3 +3783,64 @@ def decayed_average(
         )
         .orderBy("c_custkey")
     )
+
+
+def psi_drift(spark: SparkSession, sf_dir: str,
+              bin_cents: int = 5_000_000,
+              split_date: str = "1998-01-01") -> DataFrame:
+    """Population Stability Index per market segment: compare each
+    segment's order-value distribution BEFORE vs FROM ``split_date``
+    over fixed integer price bins and emit the per-bin PSI
+    contribution (p_new − p_old)·ln(p_new/p_old) — the standard
+    model-monitoring drift score, per-bin so a reviewer sees WHICH
+    value band moved (the scalar PSI is just the sum of the column).
+
+    Emitting per-bin rows is also the determinism play: the only
+    float work is one division and one ln per row — no cross-bin
+    float summation whose fold order could differ between engines.
+    Bins are exact integer cents DIV bin_cents; a bin missing on
+    either side emits with NULL psi_term (the classic ε-smoothing is
+    a modeling choice, not a data fact — counts are reported, the
+    consumer chooses its ε).
+
+    At scale: one broadcast dim join (customer segment), one
+    (segment, bin) hash agg with conditional partials for old/new,
+    per-segment totals broadcast back — two small shuffles, fact
+    table scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    is_new = F.col("o_orderdate") >= F.lit(split_date).cast("timestamp")
+    binned = (
+        o.join(F.broadcast(c), "o_custkey")
+        .withColumn("bin", F.expr(f"cents DIV {bin_cents}"))
+        .groupBy("c_mktsegment", "bin")
+        .agg(
+            F.sum(F.when(~is_new, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    totals = binned.groupBy("c_mktsegment").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = binned.join(F.broadcast(totals), "c_mktsegment")
+    p_old = F.col("n_old") / F.col("t_old")
+    p_new = F.col("n_new") / F.col("t_new")
+    term = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6),
+    )
+    return j.select(
+        "c_mktsegment",
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        term.alias("psi_term"),
+    ).orderBy("c_mktsegment", "bin")

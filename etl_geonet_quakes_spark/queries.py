@@ -4539,3 +4539,36 @@ SPECS["q182_stream_static_enrich"] = QuerySpec(
     "q10 covers stream↔stream) — dim side re-planned per batch, "
     "stream side never shuffles for the join",
 )
+
+SPECS["q183_psi_drift"] = QuerySpec(
+    rel.psi_drift,
+    """
+    WITH o AS (SELECT o_custkey, o_orderdate,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         b AS (SELECT c_mktsegment, cents // 5000000 AS bin,
+                      SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                               THEN 1 ELSE 0 END) AS n_old,
+                      SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                               THEN 1 ELSE 0 END) AS n_new
+               FROM o JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1, 2),
+         t AS (SELECT c_mktsegment, SUM(n_old) AS t_old,
+                      SUM(n_new) AS t_new
+               FROM b GROUP BY 1)
+    SELECT b.c_mktsegment, bin, n_old, n_new,
+           ROUND(CAST(n_old AS DOUBLE) / t_old, 6) AS p_old,
+           ROUND(CAST(n_new AS DOUBLE) / t_new, 6) AS p_new,
+           CASE WHEN n_old > 0 AND n_new > 0
+                THEN ROUND((CAST(n_new AS DOUBLE) / t_new
+                            - CAST(n_old AS DOUBLE) / t_old)
+                           * ln((CAST(n_new AS DOUBLE) / t_new)
+                                / (CAST(n_old AS DOUBLE) / t_old)), 6)
+                END AS psi_term
+    FROM b JOIN t USING (c_mktsegment) ORDER BY c_mktsegment, bin
+    """,
+    "§2.2 quality: Population Stability Index drift per segment and "
+    "value bin (model-monitoring drift score) — per-bin emission "
+    "avoids any cross-bin float summation; integer bins, counts "
+    "exact, one fact scan + broadcast dim + broadcast totals",
+)

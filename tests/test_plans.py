@@ -340,3 +340,62 @@ def test_quake_pipeline_flat_is_narrow_no_shuffle(spark):
     p = plan(_quake_pipeline_flat(spark))
     assert "Join" not in p
     assert n_exchanges(p) <= 1  # the orderBy("id") only
+
+
+def test_partition_pruning_static_and_dynamic(spark, sf_dir, tmp_path):
+    """100 TB posture, both pruning tiers on a disk-partitioned fact:
+
+    1. STATIC: a dim filter ON the join key itself propagates through
+       Catalyst's constraint inference into a literal
+       PartitionFilters entry — no runtime subquery needed at all.
+    2. DYNAMIC (DPP): when the dim filter is on a NON-derivable
+       attribute (customer segment), the fact scan must carry a
+       dynamicpruning subquery on the partition column so only the
+       partitions matching the filtered dim keys are read at runtime.
+    """
+    from etl_geonet_quakes_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    # --- tier 1: static propagation through the join key -----------
+    fact_dir = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_linestatus").alias("status"))
+        .distinct()
+        .filter(F.col("status") == "F")
+    )
+    j1 = fact.join(dim, fact.o_orderstatus == dim.status).agg(
+        F.count("*").alias("n")
+    )
+    p1 = plan(j1)
+    assert "PartitionFilters" in p1
+    pf = p1.split("PartitionFilters", 1)[1][:160]
+    assert "o_orderstatus" in pf and "= F" in pf, pf
+
+    # --- tier 2: dynamic pruning from a non-derivable dim filter ---
+    fact2_dir = str(tmp_path / "orders_by_cust")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_custkey"
+    ).parquet(fact2_dir)
+    fact2 = spark.read.parquet(fact2_dir)
+    dim2 = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j2 = fact2.join(dim2, fact2.o_custkey == dim2.c_custkey).agg(
+        F.count("*").alias("n")
+    )
+    p2 = plan(j2)
+    assert "dynamicpruning" in p2.lower(), p2[:2500]
+    # and the answer is right (pruning lost nothing)
+    n = j2.collect()[0]["n"]
+    expect = (
+        load_table(spark, sf_dir, "orders")
+        .join(dim2.select("c_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    assert n == expect
