@@ -3844,3 +3844,97 @@ def psi_drift(spark: SparkSession, sf_dir: str,
         F.round(p_new, 6).alias("p_new"),
         term.alias("psi_term"),
     ).orderBy("c_mktsegment", "bin")
+
+
+def fifo_allocation(spark: SparkSession, sf_dir: str,
+                    split_date: str = "1998-01-01") -> DataFrame:
+    """FIFO inventory allocation: per part, match historical supply
+    (lineitems shipped before ``split_date``, in ship order) against
+    subsequent demand (shipped from ``split_date``) first-in-first-out
+    and report the allocation accounting — the inventory-costing /
+    order-matching primitive that procedural engines do with a loop
+    and a pointer, re-expressed as pure relational algebra:
+
+    FIFO is an INTERVAL OVERLAP on cumulative-quantity axes. Supply
+    row i covers the cum-qty interval [Σq_<i, Σq_≤i); demand row j
+    covers its own cum interval; row i fills row j exactly where the
+    intervals overlap, and the allocated quantity is the overlap
+    length min(hi)−max(lo). One per-part window cumsum each side
+    (partitioned by part — parallel, never global), one equi-join on
+    part with the overlap predicate, exact integer quantities.
+
+    Per-part join work is |supply|·|demand| candidate pairs — bounded
+    because part groups are bounded (TPC-H: ~30 lineitems/part at
+    every sf; a pathological hot part would take the q170
+    fragment-replicate treatment, same shape). Output: per-part
+    allocation totals — matched quantity telescopes to
+    min(Σsupply, Σdemand) per part, which the test pins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    cut = F.lit(split_date).cast("timestamp")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    supply = (
+        li.filter(F.col("l_shipdate") < cut)
+        .withColumn("hi", F.sum("qty").over(w))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            (F.col("hi") - F.col("qty")).alias("s_lo"),
+            F.col("hi").alias("s_hi"),
+        )
+    )
+    demand = (
+        li.filter(F.col("l_shipdate") >= cut)
+        .withColumn("hi", F.sum("qty").over(w))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            (F.col("hi") - F.col("qty")).alias("d_lo"),
+            F.col("hi").alias("d_hi"),
+        )
+    )
+    alloc = (
+        supply.join(demand, "pk")
+        .filter((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .select(
+            "pk",
+            (
+                F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
+            ).alias("alloc_qty"),
+        )
+    )
+    s_tot = supply.groupBy("pk").agg(
+        F.count("*").alias("n_supply"), F.max("s_hi").alias("supply_qty")
+    )
+    d_tot = demand.groupBy("pk").agg(
+        F.count("*").alias("n_demand"), F.max("d_hi").alias("demand_qty")
+    )
+    a_tot = alloc.groupBy("pk").agg(
+        F.count("*").alias("n_allocations"),
+        F.sum("alloc_qty").alias("matched_qty"),
+    )
+    return (
+        s_tot.join(d_tot, "pk", "full_outer")
+        .join(a_tot, "pk", "left")
+        .select(
+            F.col("pk").alias("l_partkey"),
+            F.coalesce("n_supply", F.lit(0)).alias("n_supply"),
+            F.coalesce("n_demand", F.lit(0)).alias("n_demand"),
+            F.coalesce("n_allocations", F.lit(0)).alias("n_allocations"),
+            F.coalesce("matched_qty", F.lit(0)).alias("matched_qty"),
+            (
+                F.coalesce("demand_qty", F.lit(0))
+                - F.coalesce("matched_qty", F.lit(0))
+            ).alias("unfilled_qty"),
+            (
+                F.coalesce("supply_qty", F.lit(0))
+                - F.coalesce("matched_qty", F.lit(0))
+            ).alias("leftover_qty"),
+        )
+        .orderBy("l_partkey")
+    )

@@ -4572,3 +4572,107 @@ SPECS["q183_psi_drift"] = QuerySpec(
     "avoids any cross-bin float summation; integer bins, counts "
     "exact, one fact scan + broadcast dim + broadcast totals",
 )
+
+SPECS["q184_fifo_allocation"] = QuerySpec(
+    rel.fifo_allocation,
+    """
+    WITH li AS (SELECT l_partkey AS pk, l_shipdate, l_orderkey,
+                       l_linenumber,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty
+                FROM lineitem),
+         s AS (SELECT pk,
+                      SUM(qty) OVER (PARTITION BY pk ORDER BY
+                          l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) - qty AS s_lo,
+                      SUM(qty) OVER (PARTITION BY pk ORDER BY
+                          l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS s_hi
+               FROM li WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+         d AS (SELECT pk,
+                      SUM(qty) OVER (PARTITION BY pk ORDER BY
+                          l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) - qty AS d_lo,
+                      SUM(qty) OVER (PARTITION BY pk ORDER BY
+                          l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS d_hi
+               FROM li WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+         a AS (SELECT s.pk,
+                      least(s_hi, d_hi) - greatest(s_lo, d_lo) AS aq
+               FROM s JOIN d ON s.pk = d.pk
+               WHERE s_lo < d_hi AND d_lo < s_hi),
+         st AS (SELECT pk, COUNT(*) AS n_supply,
+                       MAX(s_hi) AS supply_qty FROM s GROUP BY pk),
+         dt AS (SELECT pk, COUNT(*) AS n_demand,
+                       MAX(d_hi) AS demand_qty FROM d GROUP BY pk),
+         at AS (SELECT pk, COUNT(*) AS n_allocations,
+                       SUM(aq) AS matched_qty FROM a GROUP BY pk)
+    SELECT COALESCE(st.pk, dt.pk) AS l_partkey,
+           COALESCE(n_supply, 0) AS n_supply,
+           COALESCE(n_demand, 0) AS n_demand,
+           COALESCE(n_allocations, 0) AS n_allocations,
+           COALESCE(matched_qty, 0) AS matched_qty,
+           COALESCE(demand_qty, 0) - COALESCE(matched_qty, 0)
+               AS unfilled_qty,
+           COALESCE(supply_qty, 0) - COALESCE(matched_qty, 0)
+               AS leftover_qty
+    FROM st FULL OUTER JOIN dt ON st.pk = dt.pk
+    LEFT JOIN at ON COALESCE(st.pk, dt.pk) = at.pk
+    ORDER BY l_partkey
+    """,
+    "§2.2 analytics: FIFO inventory allocation — the loop-and-pointer "
+    "matching primitive as relational algebra: per-part cumulative-"
+    "quantity intervals + one overlap join; exact integers, matched "
+    "quantity telescopes to min(supply, demand) by construction",
+)
+
+def _density_outliers_oracle(n_cells: int = 8, threshold: float = 0.4) -> str:
+    """DuckDB replay of dedup.density_outliers — the q119 CTEs with a
+    per-vector neighbor count instead of the min-id prune."""
+    from etl_geonet_quakes_spark.llm.similarity import _centroids
+
+    cents = _centroids(n_cells)
+    c0 = ",\n           ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0),
+     cents(cell, c) AS (SELECT * FROM (VALUES
+           {c0}) t(cell, c)),
+     scored AS (SELECT vec_id, v, cell,
+                       -list_dot_product(v, c) AS nd
+                FROM e CROSS JOIN cents),
+     assign AS (SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY nd, cell) AS rn
+            FROM scored) WHERE rn = 1),
+     close AS (SELECT a.vec_id, COUNT(*) AS n_close
+               FROM assign a JOIN assign b
+                 ON a.cell = b.cell AND a.vec_id <> b.vec_id
+               WHERE ROUND(list_dot_product(a.v, b.v)
+                     / (SQRT(list_dot_product(a.v, a.v))
+                        * SQRT(list_dot_product(b.v, b.v))), 6)
+                     >= {threshold}
+               GROUP BY a.vec_id)
+SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell,
+       COALESCE(n_close, 0) AS n_close,
+       COALESCE(n_close, 0) = 0 AS is_isolated
+FROM assign s LEFT JOIN close c ON s.vec_id = c.vec_id
+ORDER BY s.vec_id
+"""
+
+
+SPECS["q185_density_outliers"] = QuerySpec(
+    dedup.density_outliers,
+    _density_outliers_oracle(),
+    "§2.3 embeddings: local-density outlier scoring — per-vector "
+    "same-cell cosine-neighbor degree (the q119 blocked neighbor "
+    "graph's degree view); Σ|cell|² pair bound, shared quantizer, "
+    "6dp-round-before-compare with the pinned q119 margin",
+)

@@ -299,3 +299,52 @@ def test_stream_static_enrich_matches_batch_join(spark):
         .collect()
     )
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+
+
+def test_fifo_allocation_invariants(spark):
+    """FIFO telescoping: matched quantity per part equals
+    min(total supply, total demand); unfilled + matched = demand;
+    leftover + matched = supply; allocation count is n+m-ish bounded
+    (each pair overlap is contiguous on the cum axis)."""
+    out = rel.fifo_allocation(spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        supply_qty = r["matched_qty"] + r["leftover_qty"]
+        demand_qty = r["matched_qty"] + r["unfilled_qty"]
+        assert r["matched_qty"] == min(supply_qty, demand_qty)
+        assert r["matched_qty"] >= 0
+        assert r["unfilled_qty"] >= 0 and r["leftover_qty"] >= 0
+        # FIFO contiguity: overlapping (supply, demand) pairs form a
+        # staircase — count is at most n_supply + n_demand - 1
+        if r["n_allocations"] > 0:
+            assert r["n_allocations"] <= r["n_supply"] + r["n_demand"] - 1
+
+
+def test_fifo_allocation_closed_form(spark, tmp_path_factory):
+    """Hand-computed FIFO on one part: supply lots 10, 5; demand lots
+    8, 4, 6 -> allocations (s1,d1)=8, (s1,d2)=2, (s2,d2)=2, (s2,d3)=3,
+    demand 3 unfilled by 3... supply=15, demand=18 -> matched 15,
+    unfilled 3, leftover 0, 4 allocation pairs."""
+    import datetime
+    t0 = datetime.datetime(1997, 1, 1)
+    t1 = datetime.datetime(1999, 1, 1)
+    rows = [
+        # (orderkey, partkey, suppkey, linenumber, qty, shipdate)
+        (1, 7, 1, 1, 10.0, t0),
+        (2, 7, 1, 1, 5.0, t0 + datetime.timedelta(days=1)),
+        (3, 7, 1, 1, 8.0, t1),
+        (4, 7, 1, 1, 4.0, t1 + datetime.timedelta(days=1)),
+        (5, 7, 1, 1, 6.0, t1 + datetime.timedelta(days=2)),
+    ]
+    path = str(tmp_path_factory.mktemp("fifo"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{path}/lineitem.parquet")
+    out = rel.fifo_allocation(spark, path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_supply"], r["n_demand"]) == (2, 3)
+    assert r["matched_qty"] == 15 and r["unfilled_qty"] == 3
+    assert r["leftover_qty"] == 0 and r["n_allocations"] == 4
