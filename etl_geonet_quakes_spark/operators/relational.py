@@ -3938,3 +3938,67 @@ def fifo_allocation(spark: SparkSession, sf_dir: str,
         )
         .orderBy("l_partkey")
     )
+
+
+def basket_lift(spark: SparkSession, sf_dir: str,
+                min_support: int = 3, top_n: int = 20) -> DataFrame:
+    """Market-basket association mining: for part pairs co-occurring
+    in ≥ ``min_support`` orders, support / confidence / lift — the
+    classic affinity score, and the canonical example of a pairwise
+    statistic that must NEVER be a cross join: pairs explode WITHIN
+    an order (baskets are small — TPC-H orders hold ≤7 lineitems at
+    every sf, so the per-order self-join is bounded by basket size²,
+    the same per-group quadratic bound as q184's per-part matching).
+
+    All counts are exact integers; probabilities divide on identical
+    operands cross-engine and round 6dp for display. lift =
+    P(a,b)/(P(a)·P(b)) with P over the order universe; canonical
+    pair order part_a < part_b; top-n by (lift desc, part_a, part_b)
+    — fully deterministic.
+
+    At scale: one orderkey-keyed self-join (co-partitioned; zero
+    extra Exchange under bucketed storage), item supports are one
+    hash agg, the total-orders scalar broadcasts, final ranking is a
+    TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()  # a part repeated in an order is one basket item
+    )
+    n_orders = li.select("ok").distinct().agg(F.count("*").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count("*").alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    out = (
+        pair.join(
+            item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence_a_b"),
+            F.round(
+                (F.col("n_pair") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(top_n)

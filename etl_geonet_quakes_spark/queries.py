@@ -4676,3 +4676,34 @@ SPECS["q185_density_outliers"] = QuerySpec(
     "graph's degree view); Σ|cell|² pair bound, shared quantizer, "
     "6dp-round-before-compare with the pinned q119 margin",
 )
+
+SPECS["q186_basket_lift"] = QuerySpec(
+    rel.basket_lift,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+         item AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY pk),
+         pair AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                         COUNT(*) AS n_pair
+                  FROM li a JOIN li b
+                    ON a.ok = b.ok AND a.pk < b.pk
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+           ROUND(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6)
+               AS confidence_a_b,
+           ROUND(CAST(n_pair AS DOUBLE) * n_orders
+                     / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6)
+               AS lift
+    FROM pair
+    JOIN item ia ON part_a = ia.pk
+    JOIN item ib ON part_b = ib.pk
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+    "§2.2 analytics: market-basket pair lift (support/confidence/"
+    "lift) — pairs explode within orders only (basket-size² bound, "
+    "never a cross join), exact counts, broadcast universe total, "
+    "deterministic (lift, pair) ranking",
+)
