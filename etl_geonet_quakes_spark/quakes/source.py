@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -53,7 +54,15 @@ DEFAULT_URL = "https://api.geonet.org.nz/quake"
 
 
 class GeoNetDataSource(DataSource):
-    """``format("geonet")`` — GeoNet /quake endpoint or fixture file."""
+    """``format("geonet")`` — GeoNet /quake endpoint or fixture file.
+
+    Batch (``spark.read``) and streaming (``spark.readStream``): the
+    stream is the reference's schedule-tick contract
+    (task.ts:142-143 — poll the endpoint every trigger) expressed as
+    a real Structured Streaming source with replayable offsets; in
+    fixture mode each micro-batch consumes the next snapshot file of
+    a directory, which is how tests drive the poll loop without a
+    network."""
 
     @classmethod
     def name(cls) -> str:
@@ -64,6 +73,9 @@ class GeoNetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "GeoNetReader":
         return GeoNetReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "GeoNetStreamReader":
+        return GeoNetStreamReader(self.options)
 
 
 class GeoNetReader(DataSourceReader):
@@ -120,27 +132,97 @@ class GeoNetReader(DataSourceReader):
                     raise RuntimeError(f"Failed to fetch data: {resp.status} {resp.reason}")
                 body = _json.loads(resp.read().decode("utf-8"))
 
-        for feature in body.get("features", []):
-            props = feature.get("properties", {})
-            geom = feature.get("geometry", {})
-            mmi = props.get("mmi")
-            if self.min_mmi is not None and isinstance(mmi, int) and mmi < self.min_mmi:
-                # fixture replay must behave like the server-side
-                # filter (O9 invariant: identical rows either way)
-                continue
-            yield (
-                feature.get("type"),
-                (
-                    props.get("publicID"),
-                    props.get("time"),
-                    props.get("depth"),
-                    props.get("magnitude"),
-                    mmi,
-                    props.get("locality"),
-                    props.get("quality"),
-                ),
-                (geom.get("type"), geom.get("coordinates")),
+        # fixture replay must behave like the server-side filter
+        # (O9 invariant: identical rows either way)
+        yield from _parse_features(body, self.min_mmi)
+
+
+def _parse_features(body: dict, min_mmi: int | None = None):
+    """Shared GeoJSON→row projection for the batch and stream readers
+    (one definition so the two paths cannot drift)."""
+    for feature in body.get("features", []):
+        props = feature.get("properties", {})
+        geom = feature.get("geometry", {})
+        mmi = props.get("mmi")
+        if min_mmi is not None and isinstance(mmi, int) and mmi < min_mmi:
+            continue
+        yield (
+            feature.get("type"),
+            (
+                props.get("publicID"),
+                props.get("time"),
+                props.get("depth"),
+                props.get("magnitude"),
+                mmi,
+                props.get("locality"),
+                props.get("quality"),
+            ),
+            (geom.get("type"), geom.get("coordinates")),
+        )
+
+
+class GeoNetStreamReader(SimpleDataSourceStreamReader):
+    """Schedule-tick streaming source (reference O28,
+    task.ts:142-143): every micro-batch is one poll.
+
+    Offsets are ``{"tick": n}``. Fixture mode (``path`` = a directory
+    of snapshot ``*.json`` files, lexicographic order): tick n reads
+    snapshot file n, the offset stops advancing when snapshots run
+    out, and ``readBetweenOffsets`` re-reads the same files — exact
+    replay, so checkpoint recovery is deterministic (the property the
+    reference's restart-the-world loop gets for free and a real
+    stream must earn). Live mode: every tick is one GET of the
+    endpoint; replay between offsets re-polls (documented
+    best-effort — the API is the reference's source of truth and
+    keeps no history, task.ts:176-181)."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options.get("path")
+        self.base_url = options.get("url", DEFAULT_URL)
+        self._snapshots: list[str] | None = None
+        if self.dir:
+            import glob as _glob
+            import os as _os
+
+            self._snapshots = sorted(
+                _glob.glob(_os.path.join(self.dir, "*.json"))
             )
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def _rows_for_tick(self, tick: int) -> list[tuple]:
+        import json as _json
+        import urllib.request
+
+        if self._snapshots is not None:
+            if tick >= len(self._snapshots):
+                return []
+            with open(self._snapshots[tick], "r", encoding="utf-8") as fh:
+                body = _json.load(fh)
+        else:
+            req = urllib.request.Request(
+                self.base_url, headers={"accept": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                if not (200 <= resp.status < 300):  # task.ts:179-181
+                    raise RuntimeError(
+                        f"Failed to fetch data: {resp.status} {resp.reason}"
+                    )
+                body = _json.loads(resp.read().decode("utf-8"))
+        return list(_parse_features(body))
+
+    def read(self, start: dict):
+        tick = start["tick"]
+        if self._snapshots is not None and tick >= len(self._snapshots):
+            return iter([]), start  # drained: offset stops advancing
+        return iter(self._rows_for_tick(tick)), {"tick": tick + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for tick in range(start["tick"], end["tick"]):
+            rows.extend(self._rows_for_tick(tick))
+        return iter(rows)
 
 
 def register(spark) -> None:
