@@ -4707,3 +4707,31 @@ SPECS["q186_basket_lift"] = QuerySpec(
     "never a cross join), exact counts, broadcast universe total, "
     "deterministic (lift, pair) ranking",
 )
+
+def _quake_stream_source_flat(spark: SparkSession) -> DataFrame:
+    """q187: the production loop — streaming GeoNet source (one poll
+    per micro-batch over 3 disjoint fixture snapshots) → O4–O23
+    transform per batch → durable union — flattened for the
+    canonicalizer. The transform is stateless row-wise, so the union
+    equals the one-shot batch run and q02's exact oracle applies."""
+    from etl_geonet_quakes_spark.quakes import QuakeJobConfig
+    from etl_geonet_quakes_spark.streaming.quake_stream import (
+        stream_quakes_via_source,
+    )
+
+    cfg = QuakeJobConfig(now_utc_ms=_QUAKE_NOW_MS)  # reference defaults
+    out = stream_quakes_via_source(spark, cfg)
+    return _flatten_quake(out, with_time_utc_meta=True)
+
+
+SPECS["q187_quake_stream_source"] = QuerySpec(
+    lambda spark, sf_dir: _quake_stream_source_flat(spark),
+    _quake_parity_oracle(
+        min_mmi=5, max_age_minutes=10080.0, with_time_utc_meta=True
+    ),
+    "§2.1 O2/O28 end-to-end STREAMING: the custom Python Data Source's "
+    "stream reader (tick offsets, one poll per micro-batch) feeds the "
+    "full reference transform under production defaults; disjoint "
+    "snapshots make union-over-batches ≡ the batch run, so the "
+    "streaming source path carries q02's exact value-hash oracle",
+)

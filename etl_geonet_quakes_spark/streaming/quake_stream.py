@@ -62,3 +62,77 @@ def run_quake_stream(
     )
     q.awaitTermination()
     return epochs
+
+
+def stream_quakes_via_source(
+    spark: SparkSession,
+    config: QuakeJobConfig,
+    n_snapshots: int = 3,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """The reference's whole production loop as ONE Spark streaming
+    topology: the GeoNet STREAMING data source (schedule-tick polls,
+    quakes/source.py::GeoNetStreamReader) feeds micro-batches into
+    the O4–O23 transform, each batch's features land durably, and
+    the union of batch outputs is returned.
+
+    For the registry the fixture splits into ``n_snapshots`` DISJOINT
+    snapshot files (one poll each); the transform is stateless
+    row-wise, so union-over-batches ≡ one-shot batch transform and
+    the query carries q02's EXACT cross-engine oracle — the streaming
+    source + transform path is value-hash-certified end to end.
+
+    A Simple stream reader yields one poll per micro-batch, so this
+    drives a fast processing-time trigger and stops once every
+    snapshot tick has been consumed (the availableNow trigger would
+    stop after the first poll)."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from etl_geonet_quakes_spark.quakes import source as geonet_source
+    from etl_geonet_quakes_spark.quakes.transform import validate_features
+
+    geonet_source.register(spark)
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir,
+        "tests",
+        "fixtures",
+        "geonet_quakes.json",
+    )
+    with open(fixture, "r", encoding="utf-8") as fh:
+        full = json.load(fh)
+    base = tempfile.mkdtemp(prefix="quake_stream_src_")
+    snapdir = os.path.join(base, "snaps")
+    out_dir = os.path.join(base, "out")
+    os.makedirs(snapdir)
+    feats = full["features"]
+    for i in range(n_snapshots):  # disjoint round-robin split
+        snap = {"type": full.get("type"), "features": feats[i::n_snapshots]}
+        with open(os.path.join(snapdir, f"t{i:02d}.json"), "w") as fh:
+            json.dump(snap, fh)
+
+    done_epochs: list[int] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform_quakes(validate_features(batch_df), config)
+        out.write.mode("append").parquet(out_dir)
+        if batch_df.take(1):
+            done_epochs.append(epoch_id)
+
+    stream = spark.readStream.format("geonet").option("path", snapdir).load()
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "_ckpt"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline and len(done_epochs) < n_snapshots:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert len(done_epochs) >= n_snapshots, done_epochs
+    return spark.read.parquet(out_dir)
