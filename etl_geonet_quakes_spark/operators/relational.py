@@ -4002,3 +4002,201 @@ def basket_lift(spark: SparkSession, sf_dir: str,
         )
     )
     return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(top_n)
+
+
+def string_agg_ordered(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Ordered LISTAGG: per market segment, the top-``k`` customers by
+    balance as one comma-joined, ORDER-DEFINED string — the report
+    column (SQL:2023 LISTAGG ... WITHIN GROUP) Spark has no direct
+    aggregate for. Built order-safely: collect_list of (neg-balance,
+    tiebreak-key, name) structs, array_sort on the struct (exact
+    integer cents so the sort key is total), slice k, project names,
+    array_join — the aggregation is order-insensitive until the
+    deterministic in-array sort, so partial aggregation still applies.
+
+    At scale: one hash agg per segment; per-group state is the
+    segment's customer structs — bounded by group size (a top-k
+    pre-window would bound it to k·partitions if groups were huge)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_name",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct((-F.col("cents")).alias("nc"),
+                                F.col("c_custkey").alias("ck"),
+                                F.col("c_name").alias("nm")))
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(
+                F.transform(F.slice(sorted_structs, 1, k), lambda s: s["nm"]),
+                ",",
+            ).alias("top_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def sequence_support(spark: SparkSession, sf_dir: str,
+                     min_users: int = 2, top_n: int = 25) -> DataFrame:
+    """Sequential-pattern support: for every event-type bigram
+    (a THEN b, adjacent in the user's timeline), the number of
+    DISTINCT users whose history contains it — the support metric of
+    sequence mining, deliberately different information from q106's
+    transition matrix (which counts transitions: one user looping
+    a→b 50× dominates a transition count but is support 1).
+
+    Shape: per-user adjacency via lead() over the (user, time) window
+    (parallel), project (user, a, b) distinct, hash-count per (a, b),
+    filter min support, deterministic (support desc, a, b) top-n."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("user_id", F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+        .orderBy(F.desc("n_users"), "a", "b")
+        .limit(top_n)
+    )
+
+
+def histogram_2d(spark: SparkSession, sf_dir: str,
+                 price_step: int = 10_000_00, qty_step: int = 10) -> DataFrame:
+    """2-D histogram (heatmap): lineitem density over (price bin ×
+    quantity bin) with per-cell exact decimal revenue — the joint-
+    distribution view 1-D histograms (q48/q135) cannot give, and the
+    input a plotting layer bins server-side at 100 TB (ship cells,
+    never rows). All-integer binning (cents DIV step), one
+    partial+final hash agg, cell count bounded by the bin grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return (
+        li.withColumn("price_bin", F.expr(f"cents DIV {price_step}"))
+        .withColumn("qty_bin", F.expr(f"qty DIV {qty_step}"))
+        .groupBy("price_bin", "qty_bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("price_bin", "qty_bin")
+    )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every event-type pair, the
+    distinct-user intersection, union, and Jaccard — 'how much do
+    the audiences of two behaviors overlap', the segmentation
+    question behind feature bundling and campaign targeting.
+
+    Shape: (type, user) distinct once (one hash agg), a type-pair
+    self-join on user (the event-type domain is tiny, so the pair
+    blow-up is |types|² — bounded); per-type audience sizes join
+    back; |A∪B| = |A|+|B|−|A∩B| avoids a second pass. Exact integer
+    counts, 6dp display ratio, canonical a < b."""
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("t"), "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("t").agg(F.count("*").alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        inter.join(sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a")),
+                   "type_a")
+        .join(sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b")),
+              "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both")).alias("n_union"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def pareto_8020(spark: SparkSession, sf_dir: str,
+                revenue_share_pct: int = 80,
+                prefix_bucket_cents: int = 100_000_00) -> DataFrame:
+    """Pareto concentration ("80/20"): the smallest customer count —
+    and its share of the customer base — whose combined revenue
+    reaches ``revenue_share_pct``% of total, plus the exact revenue
+    share they hold. Customers rank by revenue DESC through the
+    shared two-phase prefix machinery (prefix.py: rank AND running
+    revenue in one pass over descending range buckets — never a
+    global single-task window; the fourth reuse after q94/q135/q166).
+
+    The threshold test is exact integer cents: cum·100 ≥ pct·total.
+    Tie-break (revenue, custkey) makes the cut row deterministic."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    # descending order via negated key; bucket aligned with it
+    rev = rev.withColumn("neg", -F.col("cents")).withColumn(
+        "bkt", F.expr(f"neg DIV {prefix_bucket_cents}")
+    )
+    ranked, _ = two_phase_rank(rev, "bkt", ["neg", "o_custkey"], "rnk")
+    cum, _ = two_phase_cumsum(ranked, "bkt", ["neg", "o_custkey"], "cents", "cum")
+    totals = rev.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count("*").alias("n_customers"),
+    )
+    hit = (
+        cum.join(F.broadcast(totals))
+        .filter(F.col("cum") * 100 >= revenue_share_pct * F.col("total_cents"))
+        .agg(F.min("rnk").alias("k_customers"))
+    )
+    return (
+        hit.join(F.broadcast(totals))
+        .join(
+            cum.select(F.col("rnk").alias("k_customers"), "cum"),
+            "k_customers",
+        )
+        .select(
+            "k_customers",
+            "n_customers",
+            F.round(F.col("k_customers") / F.col("n_customers"), 6).alias(
+                "customer_share"
+            ),
+            F.round(F.col("cum") / F.col("total_cents"), 6).alias(
+                "revenue_share"
+            ),
+        )
+    )

@@ -4735,3 +4735,113 @@ SPECS["q187_quake_stream_source"] = QuerySpec(
     "snapshots make union-over-batches ≡ the batch run, so the "
     "streaming source path carries q02's exact value-hash oracle",
 )
+
+SPECS["q188_string_agg_ordered"] = QuerySpec(
+    rel.string_agg_ordered,
+    """
+    WITH c AS (SELECT c_mktsegment, c_name, c_custkey,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+         r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY cents DESC, c_custkey) AS rn
+               FROM c)
+    SELECT c_mktsegment,
+           (SELECT COUNT(*) FROM c c2
+            WHERE c2.c_mktsegment = r.c_mktsegment) AS n_customers,
+           string_agg(c_name, ',' ORDER BY rn) FILTER (rn <= 5)
+               AS top_customers
+    FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "§2.2 aggregations: ordered LISTAGG (top-k names per group as an "
+    "order-defined string) — order-insensitive collect + in-array "
+    "deterministic sort keeps partial aggregation legal; exact-cents "
+    "sort key, custkey tie-break",
+)
+
+SPECS["q189_sequence_support"] = QuerySpec(
+    rel.sequence_support,
+    f"""
+    WITH e AS (SELECT user_id, {_TS} AS t, event_id, event_type
+               FROM events),
+         p AS (SELECT user_id, event_type AS a,
+                      lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id) AS b
+               FROM e),
+         d AS (SELECT DISTINCT user_id, a, b FROM p WHERE b IS NOT NULL)
+    SELECT a, b, COUNT(*) AS n_users
+    FROM d GROUP BY a, b HAVING COUNT(*) >= 2
+    ORDER BY n_users DESC, a, b LIMIT 25
+    """,
+    "§2.2 analytics: sequential-pattern SUPPORT (distinct users whose "
+    "timeline contains a-then-b adjacent) — the de-duplicated "
+    "complement of q106's transition counts; per-user lead window + "
+    "distinct + hash count",
+)
+
+SPECS["q190_histogram_2d"] = QuerySpec(
+    rel.histogram_2d,
+    f"""
+    WITH li AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       l_extendedprice AS price
+                FROM lineitem)
+    SELECT cents // 1000000 AS price_bin, qty // 10 AS qty_bin,
+           COUNT(*) AS n_rows, {_dsum('price')} AS sum_price
+    FROM li GROUP BY 1, 2 ORDER BY price_bin, qty_bin
+    """,
+    "§2.2 aggregations: exact 2-D histogram (price × quantity bins "
+    "with decimal-exact per-cell revenue) — the server-side heatmap "
+    "binning a plotting layer needs at 100 TB; all-integer bin "
+    "arithmetic",
+)
+
+SPECS["q191_audience_overlap"] = QuerySpec(
+    rel.audience_overlap,
+    """
+    WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+         s AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY t),
+         i AS (SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+               FROM tu a JOIN tu b
+                 ON a.user_id = b.user_id AND a.t < b.t
+               GROUP BY 1, 2)
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+           sa.n + sb.n - n_both AS n_union,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+               AS jaccard
+    FROM i JOIN s sa ON type_a = sa.t JOIN s sb ON type_b = sb.t
+    ORDER BY type_a, type_b
+    """,
+    "§2.2 analytics: audience-overlap matrix (distinct-user Jaccard "
+    "per event-type pair) — tiny-domain pair join, union by "
+    "inclusion-exclusion, exact counts",
+)
+
+SPECS["q192_pareto_8020"] = QuerySpec(
+    rel.pareto_8020,
+    """
+    WITH rev AS (SELECT o_custkey,
+                        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS cents
+                 FROM orders GROUP BY o_custkey),
+         r AS (SELECT *, row_number() OVER (ORDER BY cents DESC,
+                                            o_custkey) AS rnk,
+                      SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS cum
+               FROM rev),
+         t AS (SELECT SUM(cents) AS total_cents,
+                      COUNT(*) AS n_customers FROM rev),
+         hit AS (SELECT MIN(rnk) AS k_customers FROM r, t
+                 WHERE cum * 100 >= 80 * total_cents)
+    SELECT k_customers, n_customers,
+           ROUND(CAST(k_customers AS DOUBLE) / n_customers, 6)
+               AS customer_share,
+           ROUND(CAST(cum AS DOUBLE) / total_cents, 6) AS revenue_share
+    FROM hit JOIN r ON r.rnk = hit.k_customers CROSS JOIN t
+    """,
+    "§2.2 analytics: Pareto 80/20 concentration — smallest customer "
+    "count reaching 80% of revenue; rank AND running revenue through "
+    "the shared two-phase prefix machinery (descending range "
+    "buckets), integer-exact threshold test",
+)
