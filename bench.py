@@ -113,10 +113,13 @@ HEADLINE = [
     "q149_rolling_median",
     "q150_feature_scale",
     "q152_power_iteration",
-    # round 6: tokenizer induction, graph completion, containment
+    # round 6: tokenizer induction, graph completion, containment,
+    # drift scoring, FIFO matching
     "q172_bpe_pair_counts",
     "q174_link_prediction",
     "q180_dedup_containment",
+    "q183_psi_drift",
+    "q184_fifo_allocation",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a
