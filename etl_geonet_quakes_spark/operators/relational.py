@@ -4200,3 +4200,78 @@ def pareto_8020(spark: SparkSession, sf_dir: str,
             ),
         )
     )
+
+
+def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: apply a multi-version change stream
+    (INSERT/UPDATE/DELETE per key, ordered by version) to a base
+    snapshot and emit the final state plus audit counts — the
+    Debezium-consumer primitive that q127 (single-shot MERGE) and
+    q178 (two-snapshot diff) bracket but don't cover: here a key can
+    change MANY times and only the LATEST version may win.
+
+    Fixture framing (deterministic from orders): base = orderkeys
+    with k % 4 == 0; the changelog derives three versioned waves from
+    the order table itself — v1 repricing (k % 3 == 0), v2 deletes
+    (k % 5 == 0), v3 re-inserts (k % 10 == 0) — so some keys see
+    I→D→I chains whose outcome depends entirely on version order.
+
+    Shape: the latest change per key is one per-key window (parallel,
+    frame = that key's changes); applying to the base is one
+    key-shuffle full outer join; final-state classification is a
+    projection. Decimal-exact prices; audit row counts pin the
+    I/U/D/untouched taxonomy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast(D_MONEY).alias("price"),
+    )
+    base = o.filter(F.col("k") % 4 == 0)
+    mul = lambda txt: F.lit(txt).cast("decimal(4,2)")  # noqa: E731
+    changes = (
+        o.filter(F.col("k") % 3 == 0)
+        .select(
+            "k", F.lit(1).alias("v"), F.lit("U").alias("op"),
+            (F.col("price") * mul("1.10")).cast("decimal(22,4)").alias("new_price"),
+        )
+        .unionByName(
+            o.filter(F.col("k") % 5 == 0).select(
+                "k", F.lit(2).alias("v"), F.lit("D").alias("op"),
+                F.lit(None).cast("decimal(22,4)").alias("new_price"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("k") % 10 == 0).select(
+                "k", F.lit(3).alias("v"), F.lit("I").alias("op"),
+                (F.col("price") * mul("0.50")).cast("decimal(22,4)").alias("new_price"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "new_price")
+    )
+    merged = base.join(latest, "k", "full_outer").select(
+        "k",
+        F.when(F.col("op") == "D", F.lit("deleted"))
+        .when(F.col("op").isNotNull() & F.col("price").isNotNull(), F.lit("updated"))
+        .when(F.col("op").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("untouched"))
+        .alias("state"),
+        F.when(F.col("op") == "D", F.lit(None).cast("decimal(22,4)"))
+        .otherwise(
+            F.coalesce(F.col("new_price"), F.col("price").cast("decimal(22,4)"))
+        )
+        .alias("final_price"),
+    )
+    return (
+        merged.groupBy("state")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("final_price").cast("double"), F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -4845,3 +4845,48 @@ SPECS["q192_pareto_8020"] = QuerySpec(
     "the shared two-phase prefix machinery (descending range "
     "buckets), integer-exact threshold test",
 )
+
+SPECS["q193_cdc_compact"] = QuerySpec(
+    rel.cdc_compact,
+    """
+    WITH o AS (SELECT o_orderkey AS k,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders),
+         base AS (SELECT * FROM o WHERE k % 4 = 0),
+         ch AS (
+            SELECT k, 1 AS v, 'U' AS op,
+                   CAST(price * CAST('1.10' AS DECIMAL(4,2))
+                        AS DECIMAL(22,4)) AS new_price
+            FROM o WHERE k % 3 = 0
+            UNION ALL
+            SELECT k, 2, 'D', NULL FROM o WHERE k % 5 = 0
+            UNION ALL
+            SELECT k, 3, 'I',
+                   CAST(price * CAST('0.50' AS DECIMAL(4,2))
+                        AS DECIMAL(22,4))
+            FROM o WHERE k % 10 = 0),
+         latest AS (SELECT k, op, new_price FROM (
+                SELECT *, row_number() OVER (PARTITION BY k
+                              ORDER BY v DESC) AS rn FROM ch)
+            WHERE rn = 1),
+         m AS (SELECT COALESCE(b.k, l.k) AS k,
+                      CASE WHEN l.op = 'D' THEN 'deleted'
+                           WHEN l.op IS NOT NULL AND b.k IS NOT NULL
+                               THEN 'updated'
+                           WHEN l.op IS NOT NULL THEN 'inserted'
+                           ELSE 'untouched' END AS state,
+                      CASE WHEN l.op = 'D' THEN NULL
+                           ELSE COALESCE(l.new_price,
+                                    CAST(b.price AS DECIMAL(22,4))) END
+                          AS final_price
+               FROM base b FULL OUTER JOIN latest l ON b.k = l.k)
+    SELECT state, COUNT(*) AS n_rows,
+           COALESCE(CAST(SUM(final_price) AS DOUBLE), 0.0)
+               AS total_price
+    FROM m GROUP BY state ORDER BY state
+    """,
+    "§2.2 reconciliation: CDC changelog compaction — latest-version-"
+    "wins per key (per-key window), applied via one full outer join; "
+    "I→D→I chains resolve by version order, decimal-exact audit "
+    "totals; completes the MERGE (q127) / snapshot-diff (q178) triad",
+)
