@@ -558,3 +558,102 @@ def cluster_sample(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
         )
         .orderBy("cluster_rep", "rank_in_cluster", "doc_id")
     )
+
+
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-cleanup FUNNEL: six sequential gates (Gopher
+    word count → word-length band → unique-token ratio → repetition
+    cap → PII-free → exact-dedup keep) with per-stage attrition
+    accounting (n_in / n_pass / n_fail, n_in telescoping from the
+    previous stage) — the report a corpus pipeline publishes with
+    every drop, and the composition query over the individual filter
+    operators (q121 Gopher, q91 repetition, q92 PII, q41 dedup).
+
+    Every verdict is INTEGER arithmetic (the q121 discipline): word
+    bands as sum_len vs 4·n/5·n, uniqueness as 5·uniq ≥ 2·n,
+    repetition as 8·top_bigram ≤ n_bigrams (f ≤ 1/8), PII as a match
+    count, dedup as min-doc_id-per-digest — no float boundary
+    anywhere, so the stage counts are bit-certain cross-engine.
+
+    Shape: one scan computes the five per-doc map-side flags; the
+    repetition gate adds one (doc, bigram) hash agg; dedup adds one
+    digest agg — both shuffles carry aggregates, never the text. The
+    funnel summary is a single-row agg exploded into stage rows."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    base = d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(tk).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_len"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_uniq"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email_re), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+    )
+    bg = d.select(
+        "doc_id", F.explode(ngram_join(tokens(F.col("text")), 2)).alias("g")
+    )
+    rep = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flags = (
+        base.join(rep, "doc_id", "left")
+        .join(keep, "fp")
+        .select(
+            "doc_id",
+            (F.col("n_words") >= 30).cast("int").alias("f1"),
+            (
+                (F.col("sum_len") >= 4 * F.col("n_words"))
+                & (F.col("sum_len") <= 5 * F.col("n_words"))
+            ).cast("int").alias("f2"),
+            (5 * F.col("n_uniq") >= 2 * F.col("n_words")).cast("int").alias("f3"),
+            F.coalesce(
+                (8 * F.col("top_bg") <= F.col("n_bg")).cast("int"), F.lit(1)
+            ).alias("f4"),
+            (F.col("n_emails") == 0).cast("int").alias("f5"),
+            (F.col("doc_id") == F.col("keep_id")).cast("int").alias("f6"),
+        )
+    )
+    # telescoping pass prefixes: p_k = f1 AND ... AND f_k
+    p = flags
+    for k in range(1, 7):
+        prev = F.lit(1) if k == 1 else F.col(f"p{k-1}")
+        p = p.withColumn(f"p{k}", prev * F.col(f"f{k}"))
+    agg = p.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(f"p{k}").alias(f"n{k}") for k in range(1, 7)],
+    )
+    stages = [
+        "1_gopher_word_count",
+        "2_word_length_band",
+        "3_unique_token_ratio",
+        "4_repetition_cap",
+        "5_pii_free",
+        "6_exact_dedup_keep",
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.col(f"n{k-1}").alias("n_in"),
+                F.col(f"n{k}").alias("n_pass"),
+                (F.col(f"n{k-1}") - F.col(f"n{k}")).alias("n_fail"),
+            )
+            for k, s in enumerate(stages, start=1)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.n_in", "r.n_pass", "r.n_fail")
+        .orderBy("stage")
+    )

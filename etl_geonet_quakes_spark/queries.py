@@ -4890,3 +4890,67 @@ SPECS["q193_cdc_compact"] = QuerySpec(
     "I→D→I chains resolve by version order, decimal-exact audit "
     "totals; completes the MERGE (q127) / snapshot-diff (q178) triad",
 )
+
+SPECS["q194_quality_funnel"] = QuerySpec(
+    corpus.quality_funnel,
+    """
+    WITH t AS (SELECT doc_id, text, md5(text) AS fp,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+         base AS (SELECT doc_id, fp,
+                         len(toks) AS n_words,
+                         list_sum(list_transform(toks,
+                             x -> CAST(length(x) AS BIGINT))) AS sum_len,
+                         len(list_distinct(toks)) AS n_uniq,
+                         len(regexp_extract_all(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                             AS n_emails
+                  FROM t),
+         g2 AS (SELECT doc_id,
+                       unnest(CASE WHEN len(toks) >= 2
+                              THEN list_transform(range(0, len(toks) - 1),
+                                   i -> array_to_string(toks[i+1:i+2], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS g
+                FROM t),
+         c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2
+                GROUP BY doc_id, g),
+         rep AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+                 FROM c2 GROUP BY doc_id),
+         keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+         fl AS (SELECT b.doc_id,
+                       CASE WHEN n_words >= 30 THEN 1 ELSE 0 END AS f1,
+                       CASE WHEN sum_len >= 4 * n_words
+                             AND sum_len <= 5 * n_words
+                            THEN 1 ELSE 0 END AS f2,
+                       CASE WHEN 5 * n_uniq >= 2 * n_words
+                            THEN 1 ELSE 0 END AS f3,
+                       COALESCE(CASE WHEN 8 * top_bg <= n_bg
+                                     THEN 1 ELSE 0 END, 1) AS f4,
+                       CASE WHEN n_emails = 0 THEN 1 ELSE 0 END AS f5,
+                       CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END
+                           AS f6
+                FROM base b LEFT JOIN rep USING (doc_id)
+                JOIN keep k USING (fp)),
+         p AS (SELECT f1 AS p1, f1*f2 AS p2, f1*f2*f3 AS p3,
+                      f1*f2*f3*f4 AS p4, f1*f2*f3*f4*f5 AS p5,
+                      f1*f2*f3*f4*f5*f6 AS p6
+               FROM fl),
+         a AS (SELECT COUNT(*) AS n0, SUM(p1) AS n1, SUM(p2) AS n2,
+                      SUM(p3) AS n3, SUM(p4) AS n4, SUM(p5) AS n5,
+                      SUM(p6) AS n6
+               FROM p)
+    SELECT '1_gopher_word_count' AS stage, n0 AS n_in, n1 AS n_pass,
+           n0 - n1 AS n_fail FROM a
+    UNION ALL SELECT '2_word_length_band', n1, n2, n1 - n2 FROM a
+    UNION ALL SELECT '3_unique_token_ratio', n2, n3, n2 - n3 FROM a
+    UNION ALL SELECT '4_repetition_cap', n3, n4, n3 - n4 FROM a
+    UNION ALL SELECT '5_pii_free', n4, n5, n4 - n5 FROM a
+    UNION ALL SELECT '6_exact_dedup_keep', n5, n6, n5 - n6 FROM a
+    ORDER BY stage
+    """,
+    "§2.3 corpus prep: the cleanup FUNNEL — six sequential integer-"
+    "exact gates (Gopher word count/length band/uniqueness, "
+    "repetition cap, PII, exact-dedup keep) with telescoping "
+    "n_in/n_pass/n_fail attrition accounting; the composition query "
+    "over q121/q91/q92/q41",
+)

@@ -348,3 +348,36 @@ def test_fifo_allocation_closed_form(spark, tmp_path_factory):
     assert (r["n_supply"], r["n_demand"]) == (2, 3)
     assert r["matched_qty"] == 15 and r["unfilled_qty"] == 3
     assert r["leftover_qty"] == 0 and r["n_allocations"] == 4
+
+
+def test_quality_funnel_every_gate_fires(spark, tmp_path_factory):
+    """Crafted corpus where each gate drops somebody, pinning the
+    telescoping attrition exactly."""
+    from etl_geonet_quakes_spark.llm import corpus as cp
+
+    long_words = " ".join(f"w{i:03d}" for i in range(40))  # 4-char tokens
+    docs = [
+        (0, "too short"),                             # fails 1 (words<30)
+        (1, " ".join(f"x{i % 10}y" for i in range(40))),  # hmm see below
+        (2, " ".join(["abcd"] * 40)),                 # mean 4, uniq 1/40 -> fails 3
+        (3, long_words),                              # passes all
+        (4, long_words + " contact me9@example.com now extra filler"),
+        (5, long_words),                              # dup of 3 -> fails 6
+    ]
+    # doc 1 must fail stage 2 (mean word length below 4): 2-char words
+    docs[1] = (1, " ".join(f"z{i % 7}" for i in range(40)))
+    # doc 6 passes 1-3 but fails 4 (repetition): 24 unique 5-char words
+    # + 8x("abcd","efgh"): 40 words, 26 distinct (>=40%), sum_len 184
+    # in [160, 200], top bigram "abcd efgh" 8 of 39 -> 8*8 > 39
+    docs.append((6, " ".join([f"u{i:04d}" for i in range(24)]
+                             + ["abcd", "efgh"] * 8)))
+    d = _write_docs(spark, tmp_path_factory, docs, "funnel")
+    out = {r["stage"]: r for r in cp.quality_funnel(spark, d).collect()}
+    assert out["1_gopher_word_count"]["n_in"] == 7
+    assert out["1_gopher_word_count"]["n_fail"] == 1   # doc 0
+    assert out["2_word_length_band"]["n_fail"] == 1    # doc 1
+    assert out["3_unique_token_ratio"]["n_fail"] == 1  # doc 2
+    assert out["4_repetition_cap"]["n_fail"] == 1      # doc 6
+    assert out["5_pii_free"]["n_fail"] == 1            # doc 4
+    assert out["6_exact_dedup_keep"]["n_fail"] == 1    # doc 5
+    assert out["6_exact_dedup_keep"]["n_pass"] == 1    # doc 3 survives
