@@ -657,3 +657,49 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.stage", "r.n_in", "r.n_pass", "r.n_fail")
         .orderBy("stage")
     )
+
+
+def leakage_safe_folds(
+    spark: SparkSession, sf_dir: str, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Leakage-safe cross-validation folds: assign documents to k
+    folds by hashing their near-dup CLUSTER representative, so two
+    near-duplicates can never land in different folds — the split
+    discipline (train/eval contamination guard) a naive
+    hash(doc_id) % k split violates every time a template family
+    straddles the cut. Complements q153 (plain deterministic split)
+    and q45 (the clusters themselves).
+
+    fold = hash60(rep) % k with the engine-wide md5 hash family, so
+    the assignment is content-independent, engine-independent, and
+    reproducible; the per-fold report (docs, clusters, tokens) is
+    what a data-recipe audit records. By construction no near-dup
+    pair crosses folds — pinned by
+    test_leakage_safe_folds_never_split_a_cluster.
+
+    Shape: CC labels from the shared memoized pair graph (q45's
+    iterative min-label propagation), one md5 projection, one fold
+    hash agg."""
+    from etl_geonet_quakes_spark.llm.dedup import cluster_labels, md5_feature_hash
+
+    labels = cluster_labels(spark, sf_dir, threshold)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    folds = labels.select(
+        "doc_id",
+        F.col("lbl").alias("rep"),
+        F.pmod(
+            md5_feature_hash(F.col("lbl").cast("string")), F.lit(k)
+        ).alias("fold"),
+    )
+    return (
+        folds.join(d, "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("fold")
+    )

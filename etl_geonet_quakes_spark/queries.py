@@ -4954,3 +4954,25 @@ SPECS["q194_quality_funnel"] = QuerySpec(
     "n_in/n_pass/n_fail attrition accounting; the composition query "
     "over q121/q91/q92/q41",
 )
+
+SPECS["q195_leakage_safe_folds"] = QuerySpec(
+    corpus.leakage_safe_folds,
+    _CLUSTER_CTE
+    + """
+    , tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             FROM documents),
+    f AS (SELECT cc.doc AS doc_id, cc.cluster_rep,
+                 CAST(concat('0x', substring(md5(CAST(cc.cluster_rep
+                     AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+          FROM cc)
+    SELECT fold, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_rep) AS n_clusters,
+           SUM(n_tokens) AS n_tokens
+    FROM f JOIN tk USING (doc_id)
+    GROUP BY fold ORDER BY fold
+    """,
+    "§2.3 corpus prep: leakage-safe CV folds — fold = hash(near-dup "
+    "cluster rep) % k, so no near-dup pair can cross a fold "
+    "boundary; per-fold docs/clusters/tokens audit; reuses the "
+    "shared CC labels and the engine-wide md5 hash family",
+)

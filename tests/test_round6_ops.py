@@ -381,3 +381,44 @@ def test_quality_funnel_every_gate_fires(spark, tmp_path_factory):
     assert out["5_pii_free"]["n_fail"] == 1            # doc 4
     assert out["6_exact_dedup_keep"]["n_fail"] == 1    # doc 5
     assert out["6_exact_dedup_keep"]["n_pass"] == 1    # doc 3 survives
+
+
+def test_leakage_safe_folds_never_split_a_cluster(spark, tmp_path_factory):
+    """THE invariant: every near-dup pair shares a fold (the naive
+    hash(doc_id) split provably violates this on a template family).
+    Uses a corpus of two near-dup families + isolates, and checks the
+    per-doc fold assignment directly."""
+    from etl_geonet_quakes_spark.llm import dedup as dd
+    from etl_geonet_quakes_spark.llm.dedup import cluster_labels, md5_feature_hash
+
+    base_a = [f"a{i}" for i in range(20)]
+    base_b = [f"b{i}" for i in range(20)]
+    docs = []
+    for j in range(4):  # family A: 4 near-identical docs
+        toks = list(base_a)
+        toks[j] = f"swapA{j}"
+        docs.append((j, " ".join(toks)))
+    for j in range(3):  # family B
+        toks = list(base_b)
+        toks[j] = f"swapB{j}"
+        docs.append((10 + j, " ".join(toks)))
+    docs += [(100, "isolated document one entirely"), (101, "another lone text body")]
+    d = _write_docs(spark, tmp_path_factory, docs, "folds")
+    labels = cluster_labels(spark, d, 0.8)
+    folds = {
+        r["doc_id"]: r["fold"]
+        for r in labels.select(
+            "doc_id",
+            F.pmod(md5_feature_hash(F.col("lbl").cast("string")), F.lit(5)).alias("fold"),
+        ).collect()
+    }
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dd.dedup_pairs_cached(spark, d, 0.8).collect()]
+    assert len(pairs) >= 3 + 2  # both families connected
+    for a, b in pairs:
+        assert folds[a] == folds[b], (a, b, folds[a], folds[b])
+    # and a naive doc_id hash split WOULD leak on this corpus
+    naive = {
+        doc: int(__import__("hashlib").md5(str(doc).encode()).hexdigest()[:15], 16) % 5
+        for doc, _ in docs
+    }
+    assert any(naive[a] != naive[b] for a, b in pairs)
