@@ -3319,7 +3319,9 @@ def peak_concurrency(spark: SparkSession, sf_dir: str,
         deltas, "bkt", ["us", "delta", "user_id"], "delta", "open_now"
     )
     running = running.select("us", "open_now")
-    n_sessions = sess.count()
+    # single-row aggregates joined lazily (no build-time job): peak,
+    # first instant at peak, session count — all broadcast
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
     peak = running.agg(F.max("open_now").alias("peak_concurrency"))
     first_at = (
         running.join(F.broadcast(peak))
@@ -3328,11 +3330,8 @@ def peak_concurrency(spark: SparkSession, sf_dir: str,
     )
     return (
         peak.join(F.broadcast(first_at))
-        .select(
-            "peak_concurrency",
-            "first_peak_us",
-            F.lit(n_sessions).cast("long").alias("n_sessions"),
-        )
+        .join(F.broadcast(n_sess))
+        .select("peak_concurrency", "first_peak_us", "n_sessions")
     )
 
 
