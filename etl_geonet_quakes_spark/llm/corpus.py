@@ -703,3 +703,45 @@ def leakage_safe_folds(
         )
         .orderBy("fold")
     )
+
+
+def temperature_mixture(
+    spark: SparkSession, sf_dir: str, temperature: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled sampling mixture: re-weight per-source (or
+    per-language) corpus shares by p_i^(1/T) / Σ p_j^(1/T) — the
+    standard knob (T < 1 flattens toward uniform, T > 1 sharpens)
+    multilingual/multisource pretraining uses so low-resource slices
+    are not drowned out. Emits, per source: exact doc/token counts,
+    the raw share, the temperature share, and the per-document
+    oversampling factor (temp share / raw share) a sampler applies.
+
+    Counts are exact integers; the float tier (pow + normalize) runs
+    on identical inputs in both engines and is emitted rounded 6dp.
+    Shape: one hash agg per source + one broadcast single-row total —
+    the corpus streams once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(1.0 / temperature)))
+        .alias("t_pow"),
+    )
+    j = per.join(F.broadcast(tot))
+    p_raw = F.col("n_docs") / F.col("t_docs")
+    p_temp = (
+        F.pow(F.col("n_docs").cast("double"), F.lit(1.0 / temperature))
+        / F.col("t_pow")
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 6).alias("oversample_factor"),
+    ).orderBy("source")

@@ -4976,3 +4976,26 @@ SPECS["q195_leakage_safe_folds"] = QuerySpec(
     "boundary; per-fold docs/clusters/tokens audit; reuses the "
     "shared CC labels and the engine-wide md5 hash family",
 )
+
+SPECS["q196_temperature_mixture"] = QuerySpec(
+    corpus.temperature_mixture,
+    """
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                        SUM(len(string_split(text, ' '))) AS n_tokens
+                 FROM documents GROUP BY source),
+         tot AS (SELECT SUM(n_docs) AS t_docs,
+                        SUM(POWER(CAST(n_docs AS DOUBLE), 2.0)) AS t_pow
+                 FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / t_docs, 6) AS p_raw,
+           ROUND(POWER(CAST(n_docs AS DOUBLE), 2.0) / t_pow, 6)
+               AS p_temp,
+           ROUND((POWER(CAST(n_docs AS DOUBLE), 2.0) / t_pow)
+                     / (CAST(n_docs AS DOUBLE) / t_docs), 6)
+               AS oversample_factor
+    FROM per CROSS JOIN tot ORDER BY source
+    """,
+    "§2.3 corpus prep: temperature-scaled sampling mixture "
+    "(p^(1/T) renormalized, T=0.5) — the low-resource-slice "
+    "balancing knob; exact counts, one agg + broadcast total",
+)
