@@ -4999,3 +4999,36 @@ SPECS["q196_temperature_mixture"] = QuerySpec(
     "(p^(1/T) renormalized, T=0.5) — the low-resource-slice "
     "balancing knob; exact counts, one agg + broadcast total",
 )
+
+SPECS["q197_stream_late_data"] = QuerySpec(
+    stw.stream_late_data_accounting,
+    f"""
+    -- replay of Spark's watermark closure arithmetic: after wave 0
+    -- (even event_ids) the watermark is max(ts)-1d (ms-truncated);
+    -- wave-1 rows whose 1-day window end clears it survive; append
+    -- mode emits exactly the windows closed by the final watermark.
+    -- Boundary ops pinned by test_late_data_boundary_semantics.
+    WITH e AS (SELECT event_id, {_TS} AS t FROM events),
+         w0 AS (SELECT t FROM e WHERE event_id % 2 = 0),
+         w1 AS (SELECT t FROM e WHERE event_id % 2 = 1),
+         wm1 AS (SELECT epoch_ms(MAX(t)) - 86400000 AS wm FROM w0),
+         wmall AS (SELECT epoch_ms(MAX(t)) - 86400000 AS wm FROM e),
+         kept AS (
+           SELECT t FROM w0
+           UNION ALL
+           SELECT w1.t FROM w1, wm1
+           WHERE epoch_ms(CAST(CAST(w1.t AS DATE) AS TIMESTAMP)
+                          + INTERVAL 1 DAY) > wm1.wm),
+         agg AS (SELECT CAST(t AS DATE) AS day, COUNT(*) AS n
+                 FROM kept GROUP BY 1)
+    SELECT day, n FROM agg, wmall
+    WHERE epoch_ms(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) <= wmall.wm
+    ORDER BY day
+    """,
+    "§2.2 streaming: late-data/watermark CONTRACT, exact-oracled — "
+    "two availableNow runs against one checkpoint make 'too late' a "
+    "pure function of the data (wave split by event_id parity); the "
+    "oracle replays eviction+emission closure arithmetic, so the "
+    "hash gate certifies the semantics every incremental agg "
+    "silently depends on",
+)

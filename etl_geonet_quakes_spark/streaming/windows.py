@@ -366,3 +366,87 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "c_mktsegment")
     )
+
+
+def stream_late_data_accounting(
+    spark: SparkSession, sf_dir: str, delay: str = "1 day"
+) -> DataFrame:
+    """Deterministic LATE-DATA semantics, exact-oracled: the events
+    table splits into two arrival waves (event_id parity), the stream
+    runs availableNow TWICE against one checkpoint — wave 0 alone,
+    then wave 1 arriving after the watermark advanced — so which rows
+    are "too late" is a pure function of the data, not of racing
+    triggers:
+
+    - after run 1 the watermark is max(ts in wave 0) − delay;
+    - run 2 DROPS wave-1 rows whose 1-day window already closed
+      (window end ≤ that watermark — their state was evicted and
+      emitted);
+    - append mode emits a window exactly once, when the watermark
+      passes its end; windows still open at the final watermark
+      (max all arrived ts − delay) never emit.
+
+    The registered oracle replays exactly that closure arithmetic in
+    SQL, so the cross-engine hash gate certifies Spark's watermark
+    eviction CONTRACT itself — the semantics every production
+    streaming agg silently depends on. (The reference's
+    restart-the-world loop cannot lose late rows — task.ts:142-143
+    refetches everything; this is the price/contract of incremental
+    state, made auditable.)"""
+    import os
+    import tempfile
+
+    from etl_geonet_quakes_spark.streaming.feed import write_micro_batch_feed
+
+    e = _events_stream  # reuse schema probing via load_table below
+    from etl_geonet_quakes_spark.io import load_table
+
+    base = tempfile.mkdtemp(prefix="late_data_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    feed_all = write_micro_batch_feed(ev, base, 2, "event_id")
+    # stage the waves: run 1 sees only b0; b1 appears before run 2
+    live = os.path.join(base, "live")
+    os.makedirs(live)
+    os.rename(os.path.join(feed_all, "b0.parquet"),
+              os.path.join(live, "b0.parquet"))
+
+    out_dir = os.path.join(base, "finalized")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(live)
+        )
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+
+        def sink(batch_df, epoch_id):  # append mode: finalized windows only
+            (
+                batch_df.select(
+                    F.col("w.start").alias("w_start"), "n"
+                ).write.mode("append").parquet(out_dir)
+            )
+
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(base, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    os.rename(os.path.join(feed_all, "b1.parquet"),
+              os.path.join(live, "b1.parquet"))
+    run_once()
+    return (
+        spark.read.schema("w_start timestamp, n long")
+        .parquet(out_dir)
+        .select(F.to_date(F.col("w_start")).alias("day"), "n")
+        .orderBy("day")
+    )

@@ -422,3 +422,42 @@ def test_leakage_safe_folds_never_split_a_cluster(spark, tmp_path_factory):
         for doc, _ in docs
     }
     assert any(naive[a] != naive[b] for a, b in pairs)
+
+
+def test_late_data_boundary_semantics(spark, tmp_path_factory):
+    """Pin Spark's watermark boundary operators on crafted data: a
+    wave-1 row whose window closed strictly BEFORE the watermark is
+    dropped; one in a still-open window survives; emission covers
+    exactly the windows closed by the final watermark. (The oracle's
+    `>` / `<=` operators encode what this test observes.)"""
+    import datetime, os
+    from etl_geonet_quakes_spark.streaming.windows import (
+        stream_late_data_accounting,
+    )
+
+    D = datetime.datetime
+    rows = [
+        # wave 0 (even ids): days 1, 2 and a max at day 5 12:00 ->
+        # wm1 = day 4 12:00; windows d1, d2, d3 are closed (end<=wm1)
+        (0, D(2024, 1, 1, 6)),
+        (2, D(2024, 1, 2, 6)),
+        (4, D(2024, 1, 5, 12)),
+        # wave 1 (odd ids): a late row for closed day 2 (DROPPED),
+        # one for open day 5 (KEPT), and a max at day 9 12:00 ->
+        # final wm = day 8 12:00: windows d1..d8 emit; d9 never does
+        (1, D(2024, 1, 2, 7)),
+        (3, D(2024, 1, 5, 1)),
+        (5, D(2024, 1, 9, 12)),
+    ]
+    path = str(tmp_path_factory.mktemp("late"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp"
+    ).selectExpr(
+        "event_id", "ts", "CAST(event_id AS LONG) AS user_id",
+        "'click' AS event_type", "1.0 AS value", "'{}' AS props",
+    ).coalesce(1).write.parquet(f"{path}/events.parquet")
+    out = {str(r["day"]): r["n"] for r in
+           stream_late_data_accounting(spark, path).collect()}
+    # day 1: wave-0 row only; day 2: late wave-1 row DROPPED -> 1;
+    # day 5: wave-0 max + surviving wave-1 row -> 2; day 9 never emits
+    assert out == {"2024-01-01": 1, "2024-01-02": 1, "2024-01-05": 2}, out
