@@ -616,3 +616,42 @@ def hard_negative_mining(
         )
         .orderBy("query_id", "rnk")
     )
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str,
+                    n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Index-quality evaluation as a first-class query: recall@k of
+    the LSH ANN index (q44) against the exact brute force (q43),
+    per query and corpus-mean — the metric that decides whether an
+    approximate index is shippable, computed INSIDE the engine (at
+    100 TB you evaluate on a sampled query set exactly this way;
+    the ground-truth side is the only brute-force pass and is
+    bounded by the sample).
+
+    Both inputs are deterministic (seeded hyperplanes, tie-broken
+    rankings), so recall is exact and the oracle replays both sides.
+    Shape: two top-k runs joined on (query, neighbor) — the eval is
+    an anti/semi-join accounting, not a new scan."""
+    exact = topk_bruteforce(spark, sf_dir, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = topk_lsh(spark, sf_dir, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hit"))
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_true"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+    return per_q.orderBy("query_id")

@@ -4274,3 +4274,132 @@ def cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+def funnel_with_deadlines(spark: SparkSession, sf_dir: str,
+                          step_hours: int = 24) -> DataFrame:
+    """Deadline-constrained funnel (view → click → purchase, each
+    step within ``step_hours`` of the previous): q103's ordered
+    funnel additionally requires TIMELINESS — the attribution-window
+    form every ads/conversion pipeline actually runs (a purchase a
+    month after the click does not convert).
+
+    Same scale shape as q103 (stage min-aggregates chained by
+    user_id-keyed joins, co-partitioned, no raw-event windows) with
+    one twist: each stage takes the earliest qualifying event inside
+    the window anchored at the PREVIOUS stage's chosen instant —
+    greedy-earliest is the standard funnel semantics and keeps state
+    per user at one timestamp per stage. All time arithmetic is
+    exact integer µs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    win_us = step_hours * 3600 * 1_000_000
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_view"))
+            & (F.col("us") <= F.col("t_view") + win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("us") > F.col("t_click"))
+            & (F.col("us") <= F.col("t_click") + win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    n1 = views.agg(F.count("*").alias("n_users")).select(
+        F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), "n_users"
+    )
+    n2 = clicks.agg(F.count("*").alias("n_users")).select(
+        F.lit(2).alias("stage_idx"),
+        F.lit("click_within_24h").alias("stage"),
+        "n_users",
+    )
+    n3 = purchases.agg(F.count("*").alias("n_users")).select(
+        F.lit(3).alias("stage_idx"),
+        F.lit("purchase_within_24h").alias("stage"),
+        "n_users",
+    )
+    head = views.agg(F.count("*").alias("n_head"))
+    return (
+        n1.unionByName(n2).unionByName(n3)
+        .crossJoin(F.broadcast(head))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_head"), 6).alias("conversion"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str,
+                           mod: int = 97) -> DataFrame:
+    """Right-to-erasure cascade audit: given a deletion list (here
+    customers with key ≡ 0 mod ``mod``), report per table how many
+    rows the cascade removes (customer → their orders → those
+    orders' lineitems) and verify ZERO residual links from the
+    cleaned tables back to deleted subjects — the compliance check a
+    pipeline must publish with every erasure batch.
+
+    Shape: the deletion list is a broadcast semi/anti-join key set at
+    every tier; the lineitem tier keys on orderkey (fact-fact,
+    key-partitioned). The residual check anti-joins the CLEANED
+    table against the deletion list — 0 by construction, and the
+    audit row proves it ran. Exact integer counts only."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dels = cust.filter(F.col("c_custkey") % mod == 0)
+    del_orders = orders.join(
+        F.broadcast(dels), orders.o_custkey == dels.c_custkey, "left_semi"
+    )
+    del_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    clean_orders = orders.join(
+        F.broadcast(dels), orders.o_custkey == dels.c_custkey, "left_anti"
+    )
+    residual = clean_orders.join(
+        F.broadcast(dels), clean_orders.o_custkey == dels.c_custkey, "left_semi"
+    )
+
+    def row(table, total_df, purged_df, residual_df):
+        return (
+            total_df.agg(F.count("*").alias("n_total"))
+            .join(purged_df.agg(F.count("*").alias("n_purged")))
+            .join(residual_df.agg(F.count("*").alias("n_residual_links")))
+            .select(
+                F.lit(table).alias("table_name"),
+                "n_total",
+                "n_purged",
+                (F.col("n_total") - F.col("n_purged")).alias("n_remaining"),
+                "n_residual_links",
+            )
+        )
+
+    empty = dels.limit(0)
+    return (
+        row("customer", cust, dels, empty)
+        .unionByName(row("orders", orders, del_orders, residual))
+        .unionByName(row("lineitem", li, del_li, empty))
+        .orderBy("table_name")
+    )

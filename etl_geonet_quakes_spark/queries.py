@@ -5032,3 +5032,107 @@ SPECS["q197_stream_late_data"] = QuerySpec(
     "hash gate certifies the semantics every incremental agg "
     "silently depends on",
 )
+
+SPECS["q198_funnel_deadlines"] = QuerySpec(
+    rel.funnel_with_deadlines,
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us({_TS}) AS us
+               FROM events),
+         v AS (SELECT user_id, MIN(us) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(us) AS t_click
+               FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND us > t_view
+                 AND us <= t_view + CAST(86400 AS BIGINT) * 1000000
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(us) AS t_purchase
+               FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND us > t_click
+                 AND us <= t_click + CAST(86400 AS BIGINT) * 1000000
+               GROUP BY e.user_id),
+         h AS (SELECT COUNT(*) AS n_head FROM v)
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT COUNT(*) FROM v) AS n_users,
+           ROUND(CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / n_head, 6)
+               AS conversion FROM h
+    UNION ALL
+    SELECT 2, 'click_within_24h', (SELECT COUNT(*) FROM c),
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / n_head, 6)
+    FROM h
+    UNION ALL
+    SELECT 3, 'purchase_within_24h', (SELECT COUNT(*) FROM p),
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / n_head, 6)
+    FROM h
+    ORDER BY stage_idx
+    """,
+    "§2.2 analytics: deadline-constrained funnel (each step within "
+    "24 h of the previous, greedy-earliest anchoring) — the "
+    "attribution-window form of q103; integer-µs arithmetic, "
+    "user-keyed co-partitioned stage joins",
+)
+
+SPECS["q199_ann_recall_eval"] = QuerySpec(
+    similarity.ann_recall_eval,
+    f"""
+    WITH exact AS (SELECT query_id, neighbor_id FROM (
+            {{exact_sql}}
+         )),
+         approx AS (SELECT query_id, neighbor_id FROM (
+            {{approx_sql}}
+         )),
+         hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+                  FROM exact e JOIN approx a
+                    ON e.query_id = a.query_id
+                   AND e.neighbor_id = a.neighbor_id
+                  GROUP BY e.query_id),
+         truth AS (SELECT query_id, COUNT(*) AS n_true FROM exact
+                   GROUP BY query_id)
+    SELECT t.query_id, n_true, COALESCE(n_hit, 0) AS n_hit,
+           ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_true, 6)
+               AS recall_at_k
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+    """.format(
+        exact_sql=SPECS["q43_similarity_bruteforce"].oracle,
+        approx_sql=_lsh_ann_oracle(),
+    ),
+    "§2.3 similarity: ANN index-quality evaluation — recall@k of the "
+    "LSH index vs exact brute force, per query; both sides "
+    "deterministic so the metric itself is exact-oracled (the oracle "
+    "composes the q43 and q44 oracles verbatim)",
+)
+
+SPECS["q200_deletion_cascade"] = QuerySpec(
+    rel.deletion_cascade_audit,
+    """
+    WITH dels AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         del_o AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM dels)),
+         del_l AS (SELECT l_orderkey FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+         resid AS (SELECT COUNT(*) AS n FROM orders
+                   WHERE o_custkey NOT IN (SELECT c_custkey FROM dels)
+                     AND o_custkey IN (SELECT c_custkey FROM dels))
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_total,
+           (SELECT COUNT(*) FROM dels) AS n_purged,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM dels)
+               AS n_remaining,
+           CAST(0 AS BIGINT) AS n_residual_links
+    UNION ALL
+    SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM del_l),
+           (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_l),
+           0
+    UNION ALL
+    SELECT 'orders', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM del_o),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o),
+           (SELECT n FROM resid)
+    ORDER BY table_name
+    """,
+    "§2.2 reconciliation/compliance: right-to-erasure cascade audit — "
+    "per-table purge counts (customer → orders → lineitems, broadcast "
+    "semi/anti joins) plus a zero-residual-links proof over the "
+    "cleaned table; exact integer counts",
+)
