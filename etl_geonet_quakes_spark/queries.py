@@ -5136,3 +5136,41 @@ SPECS["q200_deletion_cascade"] = QuerySpec(
     "semi/anti joins) plus a zero-residual-links proof over the "
     "cleaned table; exact integer counts",
 )
+
+SPECS["q201_weighted_shortest_path"] = QuerySpec(
+    dedup.weighted_shortest_path,
+    """
+    -- bounded Bellman-Ford over the shared edge CTE family, INTEGER
+    -- edit-distance weights (|union| - |intersect|); recursive UNION
+    -- dedups (v, dist, hops) states, and near-identical cliques
+    -- collapse because their weights are tiny/zero.
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source,
+                 list_distinct(string_split(text, ' ')) AS tk
+          FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb,
+                 CAST(len(list_distinct(list_concat(a.tk, b.tk)))
+                      - len(list_intersect(a.tk, b.tk)) AS BIGINT) AS w
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    ee AS (SELECT ea, eb, w FROM e UNION ALL SELECT eb, ea, w FROM e),
+    r(v, dist, hops) AS (
+        SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents
+        WHERE doc_id % 97 = 0
+        UNION
+        SELECT ee.eb, r.dist + ee.w, r.hops + 1
+        FROM r JOIN ee ON r.v = ee.ea
+        WHERE r.hops < 4)
+    SELECT v AS doc_id, MIN(dist) AS dist
+    FROM r GROUP BY v ORDER BY doc_id
+    """,
+    "§2.3 graph: weighted shortest distance (bounded Bellman–Ford) "
+    "over the near-dup graph with INTEGER edit-distance weights — "
+    "'how much text changed along the chain', which hop count (q146) "
+    "cannot express; per-round edge-keyed join + vertex min-agg, "
+    "exact integer path costs",
+)
