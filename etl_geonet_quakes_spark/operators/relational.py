@@ -4403,3 +4403,105 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str,
         .unionByName(row("lineitem", li, del_li, empty))
         .orderBy("table_name")
     )
+
+
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (year → quarter → month): order counts
+    and decimal-exact revenue at every granularity plus the grand
+    total in ONE pass — the OLAP drill path a dashboard serves from a
+    single materialization instead of four queries. Complements q52
+    (categorical rollup): the hierarchy here is derived calendar
+    columns, and the rollup's NULL-marks distinguish subtotal tiers.
+
+    One partial+final hash agg over the grouping-set expansion; the
+    grouping_id disambiguates 'NULL because subtotal' from data
+    NULLs (none here — derived calendar fields are total)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mth"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        o.rollup("yr", "qtr", "mth")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("price")).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("yr").asc_nulls_first(),
+            F.col("qtr").asc_nulls_first(),
+            F.col("mth").asc_nulls_first(),
+        )
+    )
+
+
+def gini_coefficient(spark: SparkSession, sf_dir: str,
+                     prefix_bucket_cents: int = 100_000_00) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    single-number inequality complement to q192's 80/20 point. Exact
+    discrete form over ascending ranks:
+    G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n, every sum an exact
+    integer (cents × rank), the two divisions in double on identical
+    operands cross-engine. Ranks come from the shared two-phase
+    machinery (ascending range buckets) — never a global single-task
+    window."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    rev = rev.withColumn("bkt", F.expr(f"cents DIV {prefix_bucket_cents}"))
+    ranked, _ = two_phase_rank(rev, "bkt", ["cents", "o_custkey"], "i")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    return agg.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution by priority: whole-day lag from
+    order date to each lineitem's ship date, bucketed to weeks — the
+    fulfillment-latency histogram an operations dashboard watches,
+    and the canonical fact-fact temporal derive (one orderkey-keyed
+    join, integer day arithmetic, never a timestamp float).
+
+    Lag days are exact integers (datediff); the weekly bucket is
+    integer DIV. One key-partitioned join + one hash agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    return (
+        j.withColumn("lag_week", F.expr("lag_days DIV 7"))
+        .groupBy("o_orderpriority", "lag_week")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min("lag_days").alias("min_days"),
+            F.max("lag_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority", "lag_week")
+    )

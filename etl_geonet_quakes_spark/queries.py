@@ -5174,3 +5174,63 @@ SPECS["q201_weighted_shortest_path"] = QuerySpec(
     "cannot express; per-round edge-keyed join + vertex min-agg, "
     "exact integer path costs",
 )
+
+SPECS["q202_time_rollup"] = QuerySpec(
+    rel.time_hierarchy_rollup,
+    f"""
+    SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mth, COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS revenue,
+           CAST(GROUPING(year(o_orderdate)) * 4
+                + GROUPING(quarter(o_orderdate)) * 2
+                + GROUPING(month(o_orderdate)) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                     month(o_orderdate))
+    ORDER BY yr NULLS FIRST, qtr NULLS FIRST, mth NULLS FIRST
+    """,
+    "§2.2 aggregations: time-hierarchy ROLLUP (year→quarter→month + "
+    "grand total in one pass) with grouping_id tier disambiguation — "
+    "the OLAP drill path as a single materialization; decimal-exact "
+    "revenue",
+)
+
+SPECS["q203_gini_coefficient"] = QuerySpec(
+    rel.gini_coefficient,
+    """
+    WITH rev AS (SELECT o_custkey,
+                        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS cents
+                 FROM orders GROUP BY o_custkey),
+         r AS (SELECT cents, row_number() OVER (ORDER BY cents,
+                                                o_custkey) AS i
+               FROM rev)
+    SELECT COUNT(*) AS n, SUM(cents) AS total_cents,
+           ROUND((2.0 * SUM(i * cents)) / (COUNT(*) * SUM(cents))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+    "§2.2 statistics: exact Gini coefficient of customer revenue "
+    "(discrete rank form, integer rank×cents sums, two double "
+    "divisions on identical operands) — ranks via the shared "
+    "two-phase machinery; the inequality complement of q192",
+)
+
+SPECS["q204_ship_lag_histogram"] = QuerySpec(
+    rel.ship_lag_histogram,
+    """
+    SELECT o_orderpriority,
+           datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) // 7 AS lag_week,
+           COUNT(*) AS n_lineitems,
+           MIN(datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE))) AS min_days,
+           MAX(datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE))) AS max_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 ORDER BY o_orderpriority, lag_week
+    """,
+    "§2.2 analytics: order-to-ship lag histogram by priority (weekly "
+    "integer-day buckets, exact min/max) — the fulfillment-latency "
+    "fact-fact temporal derive; one key-partitioned join + hash agg",
+)
