@@ -863,3 +863,54 @@ def contamination_spans(
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+def source_copy_matrix(
+    spark: SparkSession, sf_dir: str, n: int = 8, top_n: int = 25
+) -> DataFrame:
+    """Cross-SOURCE copying matrix: for every source pair, how many
+    distinct ``n``-gram shingles they share and how many documents on
+    each side carry shared material — 'who copies whom' at the feed
+    level, the provenance view q176's per-document spans roll up to
+    when a pipeline audits its suppliers.
+
+    Shape: distinct (source, shingle) once (hash agg, shuffle carries
+    the shingle vocabulary), pair join on the shingle (bucket sizes =
+    per-shingle source counts, bounded by the source domain),
+    canonical a < b, counts exact. Doc-side attribution reuses the
+    same positioned-shingle frame aggregated per (source, shingle)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= n)
+    g = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            )
+        ).alias("sh"),
+    )
+    per_src = g.groupBy("source", "sh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    a, b = per_src.alias("a"), per_src.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.sum("a.n_docs").alias("docs_a"),
+            F.sum("b.n_docs").alias("docs_b"),
+        )
+        .orderBy(F.desc("n_shared_shingles"), "source_a", "source_b")
+        .limit(top_n)
+    )

@@ -5234,3 +5234,27 @@ SPECS["q204_ship_lag_histogram"] = QuerySpec(
     "integer-day buckets, exact min/max) — the fulfillment-latency "
     "fact-fact temporal derive; one key-partitioned join + hash agg",
 )
+
+SPECS["q205_source_copy_matrix"] = QuerySpec(
+    text.source_copy_matrix,
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (SELECT source, doc_id,
+                      unnest(list_transform(range(1, len(toks) - 6),
+                          i -> array_to_string(toks[i:i+7], ' '))) AS sh
+               FROM t WHERE len(toks) >= 8),
+         ps AS (SELECT source, sh, COUNT(DISTINCT doc_id) AS n_docs
+                FROM g GROUP BY source, sh)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_shingles,
+           SUM(a.n_docs) AS docs_a, SUM(b.n_docs) AS docs_b
+    FROM ps a JOIN ps b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY n_shared_shingles DESC, source_a, source_b LIMIT 25
+    """,
+    "§2.3 contamination: cross-source copying matrix (distinct shared "
+    "8-grams per source pair + per-side doc attribution) — the feed-"
+    "level provenance rollup of q176's per-document spans; exact "
+    "counts, vocabulary-bounded shuffle",
+)

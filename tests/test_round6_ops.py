@@ -461,3 +461,22 @@ def test_late_data_boundary_semantics(spark, tmp_path_factory):
     # day 1: wave-0 row only; day 2: late wave-1 row DROPPED -> 1;
     # day 5: wave-0 max + surviving wave-1 row -> 2; day 9 never emits
     assert out == {"2024-01-01": 1, "2024-01-02": 1, "2024-01-05": 2}, out
+
+
+def test_weighted_shortest_path_chain(spark, tmp_path_factory):
+    """Weighted distances on a near-dup chain a-b-c: dist(b) = the
+    symmetric-difference weight of edge(a,b); dist(c) adds edge(b,c);
+    weights are exact integers."""
+    from etl_geonet_quakes_spark.llm.dedup import weighted_shortest_path
+
+    # reuse the q174 path construction: seed = doc 0 (0 % 97 == 0)
+    w = [f"w{i}" for i in range(1, 19)]
+    a_txt = " ".join(w[:16] + ["aa1", "aa2"])     # doc 0 (seed)
+    b_txt = " ".join(w)                           # doc 1
+    c_txt = " ".join(w[2:] + ["cc1", "cc2"])      # doc 2
+    d = _write_docs(spark, tmp_path_factory, [(0, a_txt), (1, b_txt), (2, c_txt)], "wsp")
+    out = {r["doc_id"]: r["dist"] for r in weighted_shortest_path(spark, d).collect()}
+    # edge(a,b): union 20, intersect 16 -> weight 4; edge(b,c) same
+    assert out[0] == 0
+    assert out[1] == 4
+    assert out[2] == 8
