@@ -5258,3 +5258,16 @@ SPECS["q205_source_copy_matrix"] = QuerySpec(
     "level provenance rollup of q176's per-document spans; exact "
     "counts, vocabulary-bounded shuffle",
 )
+
+SPECS["q206_stream_exact_dedup"] = QuerySpec(
+    sti.stream_incremental_exact_dedup,
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS kept_doc, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY kept_doc
+    """,
+    "§2.2 streaming: incremental EXACT dedup — per-batch digest "
+    "aggregation merged into versioned durable state (min/count are "
+    "associative, so final state ≡ one-shot batch group-by and q41's "
+    "exact oracle applies); completes the streaming pair with q151's "
+    "incremental near-dup",
+)

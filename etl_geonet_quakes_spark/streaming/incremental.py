@@ -87,3 +87,67 @@ def stream_incremental_token_counts(
     assert versions, "stream processed no batches"
     final = spark.read.schema(_STATE_SCHEMA).parquet(versions[-1])
     return final.orderBy(F.desc("n"), "tok").limit(top_k)
+
+
+def stream_incremental_exact_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental EXACT dedup: documents arrive in
+    micro-batches and each batch is deduplicated against everything
+    already seen via a durable digest index (md5 → keeper doc_id) —
+    the streaming form of q41, completing the pair with q151's
+    incremental NEAR-dup. A batch's keeper for a digest is its min
+    doc_id; the index keeps the global min per digest, so the final
+    state provably equals the one-shot batch group-by (min is
+    associative) — q41's exact oracle applies.
+
+    Per-batch work: one digest hash agg over the batch + a merge agg
+    against the touched digests; versioned durable state (write
+    before the pointer moves), same discipline as
+    stream_incremental_token_counts."""
+    base = tempfile.mkdtemp(prefix="stream_inc_dedup_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = write_micro_batch_feed(docs, base, 3, "doc_id")
+    state_dir = os.path.join(base, "state")
+    versions: list[str] = []
+    schema = "fp string, kept_doc long, n_dups long"
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cur = (
+            batch_df.select(F.md5("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("kept_doc"),
+                F.count("*").alias("n_dups"),
+            )
+        )
+        if versions:
+            prev = sp.read.schema(schema).parquet(versions[-1])
+            cur = (
+                prev.unionByName(cur)
+                .groupBy("fp")
+                .agg(
+                    F.min("kept_doc").alias("kept_doc"),
+                    F.sum("n_dups").alias("n_dups"),
+                )
+            )
+        path = os.path.join(state_dir, f"v{len(versions) + 1:04d}")
+        cur.write.parquet(path)
+        versions.append(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", os.path.join(base, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert versions, "stream processed no batches"
+    final = spark.read.schema(schema).parquet(versions[-1])
+    return final.orderBy("kept_doc")
