@@ -4505,3 +4505,52 @@ def ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "lag_week")
     )
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: mean, standard
+    deviation, and coefficient of variation of the per-user gaps
+    between consecutive events — CV ≈ 1 is Poisson-like traffic,
+    CV ≫ 1 is bursty (the capacity-planning and anomaly baseline).
+
+    Gaps are exact integer µs from (user, type)-partitioned lag
+    windows (parallel — never a per-type global order, whose 5-value
+    partition domain would serialize); Σgap and Σgap² accumulate in
+    DECIMAL (gap² ≤ 10²⁵ fits 38 digits), so mean/variance divide
+    identical exact operands cross-engine. Sample variance
+    (n−1 denominator); 6dp display."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        e.withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("gap").cast("decimal(38,0)") * F.col("gap")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_gaps")
+    ) / (F.col("n_gaps") - 1)
+    return (
+        agg.filter(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(mean / 1e6, 6).alias("mean_gap_s"),
+            F.round(F.sqrt(var) / 1e6, 6).alias("std_gap_s"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy("event_type")
+    )

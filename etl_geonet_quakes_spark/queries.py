@@ -5271,3 +5271,34 @@ SPECS["q206_stream_exact_dedup"] = QuerySpec(
     "exact oracle applies); completes the streaming pair with q151's "
     "incremental near-dup",
 )
+
+SPECS["q207_interarrival_burstiness"] = QuerySpec(
+    rel.interarrival_burstiness,
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us({_TS}) AS us,
+                      event_id FROM events),
+         g AS (SELECT event_type,
+                      us - lag(us) OVER (PARTITION BY user_id, event_type
+                          ORDER BY us, event_id) AS gap
+               FROM e),
+         a AS (SELECT event_type, COUNT(*) AS n_gaps,
+                      SUM(CAST(gap AS DECIMAL(38,0))) AS s1,
+                      SUM(CAST(gap AS DECIMAL(38,0))
+                          * CAST(gap AS DECIMAL(38,0))) AS s2
+               FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           ROUND(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 6) AS mean_gap_s,
+           ROUND(SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+                      / (n_gaps - 1)) / 1e6, 6) AS std_gap_s,
+           ROUND(SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+                      / (n_gaps - 1))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+    FROM a WHERE n_gaps >= 2 ORDER BY event_type
+    """,
+    "§2.2 statistics: inter-arrival burstiness per event type "
+    "(mean/std/CV of per-user gaps) — Poisson-vs-bursty traffic "
+    "baseline; exact integer-µs gaps, decimal Σ and Σ², "
+    "engine-identical double divisions",
+)
