@@ -5302,3 +5302,48 @@ SPECS["q207_interarrival_burstiness"] = QuerySpec(
     "baseline; exact integer-µs gaps, decimal Σ and Σ², "
     "engine-identical double divisions",
 )
+
+SPECS["q208_dedup_savings"] = QuerySpec(
+    dedup.dedup_savings_report,
+    _CLUSTER_CTE
+    + """
+    , base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                      md5(text) AS fp_exact,
+                      sha256(array_to_string(list_sort(list_distinct(
+                          string_split(trim(regexp_replace(
+                              regexp_replace(lower(text),
+                                  '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')), ' '))), ' ')) AS fp_bag
+               FROM documents),
+    j AS (SELECT b.*, cc.cluster_rep AS rep
+          FROM base b JOIN cc ON b.doc_id = cc.doc),
+    fl AS (SELECT n_tok,
+                  doc_id <> MIN(doc_id) OVER (PARTITION BY fp_exact)
+                      AS r_exact,
+                  doc_id <> MIN(doc_id) OVER (PARTITION BY fp_bag)
+                      AS r_bag,
+                  doc_id <> rep AS r_near
+           FROM j),
+    t AS (SELECT COUNT(*) AS n_docs,
+                 SUM(CASE WHEN r_exact THEN 1 ELSE 0 END) AS de,
+                 SUM(CASE WHEN r_bag THEN 1 ELSE 0 END) AS db,
+                 SUM(CASE WHEN r_near THEN 1 ELSE 0 END) AS dn,
+                 SUM(CASE WHEN r_exact THEN n_tok ELSE 0 END) AS te,
+                 SUM(CASE WHEN r_bag THEN n_tok ELSE 0 END) AS tb,
+                 SUM(CASE WHEN r_near THEN n_tok ELSE 0 END) AS tn
+          FROM fl)
+    SELECT '1_exact' AS tier, de AS n_docs_removed,
+           te AS n_tokens_removed,
+           ROUND(CAST(de AS DOUBLE) / n_docs, 6) AS pct_docs_removed
+    FROM t
+    UNION ALL SELECT '2_normalized_bag', db, tb,
+           ROUND(CAST(db AS DOUBLE) / n_docs, 6) FROM t
+    UNION ALL SELECT '3_near_dup_cc', dn, tn,
+           ROUND(CAST(dn AS DOUBLE) / n_docs, 6) FROM t
+    ORDER BY tier
+    """,
+    "§2.3 dedup: savings/ROI report across the dedup ladder (exact → "
+    "normalized bag → near-dup CC): docs and tokens each tier removes "
+    "from the raw corpus — the marginal-value audit before paying for "
+    "the heavier tier; exact counts, shared CC labels",
+)
