@@ -877,8 +877,13 @@ def source_copy_matrix(
     Shape: distinct (source, shingle) once (hash agg, shuffle carries
     the shingle vocabulary), pair join on the shingle (bucket sizes =
     per-shingle source counts, bounded by the source domain),
-    canonical a < b, counts exact. Doc-side attribution reuses the
-    same positioned-shingle frame aggregated per (source, shingle)."""
+    canonical a < b, counts exact. ``docs_a``/``docs_b`` are GENUINE
+    distinct document counts — how many documents of each side share
+    at least one shingle with the other source — computed by joining
+    the distinct (source, doc, shingle) incidence frame against the
+    other sources' shingle vocabularies and COUNT(DISTINCT doc) per
+    canonical pair; the fan-out per incidence is bounded by the
+    source domain (small), never by corpus size."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= n)
@@ -896,7 +901,7 @@ def source_copy_matrix(
         F.countDistinct("doc_id").alias("n_docs")
     )
     a, b = per_src.alias("a"), per_src.alias("b")
-    return (
+    shared = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
@@ -906,11 +911,35 @@ def source_copy_matrix(
             F.col("a.source").alias("source_a"),
             F.col("b.source").alias("source_b"),
         )
-        .agg(
-            F.count("*").alias("n_shared_shingles"),
-            F.sum("a.n_docs").alias("docs_a"),
-            F.sum("b.n_docs").alias("docs_b"),
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    dg = g.distinct()  # (source, doc_id, sh) incidences, deduped
+    inc = dg.alias("da").join(
+        per_src.select("source", "sh").alias("db"),
+        (F.col("da.sh") == F.col("db.sh"))
+        & (F.col("da.source") != F.col("db.source")),
+    )
+    docs = (
+        inc.select(
+            F.least("da.source", "db.source").alias("source_a"),
+            F.greatest("da.source", "db.source").alias("source_b"),
+            F.col("da.source").alias("side_src"),
+            F.col("da.doc_id").alias("doc"),
         )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("side_src") == F.col("source_a"), F.col("doc"))
+            ).alias("docs_a"),
+            F.countDistinct(
+                F.when(F.col("side_src") == F.col("source_b"), F.col("doc"))
+            ).alias("docs_b"),
+        )
+    )
+    return (
+        shared.join(docs, ["source_a", "source_b"])
+        .select("source_a", "source_b", "n_shared_shingles",
+                "docs_a", "docs_b")
         .orderBy(F.desc("n_shared_shingles"), "source_a", "source_b")
         .limit(top_n)
     )

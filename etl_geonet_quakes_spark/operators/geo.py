@@ -129,7 +129,7 @@ def _pseudo_coord(key: Column, mult: int, base: float, span: float) -> Column:
 
 def spatial_join(spark: SparkSession, sf_dir: str,
                  radius_km: float = 25.0, cell_deg: float = 0.5,
-                 hot_chunks: int = 1) -> DataFrame:
+                 hot_chunks: int | None = None) -> DataFrame:
     """Spatial radius join: supplier–customer pairs within
     ``radius_km`` great-circle km — the geo join q138's grid cell
     exists to serve, in its scalable form:
@@ -160,7 +160,11 @@ def spatial_join(spark: SparkSession, sf_dir: str,
     side replicates across the other side's C chunk ids, join key
     becomes (cell, chunk_s, chunk_c) — every pair meets exactly
     once, ×C shuffle for ×C² smaller max-task candidate work
-    (pinned by test_hot_cell_chunking_*)."""
+    (pinned by test_hot_cell_chunking_*). ``hot_chunks=None``
+    (default) AUTO-selects C from a pre-flight max per-cell
+    supplier×customer pair-work aggregate (operators/chunking.py):
+    C = 1 — the plain plan — unless a measured hot cell exceeds the
+    per-task budget."""
     n_lon = int(round(360 / cell_deg))
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
@@ -186,6 +190,11 @@ def spatial_join(spark: SparkSession, sf_dir: str,
     )
     supp = supp.withColumn("cell", F.explode(probe_cells))
     join_on = ["cell"]
+    if hot_chunks is None:
+        from etl_geonet_quakes_spark.operators.chunking import (
+            auto_chunks_bipartite,
+        )
+        hot_chunks = auto_chunks_bipartite(supp, cust, ["cell"])
     if hot_chunks > 1:
         rep = F.explode(F.array(*[F.lit(i) for i in range(hot_chunks)]))
         supp = supp.withColumn(

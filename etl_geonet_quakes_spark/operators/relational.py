@@ -3453,7 +3453,7 @@ def session_copresence(spark: SparkSession, sf_dir: str,
                        gap_minutes: int = 30,
                        bucket_hours: int = 6,
                        top_n: int | None = 50,
-                       hot_chunks: int = 1) -> DataFrame:
+                       hot_chunks: int | None = None) -> DataFrame:
     """INTERVAL-OVERLAP join: pairs of users whose sessions were open
     at the same time, ranked by total overlap — the co-presence query
     (fraud rings, shared infrastructure, social coincidence) that
@@ -3477,8 +3477,12 @@ def session_copresence(spark: SparkSession, sf_dir: str,
     b-chunk ids and vice versa, and the join key becomes
     (bkt, chunk_a, chunk_b) — every pair meets exactly once, shuffle
     volume rises ×C, and the largest task's candidate work drops
-    ×C² (pinned by test_hot_bucket_chunking_*). Default 1 keeps the
-    plain plan for ordinarily-skewed data.
+    ×C² (pinned by test_hot_bucket_chunking_*). ``hot_chunks=None``
+    (default) AUTO-selects C from measured bucket statistics — a
+    cheap pre-flight max-occupancy aggregate (operators/chunking.py)
+    that returns 1 (the plain plan, zero replication) unless the
+    worst bucket's pair work exceeds the per-task budget, so the ×C
+    shuffle premium is paid exactly when SCALE.md says it pays.
 
     Overlap seconds are exact integer arithmetic
     (min(end)−max(start) in µs DIV 10⁶, summed per pair)."""
@@ -3508,6 +3512,11 @@ def session_copresence(spark: SparkSession, sf_dir: str,
             )
         ).alias("bkt"),
     )
+    if hot_chunks is None:
+        from etl_geonet_quakes_spark.operators.chunking import (
+            auto_chunks_self,
+        )
+        hot_chunks = auto_chunks_self(spans, ["bkt"])
     join_keys = [F.col("a.bkt") == F.col("b.bkt")]
     if hot_chunks > 1:
         chunk = F.pmod(F.hash("user_id", "s_us"), F.lit(hot_chunks))
@@ -3828,8 +3837,13 @@ def psi_drift(spark: SparkSession, sf_dir: str,
         F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
     )
     j = binned.join(F.broadcast(totals), "c_mktsegment")
-    p_old = F.col("n_old") / F.col("t_old")
-    p_new = F.col("n_new") / F.col("t_new")
+    # degenerate-split guard: a segment with every order on one side
+    # of split_date has t_old or t_new = 0 — ANSI mode would raise
+    # DIVIDE_BY_ZERO; emit NULL shares instead (counts still tell the
+    # story), mirroring the n>0 guard on psi_term (n_old>0 ⇒ t_old>0,
+    # so psi_term needs no extra guard)
+    p_old = F.when(F.col("t_old") > 0, F.col("n_old") / F.col("t_old"))
+    p_new = F.when(F.col("t_new") > 0, F.col("n_new") / F.col("t_new"))
     term = F.when(
         (F.col("n_old") > 0) & (F.col("n_new") > 0),
         F.round((p_new - p_old) * F.log(p_new / p_old), 6),
@@ -4358,9 +4372,15 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str,
 
     Shape: the deletion list is a broadcast semi/anti-join key set at
     every tier; the lineitem tier keys on orderkey (fact-fact,
-    key-partitioned). The residual check anti-joins the CLEANED
-    table against the deletion list — 0 by construction, and the
-    audit row proves it ran. Exact integer counts only."""
+    key-partitioned). Each tier's residual count is COMPUTED from its
+    cleaned output (never a constant): customer and orders re-evaluate
+    the deletion predicate / membership against their cleaned rows,
+    and the lineitem residual traverses a purge-path-INDEPENDENT
+    route — cleaned lineitems joined back through the full orders
+    table to deleted custkeys — so a cascade bug that dropped the
+    wrong orderkeys would surface here. The counts are expected 0
+    (that is what the audit certifies), but each is a real scan of
+    the cleaned data. Exact integer counts only."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -4375,11 +4395,36 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str,
         li.l_orderkey == F.col("o_orderkey"),
         "left_semi",
     )
+    # residuals — each computed over the CLEANED tier output:
+    # customer: re-evaluate the deletion predicate on the cleaned rows
+    clean_cust = cust.filter(~(F.col("c_custkey") % mod == 0))
+    resid_cust = clean_cust.filter(F.col("c_custkey") % mod == 0)
+    # orders: membership re-check of cleaned orders against the list
     clean_orders = orders.join(
         F.broadcast(dels), orders.o_custkey == dels.c_custkey, "left_anti"
     )
-    residual = clean_orders.join(
+    resid_orders = clean_orders.join(
         F.broadcast(dels), clean_orders.o_custkey == dels.c_custkey, "left_semi"
+    )
+    # lineitem: purge-path-independent — cleaned lineitems route
+    # through the FULL orders table (not the del_orders list the purge
+    # used) back to deleted custkeys
+    o2 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ro_orderkey"),
+        F.col("o_custkey").alias("ro_custkey"),
+    )
+    clean_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    resid_li = (
+        clean_li.join(o2, clean_li.l_orderkey == o2.ro_orderkey)
+        .join(
+            F.broadcast(dels),
+            F.col("ro_custkey") == dels.c_custkey,
+            "left_semi",
+        )
     )
 
     def row(table, total_df, purged_df, residual_df):
@@ -4396,11 +4441,10 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str,
             )
         )
 
-    empty = dels.limit(0)
     return (
-        row("customer", cust, dels, empty)
-        .unionByName(row("orders", orders, del_orders, residual))
-        .unionByName(row("lineitem", li, del_li, empty))
+        row("customer", cust, dels, resid_cust)
+        .unionByName(row("orders", orders, del_orders, resid_orders))
+        .unionByName(row("lineitem", li, del_li, resid_li))
         .orderBy("table_name")
     )
 

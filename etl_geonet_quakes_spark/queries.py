@@ -4557,8 +4557,10 @@ SPECS["q183_psi_drift"] = QuerySpec(
                       SUM(n_new) AS t_new
                FROM b GROUP BY 1)
     SELECT b.c_mktsegment, bin, n_old, n_new,
-           ROUND(CAST(n_old AS DOUBLE) / t_old, 6) AS p_old,
-           ROUND(CAST(n_new AS DOUBLE) / t_new, 6) AS p_new,
+           CASE WHEN t_old > 0
+                THEN ROUND(CAST(n_old AS DOUBLE) / t_old, 6) END AS p_old,
+           CASE WHEN t_new > 0
+                THEN ROUND(CAST(n_new AS DOUBLE) / t_new, 6) END AS p_new,
            CASE WHEN n_old > 0 AND n_new > 0
                 THEN ROUND((CAST(n_new AS DOUBLE) / t_new
                             - CAST(n_old AS DOUBLE) / t_old)
@@ -5110,31 +5112,40 @@ SPECS["q200_deletion_cascade"] = QuerySpec(
                    WHERE o_custkey IN (SELECT c_custkey FROM dels)),
          del_l AS (SELECT l_orderkey FROM lineitem
                    WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
-         resid AS (SELECT COUNT(*) AS n FROM orders
-                   WHERE o_custkey NOT IN (SELECT c_custkey FROM dels)
-                     AND o_custkey IN (SELECT c_custkey FROM dels))
+         resid_c AS (SELECT COUNT(*) AS n FROM customer
+                     WHERE c_custkey % 97 <> 0 AND c_custkey % 97 = 0),
+         resid_o AS (SELECT COUNT(*) AS n FROM orders
+                     WHERE o_custkey NOT IN (SELECT c_custkey FROM dels)
+                       AND o_custkey IN (SELECT c_custkey FROM dels)),
+         resid_l AS (SELECT COUNT(*) AS n
+                     FROM lineitem l JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                     WHERE l.l_orderkey NOT IN
+                               (SELECT o_orderkey FROM del_o)
+                       AND o.o_custkey IN (SELECT c_custkey FROM dels))
     SELECT 'customer' AS table_name,
            (SELECT COUNT(*) FROM customer) AS n_total,
            (SELECT COUNT(*) FROM dels) AS n_purged,
            (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM dels)
                AS n_remaining,
-           CAST(0 AS BIGINT) AS n_residual_links
+           (SELECT n FROM resid_c) AS n_residual_links
     UNION ALL
     SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
            (SELECT COUNT(*) FROM del_l),
            (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_l),
-           0
+           (SELECT n FROM resid_l)
     UNION ALL
     SELECT 'orders', (SELECT COUNT(*) FROM orders),
            (SELECT COUNT(*) FROM del_o),
            (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o),
-           (SELECT n FROM resid)
+           (SELECT n FROM resid_o)
     ORDER BY table_name
     """,
     "§2.2 reconciliation/compliance: right-to-erasure cascade audit — "
     "per-table purge counts (customer → orders → lineitems, broadcast "
-    "semi/anti joins) plus a zero-residual-links proof over the "
-    "cleaned table; exact integer counts",
+    "semi/anti joins) plus per-tier residual-link counts computed from "
+    "the cleaned outputs (lineitem via a purge-path-independent route "
+    "through the full orders table); exact integer counts",
 )
 
 SPECS["q201_weighted_shortest_path"] = QuerySpec(
@@ -5245,18 +5256,32 @@ SPECS["q205_source_copy_matrix"] = QuerySpec(
                           i -> array_to_string(toks[i:i+7], ' '))) AS sh
                FROM t WHERE len(toks) >= 8),
          ps AS (SELECT source, sh, COUNT(DISTINCT doc_id) AS n_docs
-                FROM g GROUP BY source, sh)
-    SELECT a.source AS source_a, b.source AS source_b,
-           COUNT(*) AS n_shared_shingles,
-           SUM(a.n_docs) AS docs_a, SUM(b.n_docs) AS docs_b
-    FROM ps a JOIN ps b ON a.sh = b.sh AND a.source < b.source
-    GROUP BY 1, 2
+                FROM g GROUP BY source, sh),
+         shared AS (SELECT a.source AS source_a, b.source AS source_b,
+                           COUNT(*) AS n_shared_shingles
+                    FROM ps a JOIN ps b
+                      ON a.sh = b.sh AND a.source < b.source
+                    GROUP BY 1, 2),
+         dg AS (SELECT DISTINCT source, doc_id, sh FROM g),
+         inc AS (SELECT least(a.source, b.source) AS source_a,
+                        greatest(a.source, b.source) AS source_b,
+                        a.source AS side_src, a.doc_id AS doc
+                 FROM dg a JOIN (SELECT DISTINCT source, sh FROM ps) b
+                   ON a.sh = b.sh AND a.source <> b.source),
+         docs AS (SELECT source_a, source_b,
+                         COUNT(DISTINCT CASE WHEN side_src = source_a
+                                             THEN doc END) AS docs_a,
+                         COUNT(DISTINCT CASE WHEN side_src = source_b
+                                             THEN doc END) AS docs_b
+                  FROM inc GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, n_shared_shingles, docs_a, docs_b
+    FROM shared s JOIN docs USING (source_a, source_b)
     ORDER BY n_shared_shingles DESC, source_a, source_b LIMIT 25
     """,
     "§2.3 contamination: cross-source copying matrix (distinct shared "
-    "8-grams per source pair + per-side doc attribution) — the feed-"
-    "level provenance rollup of q176's per-document spans; exact "
-    "counts, vocabulary-bounded shuffle",
+    "8-grams per source pair + genuine distinct-doc attribution per "
+    "side) — the feed-level provenance rollup of q176's per-document "
+    "spans; exact counts, vocabulary-bounded shuffle",
 )
 
 SPECS["q206_stream_exact_dedup"] = QuerySpec(

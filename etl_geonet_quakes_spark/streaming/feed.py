@@ -29,7 +29,10 @@ def write_micro_batch_feed(
     n_batches`` bucket) under ``base/feed`` and return that path.
     Unordered-set result semantics downstream make arrival order
     irrelevant; the partition column is dropped from the files (it is
-    a directory key), so the feed schema equals ``df``'s."""
+    a directory key), so the feed schema equals ``df``'s. A residue
+    class with no rows (sparse/skewed keys) still gets a batch file —
+    an empty parquet with ``df``'s schema — so the replay sees the
+    same number of micro-batches regardless of key distribution."""
     feed = os.path.join(base, "feed")
     staging = os.path.join(base, "staging")
     os.makedirs(feed)
@@ -39,8 +42,21 @@ def write_micro_batch_feed(
         .write.partitionBy("b")
         .parquet(staging)
     )
+    missing = []
     for i in range(n_batches):
         part = glob.glob(os.path.join(staging, f"b={i}", "part-*.parquet"))
-        assert len(part) == 1, part
-        os.rename(part[0], os.path.join(feed, f"b{i}.parquet"))
+        assert len(part) <= 1, part
+        if part:
+            os.rename(part[0], os.path.join(feed, f"b{i}.parquet"))
+        else:
+            missing.append(i)
+    if missing:
+        empty_dir = os.path.join(base, "empty")
+        df.limit(0).coalesce(1).write.parquet(empty_dir)
+        src = glob.glob(os.path.join(empty_dir, "part-*.parquet"))[0]
+        for i in missing:
+            with open(src, "rb") as fh:
+                data = fh.read()
+            with open(os.path.join(feed, f"b{i}.parquet"), "wb") as fh:
+                fh.write(data)
     return feed

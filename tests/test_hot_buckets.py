@@ -160,3 +160,55 @@ def test_hot_cell_chunking_covers_every_chunk_pair(spark, hot_cell_dir):
     chunked = spatial_join(spark, hot_cell_dir, hot_chunks=4)
     pairs = [(r["suppkey"], r["custkey"]) for r in chunked.collect()]
     assert len(pairs) == len(set(pairs))
+
+def test_auto_chunk_selection_from_bucket_stats(spark):
+    """hot_chunks=None resolves from measured bucket statistics: the
+    plain plan (C=1) on uniform occupancy, C = ceil(n_max/√target) on
+    a hot bucket, clamped to MAX_CHUNKS on a pathological one."""
+    from etl_geonet_quakes_spark.operators import chunking as ck
+
+    # pure arithmetic tier
+    assert ck.chunks_for_pair_work(None) == 1
+    assert ck.chunks_for_pair_work(ck.DEFAULT_TARGET_PAIRS) == 1
+    assert ck.chunks_for_pair_work(25_000_000) == 3  # ceil(sqrt(6.25))
+    assert ck.chunks_for_pair_work(10**18) == ck.MAX_CHUNKS
+
+    # self-join tier: one 5000-row hot bucket vs uniform 100s
+    hot = spark.range(5000).select(F.lit(0).alias("bkt")).unionAll(
+        spark.range(10).select(F.lit(1).alias("bkt"))
+    )
+    assert ck.auto_chunks_self(hot, ["bkt"]) == 3
+    uniform = spark.range(1000).select((F.col("id") % 10).alias("bkt"))
+    assert ck.auto_chunks_self(uniform, ["bkt"]) == 1
+
+    # bipartite tier: 3000×3000 in one shared cell → 9M pairs → C=2
+    a = spark.range(3000).select(F.lit(0).alias("cell"))
+    b = spark.range(3000).select(F.lit(0).alias("cell"))
+    assert ck.auto_chunks_bipartite(a, b, ["cell"]) == 2
+    assert ck.auto_chunks_bipartite(
+        a.limit(10), b.limit(10), ["cell"]
+    ) == 1
+
+
+def test_auto_chunks_operator_path_unchanged(spark, hot_events_dir):
+    """The registered default (hot_chunks=None → auto) returns the
+    same rows as the forced plain plan on the hot fixture — the
+    pre-flight is result-invariant by construction, and on this
+    120-session bucket (14 400 pair work < budget) it picks C=1."""
+    from etl_geonet_quakes_spark.operators import chunking as ck
+    from etl_geonet_quakes_spark.operators.relational import (
+        session_copresence,
+    )
+
+    auto = sorted(map(tuple, session_copresence(
+        spark, hot_events_dir, top_n=None, hot_chunks=None
+    ).collect()))
+    forced = sorted(map(tuple, session_copresence(
+        spark, hot_events_dir, top_n=None, hot_chunks=1
+    ).collect()))
+    assert auto == forced
+    # and with a tiny budget the selector WOULD buy chunks here
+    spans = spark.createDataFrame(
+        [(0,)] * 120, "bkt long"
+    )
+    assert ck.auto_chunks_self(spans, ["bkt"], target_pairs=100) > 1

@@ -1,0 +1,129 @@
+"""Round-7 behavior pins: degenerate-split PSI, sparse-key feeds,
+epoch-idempotent incremental state, distinct-doc copy attribution."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.operators import relational as rel
+from etl_geonet_quakes_spark.streaming.feed import write_micro_batch_feed
+from etl_geonet_quakes_spark.streaming import incremental as sti
+
+
+def test_psi_drift_degenerate_split_emits_nulls(spark, sf_dir):
+    """A split date outside the data range puts every order on one
+    side: the empty side's share must be NULL (not DIVIDE_BY_ZERO —
+    Spark 4 runs ANSI mode by default)."""
+    out = rel.psi_drift(spark, sf_dir, split_date="1990-01-01").collect()
+    assert out, "expected rows"
+    for r in out:
+        assert r["n_old"] == 0
+        assert r["p_old"] is None  # empty side: NULL share, no raise
+        assert r["p_new"] is not None
+        assert r["psi_term"] is None  # needs both sides populated
+    out2 = rel.psi_drift(spark, sf_dir, split_date="2090-01-01").collect()
+    for r in out2:
+        assert r["n_new"] == 0 and r["p_new"] is None
+
+
+def test_feed_sparse_keys_writes_empty_batches(spark, tmp_path):
+    """Keys occupying a single residue class still produce one file
+    per batch — empty parquet with the source schema — so the replay
+    sees n_batches micro-batches regardless of key skew."""
+    src = spark.createDataFrame(
+        [(0, "x"), (3, "y"), (6, "z")], "doc_id long, text string"
+    )
+    base = str(tmp_path / "sparse")
+    os.makedirs(base)
+    feed = write_micro_batch_feed(src, base, 3, "doc_id")
+    files = sorted(os.listdir(feed))
+    assert files == ["b0.parquet", "b1.parquet", "b2.parquet"]
+    back = spark.read.schema("doc_id long, text string").parquet(feed)
+    assert back.count() == 3  # empty batches contribute zero rows
+    empty = spark.read.parquet(os.path.join(feed, "b1.parquet"))
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "text"]
+
+
+def test_incremental_state_epoch_idempotent(spark, tmp_path):
+    """A replayed epoch whose state version is already committed must
+    merge ZERO times: wipe the stream checkpoint (so availableNow
+    replays epochs 0..2 against the surviving state dir) and verify
+    the final counts are unchanged — a double-merge would double
+    them."""
+    docs = [(i, f"w{i % 4} common") for i in range(12)]
+    src = spark.createDataFrame(docs, "doc_id long, text string")
+    fixture = str(tmp_path / "fix")
+    os.makedirs(fixture)
+    src.selectExpr(
+        "doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+
+    base = str(tmp_path / "inc")
+    os.makedirs(base)
+    feed = write_micro_batch_feed(
+        spark.read.parquet(f"{fixture}/documents.parquet")
+        .select("doc_id", "text"),
+        base, 3, "doc_id",
+    )
+
+    def partial(bdf):
+        return (
+            bdf.select(F.explode(F.split("text", " ")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("n"))
+        )
+
+    def merge(prev, cur):
+        return (
+            prev.unionByName(cur).groupBy("tok").agg(F.sum("n").alias("n"))
+        )
+
+    first = sti.run_versioned_merge_stream(
+        spark, feed, "doc_id long, text string", "tok string, n long",
+        base, partial, merge,
+    )
+    got1 = {(r["tok"], r["n"]) for r in first.collect()}
+    assert ("common", 12) in got1
+
+    # lost-checkpoint restart: epochs 0..2 replay against committed state
+    shutil.rmtree(os.path.join(base, "_checkpoint"))
+    second = sti.run_versioned_merge_stream(
+        spark, feed, "doc_id long, text string", "tok string, n long",
+        base, partial, merge,
+    )
+    got2 = {(r["tok"], r["n"]) for r in second.collect()}
+    assert got2 == got1  # idempotent: no double-merge
+
+
+def test_source_copy_matrix_counts_distinct_docs(spark, tmp_path):
+    """docs_a/docs_b are distinct documents sharing material, NOT
+    doc-shingle incidences: two shared 8-grams carried by the same
+    two docs must count 2 docs, not 4 incidences."""
+    from etl_geonet_quakes_spark.llm.text import source_copy_matrix
+
+    sh1 = "a b c d e f g h"
+    sh2 = "p q r s t u v w"
+    rows = [
+        (1, f"{sh1} {sh2} uniq1a", "srcA"),
+        (2, f"{sh1} {sh2} uniq2a", "srcA"),
+        (3, f"{sh1} {sh2} uniq3b", "srcB"),
+    ]
+    fixture = str(tmp_path / "copyfix")
+    os.makedirs(fixture)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS LONG) AS n_chars",
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+    out = source_copy_matrix(spark, fixture, n=8).collect()
+    row = {(r["source_a"], r["source_b"]): r for r in out}[("srcA", "srcB")]
+    assert row["docs_a"] == 2  # distinct docs, not 2 docs × 2 shingles
+    assert row["docs_b"] == 1
+    # both 8-grams shared, plus the sliding windows that span sh1→sh2
+    assert row["n_shared_shingles"] >= 2

@@ -11,7 +11,39 @@ shown for flagged rows so noise is distinguishable from regression.
 from __future__ import annotations
 
 import json
+import re
+import statistics
 import sys
+
+
+def _from_truncated_tail(p, tail):
+    """Recover per-query data from a driver tail that keeps only the
+    last N chars of bench output (so the leading ``{"metric"`` is gone
+    and the text is not parseable JSON).  The per-query run arrays
+    (``"q38_minhash": [1.1, 1.0, 0.9]``) survive truncation for every
+    query after the cut point; medians are recomputed from them."""
+    runs = {}
+    for m in re.finditer(r'"(q\w+)":\s*\[([0-9.eE+\-,\s]+)\]', tail):
+        try:
+            vals = [float(x) for x in m.group(2).split(",")]
+        except ValueError:
+            continue  # array truncated mid-number at the cut point
+        runs[m.group(1)] = vals
+    if not runs:
+        raise ValueError(f"{p}: no per-query run arrays in truncated tail")
+    env = None
+    em = re.search(r'"env":\s*(\{[^{}]*\})', tail)
+    if em:
+        try:
+            env = json.loads(em.group(1))
+        except ValueError:
+            pass
+    return {
+        "queries": {q: statistics.median(v) for q, v in runs.items()},
+        "runs": runs,
+        "env": env,
+        "truncated": True,
+    }
 
 
 def main() -> None:
@@ -26,7 +58,9 @@ def main() -> None:
         if d.get("parsed"):
             return d["parsed"]
         tail = d["tail"]
-        return json.loads(tail[tail.index('{"metric"'):]) if '{"metric"' in tail             else json.loads("{" + tail[tail.index('"metric"'):])
+        if '{"metric"' in tail:
+            return json.loads(tail[tail.index('{"metric"'):])
+        return _from_truncated_tail(p, tail)
 
     old = load(old_p)
     new = load(new_p)
