@@ -111,3 +111,40 @@ def two_phase_strict_prefix_max(
     d = d.join(F.broadcast(_offsets(totals, bucket_col, "max")), bucket_col)
     d = d.withColumn(out_col, F.greatest("_local_mx", "_bkt_off"))
     return d.drop("_local_mx", "_bkt_off")
+
+
+def two_phase_rank_and_cumsum(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list,
+    value_col: str,
+    rank_col: str,
+    cum_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact global row_number AND inclusive running sum of
+    ``value_col`` in ONE two-phase pass: one local window produces
+    both statistics, one tiny totals frame carries (count, sum) per
+    bucket, one offsets window computes both exclusive prefixes, one
+    broadcast join attaches them — half the machinery of calling
+    ``two_phase_rank`` + ``two_phase_cumsum`` separately (the q192
+    plan-noise fix). Totals frame columns: bucket_col, BUCKET_TOTAL
+    (count), ``bkt_sum`` (value sum)."""
+    wl = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    wlr = wl.rowsBetween(Window.unboundedPreceding, 0)
+    d = df.withColumn("_local_rn", F.row_number().over(wl)).withColumn(
+        "_local_cs", F.sum(value_col).over(wlr)
+    )
+    totals = d.groupBy(bucket_col).agg(
+        F.count("*").alias(BUCKET_TOTAL),
+        F.sum(value_col).alias("bkt_sum"),
+    )
+    wo = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        bucket_col,
+        F.coalesce(F.sum(BUCKET_TOTAL).over(wo), F.lit(0)).alias("_off_n"),
+        F.coalesce(F.sum("bkt_sum").over(wo), F.lit(0)).alias("_off_s"),
+    )
+    d = d.join(F.broadcast(offs), bucket_col)
+    d = d.withColumn(rank_col, F.col("_off_n") + F.col("_local_rn"))
+    d = d.withColumn(cum_col, F.col("_off_s") + F.col("_local_cs"))
+    return d.drop("_local_rn", "_local_cs", "_off_n", "_off_s"), totals

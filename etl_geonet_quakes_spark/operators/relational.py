@@ -39,6 +39,7 @@ from etl_geonet_quakes_spark.operators.prefix import (
     BUCKET_TOTAL,
     two_phase_cumsum,
     two_phase_rank,
+    two_phase_rank_and_cumsum,
     two_phase_strict_prefix_max,
 )
 
@@ -3319,19 +3320,21 @@ def peak_concurrency(spark: SparkSession, sf_dir: str,
         deltas, "bkt", ["us", "delta", "user_id"], "delta", "open_now"
     )
     running = running.select("us", "open_now")
-    # single-row aggregates joined lazily (no build-time job): peak,
-    # first instant at peak, session count — all broadcast
-    n_sess = sess.agg(F.count("*").alias("n_sessions"))
-    peak = running.agg(F.max("open_now").alias("peak_concurrency"))
-    first_at = (
-        running.join(F.broadcast(peak))
-        .filter(F.col("open_now") == F.col("peak_concurrency"))
-        .agg(F.min("us").alias("first_peak_us"))
+    # ONE aggregate over the running sum: maximizing the struct
+    # (open_now, -us) lexicographically yields the peak AND the first
+    # instant it was reached — no second pass / re-join against a
+    # broadcast peak (the q166 plan-noise fix)
+    stats = running.agg(
+        F.max(F.struct(F.col("open_now"), (-F.col("us")).alias("nus"))).alias(
+            "m"
+        )
+    ).select(
+        F.col("m.open_now").alias("peak_concurrency"),
+        (-F.col("m.nus")).alias("first_peak_us"),
     )
-    return (
-        peak.join(F.broadcast(first_at))
-        .join(F.broadcast(n_sess))
-        .select("peak_concurrency", "first_peak_us", "n_sessions")
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return stats.join(F.broadcast(n_sess)).select(
+        "peak_concurrency", "first_peak_us", "n_sessions"
     )
 
 
@@ -4167,11 +4170,17 @@ def pareto_8020(spark: SparkSession, sf_dir: str,
     reaches ``revenue_share_pct``% of total, plus the exact revenue
     share they hold. Customers rank by revenue DESC through the
     shared two-phase prefix machinery (prefix.py: rank AND running
-    revenue in one pass over descending range buckets — never a
+    revenue FUSED in one pass over descending range buckets — never a
     global single-task window; the fourth reuse after q94/q135/q166).
 
     The threshold test is exact integer cents: cum·100 ≥ pct·total.
-    Tie-break (revenue, custkey) makes the cut row deterministic."""
+    Tie-break (revenue, custkey) makes the cut row deterministic.
+
+    Plan economy: one fused two-phase pass (one local window, one
+    tiny totals frame); the grand totals derive from the per-bucket
+    totals (no fact rescan) and the cut row is ONE min-struct
+    aggregate over the threshold rows (lexicographic min on rank
+    carries its cum along) — not a filter-agg followed by a re-join."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -4185,30 +4194,31 @@ def pareto_8020(spark: SparkSession, sf_dir: str,
     rev = rev.withColumn("neg", -F.col("cents")).withColumn(
         "bkt", F.expr(f"neg DIV {prefix_bucket_cents}")
     )
-    ranked, _ = two_phase_rank(rev, "bkt", ["neg", "o_custkey"], "rnk")
-    cum, _ = two_phase_cumsum(ranked, "bkt", ["neg", "o_custkey"], "cents", "cum")
-    totals = rev.agg(
-        F.sum("cents").alias("total_cents"),
-        F.count("*").alias("n_customers"),
+    cum, bkt_totals = two_phase_rank_and_cumsum(
+        rev, "bkt", ["neg", "o_custkey"], "cents", "rnk", "cum"
     )
-    hit = (
+    totals = bkt_totals.agg(
+        F.sum("bkt_sum").alias("total_cents"),
+        F.sum(BUCKET_TOTAL).alias("n_customers"),
+    )
+    cut = (
         cum.join(F.broadcast(totals))
         .filter(F.col("cum") * 100 >= revenue_share_pct * F.col("total_cents"))
-        .agg(F.min("rnk").alias("k_customers"))
+        .agg(F.min(F.struct("rnk", "cum")).alias("c"))
+        .select(
+            F.col("c.rnk").alias("k_customers"),
+            F.col("c.cum").alias("cut_cum"),
+        )
     )
     return (
-        hit.join(F.broadcast(totals))
-        .join(
-            cum.select(F.col("rnk").alias("k_customers"), "cum"),
-            "k_customers",
-        )
+        cut.join(F.broadcast(totals))
         .select(
             "k_customers",
             "n_customers",
             F.round(F.col("k_customers") / F.col("n_customers"), 6).alias(
                 "customer_share"
             ),
-            F.round(F.col("cum") / F.col("total_cents"), 6).alias(
+            F.round(F.col("cut_cum") / F.col("total_cents"), 6).alias(
                 "revenue_share"
             ),
         )

@@ -398,7 +398,6 @@ def stream_late_data_accounting(
 
     from etl_geonet_quakes_spark.streaming.feed import write_micro_batch_feed
 
-    e = _events_stream  # reuse schema probing via load_table below
     from etl_geonet_quakes_spark.io import load_table
 
     base = tempfile.mkdtemp(prefix="late_data_")
