@@ -655,3 +655,79 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str,
         )
     )
     return per_q.orderBy("query_id")
+
+
+def sparse_cosine_topk(
+    spark: SparkSession, sf_dir: str,
+    k: int = 5, max_df: int = 60, min_dot: int = 2,
+) -> DataFrame:
+    """Sparse term-frequency cosine top-k: for every document, the k
+    most TF-cosine-similar other documents, computed through an
+    INVERTED-INDEX join (the BM25/q101 posting shape turned
+    pairwise) — the lexical complement of the dense-embedding
+    brute force (q43): dot(a,b) = Σ_t tf_a·tf_b accumulates only
+    over SHARED tokens, so the join work is Σ_t |posting(t)|², never
+    |docs|².
+
+    The ``max_df`` cap drops tokens whose posting list exceeds it
+    from BOTH the pairing and the norms — the standard stop-word
+    guard that keeps Σ|posting|² bounded on dense vocabularies
+    (SCALE.md round-7: with a closed vocabulary, uncapped posting
+    lists grow ∝ corpus and the index join degenerates toward
+    all-pairs; the cap makes the semantics 'cosine over the
+    discriminative vocabulary', stated, not hidden). ``min_dot``
+    prunes noise pairs before the top-k window.
+
+    Exactness: tf counts, dot products and squared norms are exact
+    integers; cosine = dot / sqrt(na2·nb2) is one double expression
+    over them, rounded 6dp; top-k per doc via a doc-partitioned
+    window (parallel) with (cos, doc_b) ordering so ties are
+    deterministic."""
+    from etl_geonet_quakes_spark.llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    tf = d.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("t").agg(F.count("*").alias("df"))
+    kept = tf.join(
+        F.broadcast(df_tbl.filter(F.col("df") <= max_df)), "t"
+    ).select("doc_id", "t", "tf")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "t", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "t", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        .filter(F.col("dot") >= min_dot)
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.desc("cos"), "doc_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_a", "doc_b", "dot", "cos",
+                F.col("rn").cast("long").alias("rank"))
+        .orderBy("doc_a", "rank")
+    )

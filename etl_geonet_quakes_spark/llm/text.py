@@ -943,3 +943,54 @@ def source_copy_matrix(
         .orderBy(F.desc("n_shared_shingles"), "source_a", "source_b")
         .limit(top_n)
     )
+
+
+def source_kl_divergence(
+    spark: SparkSession, sf_dir: str,
+    src_a: str = "src0", src_b: str = "src1", top_k: int = 50,
+) -> DataFrame:
+    """Per-token KL-divergence contributions between two sources'
+    unigram distributions — the distribution-drift audit for TEXT
+    (the PSI q183 is its numeric sibling): which tokens make feed A
+    read differently from feed B, ranked by contribution
+    p_a·ln(p_a/p_b). The scalar KL is the column's sum; emitting
+    per-token rows keeps every float a single expression over exact
+    integer counts (no cross-token float fold) — the q183 float
+    discipline.
+
+    Only tokens present in BOTH sources rank (a one-sided token's
+    contribution is ±∞ — that's a vocabulary diff, q-coverage by
+    counts, not a divergence number); totals still count the FULL
+    distributions. At scale: one token explode + (tok) hash agg with
+    conditional partials (shuffle carries the two sources'
+    vocabulary), totals broadcast back, top-k sort on the tiny
+    shared-vocab frame."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(src_a, src_b)
+    )
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == src_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("source") == src_b, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    j = counts.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).join(
+        F.broadcast(tot)
+    )
+    p_a = F.col("n_a") / F.col("t_a")
+    p_b = F.col("n_b") / F.col("t_b")
+    kl = F.round(p_a * F.log(p_a / p_b), 6)
+    return (
+        j.select(
+            "tok",
+            "n_a",
+            "n_b",
+            F.round(p_a, 6).alias("p_a"),
+            F.round(p_b, 6).alias("p_b"),
+            kl.alias("kl_term"),
+        )
+        .orderBy(F.desc("kl_term"), "tok")
+        .limit(top_k)
+    )

@@ -4608,3 +4608,123 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str,
+                           window_days: int = 7) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue is
+    split equally across the user's touch events (non-purchase) in
+    the preceding ``window_days`` — the marketing-credit primitive
+    between first-touch (q49's as-of picks exactly one) and the
+    funnel counts (q103 counts users, not dollars).
+
+    Exactness: revenue → integer cents; each touch's share is
+    (cents·1000) DIV n_touches millicents — integer floor division,
+    identical in both engines for positive operands — so per-type
+    sums are exact integers and no float ever folds. The remainder
+    (< n per purchase) is deliberately unassigned, reported as the
+    audit column.
+
+    Shape: one per-user time-range join (purchases ⋈ preceding
+    events — per-user bounded; a hot user takes the q170
+    fragment-replicate treatment), touch counts per purchase via a
+    purchase-partitioned window (parallel), one (event_type) hash
+    agg. Output ordered by attributed share desc."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win_us = window_days * 86400 * 1_000_000
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("us").alias("p_us"),
+        F.col("event_id").alias("p_eid"),
+        F.col("cents").alias("p_cents"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "us", "event_id"
+    )
+    j = p.join(
+        t,
+        (F.col("p_uid") == F.col("user_id"))
+        & (F.col("us") < F.col("p_us"))
+        & (F.col("us") >= F.col("p_us") - F.lit(win_us)),
+    )
+    w = Window.partitionBy("p_eid")
+    j = j.withColumn("n_touches", F.count("*").over(w))
+    j = j.withColumn(
+        "share_mc", F.expr("(p_cents * 1000) DIV n_touches")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("p_eid").alias("n_purchases_touched"),
+            F.sum("share_mc").alias("attributed_millicents"),
+        )
+        .orderBy(F.desc("attributed_millicents"), "event_type")
+    )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str,
+                     anchor: str = "1998-12-31") -> DataFrame:
+    """RFM segmentation: score every customer 1–5 on Recency (days
+    since last order, lower = better), Frequency (order count) and
+    Monetary (exact cents revenue) against the quintile fences of the
+    customer population, then report the segment cube — the classic
+    CRM cohort cube built the scale-safe way: NO ntile (a global
+    single-task sort); scores come from comparing each customer's
+    exact integer statistic against four interpolated quintile
+    fences computed in ONE percentile aggregate (the q113
+    percentile/quantile_cont cross-engine parity), so scoring is an
+    embarrassingly-parallel projection.
+
+    score = 1 + Σ (v > fence_i) for the higher-is-better dimensions;
+    recency flips to 6 − that. Integer-vs-double compares are
+    deterministic (exact ints against identical interpolated
+    doubles). Output: (r, f, m) segment → customer count + exact
+    total cents, the 125-cell cube a campaign planner reads."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_c = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor).cast("date"), F.max("d")).alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum("cents").alias("mon"),
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    fences = per_c.agg(
+        F.expr(f"percentile(rec, {qs})").alias("fr"),
+        F.expr(f"percentile(freq, {qs})").alias("ff"),
+        F.expr(f"percentile(mon, {qs})").alias("fm"),
+    )
+
+    def bucket(col, fence):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(fence, 1)).cast("int")
+            + (F.col(col) > F.element_at(fence, 2)).cast("int")
+            + (F.col(col) > F.element_at(fence, 3)).cast("int")
+            + (F.col(col) > F.element_at(fence, 4)).cast("int")
+        )
+
+    scored = per_c.join(F.broadcast(fences)).select(
+        "o_custkey",
+        "mon",
+        (F.lit(6) - bucket("rec", F.col("fr"))).alias("r_score"),
+        bucket("freq", F.col("ff")).alias("f_score"),
+        bucket("mon", F.col("fm")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

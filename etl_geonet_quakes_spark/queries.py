@@ -5372,3 +5372,176 @@ SPECS["q208_dedup_savings"] = QuerySpec(
     "from the raw corpus — the marginal-value audit before paying for "
     "the heavier tier; exact counts, shared CC labels",
 )
+
+SPECS["q209_source_kl_divergence"] = QuerySpec(
+    text.source_kl_divergence,
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents WHERE source IN ('src0', 'src1')),
+         c AS (SELECT tok,
+                      SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                          AS n_a,
+                      SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                          AS n_b
+               FROM tok GROUP BY tok),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+                      CAST(SUM(n_b) AS BIGINT) AS t_b FROM c)
+    SELECT tok, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(n_a AS DOUBLE) / t_a, 6) AS p_a,
+           ROUND(CAST(n_b AS DOUBLE) / t_b, 6) AS p_b,
+           ROUND((CAST(n_a AS DOUBLE) / t_a)
+                 * ln((CAST(n_a AS DOUBLE) / t_a)
+                      / (CAST(n_b AS DOUBLE) / t_b)), 6) AS kl_term
+    FROM c CROSS JOIN t WHERE n_a > 0 AND n_b > 0
+    ORDER BY kl_term DESC, tok LIMIT 50
+    """,
+    "§2.3 text drift: per-token KL-divergence contributions between "
+    "two sources' unigram distributions (the text sibling of q183's "
+    "numeric PSI) — which tokens make feed A read differently; exact "
+    "counts, per-token single-expression floats, top-k on the shared "
+    "vocabulary",
+)
+
+SPECS["q210_multitouch_attribution"] = QuerySpec(
+    rel.multitouch_attribution,
+    f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us({_TS}) AS us,
+                      event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+         p AS (SELECT user_id AS p_uid, us AS p_us, event_id AS p_eid,
+                      cents AS p_cents
+               FROM e WHERE event_type = 'purchase'),
+         tt AS (SELECT user_id, event_type, us
+                FROM e WHERE event_type <> 'purchase'),
+         j AS (SELECT p_eid, p_cents, event_type,
+                      COUNT(*) OVER (PARTITION BY p_eid) AS n_t
+               FROM p JOIN tt ON p_uid = tt.user_id AND tt.us < p_us
+                             AND tt.us >= p_us - CAST({7 * 86400 * 1_000_000}
+                                                      AS BIGINT))
+    SELECT event_type, COUNT(*) AS n_touches,
+           COUNT(DISTINCT p_eid) AS n_purchases_touched,
+           CAST(SUM((p_cents * 1000) // n_t) AS BIGINT)
+               AS attributed_millicents
+    FROM j GROUP BY event_type
+    ORDER BY attributed_millicents DESC, event_type
+    """,
+    "§2.2 analytics: linear multi-touch attribution — each purchase's "
+    "revenue split equally (integer floor millicents, remainder "
+    "unassigned by design) across the user's preceding-7-day touch "
+    "events; per-user bounded time-range join + purchase-partitioned "
+    "window + one hash agg",
+)
+
+SPECS["q211_sparse_cosine_topk"] = QuerySpec(
+    similarity.sparse_cosine_topk,
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+         tf AS (SELECT doc_id, t, COUNT(*) AS tf
+                FROM tok GROUP BY doc_id, t),
+         dfb AS (SELECT t FROM tf GROUP BY t HAVING COUNT(*) <= 60),
+         kept AS (SELECT tf.doc_id, tf.t, tf.tf
+                  FROM tf JOIN dfb USING (t)),
+         norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+                   FROM kept GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                  FROM kept a JOIN kept b
+                    ON a.t = b.t AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2 HAVING SUM(a.tf * b.tf) >= 2),
+         scored AS (SELECT doc_a, doc_b, dot,
+                           ROUND(dot / sqrt(CAST(na.n2 AS DOUBLE)
+                                            * CAST(nb.n2 AS DOUBLE)), 6)
+                               AS cos
+                    FROM dots JOIN norms na ON na.doc_id = doc_a
+                              JOIN norms nb ON nb.doc_id = doc_b),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+                    ORDER BY cos DESC, doc_b) AS rnk
+                FROM scored)
+    SELECT doc_a, doc_b, dot, cos, CAST(rnk AS BIGINT) AS rank
+    FROM rk WHERE rnk <= 5 ORDER BY doc_a, rank
+    """,
+    "§2.3 similarity: sparse TF-cosine top-k per document via "
+    "inverted-index join (Σ|posting|² work, df-capped postings — the "
+    "SCALE.md round-7 density guard) — lexical complement of q43's "
+    "dense brute force; integer dot/norms, one guarded double, "
+    "doc-partitioned top-k window",
+)
+
+SPECS["q212_local_clustering"] = QuerySpec(
+    dedup.local_clustering_coefficient,
+    """
+    -- per-vertex clustering over the SAME pair set as q115's oracle
+    -- (d/e CTEs verbatim); naive canonical a<b<c triangle enumeration
+    -- exploded to corners — per-vertex counts are orientation-
+    -- invariant, so this checks the degree-oriented Spark join's
+    -- enumeration exactly
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    trv AS (SELECT v, COUNT(*) AS n_tri FROM (
+                SELECT unnest([e1.ea, e1.eb, e2.eb]) AS v
+                FROM e e1 JOIN e e2 ON e2.ea = e1.eb
+                          JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+            ) x GROUP BY v),
+    deg AS (SELECT v, COUNT(*) AS deg FROM
+            (SELECT ea AS v FROM e UNION ALL SELECT eb FROM e)
+            GROUP BY v)
+    SELECT deg.v AS doc_id, deg.deg,
+           CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg >= 2
+                THEN ROUND(2.0 * COALESCE(n_tri, 0)
+                           / (deg * (deg - 1)), 6) END AS local_cc
+    FROM deg LEFT JOIN trv ON trv.v = deg.v ORDER BY doc_id
+    """,
+    "§2.3 graph: per-vertex local clustering coefficient of the "
+    "near-dup graph (dense-clique vs chain-joint diagnostic for "
+    "transitive-closure safety) — degree-oriented triangle "
+    "ENUMERATION exploded to corners, O(E^1.5) wedges",
+)
+
+SPECS["q213_rfm_segmentation"] = QuerySpec(
+    rel.rfm_segmentation,
+    """
+    WITH per_c AS (SELECT o_custkey,
+                          datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                                   DATE '1998-12-31') AS rec,
+                          COUNT(*) AS freq,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS mon
+                   FROM orders GROUP BY 1),
+         f AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS fr,
+                      quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS ff,
+                      quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS fm
+               FROM per_c),
+         s AS (SELECT o_custkey, mon,
+                      6 - (1 + CAST(rec > fr[1] AS INT)
+                             + CAST(rec > fr[2] AS INT)
+                             + CAST(rec > fr[3] AS INT)
+                             + CAST(rec > fr[4] AS INT)) AS r_score,
+                      1 + CAST(freq > ff[1] AS INT)
+                        + CAST(freq > ff[2] AS INT)
+                        + CAST(freq > ff[3] AS INT)
+                        + CAST(freq > ff[4] AS INT) AS f_score,
+                      1 + CAST(mon > fm[1] AS INT)
+                        + CAST(mon > fm[2] AS INT)
+                        + CAST(mon > fm[3] AS INT)
+                        + CAST(mon > fm[4] AS INT) AS m_score
+               FROM per_c CROSS JOIN f)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(mon) AS BIGINT) AS total_cents
+    FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "§2.2 analytics: RFM segmentation cube — quintile scores from ONE "
+    "percentile aggregate (no ntile global sort; the q113 "
+    "percentile/quantile_cont parity), scoring as a parallel "
+    "projection, exact cents; the CRM cohort cube",
+)
