@@ -5545,3 +5545,30 @@ SPECS["q213_rfm_segmentation"] = QuerySpec(
     "percentile/quantile_cont parity), scoring as a parallel "
     "projection, exact cents; the CRM cohort cube",
 )
+
+SPECS["q214_stream_outer_join"] = QuerySpec(
+    stw.stream_outer_join,
+    """
+    -- q75's inner join, outer leg: unmatched clicks emit null-padded.
+    -- The stream only produces these rows via watermark eviction
+    -- (time-ordered feed + dual-side sentinel flush batches), so the
+    -- hash gate certifies the null-emission contract itself.
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                      CAST(ts AS TIMESTAMP) AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, c.user_id, p.purchase_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+    FROM c LEFT JOIN p
+      ON p.p_user = c.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 48 HOUR
+    ORDER BY c.click_id, p.purchase_id
+    """,
+    "§2.2 streaming: stream-stream LEFT OUTER interval join ≡ batch "
+    "left join — null rows exist only through watermark-driven state "
+    "eviction; time-ordered feed + dual-side sentinels make the "
+    "emission deterministic (see stream_outer_join docstring)",
+)

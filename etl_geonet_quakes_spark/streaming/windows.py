@@ -449,3 +449,97 @@ def stream_late_data_accounting(
         .select(F.to_date(F.col("w_start")).alias("day"), "n")
         .orderBy("day")
     )
+
+
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join with a certified
+    null-emission contract: every click joins the same user's
+    purchases in the following 48 hours; clicks that never match MUST
+    still emit, null-padded, once the watermark proves no match can
+    arrive. q75 certified the inner-join leg; this certifies the
+    outer leg — the one whose result Spark only produces through
+    watermark-driven state eviction, so it exactly-oracles the
+    eviction machinery itself (a plain batch LEFT JOIN in DuckDB).
+
+    Three things make the replay faithful rather than flaky, all
+    measured on this fixture (probe: 120/192 matches, 50/76 nulls →
+    192/192, 76/76):
+
+    * the feed is TIME-ORDERED (``write_time_ordered_feed``) — hash
+      batches arrive out of time order, the watermark jumps ahead,
+      and whole earlier batches are dropped as late;
+    * TWO trailing far-future sentinel batches: eviction nulls for
+      state closed by the watermark of batch *N* are emitted while
+      processing batch *N+1*, so one sentinel advances the watermark
+      past every real click's ``click_ts + 48h`` bound and the second
+      gives Spark a batch in which to emit;
+    * the sentinels feed BOTH sides: with the default ``min``
+      multiple-watermark policy, a sentinel on one side leaves the
+      other side's watermark at the fixture's max event time and the
+      last ~48 h of unmatched clicks never evict (measured: 70/76).
+
+    Scale: state is bounded by 48 h of clicks + purchases per the
+    eviction bounds Spark derives from the join condition — the only
+    sustainable outer-join shape at 100 TB/day. Reference analog:
+    task.ts:142-143's restart-the-world refetch never needs eviction;
+    this is the streaming-native equivalent, contract made auditable.
+    """
+    import os
+    import tempfile
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.streaming.feed import write_time_ordered_feed
+
+    base = tempfile.mkdtemp(prefix="outer_join_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    hi = ev.agg(F.max("ts")).first()[0]
+    sentinels = tuple(
+        ev.limit(1).select(
+            F.lit(-1 - j).cast("long").alias("event_id"),
+            (F.lit(hi) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+        )
+        for j in range(2)
+    )
+    feed = write_time_ordered_feed(ev, base, 4, "ts", trailing=sentinels)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kinds, id_alias, user_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .filter(F.col("event_type").isin(*kinds))
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    clicks = side(["click", "sentinel"], "click_id", "user_id", "click_ts")
+    purchases = side(["purchase", "sentinel"], "purchase_id", "p_user", "purchase_ts")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 48 HOURS")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    name = _run_to_memory(out, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("click_id") >= 0)
+        .orderBy("click_id", "purchase_id")
+    )

@@ -127,3 +127,46 @@ def test_source_copy_matrix_counts_distinct_docs(spark, tmp_path):
     assert row["docs_b"] == 1
     # both 8-grams shared, plus the sliding windows that span sh1→sh2
     assert row["n_shared_shingles"] >= 2
+
+
+def test_time_ordered_feed_orders_batches_and_stamps_mtimes(spark, tmp_path):
+    """write_time_ordered_feed: batch files partition rows into
+    non-overlapping ascending time ranges, trailing batches append
+    after them, and mtimes strictly increase in that same order
+    (FileStreamSource replays by mtime — the invariant q214's
+    watermark correctness hangs on)."""
+    from etl_geonet_quakes_spark.streaming.feed import write_time_ordered_feed
+
+    df = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    sentinel = df.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    base = str(tmp_path / "feed_base")
+    os.makedirs(base)
+    feed = write_time_ordered_feed(df, base, 4, "ts", trailing=(sentinel,))
+
+    files = sorted(os.listdir(feed))
+    assert files == ["b000.parquet", "b001.parquet", "b002.parquet",
+                     "b003.parquet", "b004.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(feed, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+
+    prev_max = None
+    total = 0
+    for f in files[:4]:
+        part = spark.read.parquet(os.path.join(feed, f))
+        lo, hi = part.agg(F.min("ts"), F.max("ts")).first()
+        n = part.count()
+        assert n > 0
+        total += n
+        if prev_max is not None:
+            assert lo > prev_max  # ranges never interleave
+        prev_max = hi
+    assert total == 100
+    trail = spark.read.parquet(os.path.join(feed, files[4]))
+    assert [r.event_id for r in trail.collect()] == [-1]
