@@ -5572,3 +5572,85 @@ SPECS["q214_stream_outer_join"] = QuerySpec(
     "eviction; time-ordered feed + dual-side sentinels make the "
     "emission deterministic (see stream_outer_join docstring)",
 )
+
+SPECS["q215_cross_corpus_dedup"] = QuerySpec(
+    dedup.cross_corpus_contamination,
+    f"""
+    -- oracle = exact all-pairs train×test Jaccard at τ=7/10; valid
+    -- against the R-S prefix filter because completeness is the same
+    -- theorem (prefixes cut against ONE union-wide df order).
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, {{_SHINGLES}} AS sh FROM t),
+         p AS (SELECT a.doc_id AS doc_train, b.doc_id AS doc_test,
+                      len(list_intersect(a.sh, b.sh)) AS n_common,
+                      len(list_distinct(list_concat(a.sh, b.sh)))
+                          AS n_union
+               FROM s a JOIN s b
+                 ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                AND 7 * greatest(len(a.sh), len(b.sh))
+                    <= 10 * least(len(a.sh), len(b.sh)))
+    SELECT doc_train, doc_test, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS jaccard
+    FROM p WHERE 10 * n_common >= 7 * n_union
+    ORDER BY doc_train, doc_test
+    """.format(_SHINGLES=_SHINGLES),
+    "§2.3 near-dup: TRAIN/TEST CONTAMINATION join — exact Jaccard "
+    "across two disjoint corpora via the R-S (two-relation) form of "
+    "the PPJoin prefix filter, df order computed over the union "
+    "(the completeness-critical invariant), positional bound carried "
+    "over; the eval-leakage audit, candidate cost |A∩bkt|·|B∩bkt|",
+)
+
+SPECS["q216_minhash_accuracy"] = QuerySpec(
+    dedup.minhash_estimator_audit,
+    f"""
+    -- md5-based MinHash recomputed VERBATIM (the q43 SimHash
+    -- discipline): 32 hash families bigint(md5(seed‖shingle)[:15]),
+    -- signature = per-seed min, estimate = matching positions / 32,
+    -- bands = 8×4 all-equal slices. True-pair set = q125's exact
+    -- integer-compared Jaccard CTE.
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, {{_SHINGLES}} AS sh FROM t),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          len(list_intersect(a.sh, b.sh)) AS n_common,
+                          len(list_distinct(list_concat(a.sh, b.sh)))
+                              AS n_union
+                   FROM s a JOIN s b
+                     ON a.doc_id < b.doc_id
+                    AND 7 * greatest(len(a.sh), len(b.sh))
+                        <= 10 * least(len(a.sh), len(b.sh))
+                   WHERE 10 * len(list_intersect(a.sh, b.sh))
+                         >= 7 * len(list_distinct(list_concat(a.sh, b.sh)))),
+         m AS (SELECT doc_id, seeds.seed,
+                      MIN(CAST(concat('0x', substring(md5(concat(
+                              CAST(seeds.seed AS VARCHAR), ':', u.el)),
+                          1, 15)) AS BIGINT)) AS mh
+               FROM s, unnest(s.sh) AS u(el),
+                    (SELECT unnest(range(0, 32)) AS seed) seeds
+               GROUP BY doc_id, seeds.seed),
+         sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig
+                 FROM m GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_common AS DOUBLE) / p.n_union, 6) AS jaccard,
+           ROUND(len(list_filter(range(1, 33),
+                     i -> sa.sig[i] = sb.sig[i])) / 32.0, 6)
+               AS jaccard_est,
+           CAST(len(list_filter(range(0, 8),
+                    b -> sa.sig[b*4+1] = sb.sig[b*4+1]
+                     AND sa.sig[b*4+2] = sb.sig[b*4+2]
+                     AND sa.sig[b*4+3] = sb.sig[b*4+3]
+                     AND sa.sig[b*4+4] = sb.sig[b*4+4])) AS INTEGER)
+               AS n_shared_bands
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """.format(_SHINGLES=_SHINGLES),
+    "§2.3 near-dup: MinHash/LSH DESIGN AUDIT — per true pair the "
+    "32-hash estimate error and 8×4 band collision count, md5 hash "
+    "families bit-identical in both engines so the estimator and "
+    "recall arithmetic are cross-engine EXACT, not statistically "
+    "argued; prices q38's band/row trade-off with measured columns",
+)
