@@ -731,3 +731,101 @@ def sparse_cosine_topk(
                 F.col("rn").cast("long").alias("rank"))
         .orderBy("doc_a", "rank")
     )
+
+
+# --- Johnson–Lindenstrauss projection audit -------------------------
+
+JL_K = 16  # target dimensionality of the sketch
+
+
+def jl_signs(k: int = JL_K, dim: int = DIM) -> list[list[int]]:
+    """Deterministic Rademacher ±1 projection matrix: sign(c, j) =
+    +1 iff the md5 of "c:j" has an even low hex digit — the same
+    engine-independent md5 discipline as dedup.md5_feature_hash, so
+    an external oracle regenerates the identical matrix (DuckDB
+    replays it inline as literals; both derivations are pinned equal
+    in tests). Hash-derived instead of rng-seeded so NO numpy state
+    is part of the contract."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{c}:{j}".encode()).hexdigest()[15], 16) % 2 == 0
+            else -1
+            for j in range(dim)
+        ]
+        for c in range(k)
+    ]
+
+
+def jl_projection_audit(
+    spark: SparkSession, sf_dir: str, k: int = JL_K, sample_mod: int = 10
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distance audit: project
+    every sampled embedding from DIM=64 to k=16 via a deterministic
+    Rademacher ±1 matrix, then report, for every sampled pair, the
+    squared L2 distance before and after and the distortion ratio
+    (d²_proj / k) / d²_orig — the measured ε of the JL lemma on this
+    corpus, the audit a pipeline runs before trusting a sketch
+    dimension for dedup/ANN.
+
+    Scale shape: the projection is a per-row map (k fold-left dot
+    products against BROADCAST-LITERAL sign rows — constant-folded,
+    no shuffle, no UDF); the pair audit runs on a mod-sampled slice
+    (|sample|² pairs, bounded by construction) while production would
+    project the full 100 TB corpus with the same map. Fold order is
+    ascending-j on both engines (F.aggregate ≡ DuckDB list_reduce),
+    so sums are bit-identical; outputs still round 6dp per module
+    float discipline. Ties/NaNs: zero-norm originals are excluded
+    (division guard), pairs ordered a < b."""
+    signs = jl_signs(k)
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    ).filter(F.col("vec_id") % sample_mod == 0)
+    proj = e.select(
+        "vec_id",
+        "v",
+        F.array(
+            *[
+                dot(F.col("v"), F.array(*[F.lit(float(s)) for s in row]))
+                for row in signs
+            ]
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+
+    def d2(u: Column, w: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            d2(F.col("va"), F.col("vb")).alias("d2_orig"),
+            (d2(F.col("pa"), F.col("pb")) / F.lit(float(k))).alias("d2_proj"),
+        )
+        .filter(F.col("d2_orig") > 0)
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round("d2_orig", 6).alias("d2_orig"),
+        F.round("d2_proj", 6).alias("d2_proj"),
+        F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("distortion"),
+    ).orderBy("vec_a", "vec_b")

@@ -5654,3 +5654,132 @@ SPECS["q216_minhash_accuracy"] = QuerySpec(
     "recall arithmetic are cross-engine EXACT, not statistically "
     "argued; prices q38's band/row trade-off with measured columns",
 )
+
+SPECS["q217_record_linkage"] = QuerySpec(
+    rel.record_linkage,
+    """
+    -- blocking is lossless for |Δbal| ≤ band = bucket width, so the
+    -- oracle skips the blocks and scores the banded pairs directly.
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents
+               FROM customer),
+         s AS (SELECT s_suppkey, s_name, s_nationkey,
+                      CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_cents
+               FROM supplier),
+         p AS (SELECT c.c_custkey, s.s_suppkey,
+                      CAST(c.c_nationkey = s.s_nationkey AS BIGINT)
+                          AS nation_match,
+                      ABS(c.c_cents - s.s_cents) AS delta_cents,
+                      CAST(levenshtein(c.c_name, s.s_name) AS BIGINT)
+                          AS name_lev
+               FROM c JOIN s
+                 ON ABS(c.c_cents - s.s_cents) <= 2000),
+         r AS (SELECT *,
+                      1000 * nation_match + (2000 - delta_cents)
+                          - 10 * name_lev AS score,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY c_custkey
+                          ORDER BY 1000 * nation_match + (2000 - delta_cents)
+                                   - 10 * name_lev DESC,
+                                   s_suppkey) AS rn
+               FROM p)
+    SELECT c_custkey, s_suppkey, nation_match, delta_cents, name_lev, score
+    FROM r WHERE rn = 1 ORDER BY c_custkey
+    """,
+    "§2.3 entity resolution: blocked record linkage customer↔supplier "
+    "— balance-bucket blocking with adjacent-bucket replication "
+    "(lossless, floor-div so negative balances hold), "
+    "Fellegi–Sunter integer score (1000·nation agreement + balance "
+    "closeness − 10·levenshtein; comparison fields ≠ blocking "
+    "fields), deterministic best-match per record; candidate work "
+    "Σ_blk |C|·|S|, never |C|×|S|",
+)
+
+SPECS["q218_ivm_refresh"] = QuerySpec(
+    rel.ivm_incremental_refresh,
+    """
+    -- direct recompute over base ∪ Δ: the hash gate certifies
+    -- view(base ∪ Δ) = merge(view(base), view(Δ)).
+    SELECT c_nationkey AS nationkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           COUNT(*) FILTER (WHERE o_orderdate >= DATE '1998-01-01')
+               AS n_delta_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.2 incremental view maintenance: (nation, year) revenue view "
+    "refreshed by delta-partition aggregation + full-outer "
+    "coalesce-add merge — the merge shuffles |view|+|Δ-groups| rows, "
+    "never the fact; oracle recomputes directly so the gate proves "
+    "the distributive-merge algebra incl. delta-born groups",
+)
+
+SPECS["q220_volume_shipping"] = QuerySpec(
+    rel.volume_shipping,
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(8,4))
+                       - CAST(l_discount AS DECIMAL(8,4))))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "§2.2 joins: TPC-H Q7 international trade flow — 5-way "
+    "star-snowflake chain with both nation legs + customer + "
+    "supplier broadcast, ship-window pushed to the fact scan, "
+    "revenue cents-exact; ONE big shuffle (lineitem↔orders)",
+)
+
+SPECS["q219_jl_projection"] = QuerySpec(
+    similarity.jl_projection_audit,
+    """
+    -- Rademacher matrix inlined verbatim (md5-derived, pinned equal
+    -- to jl_signs() in tests); folds ascend j/c on both engines.
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings
+               WHERE vec_id % 10 = 0
+                 AND list_reduce(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (a, b) -> a + b) > 0),
+         p AS (SELECT vec_id, v,
+                      list_transform(range(1, 17),
+                          c -> list_reduce(
+                                   list_transform(range(1, 65),
+                                       j -> [[1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1], [-1, -1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1], [-1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1], [1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1], [1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1], [-1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1], [-1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1], [-1, -1, 1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1], [1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1], [1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1], [-1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1], [1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1], [-1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1], [-1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, -1], [1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1], [-1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1]][c][j] * v[j]),
+                                   (a, b) -> a + b)) AS p
+               FROM e),
+         d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_reduce(list_transform(range(1, 65),
+                          j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j])),
+                          (x, y) -> x + y) AS d2_orig,
+                      list_reduce(list_transform(range(1, 17),
+                          c -> (a.p[c] - b.p[c]) * (a.p[c] - b.p[c])),
+                          (x, y) -> x + y) / 16.0 AS d2_proj
+               FROM p a JOIN p b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           ROUND(d2_orig, 6) AS d2_orig,
+           ROUND(d2_proj, 6) AS d2_proj,
+           ROUND(d2_proj / d2_orig, 6) AS distortion
+    FROM d WHERE d2_orig > 0 ORDER BY vec_a, vec_b
+    """,
+    "§2.3 similarity: Johnson–Lindenstrauss projection audit — "
+    "64→16-dim Rademacher sketch (md5-derived ±1 matrix, "
+    "constant-folded literal rows, no shuffle to project), per-pair "
+    "d² before/after + distortion ratio on a mod-sampled slice; "
+    "the measured-ε gate before trusting a sketch dim at 100 TB",
+)

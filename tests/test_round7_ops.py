@@ -170,3 +170,84 @@ def test_time_ordered_feed_orders_batches_and_stamps_mtimes(spark, tmp_path):
     assert total == 100
     trail = spark.read.parquet(os.path.join(feed, files[4]))
     assert [r.event_id for r in trail.collect()] == [-1]
+
+
+def test_jl_signs_deterministic_and_inlined_in_oracle():
+    """The Rademacher matrix is md5-derived (no rng state in the
+    contract): regenerating it must reproduce the exact literal the
+    q219 oracle carries, so the two engines can never drift."""
+    from etl_geonet_quakes_spark.llm.similarity import DIM, JL_K, jl_signs
+    from etl_geonet_quakes_spark.queries import SPECS
+
+    m = jl_signs()
+    assert len(m) == JL_K and all(len(r) == DIM for r in m)
+    assert all(v in (-1, 1) for r in m for v in r)
+    # both signs actually occur (a degenerate all-+1 matrix would
+    # collapse the projection to a plain coordinate sum)
+    flat = [v for r in m for v in r]
+    assert -1 in flat and 1 in flat
+    lit = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in m
+    ) + "]"
+    assert lit in SPECS["q219_jl_projection"].oracle
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    """JL lemma sanity on the fixture: the mean distortion over the
+    sampled pairs sits near 1 (unbiasedness of the Rademacher
+    sketch), and no pair collapses to zero."""
+    from etl_geonet_quakes_spark.llm.similarity import jl_projection_audit
+
+    rows = jl_projection_audit(spark, sf_dir).collect()
+    assert rows, "sampled pair set must be non-empty"
+    ds = [r["distortion"] for r in rows]
+    assert all(d > 0 for d in ds)
+    mean = sum(ds) / len(ds)
+    assert 0.7 < mean < 1.3, mean
+
+
+def test_record_linkage_blocking_is_lossless(spark, sf_dir):
+    """The balance-bucket blocking with adjacent-bucket replication
+    must link EXACTLY the customers an unblocked banded cross-join
+    links — including across negative-balance bucket boundaries
+    (floor-div, not trunc-div)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.operators.relational import record_linkage
+
+    blocked = record_linkage(spark, sf_dir, band_cents=2000)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
+    )
+    unblocked = (
+        c.crossJoin(s)
+        .filter(F.abs(F.col("c_cents") - F.col("s_cents")) <= 2000)
+        .select("c_custkey")
+        .distinct()
+    )
+    got = sorted(r["c_custkey"] for r in blocked.select("c_custkey").collect())
+    want = sorted(r["c_custkey"] for r in unblocked.collect())
+    assert got and got == want
+
+
+def test_ivm_refresh_exercises_delta_born_groups(spark, sf_dir):
+    """The full-outer + coalesce merge must be live on both legs:
+    the fixture has groups carried over untouched (n_delta_orders =
+    0) AND groups with delta activity; totals reconcile."""
+    from etl_geonet_quakes_spark.operators.relational import (
+        ivm_incremental_refresh,
+    )
+
+    rows = ivm_incremental_refresh(spark, sf_dir).collect()
+    assert any(r["n_delta_orders"] == 0 for r in rows)
+    assert any(r["n_delta_orders"] > 0 for r in rows)
+    # delta-born groups (all orders in delta) prove the full-outer
+    # leg where base has no row
+    assert any(r["n_delta_orders"] == r["n_orders"] for r in rows)
+    assert all(0 <= r["n_delta_orders"] <= r["n_orders"] for r in rows)
