@@ -829,3 +829,75 @@ def jl_projection_audit(
         F.round("d2_proj", 6).alias("d2_proj"),
         F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("distortion"),
     ).orderBy("vec_a", "vec_b")
+
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two corpus halves
+    (even vs odd vec_ids — in production: two time windows): for
+    every label, the L2 distance and cosine similarity between the
+    two halves' mean vectors — SEMANTIC drift, the embedding-space
+    sibling of the lexical drift family (q183 PSI / q209 KL / q221
+    KS all compare scalar distributions; this compares where each
+    class LIVES in representation space).
+
+    Exactness (the module discipline applied to vector means): each
+    component is rounded 6dp then cast DECIMAL(28,6), so per-
+    dimension sums are associative ⇒ partition-order-independent and
+    engine-exact; the mean's single double division and the final
+    fold-ascending distance/cosine are then bit-reproducible, rounded
+    6dp on emit. Distributed shape: posexplode to (label, half, dim)
+    → ONE partial+final hash agg (64·|labels|·2 groups — tiny), means
+    reassembled into ordered arrays via array_sort(collect_list) over
+    the 64-row groups; the |corpus|-sized input is touched exactly
+    once, nothing collects."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).cast("long").alias("h"),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    )
+    per_dim = e.groupBy("label", "h", "pos").agg(
+        F.sum(
+            F.round(F.col("x").cast("double"), 6).cast("decimal(28,6)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    per_half = per_dim.groupBy("label", "h").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("string").cast("double") / F.col("n"))
+                        .alias("m"),
+                    )
+                )
+            ),
+            lambda st: st.m,
+        ).alias("m"),
+        F.first("n").alias("n"),
+    )
+    ev = per_half.filter(F.col("h") == 0).select(
+        "label", F.col("m").alias("me"), F.col("n").alias("n_even")
+    )
+    od = per_half.filter(F.col("h") == 1).select(
+        "label", F.col("m").alias("mo"), F.col("n").alias("n_odd")
+    )
+
+    def fold(col: Column) -> Column:
+        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x)
+
+    d2 = fold(F.zip_with(F.col("me"), F.col("mo"), lambda a, b: (a - b) * (a - b)))
+    dotp = fold(F.zip_with(F.col("me"), F.col("mo"), lambda a, b: a * b))
+    na2 = fold(F.transform(F.col("me"), lambda a: a * a))
+    nb2 = fold(F.transform(F.col("mo"), lambda a: a * a))
+    return (
+        ev.join(od, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round(F.sqrt(d2), 6).alias("l2_drift"),
+            F.round(dotp / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("cos_sim"),
+        )
+        .orderBy("label")
+    )

@@ -4941,3 +4941,85 @@ def volume_shipping(spark: SparkSession, sf_dir: str,
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str,
+                  bucket_cents: int = 100_000) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    order-value distributions of finished ('F') and open ('O')
+    orders: D = max_x |F_A(x) − F_B(x)| — the distribution-drift
+    family's third leg (q183 PSI buckets, q209 KL per-token, this:
+    the sup-norm ECDF distance with NO binning bias).
+
+    Exactness: work in integer cents and keep D as the integer
+    numerator max_x |cum_A(x)·n_B − cum_B(x)·n_A| over the common
+    denominator n_A·n_B, so the max and its argmax are integer
+    compares — the double division happens once at the end. The
+    ECDFs need a global running sum over distinct values; that runs
+    as the two-phase prefix shape (operators/prefix.py) with BOTH
+    sides' cumsums fused into ONE local window + ONE tiny offsets
+    frame (the q166/q192 plan-noise lesson applied from the start).
+    Argmax tie-break: smallest cents value, via one max-struct
+    aggregate. At 100 TB: Σ work is the distinct-value aggregation;
+    the ordered window touches only per-bucket totals."""
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("ia"),
+        )
+    )
+    v = s.groupBy("cents").agg(
+        F.sum("ia").alias("va"),
+        F.sum(F.lit(1) - F.col("ia")).alias("vb"),
+    ).withColumn("bkt", F.floor(F.col("cents") / bucket_cents).cast("long"))
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = v.withColumn("la", F.sum("va").over(wl)).withColumn(
+        "lb", F.sum("vb").over(wl)
+    )
+    totals = v.groupBy("bkt").agg(
+        F.sum("va").alias("ta"), F.sum("vb").alias("tb")
+    )
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(wo), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(wo), F.lit(0)).alias("ob"),
+    )
+    grand = totals.agg(
+        F.sum("ta").alias("n_a"), F.sum("tb").alias("n_b")
+    )
+    scored = (
+        d.join(F.broadcast(offs), "bkt")
+        .join(F.broadcast(grand))
+        .select(
+            "n_a",
+            "n_b",
+            "cents",
+            F.abs(
+                (F.col("oa") + F.col("la")) * F.col("n_b")
+                - (F.col("ob") + F.col("lb")) * F.col("n_a")
+            ).alias("d_num"),
+        )
+    )
+    best = scored.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(F.struct(F.col("d_num"), (-F.col("cents")).alias("neg")))
+        .alias("mx"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("mx.d_num").alias("ks_num"),
+        (-F.col("mx.neg")).alias("at_cents"),
+        F.round(
+            F.col("mx.d_num") / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks"),
+    )

@@ -5783,3 +5783,128 @@ SPECS["q219_jl_projection"] = QuerySpec(
     "d² before/after + distortion ratio on a mod-sampled slice; "
     "the measured-ε gate before trusting a sketch dim at 100 TB",
 )
+
+SPECS["q221_ks_test"] = QuerySpec(
+    rel.ks_two_sample,
+    """
+    -- integer-numerator KS: D kept as max|cumA·nB − cumB·nA| over
+    -- the common denominator, one double division at the end.
+    WITH s AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderstatus = 'F' AS BIGINT) AS ia
+               FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         v AS (SELECT cents, SUM(ia) AS va, SUM(1 - ia) AS vb
+               FROM s GROUP BY 1),
+         t AS (SELECT SUM(ia) AS n_a, SUM(1 - ia) AS n_b FROM s),
+         c AS (SELECT cents,
+                      SUM(va) OVER (ORDER BY cents) AS ca,
+                      SUM(vb) OVER (ORDER BY cents) AS cb
+               FROM v),
+         d AS (SELECT cents,
+                      ABS(ca * t.n_b - cb * t.n_a) AS d_num,
+                      t.n_a, t.n_b
+               FROM c CROSS JOIN t)
+    SELECT n_a, n_b, d_num AS ks_num, cents AS at_cents,
+           ROUND(CAST(d_num AS DOUBLE) / (n_a * n_b), 6) AS ks
+    FROM d ORDER BY d_num DESC, cents ASC LIMIT 1
+    """,
+    "§2.2 statistics: exact two-sample Kolmogorov–Smirnov over order "
+    "values (F vs O) — sup-norm ECDF distance, integer numerator so "
+    "max+argmax are integer compares; fused two-phase cumsum for "
+    "both ECDFs (one local window + one tiny offsets frame)",
+)
+
+SPECS["q222_label_propagation"] = QuerySpec(
+    dedup.label_propagation,
+    """
+    -- two propagation rounds unrolled as SQL layers; clamped
+    -- labels, deterministic mode (count desc, label asc).
+    WITH d AS (SELECT doc_id, lang, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+         e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+               FROM d a JOIN d b
+                 ON a.source = b.source AND a.doc_id < b.doc_id
+                AND least(len(a.tk), len(b.tk))
+                    >= 0.8 * greatest(len(a.tk), len(b.tk))
+               WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tk, b.tk)))
+                     >= 0.8),
+         ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+         l0 AS (SELECT doc_id, lang AS label,
+                       CAST(0 AS BIGINT) AS labeled_round
+                FROM documents WHERE doc_id % 7 = 0),
+         n1 AS (SELECT ee.ea AS doc_id, l0.label, COUNT(*) AS c
+                FROM ee JOIN l0 ON l0.doc_id = ee.eb
+                WHERE ee.ea NOT IN (SELECT doc_id FROM l0)
+                GROUP BY 1, 2),
+         p1 AS (SELECT doc_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, label) AS rn
+                FROM n1),
+         l1 AS (SELECT doc_id, label, labeled_round FROM l0
+                UNION ALL
+                SELECT doc_id, label, CAST(1 AS BIGINT) FROM p1
+                WHERE rn = 1),
+         n2 AS (SELECT ee.ea AS doc_id, l1.label, COUNT(*) AS c
+                FROM ee JOIN l1 ON l1.doc_id = ee.eb
+                WHERE ee.ea NOT IN (SELECT doc_id FROM l1)
+                GROUP BY 1, 2),
+         p2 AS (SELECT doc_id, label,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, label) AS rn
+                FROM n2),
+         l2 AS (SELECT doc_id, label, labeled_round FROM l1
+                UNION ALL
+                SELECT doc_id, label, CAST(2 AS BIGINT) FROM p2
+                WHERE rn = 1)
+    SELECT documents.doc_id, l2.label, l2.labeled_round
+    FROM documents LEFT JOIN l2 ON documents.doc_id = l2.doc_id
+    ORDER BY documents.doc_id
+    """,
+    "§2.3 curation: semi-supervised label propagation over the "
+    "near-dup graph — seeds (doc_id ≡ 0 mod 7, coprime to the dup "
+    "cluster stride so propagation is live) clamp their lang, "
+    "unlabeled nodes adopt the deterministic neighbor-mode per "
+    "round; per-round shuffle bounded by the frontier's out-edges "
+    "(q122 loop discipline), oracle = unrolled SQL layers",
+)
+
+SPECS["q223_centroid_drift"] = QuerySpec(
+    similarity.centroid_drift,
+    """
+    -- per-dimension decimal-exact sums (round 6dp → DECIMAL(28,6))
+    -- make centroid components engine-exact; folds ascend.
+    WITH x AS (SELECT label, vec_id % 2 AS h, j.j,
+                      CAST(ROUND(CAST(embedding[j.j] AS DOUBLE), 6)
+                           AS DECIMAL(28,6)) AS val
+               FROM embeddings,
+                    (SELECT unnest(range(1, 65)) AS j) j),
+         pd AS (SELECT label, h, j, SUM(val) AS s, COUNT(*) AS n
+                FROM x GROUP BY 1, 2, 3),
+         ph AS (SELECT label, h,
+                       list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n
+                            ORDER BY j) AS m,
+                       MIN(n) AS n
+                FROM pd GROUP BY 1, 2),
+         j AS (SELECT e.label, e.m AS me, o.m AS mo,
+                      e.n AS n_even, o.n AS n_odd
+               FROM ph e JOIN ph o
+                 ON e.label = o.label AND e.h = 0 AND o.h = 1)
+    SELECT label, n_even, n_odd,
+           ROUND(sqrt(list_reduce(list_transform(range(1, 65),
+                 k -> (me[k] - mo[k]) * (me[k] - mo[k])),
+                 (a, b) -> a + b)), 6) AS l2_drift,
+           ROUND(list_reduce(list_transform(range(1, 65),
+                 k -> me[k] * mo[k]), (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_transform(range(1, 65),
+                        k -> me[k] * me[k]), (a, b) -> a + b))
+                    * sqrt(list_reduce(list_transform(range(1, 65),
+                        k -> mo[k] * mo[k]), (a, b) -> a + b))), 6)
+               AS cos_sim
+    FROM j ORDER BY label
+    """,
+    "§2.3 similarity: per-label embedding centroid drift between "
+    "corpus halves — L2 + cosine between mean vectors; decimal-exact "
+    "per-dimension sums (round→DECIMAL(28,6), associative) so vector "
+    "means are engine-exact, not merely close; one pass, tiny agg",
+)

