@@ -5023,3 +5023,224 @@ def ks_two_sample(spark: SparkSession, sf_dir: str,
             6,
         ).alias("ks"),
     )
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str,
+                   bucket_cents: int = 100_000) -> DataFrame:
+    """Exact tie-corrected Mann–Whitney U between the extended-price
+    distributions of 'R' and 'A' return flags — the rank-based leg of
+    the drift-test family (q183 PSI, q209 KL, q221 KS, q167 Welch):
+    nonparametric, so it catches location shifts Welch's t misses
+    under heavy tails and KS underweights in the tails.
+
+    Exactness: average ranks over pooled distinct cents values are
+    half-integers, so the engine carries 2·R_A = Σ_v va(v)·(2·below(v)
+    + c(v) + 1) — all BIGINT — and 2·U_A = 2·R_A − n_a·(n_a+1). The
+    tie-correction term Σ(c³−c) is integer too; the z-score is ONE
+    double expression over those integers, rounded 6dp, mirrored
+    verbatim in the oracle. The pooled cumulative count runs as the
+    two-phase prefix shape (local window per cents-range bucket + one
+    tiny offsets frame) — no global single-task window. At 100 TB the
+    Σ work is the distinct-value aggregation; the ordered window sees
+    only per-bucket totals."""
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("cents"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ia"),
+        )
+    )
+    v = (
+        s.groupBy("cents")
+        .agg(
+            F.sum("ia").alias("va"),
+            F.sum(F.lit(1) - F.col("ia")).alias("vb"),
+            F.count("*").alias("c"),
+        )
+        .withColumn(
+            "bkt", F.floor(F.col("cents") / bucket_cents).cast("long")
+        )
+    )
+    d, _ = two_phase_cumsum(v, "bkt", ["cents"], "c", "cum_c")
+    a = d.agg(
+        F.sum("va").alias("n_a"),
+        F.sum("vb").alias("n_b"),
+        F.sum(
+            F.col("va")
+            * (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1)
+        ).alias("two_r_a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    two_u = F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return a.select(
+        "n_a",
+        "n_b",
+        two_u.alias("two_u"),
+        F.round(two_u.cast("double") / 2, 6).alias("u_stat"),
+        F.round(
+            (two_u.cast("double") - (F.col("n_a") * F.col("n_b"))
+             .cast("double"))
+            / (
+                2
+                * F.sqrt(
+                    F.col("n_a").cast("double") * F.col("n_b") / 12.0
+                    * (
+                        (n + 1)
+                        - F.col("tie").cast("double")
+                        / (n * (n - 1)).cast("double")
+                    )
+                )
+            ),
+            6,
+        ).alias("z_value"),
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str,
+                      late_days: int = 60) -> DataFrame:
+    """TPC-H Q21 (adapted to this schema's columns): suppliers who
+    were the SOLE late supplier in a multi-supplier finished order —
+    'late' = l_shipdate more than ``late_days`` past o_orderdate
+    (this fixture has no commit/receipt dates). Counts qualifying
+    orders per supplier, top 25.
+
+    Spark side runs the *decorrelated aggregate* form: one pass
+    builds per-(order, supplier) lateness, a second per-order
+    aggregate counts suppliers and late suppliers, and the filter
+    `late ∧ n_supp ≥ 2 ∧ n_late = 1` replaces the EXISTS / NOT
+    EXISTS pair — both aggregations shuffle on l_orderkey so AQE
+    reuses the exchange, vs. the textbook four-scan correlated plan.
+    The oracle keeps the EXISTS/NOT-EXISTS formulation, so the
+    parity gate proves the decorrelation equivalence, not just the
+    arithmetic. Supplier/nation dims broadcast. Reference analog:
+    none (task.ts has no joins); this is §2.2 join taxonomy."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    f = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).cast("int").alias("late"),
+    )
+    per_os = f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("any_late").alias("n_late"),
+    )
+    w = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        w.join(F.broadcast(sup), w.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted): count + total balance of customers with
+    above-average positive account balance and no URGENT order,
+    grouped by c_custkey % 10 (the fixture has no phone country
+    code, and every customer has ordered — the no-urgent predicate
+    keeps Q22's anti-join shape non-vacuous on this data). The
+    'above average' threshold compares integer cents
+    cross-multiplied against the one-row positive-balance aggregate
+    (bal·n > Σbal) — no float boundary — and 'no urgent order' is a
+    LEFT ANTI join against the filtered fact. Catalyst broadcasts both the scalar aggregate
+    and (at this fixture scale) the anti-join build side; at 100 TB
+    the anti join shuffles on custkey while the threshold stays a
+    broadcast. §2.2 subquery taxonomy: scalar agg + NOT EXISTS in
+    one query, oracle keeps both as genuine subqueries."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    pos = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count("*").alias("n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cand = (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        cand.groupBy((F.col("c_custkey") % 10).alias("cgrp"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_cents"),
+        )
+        .orderBy("cgrp")
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           p_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q17 (adapted): yearly revenue that would be lost by no
+    longer filling small-quantity orders — lineitems of ``p_type``
+    parts whose quantity is below 20% of that part's average
+    quantity. The correlated per-part AVG decorrelates into one
+    lineitem aggregate keyed by partkey joined back to lineitem; the
+    20% comparison cross-multiplies integers (5·q·cnt < Σq, fixture
+    quantities are integral) so the boundary is exact. Both the
+    aggregate and the probe shuffle on l_partkey — AQE reuses the
+    exchange — and the part dim broadcasts. Revenue carried in
+    integer cents; the /7.0 'yearly' division is the single final
+    double. §2.2 correlated-subquery taxonomy (per-group threshold),
+    the q37 scalar / q87 exists family's third leg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"),
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sq"), F.count("*").alias("cnt")
+    )
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == p_type)
+        .select("p_partkey")
+    )
+    sel = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return sel.agg(
+        F.count("*").alias("n_lines"),
+        F.sum("cents").alias("revenue_cents"),
+        F.round(F.sum("cents").cast("double") / 700.0, 6)
+        .alias("avg_yearly"),
+    )

@@ -5908,3 +5908,123 @@ SPECS["q223_centroid_drift"] = QuerySpec(
     "per-dimension sums (round→DECIMAL(28,6), associative) so vector "
     "means are engine-exact, not merely close; one pass, tiny agg",
 )
+
+SPECS["q224_mann_whitney"] = QuerySpec(
+    rel.mann_whitney_u,
+    """
+    -- 2R_A kept integer (avg ranks are half-integers); z is one
+    -- double expression over BIGINTs, mirrored from the Spark side.
+    WITH s AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                      CAST(l_returnflag = 'R' AS BIGINT) AS ia
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         v AS (SELECT cents, SUM(ia) AS va, SUM(1 - ia) AS vb,
+                      COUNT(*) AS c
+               FROM s GROUP BY 1),
+         c AS (SELECT cents, va, vb, c,
+                      SUM(c) OVER (ORDER BY cents) AS cum_c
+               FROM v),
+         a AS (SELECT SUM(va) AS n_a, SUM(vb) AS n_b,
+                      SUM(va * (2 * (cum_c - c) + c + 1)) AS two_r_a,
+                      SUM(c * c * c - c) AS tie
+               FROM c)
+    SELECT n_a, n_b,
+           two_r_a - n_a * (n_a + 1) AS two_u,
+           ROUND(CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) / 2, 6)
+               AS u_stat,
+           ROUND((CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE)
+                  - CAST(n_a * n_b AS DOUBLE))
+                 / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                      * ((n_a + n_b + 1)
+                         - CAST(tie AS DOUBLE)
+                           / CAST((n_a + n_b) * (n_a + n_b - 1)
+                                  AS DOUBLE)))), 6) AS z_value
+    FROM a
+    """,
+    "§2.2 statistics: exact tie-corrected Mann–Whitney U between "
+    "R/A return-flag price distributions — integer 2R_A over pooled "
+    "average ranks via the two-phase prefix shape, tie term Σ(c³−c) "
+    "integer, z one mirrored double expression",
+)
+
+SPECS["q225_waiting_suppliers"] = QuerySpec(
+    rel.waiting_suppliers,
+    """
+    -- oracle keeps the EXISTS / NOT EXISTS formulation so the hash
+    -- gate proves the Spark side's aggregate decorrelation.
+    WITH f AS (SELECT l_orderkey, l_suppkey,
+                      CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY
+                           AS INT) AS late
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+               WHERE o_orderstatus = 'F'),
+         ls AS (SELECT l_orderkey, l_suppkey, MAX(late) AS any_late
+                FROM f GROUP BY 1, 2),
+         w AS (SELECT l1.l_orderkey, l1.l_suppkey
+               FROM ls l1
+               WHERE l1.any_late = 1
+                 AND EXISTS (SELECT 1 FROM ls l2
+                             WHERE l2.l_orderkey = l1.l_orderkey
+                               AND l2.l_suppkey <> l1.l_suppkey)
+                 AND NOT EXISTS (SELECT 1 FROM ls l3
+                                 WHERE l3.l_orderkey = l1.l_orderkey
+                                   AND l3.l_suppkey <> l1.l_suppkey
+                                   AND l3.any_late = 1))
+    SELECT s_name, COUNT(*) AS numwait
+    FROM w JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+    """,
+    "§2.2 joins/subqueries: TPC-H Q21 waiting-suppliers — sole late "
+    "supplier in multi-supplier finished orders; Spark runs the "
+    "decorrelated two-level aggregate (exchange reused on "
+    "l_orderkey), oracle keeps EXISTS/NOT EXISTS so parity proves "
+    "the decorrelation equivalence",
+)
+
+SPECS["q226_global_sales"] = QuerySpec(
+    rel.global_sales_opportunity,
+    """
+    -- threshold as integer cross-multiply against the positive-
+    -- balance aggregate; never-ordered via NOT EXISTS.
+    WITH cust AS (SELECT c_custkey,
+                         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+                  FROM customer),
+         pos AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n
+                 FROM cust WHERE bal_c > 0)
+    SELECT c_custkey % 10 AS cgrp, COUNT(*) AS numcust,
+           SUM(bal_c) AS totacctbal_cents
+    FROM cust, pos
+    WHERE bal_c * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = cust.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY cgrp
+    """,
+    "§2.2 subqueries: TPC-H Q22 global-sales — above-average "
+    "positive balance (integer cross-multiplied scalar aggregate, "
+    "broadcast) ∧ no urgent order (anti join), grouped by custkey "
+    "residue; exact cents",
+)
+
+SPECS["q227_small_quantity"] = QuerySpec(
+    rel.small_quantity_revenue,
+    """
+    -- correlated per-part AVG decorrelated; 20% boundary as the
+    -- integer cross-multiply 5·q·cnt < Σq.
+    WITH pq AS (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1),
+         sel AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            AS cents
+                 FROM lineitem l
+                 JOIN part p ON p_partkey = l.l_partkey
+                            AND p_type = 'ECONOMY'
+                 JOIN pq ON pq.l_partkey = l.l_partkey
+                 WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq)
+    SELECT COUNT(*) AS n_lines, SUM(cents) AS revenue_cents,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 700.0, 6) AS avg_yearly
+    FROM sel
+    """,
+    "§2.2 subqueries: TPC-H Q17 small-quantity revenue — per-part "
+    "average threshold decorrelated into an aggregate+join with an "
+    "exact integer 20% boundary; part dim broadcast, partkey "
+    "exchange reused",
+)

@@ -300,3 +300,51 @@ def test_centroid_drift_self_half_is_identity(spark, sf_dir):
     assert all(r["n_even"] > 0 and r["n_odd"] > 0 for r in rows)
     assert all(0.0 < r["l2_drift"] for r in rows)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_mann_whitney_u_bounds(spark, sf_dir):
+    """0 ≤ U ≤ n_a·n_b, u_stat reproduces two_u/2, z finite."""
+    import math
+
+    from etl_geonet_quakes_spark.operators.relational import mann_whitney_u
+
+    r = mann_whitney_u(spark, sf_dir).collect()[0]
+    assert 0 <= r["two_u"] <= 2 * r["n_a"] * r["n_b"]
+    assert abs(r["u_stat"] - r["two_u"] / 2) < 1e-9
+    assert math.isfinite(r["z_value"])
+
+
+def test_waiting_suppliers_threshold_monotone(spark, sf_dir):
+    """An impossible lateness threshold empties the result, and every
+    reported supplier waits at least once at the default threshold."""
+    from etl_geonet_quakes_spark.operators.relational import waiting_suppliers
+
+    rows = waiting_suppliers(spark, sf_dir).collect()
+    assert rows and all(r["numwait"] >= 1 for r in rows)
+    assert waiting_suppliers(spark, sf_dir, late_days=100_000).count() == 0
+
+
+def test_small_quantity_unknown_type_is_empty_aggregate(spark, sf_dir):
+    """Unknown p_type leaves the single aggregate row with zero lines
+    and NULL revenue (global agg over an empty selection)."""
+    from etl_geonet_quakes_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    r = small_quantity_revenue(spark, sf_dir, p_type="NO_SUCH").collect()[0]
+    assert r["n_lines"] == 0 and r["revenue_cents"] is None
+    d = small_quantity_revenue(spark, sf_dir).collect()[0]
+    assert d["n_lines"] > 0 and d["revenue_cents"] > 0
+
+
+def test_global_sales_candidates_nonvacuous(spark, sf_dir):
+    """The anti-join leg must actually fire on this fixture (every
+    customer has ordered — the urgent-order predicate keeps Q22's
+    shape non-vacuous) and balances are above the positive average."""
+    from etl_geonet_quakes_spark.operators.relational import (
+        global_sales_opportunity,
+    )
+
+    rows = global_sales_opportunity(spark, sf_dir).collect()
+    assert sum(r["numcust"] for r in rows) > 0
+    assert all(r["totacctbal_cents"] > 0 for r in rows)
