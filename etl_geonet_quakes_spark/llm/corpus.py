@@ -745,3 +745,77 @@ def temperature_mixture(
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / p_raw, 6).alias("oversample_factor"),
     ).orderBy("source")
+
+
+def mixture_rebalance(
+    spark: SparkSession, sf_dir: str, budget: int = 997
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a sampling
+    budget across sources, proportional to each source's character
+    mass, plus the deterministic per-source draw that realizes it:
+    quota_s = ⌊B·chars_s/T⌋ with the leftover seats going to the
+    largest integer remainders (B·chars_s mod T, ties by source
+    name) — the standard way a mixture spec ("sample B docs with
+    source shares ∝ bytes") becomes integer per-partition take
+    counts that sum EXACTLY to B, with no float shares to disagree
+    about. The draw ranks each source's docs by md5(doc_id) (a
+    deterministic uniform permutation both engines compute
+    identically) and takes quota_s.
+
+    Everything is BIGINT arithmetic — floor via DIV, remainder via
+    mod — so the apportionment is engine-exact by construction. The
+    remainder ranking runs on the per-source frame (|sources| rows,
+    broadcast-scale); the only full-data work is one groupBy(source)
+    and the per-source top-quota_s window (bounded by quota ≤ B).
+    Budget 997 is prime so residues actually exercise the remainder
+    tier. No reference analog; §2.3 corpus-mixture design."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    tot = per_src.agg(F.sum("chars").alias("t"))
+    alloc = (
+        per_src.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            F.expr(f"({budget} * chars) DIV t").alias("floor_quota"),
+            F.expr(f"({budget} * chars) % t").alias("remainder"),
+        )
+    )
+    short = alloc.agg(
+        (F.lit(budget) - F.sum("floor_quota")).alias("n_extra")
+    )
+    wr = Window.orderBy(F.desc("remainder"), "source")
+    alloc = (
+        alloc.join(F.broadcast(short))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn(
+            "extra", (F.col("rk") <= F.col("n_extra")).cast("long")
+        )
+        .withColumn("quota", F.col("floor_quota") + F.col("extra"))
+        .select("source", "n_docs", "chars", "floor_quota",
+                "remainder", "extra", "quota")
+    )
+    wd = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    drawn = (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(wd))
+        .join(F.broadcast(alloc.select("source", "quota")), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        alloc.join(drawn, "source", "left")
+        .select(
+            "source", "n_docs", "chars", "floor_quota", "remainder",
+            "extra", "quota",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -994,3 +994,67 @@ def source_kl_divergence(
         .orderBy(F.desc("kl_term"), "tok")
         .limit(top_k)
     )
+
+
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, target: str = "src0"
+) -> DataFrame:
+    """DSIR-style importance scores: every document scored by how
+    target-like its unigram distribution is — Σ_tokens counts ·
+    ln(p_target(tok)/p_rest(tok)) with Laplace smoothing, the
+    hashed-ngram importance-resampling recipe (Xie et al., DSIR)
+    large-scale pipelines use to upweight domain-matched pretraining
+    data. Positive score ⇒ reads like ``target``.
+
+    Float discipline (the q219/q223 pattern): each token's log-ratio
+    is ONE double expression over exact integer counts —
+    ln(((ca+1)·(tb+V)) / ((cb+1)·(ta+V))) — rounded 6dp and cast
+    DECIMAL(18,6); the per-document reduction then sums
+    count×DECIMAL terms, which is associative and engine-exact, so
+    no cross-token float fold exists anywhere. At 100 TB: one token
+    explode into a vocabulary-sized weight table (shuffle carries
+    the vocab, broadcast totals), then a (doc, tok) aggregate joined
+    to the weights — the same shape as q27 TF-IDF with the weight
+    table swapped for the smoothed log-ratio."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    tgt = (F.col("source") == target).cast("long")
+    cnts = d.groupBy("tok").agg(
+        F.sum(tgt).alias("ca"),
+        F.sum(1 - tgt).alias("cb"),
+    )
+    tot = cnts.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count("*").alias("v"),
+    )
+    w = cnts.join(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(
+                ((F.col("ca") + 1) * (F.col("tb") + F.col("v")))
+                / ((F.col("cb") + 1) * (F.col("ta") + F.col("v")))
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("w"),
+    )
+    doc_tok = d.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    return (
+        doc_tok.join(w, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt").cast("decimal(12,0)") * F.col("w"))
+            .alias("score_dec"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("score_dec").cast("string").cast("double")
+            .alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5244,3 +5244,131 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str,
         F.round(F.sum("cents").cast("double") / 700.0, 6)
         .alias("avg_yearly"),
     )
+
+
+def allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of Allen's 13 interval relations between per-user
+    activity spans: for each user, each event type's span is
+    [first ts, last ts], and every ordered type pair (type_a <
+    type_b) is classified into exactly one of Allen's interval
+    algebra relations (before/meets/overlaps/starts/during/finishes/
+    equals + inverses). Completes the temporal-interval taxonomy
+    next to q112 SCD2 validity, q139 gaps-and-islands and q166
+    concurrency — this is the PAIRWISE relation classifier those
+    operators implicitly specialize.
+
+    Exactness: spans compare as unix microseconds (BIGINT), and the
+    13-way CASE is a decision tree that is provably exhaustive and
+    mutually exclusive for proper intervals (s < e enforced), so
+    both engines walk the identical branch order. Scale: the self
+    join keys on user_id and each side carries at most one row per
+    event type (≤5 here), so pair work is ≤ C(T,2) per user — a
+    bounded per-key nested loop, never quadratic in events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    iv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+        .filter(F.col("s") < F.col("e"))
+    )
+    a = iv.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    p = a.join(b, "u").filter(F.col("type_a") < F.col("type_b"))
+    s1, e1 = F.col("s1"), F.col("e1")
+    s2, e2 = F.col("s2"), F.col("e2")
+    relation = (
+        F.when(e1 < s2, "before")
+        .when(e1 == s2, "meets")
+        .when((s1 < s2) & (e1 < e2), "overlaps")
+        .when((s1 < s2) & (e1 == e2), "finished_by")
+        .when(s1 < s2, "contains")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2) & (e1 == e2), "equals")
+        .when(s1 == s2, "started_by")
+        .when(s1 > e2, "after")
+        .when(s1 == e2, "met_by")
+        .when(e1 < e2, "during")
+        .when(e1 == e2, "finishes")
+        .otherwise("overlapped_by")
+    )
+    return (
+        p.select("type_a", "type_b", relation.alias("relation"))
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b", "relation")
+    )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region CUSUM changepoint scan over daily order counts:
+    S_t = max(0, S_{t-1} + (x_t − k)) with reference k =
+    ⌊mean daily count⌋, reporting each region's peak excursion and
+    the first day it is attained — the standing sequential drift
+    detector next to q123's EWMA anomalies (CUSUM accumulates small
+    persistent shifts the pointwise EWMA band misses).
+
+    The recursion is eliminated exactly: with cum_t = Σ_{j≤t}(x_j−k),
+    S_t = cum_t − min(0, min_{j≤t} cum_j) — an identity over
+    integers, so the running-min window replaces the sequential
+    fold with no float state. Windows partition by region and the
+    frame is the per-(region, day) aggregate (≤ a few k rows per
+    region-year), not raw orders; the argmax is a row_number over
+    that same tiny frame. At 100 TB the only full-data work is the
+    (region, day) count aggregate; customer joins shuffle on
+    custkey, nation/region broadcast."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    daily = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("r_name", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    ref = daily.groupBy("r_name").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("n_days")
+    ).select(
+        "r_name",
+        "n_days",
+        F.expr("sx DIV n_days").alias("k"),
+    )
+    d = daily.join(F.broadcast(ref), "r_name")
+    w = Window.partitionBy("r_name").orderBy("day")
+    scored = (
+        d.withColumn("cum", F.sum(F.col("x") - F.col("k")).over(w))
+        .withColumn(
+            "s_t",
+            F.col("cum") - F.least(F.lit(0), F.min("cum").over(w)),
+        )
+        .select("r_name", "n_days", "k", "day", "s_t")
+    )
+    wr = Window.partitionBy("r_name").orderBy(F.desc("s_t"), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("r_name", "n_days", "k", F.col("s_t").alias("peak_cusum"),
+                F.col("day").alias("at_day"))
+        .orderBy("r_name")
+    )

@@ -6028,3 +6028,151 @@ SPECS["q227_small_quantity"] = QuerySpec(
     "exact integer 20% boundary; part dim broadcast, partkey "
     "exchange reused",
 )
+
+SPECS["q228_allen_intervals"] = QuerySpec(
+    rel.allen_interval_census,
+    f"""
+    -- identical 13-branch decision tree; spans in unix microseconds.
+    WITH iv AS (SELECT user_id, event_type,
+                       MIN(epoch_us({_TS})) AS s, MAX(epoch_us({_TS})) AS e
+                FROM events GROUP BY 1, 2
+                HAVING MIN(epoch_us({_TS})) < MAX(epoch_us({_TS}))),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+               FROM iv a JOIN iv b
+                 ON a.user_id = b.user_id
+                AND a.event_type < b.event_type)
+    SELECT type_a, type_b,
+           CASE WHEN e1 < s2 THEN 'before'
+                WHEN e1 = s2 THEN 'meets'
+                WHEN s1 < s2 AND e1 < e2 THEN 'overlaps'
+                WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+                WHEN s1 < s2 THEN 'contains'
+                WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                WHEN s1 = s2 THEN 'started_by'
+                WHEN s1 > e2 THEN 'after'
+                WHEN s1 = e2 THEN 'met_by'
+                WHEN e1 < e2 THEN 'during'
+                WHEN e1 = e2 THEN 'finishes'
+                ELSE 'overlapped_by' END AS relation,
+           COUNT(*) AS n_pairs
+    FROM p GROUP BY 1, 2, 3 ORDER BY type_a, type_b, relation
+    """,
+    "§2.2 temporal: Allen interval-algebra census — per-user event-"
+    "type spans classified into the 13 relations via an exhaustive "
+    "mutually-exclusive decision tree over BIGINT microseconds; "
+    "per-user bounded self join (≤C(T,2) pairs)",
+)
+
+SPECS["q229_dsir_importance"] = QuerySpec(
+    text.dsir_importance,
+    """
+    -- per-token log-ratio: ONE double expr over integer counts,
+    -- round 6dp → DECIMAL(18,6); per-doc sum is decimal-exact.
+    WITH tok AS (SELECT doc_id,
+                        CAST(source = 'src0' AS BIGINT) AS tgt,
+                        unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         cnts AS (SELECT tok, SUM(tgt) AS ca, SUM(1 - tgt) AS cb
+                  FROM tok GROUP BY 1),
+         tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v
+                 FROM cnts),
+         w AS (SELECT tok,
+                      CAST(ROUND(ln(((ca + 1) * (tb + v))
+                                 / ((cb + 1) * (ta + v))), 6)
+                           AS DECIMAL(18,6)) AS w
+               FROM cnts, tot),
+         dt AS (SELECT doc_id, tok, COUNT(*) AS cnt
+                FROM tok GROUP BY 1, 2)
+    SELECT doc_id, SUM(cnt) AS n_tokens,
+           CAST(CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * w) AS VARCHAR)
+                AS DOUBLE) AS dsir_score
+    FROM dt JOIN w USING (tok)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 curation: DSIR importance scores — Laplace-smoothed "
+    "unigram log-likelihood ratio vs the src0 target domain, "
+    "decimal-exact per-doc sums (round 6dp → DECIMAL, associative); "
+    "vocab-sized weight table + (doc,tok) aggregate, q27-TFIDF shape",
+)
+
+SPECS["q230_mixture_rebalance"] = QuerySpec(
+    corpus.mixture_rebalance,
+    """
+    -- Hamilton apportionment in BIGINTs: floor via //, remainder
+    -- via %, extras to the largest remainders (ties by source).
+    WITH per_src AS (SELECT source, COUNT(*) AS n_docs,
+                            SUM(n_chars) AS chars
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT SUM(chars) AS t FROM per_src),
+         alloc AS (SELECT source, n_docs, chars,
+                          (997 * chars) // t AS floor_quota,
+                          (997 * chars) % t AS remainder
+                   FROM per_src, tot),
+         short AS (SELECT 997 - SUM(floor_quota) AS n_extra FROM alloc),
+         ranked AS (SELECT *,
+                           ROW_NUMBER() OVER (ORDER BY remainder DESC,
+                                              source) AS rk
+                    FROM alloc),
+         final AS (SELECT source, n_docs, chars, floor_quota, remainder,
+                          CAST(rk <= n_extra AS BIGINT) AS extra,
+                          floor_quota + CAST(rk <= n_extra AS BIGINT)
+                              AS quota
+                   FROM ranked, short),
+         drawn AS (SELECT source, COUNT(*) AS n_sampled
+                   FROM (SELECT source,
+                                ROW_NUMBER() OVER (
+                                    PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+                         FROM documents) d
+                   JOIN final USING (source)
+                   WHERE rn <= quota GROUP BY 1)
+    SELECT source, n_docs, chars, floor_quota, remainder, extra, quota,
+           COALESCE(n_sampled, 0) AS n_sampled
+    FROM final LEFT JOIN drawn USING (source)
+    ORDER BY source
+    """,
+    "§2.3 corpus mixture: largest-remainder apportionment of a "
+    "997-doc budget ∝ per-source character mass + the deterministic "
+    "md5-permutation draw realizing it — all-BIGINT (quotas sum to "
+    "the budget exactly), remainder tier on the broadcast-scale "
+    "source frame",
+)
+
+SPECS["q231_cusum_changepoint"] = QuerySpec(
+    rel.cusum_changepoint,
+    """
+    -- recursion eliminated exactly: S_t = cum_t − min(0, running
+    -- min of cum); integer daily counts, k = floor mean.
+    WITH daily AS (SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+                          COUNT(*) AS x
+                   FROM orders
+                   JOIN customer ON c_custkey = o_custkey
+                   JOIN nation ON n_nationkey = c_nationkey
+                   JOIN region ON r_regionkey = n_regionkey
+                   GROUP BY 1, 2),
+         ref AS (SELECT r_name, COUNT(*) AS n_days,
+                        SUM(x) // COUNT(*) AS k
+                 FROM daily GROUP BY 1),
+         c AS (SELECT d.r_name, n_days, k, day,
+                      SUM(x - k) OVER (PARTITION BY d.r_name
+                                       ORDER BY day) AS cum
+               FROM daily d JOIN ref USING (r_name)),
+         s AS (SELECT r_name, n_days, k, day,
+                      cum - LEAST(0, MIN(cum) OVER (
+                          PARTITION BY r_name ORDER BY day)) AS s_t
+               FROM c),
+         top AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY r_name
+                     ORDER BY s_t DESC, day) AS rn
+                 FROM s)
+    SELECT r_name, n_days, k, s_t AS peak_cusum, day AS at_day
+    FROM top WHERE rn = 1 ORDER BY r_name
+    """,
+    "§2.2 temporal/statistics: per-region CUSUM changepoint over "
+    "daily order counts — the max(0, S+(x−k)) recursion eliminated "
+    "exactly via cum − min(0, running-min) over integers; windows "
+    "only touch the (region, day) aggregate",
+)

@@ -348,3 +348,126 @@ def test_global_sales_candidates_nonvacuous(spark, sf_dir):
     rows = global_sales_opportunity(spark, sf_dir).collect()
     assert sum(r["numcust"] for r in rows) > 0
     assert all(r["totacctbal_cents"] > 0 for r in rows)
+
+
+def test_allen_census_is_exhaustive_partition(spark, sf_dir):
+    """Every user/type pair lands in exactly one of the 13 relations:
+    Σ n_pairs equals the directly-counted number of proper-interval
+    type pairs per user, and labels stay within the taxonomy."""
+    from etl_geonet_quakes_spark.operators.relational import (
+        allen_interval_census,
+    )
+
+    rows = allen_interval_census(spark, sf_dir).collect()
+    labels = {
+        "before", "meets", "overlaps", "finished_by", "contains",
+        "starts", "equals", "started_by", "after", "met_by",
+        "during", "finishes", "overlapped_by",
+    }
+    assert {r["relation"] for r in rows} <= labels
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+        .filter(F.col("s") < F.col("e"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("t"))
+        .select(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("np"))
+        .collect()[0]["np"]
+    )
+    assert sum(r["n_pairs"] for r in rows) == int(iv)
+
+
+def test_cusum_matches_sequential_fold(spark, sf_dir):
+    """The window identity S_t = cum_t − min(0, running-min cum) must
+    equal the literal sequential fold S_t = max(0, S_{t−1} + (x_t−k))
+    — recomputed here per region with a plain Python loop over the
+    daily counts (an independent derivation, unlike the oracle which
+    mirrors the identity)."""
+    import duckdb
+
+    from etl_geonet_quakes_spark.operators.relational import (
+        cusum_changepoint,
+    )
+
+    got = {r["r_name"]: r for r in cusum_changepoint(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""
+        SELECT r_name, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+        FROM read_parquet('{sf_dir}/orders.parquet') o
+        JOIN read_parquet('{sf_dir}/customer.parquet') c ON c_custkey = o_custkey
+        JOIN read_parquet('{sf_dir}/nation.parquet') n ON n_nationkey = c_nationkey
+        JOIN read_parquet('{sf_dir}/region.parquet') r ON r_regionkey = n_regionkey
+        GROUP BY 1, 2 ORDER BY r_name, day
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r_name, day, x in daily:
+        series[r_name].append((day, x))
+    assert set(series) == set(got)
+    for r_name, pts in series.items():
+        k = sum(x for _, x in pts) // len(pts)
+        s, peak, at = 0, -1, None
+        for day, x in pts:
+            s = max(0, s + (x - k))
+            if s > peak:
+                peak, at = s, day
+        g = got[r_name]
+        assert g["k"] == k and g["n_days"] == len(pts)
+        assert g["peak_cusum"] == peak and g["at_day"] == at
+
+
+def test_mixture_rebalance_apportionment_invariants(spark, sf_dir):
+    """Quotas sum exactly to the budget, extras go only to the
+    largest remainders, and the draw takes min(quota, n_docs)."""
+    from etl_geonet_quakes_spark.llm.corpus import mixture_rebalance
+
+    rows = mixture_rebalance(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == 997
+    assert all(r["extra"] in (0, 1) for r in rows)
+    min_extra_rem = min(
+        (r["remainder"] for r in rows if r["extra"] == 1), default=None
+    )
+    if min_extra_rem is not None:
+        # no skipped source may out-remainder a seated one
+        assert all(
+            r["remainder"] <= min_extra_rem
+            for r in rows
+            if r["extra"] == 0
+        )
+    assert all(
+        r["n_sampled"] == min(r["quota"], r["n_docs"]) for r in rows
+    )
+
+
+def test_dsir_scores_cover_corpus_and_separate_target(spark, sf_dir):
+    """One score per document; token counts match the raw split; the
+    target source's mean score exceeds the non-target mean (the
+    log-ratio must actually point toward src0)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm.text import dsir_importance
+
+    sc = dsir_importance(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert sc.count() == docs.count()
+    j = sc.join(docs, "doc_id").select(
+        "source", "dsir_score", "n_tokens",
+        F.size(F.split("text", " ")).alias("raw_n"),
+    )
+    rows = j.collect()
+    assert all(r["n_tokens"] == r["raw_n"] for r in rows)
+    tgt = [r["dsir_score"] for r in rows if r["source"] == "src0"]
+    rest = [r["dsir_score"] for r in rows if r["source"] != "src0"]
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
