@@ -66,14 +66,20 @@ def main() -> None:
             rec[qname] = {"sec": round(time.monotonic() - t0, 2),
                           "rows": n_out}
         rec["cand_minhash"] = minhash_candidates(spark, sf_dir)
+        # k=1 = theorem-minimal prefix (the round-7 curve); default
+        # k = PREFIX_MIN_MATCHES = the round-8 extended-prefix
+        # match-count filter (exact-complete, see dedup.py)
+        rec["cand_containment_k1"] = dedup.containment_candidates(
+            spark, sf_dir, min_matches=1
+        ).count()
         rec["cand_containment"] = dedup.containment_candidates(
             spark, sf_dir
         ).count()
         rows.append(rec)
 
     print("| sf | docs | q38 s | q38 rows | q38 cand | q39 s | q45 s "
-          "| q180 s | q180 rows | q180 cand |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
+          "| q180 s | q180 rows | q180 cand k1 | q180 cand |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['sf']} | {r['n_docs']} "
@@ -84,6 +90,7 @@ def main() -> None:
             f"| {r['q45_dedup_clusters']['sec']} "
             f"| {r['q180_dedup_containment']['sec']} "
             f"| {r['q180_dedup_containment']['rows']} "
+            f"| {r['cand_containment_k1']} "
             f"| {r['cand_containment']} |"
         )
     # growth factors between adjacent scales
