@@ -120,6 +120,15 @@ HEADLINE = [
     "q180_dedup_containment",
     "q183_psi_drift",
     "q184_fifo_allocation",
+    # round 7 heavies (verdict item: the expensive new operators need
+    # round-over-round wall-time visibility): inverted-index cosine
+    # (17 Exchanges), O(E^1.5) triangle wedges, R-S prefix join,
+    # cross-engine MinHash audit, label propagation.
+    "q211_sparse_cosine_topk",
+    "q212_clustering_coefficient",
+    "q215_cross_corpus_dedup",
+    "q216_minhash_estimator_audit",
+    "q222_label_propagation",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -781,7 +781,13 @@ def mixture_rebalance(
             "source",
             "n_docs",
             "chars",
-            F.expr(f"({budget} * chars) DIV t").alias("floor_quota"),
+            # pmod-subtraction form = true FLOOR division, matching
+            # DuckDB // for any sign (Spark DIV truncates; identical
+            # only for non-negative dividends — chars is non-negative
+            # today, but the parity must not depend on that)
+            F.expr(
+                f"({budget} * chars - pmod({budget} * chars, t)) DIV t"
+            ).alias("floor_quota"),
             F.expr(f"({budget} * chars) % t").alias("remainder"),
         )
     )

@@ -4655,8 +4655,17 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str,
     )
     w = Window.partitionBy("p_eid")
     j = j.withColumn("n_touches", F.count("*").over(w))
+    # FLOOR division for any sign, engine-identical: Spark DIV
+    # truncates toward zero but DuckDB // floors, so a negative
+    # p_cents (a refund) would silently diverge; subtracting
+    # pmod (∈ [0, n)) first makes the dividend exactly divisible, and
+    # trunc == floor on exact quotients — identical to // everywhere.
     j = j.withColumn(
-        "share_mc", F.expr("(p_cents * 1000) DIV n_touches")
+        "share_mc",
+        F.expr(
+            "(p_cents * 1000 - pmod(p_cents * 1000, n_touches))"
+            " DIV n_touches"
+        ),
     )
     return (
         j.groupBy("event_type")

@@ -99,7 +99,17 @@ def write_time_ordered_feed(
     feed = os.path.join(base, "feed")
     staging = os.path.join(base, "staging")
     os.makedirs(feed)
+    # zero-padding width derived from the total file count, so feeds
+    # beyond 1000 batches still sort (and therefore replay) in order
+    width = max(3, len(str(max(n_batches + len(trailing) - 1, 0))))
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    if lo is None:
+        raise ValueError(
+            "write_time_ordered_feed: df has no rows (or ts_col is "
+            f"all-null) — cannot range-assign batches on {ts_col!r}; "
+            "an empty feed would make every downstream replay "
+            "vacuously pass, so this is an error, not 0 batches"
+        )
     span_us = max((hi - lo).total_seconds() * 1_000_000, 1.0)
     frac = (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lit(lo))) / F.lit(span_us)
     b = F.least(F.floor(frac * n_batches), F.lit(n_batches - 1)).cast("int")
@@ -113,15 +123,15 @@ def write_time_ordered_feed(
         part = glob.glob(os.path.join(staging, f"b={i}", "part-*.parquet"))
         assert len(part) <= 1, part
         if part:
-            os.rename(part[0], os.path.join(feed, f"b{i:03d}.parquet"))
+            os.rename(part[0], os.path.join(feed, f"b{i:0{width}d}.parquet"))
         else:
-            _write_empty_batch(df, base, feed, i)
+            _write_empty_batch(df, base, feed, i, width)
     for j, extra in enumerate(trailing):
         d = os.path.join(base, f"trailing{j}")
         extra.coalesce(1).write.parquet(d)
         os.rename(
             glob.glob(os.path.join(d, "part-*.parquet"))[0],
-            os.path.join(feed, f"b{n_batches + j:03d}.parquet"),
+            os.path.join(feed, f"b{n_batches + j:0{width}d}.parquet"),
         )
     t0 = time.time() - 3600
     for k, fn in enumerate(sorted(os.listdir(feed))):
@@ -129,11 +139,71 @@ def write_time_ordered_feed(
     return feed
 
 
-def _write_empty_batch(df: DataFrame, base: str, feed: str, i: int) -> None:
+def _write_empty_batch(
+    df: DataFrame, base: str, feed: str, i: int, width: int = 3
+) -> None:
     empty_dir = os.path.join(base, f"empty{i}")
     df.limit(0).coalesce(1).write.parquet(empty_dir)
     src = glob.glob(os.path.join(empty_dir, "part-*.parquet"))[0]
     with open(src, "rb") as fh:
         data = fh.read()
-    with open(os.path.join(feed, f"b{i:03d}.parquet"), "wb") as fh:
+    with open(os.path.join(feed, f"b{i:0{width}d}.parquet"), "wb") as fh:
         fh.write(data)
+
+
+def far_future_sentinel_batches(
+    df: DataFrame,
+    ts_col: str,
+    row: dict | None = None,
+    id_col: str | None = None,
+    n_sentinels: int = 2,
+    horizon: str = "INTERVAL 30 DAYS",
+) -> tuple:
+    """Build the trailing watermark-flush sentinel batches a
+    watermark-sensitive replay needs (hoisted from the q214 outer-join
+    recipe so every caller inherits the measured invariants instead of
+    re-deriving them):
+
+    * **TWO batches by default, not one**: results for state closed by
+      the watermark of batch *N* are emitted while processing batch
+      *N+1* — the first sentinel advances the watermark past every
+      real row's join/window bound, the second gives Spark a batch in
+      which to emit (measured on the q214 probe: one sentinel leaves
+      the final eviction wave unemitted);
+    * the sentinel timestamp is ``max(ts_col) + horizon`` — beyond any
+      real event-time bound the query derives, so the watermark clears
+      ALL state;
+    * callers joining two streams must route the sentinels to BOTH
+      sides (the default ``min`` multiple-watermark policy holds the
+      join watermark at the laggard side — measured: single-side
+      sentinels left the last 48 h of q214 state unevicted). The
+      sentinel rows themselves carry ``id_col`` = −1−j so downstream
+      can filter them out (q214 keeps ``click_id >= 0``).
+
+    ``row`` maps column name → literal Column override (e.g. the
+    ``event_type`` tag streams filter on); ``id_col`` gets −1−j per
+    sentinel *j*; every other column is a typed NULL; ``ts_col`` gets
+    the far-future stamp. Returns a tuple sized for
+    ``write_time_ordered_feed(trailing=...)``. The max-ts probe is one
+    scalar aggregate (bounded driver state)."""
+    hi = df.agg(F.max(ts_col)).first()[0]
+    if hi is None:
+        raise ValueError(
+            "far_future_sentinel_batches: df has no rows (or "
+            f"{ts_col!r} is all-null) — no watermark to flush"
+        )
+    dtypes = dict(df.dtypes)
+    out = []
+    for j in range(n_sentinels):
+        sel = []
+        for c in df.columns:
+            if c == ts_col:
+                sel.append((F.lit(hi) + F.expr(horizon)).alias(c))
+            elif row is not None and c in row:
+                sel.append(row[c].alias(c))
+            elif c == id_col:
+                sel.append(F.lit(-1 - j).cast(dtypes[c]).alias(c))
+            else:
+                sel.append(F.lit(None).cast(dtypes[c]).alias(c))
+        out.append(df.limit(1).select(*sel))
+    return tuple(out)

@@ -484,25 +484,26 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     task.ts:142-143's restart-the-world refetch never needs eviction;
     this is the streaming-native equivalent, contract made auditable.
     """
-    import os
     import tempfile
 
     from etl_geonet_quakes_spark.io import load_table
-    from etl_geonet_quakes_spark.streaming.feed import write_time_ordered_feed
+    from etl_geonet_quakes_spark.streaming.feed import (
+        far_future_sentinel_batches,
+        write_time_ordered_feed,
+    )
 
     base = tempfile.mkdtemp(prefix="outer_join_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    hi = ev.agg(F.max("ts")).first()[0]
-    sentinels = tuple(
-        ev.limit(1).select(
-            F.lit(-1 - j).cast("long").alias("event_id"),
-            (F.lit(hi) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-        )
-        for j in range(2)
+    sentinels = far_future_sentinel_batches(
+        ev,
+        "ts",
+        row={
+            "user_id": F.lit(-1).cast("long"),
+            "event_type": F.lit("sentinel"),
+        },
+        id_col="event_id",
     )
     feed = write_time_ordered_feed(ev, base, 4, "ts", trailing=sentinels)
 

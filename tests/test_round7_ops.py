@@ -471,3 +471,56 @@ def test_dsir_scores_cover_corpus_and_separate_target(spark, sf_dir):
     tgt = [r["dsir_score"] for r in rows if r["source"] == "src0"]
     rest = [r["dsir_score"] for r in rows if r["source"] != "src0"]
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_time_ordered_feed_rejects_empty_df(spark, tmp_path):
+    """An empty (or all-null-ts) frame has no time range to slice:
+    the writer must fail loudly rather than produce an empty feed
+    that would make every downstream watermark replay vacuously
+    pass (round-7 advisor finding: previously a bare TypeError on
+    None - None)."""
+    import pytest as _pytest
+
+    from etl_geonet_quakes_spark.streaming.feed import write_time_ordered_feed
+
+    df = spark.range(0).select(
+        F.col("id").alias("event_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    base = str(tmp_path / "empty_feed_base")
+    os.makedirs(base)
+    with _pytest.raises(ValueError, match="no rows"):
+        write_time_ordered_feed(df, base, 4, "ts")
+
+
+def test_far_future_sentinel_batches_shape(spark):
+    """The hoisted q214 sentinel recipe: n single-row batches, ts =
+    max + horizon, id_col = -1-j, overrides applied, everything else
+    typed NULL."""
+    from etl_geonet_quakes_spark.streaming.feed import (
+        far_future_sentinel_batches,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(days=F.col("id"))).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+    )
+    s0, s1 = far_future_sentinel_batches(
+        df, "ts",
+        row={"event_type": F.lit("sentinel")},
+        id_col="event_id",
+        horizon="INTERVAL 10 DAYS",
+    )
+    r0, r1 = s0.first(), s1.first()
+    assert (r0["event_id"], r1["event_id"]) == (-1, -2)
+    assert r0["event_type"] == r1["event_type"] == "sentinel"
+    assert r0["user_id"] is None
+    assert str(r0["ts"]) == "2024-01-15 00:00:00"  # max 2024-01-05 + 10d
+    # names/types match (nullability legitimately differs: the typed
+    # NULLs are nullable where the source literals were not)
+    assert [(f.name, f.dataType) for f in s0.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]

@@ -79,6 +79,10 @@ def main() -> None:
                 f"page_cache_kb={env.get('page_cache_kb')}"
             )
     common = sorted(set(old["queries"]) & set(new["queries"]))
+    if not common:
+        print("overlap: 0 queries — nothing to compare "
+              "(disjoint HEADLINE sets between these artifacts)")
+        return
     rows = []
     for q in common:
         o, n = old["queries"][q], new["queries"][q]
