@@ -93,7 +93,16 @@ BNLJ_INTENDED = {
 def main() -> None:
     spark = get_spark("plan-report", master="local[8]", shuffle_partitions=8)
     rows = []
-    for name, spec in SPECS.items():
+    # numeric order, not registry-dict insertion order (q219/q220
+    # were registered out of sequence; the report should still read
+    # in query order)
+    def _qnum(item):
+        import re as _re
+
+        m = _re.match(r"q(\d+)", item[0])
+        return (int(m.group(1)) if m else 10**9, item[0])
+
+    for name, spec in sorted(SPECS.items(), key=_qnum):
         try:
             df = spec.fn(spark, SF_DIR)
             buf = io.StringIO()
