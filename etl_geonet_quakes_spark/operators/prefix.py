@@ -148,3 +148,45 @@ def two_phase_rank_and_cumsum(
     d = d.withColumn(rank_col, F.col("_off_n") + F.col("_local_rn"))
     d = d.withColumn(cum_col, F.col("_off_s") + F.col("_local_cs"))
     return d.drop("_local_rn", "_local_cs", "_off_n", "_off_s"), totals
+
+
+def two_phase_cumsum_grouped(
+    df: DataFrame,
+    group_cols: list,
+    bucket_col: str,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Per-GROUP exact inclusive running sum of ``value_col`` over
+    (bucket, *order_cols) order WITHIN each ``group_cols`` partition —
+    the grouped variant of :func:`two_phase_cumsum` (q232 Gini's
+    per-segment rank·value sums). Same discipline: the local window
+    partitions by (group, bucket) and runs fully parallel; the one
+    ordered window runs per group over the tiny per-(group, bucket)
+    totals frame (``partitionBy(group).orderBy(bucket)`` — an
+    exclusive prefix over broadcast-scale input, never a global
+    single-task sort). ``bucket_col`` must be order-aligned with
+    ``order_cols`` within every group."""
+    wl = (
+        Window.partitionBy(*group_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = df.withColumn("_local", F.sum(value_col).over(wl))
+    totals = d.groupBy(*group_cols, bucket_col).agg(
+        F.sum(value_col).alias(BUCKET_TOTAL)
+    )
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        *group_cols,
+        bucket_col,
+        F.coalesce(F.sum(BUCKET_TOTAL).over(wo), F.lit(0)).alias("_bkt_off"),
+    )
+    d = d.join(F.broadcast(offs), [*group_cols, bucket_col])
+    d = d.withColumn(out_col, F.col("_bkt_off") + F.col("_local"))
+    return d.drop("_local", "_bkt_off")

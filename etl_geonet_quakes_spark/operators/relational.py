@@ -38,6 +38,7 @@ from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.operators.prefix import (
     BUCKET_TOTAL,
     two_phase_cumsum,
+    two_phase_cumsum_grouped,
     two_phase_rank,
     two_phase_rank_and_cumsum,
     two_phase_strict_prefix_max,
@@ -5379,5 +5380,309 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("r_name", "n_days", "k", F.col("s_t").alias("peak_cusum"),
                 F.col("day").alias("at_day"))
+        .orderBy("r_name")
+    )
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str,
+                       bucket_cents: int = 10_000_000) -> DataFrame:
+    """Exact Gini coefficient of per-customer order revenue within
+    each market segment — the revenue-concentration audit
+    (gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks ascending).
+
+    Exactness: everything up to the final division is BIGINT. Ranks
+    never materialize per row — the engine works on the DISTINCT
+    cents domain (the q224 Mann–Whitney reduction): a tie block of
+    value v with count c starting after ``below`` rows contributes
+    2·Σ rank·x = v·(2·c·below + c·(c+1)) exactly, so
+    two_ix = Σ_v that term, and gini = (two_ix − (n+1)·Σx)/(n·Σx) in
+    one final double, rounded 6dp (identical expression in the
+    oracle).
+
+    Scale: the per-segment cumulative count over the distinct-cents
+    frame runs as the GROUPED two-phase prefix
+    (``two_phase_cumsum_grouped`` — local windows per (segment,
+    cents-range bucket), one tiny per-segment offsets window), never
+    a per-segment single-task sort. Revenue sums per customer are one
+    hash agg over orders ⋈ broadcast customer-segment. Overflow
+    headroom: 2·rank·cents at 10⁹ customers × 10⁹ cents would pass
+    BIGINT's 9.2e18 only jointly — at that scale move two_ix to
+    DECIMAL(38,0) (the q204 pattern)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    v = per_cust.groupBy("c_mktsegment", "x").agg(F.count("*").alias("cnt"))
+    v = v.withColumn(
+        "bkt", F.floor(F.col("x") / bucket_cents).cast("long")
+    )
+    d = two_phase_cumsum_grouped(
+        v, ["c_mktsegment"], "bkt", ["x"], "cnt", "cum_c"
+    )
+    below = F.col("cum_c") - F.col("cnt")
+    agg = d.groupBy("c_mktsegment").agg(
+        F.sum("cnt").alias("n_customers"),
+        F.sum(F.col("x") * F.col("cnt")).alias("total_cents"),
+        F.sum(
+            F.col("x")
+            * (2 * F.col("cnt") * below + F.col("cnt") * (F.col("cnt") + 1))
+        ).alias("two_ix"),
+    )
+    gini = (
+        F.col("two_ix")
+        - (F.col("n_customers") + 1) * F.col("total_cents")
+    ).cast("double") / (
+        F.col("n_customers") * F.col("total_cents")
+    ).cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit counts of o_totalprice cents vs the Benford
+    expectation p_d = log10(1 + 1/d), with each digit's chi-square
+    contribution — the classic fabricated-data / unit-mixing screen a
+    pipeline runs over monetary columns.
+
+    The leading digit comes from the BIGINT cents value via
+    substring-of-cast (identical in both engines — no float log
+    tricks, so exact for every magnitude). Counts are exact; expected
+    counts n·p_d and contributions (obs − n·p_d)²/(n·p_d) are single
+    double expressions rounded 6dp, mirrored verbatim in the oracle
+    (log10 of the nine digit constants is deterministic IEEE in both
+    engines). One hash agg on a 9-value key; scale-trivial."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    digits = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    p_d = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expected = F.col("n_total").cast("double") * p_d
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(expected, 6).alias("n_expected"),
+            F.round(
+                (F.col("n_obs").cast("double") - expected)
+                * (F.col("n_obs").cast("double") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    ``source`` and ``lang`` — the categorical-drift companion to the
+    numeric drift family (q183 PSI, q209 KL, q221 KS, q224 U): is
+    language mix independent of source, or does some source skew?
+
+    Contingency counts, row totals, column totals and N are all
+    exact BIGINTs from hash aggs (no windows); expected_{ij} =
+    row_i·col_j/N and the per-cell contribution (obs − exp)²/exp are
+    single double expressions rounded 6dp, summed into the statistic
+    with dof = (r−1)(c−1). The cell frame is |sources|×|langs| —
+    broadcast-scale at any corpus size; the only full-data work is
+    one groupBy(source, lang) count."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_obs"))
+    row_t = cells.groupBy("source").agg(F.sum("n_obs").alias("row_n"))
+    col_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("col_n"))
+    n = cells.agg(F.sum("n_obs").alias("n_total"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    scored = (
+        cells.join(F.broadcast(row_t), "source")
+        .join(F.broadcast(col_t), "lang")
+        .join(F.broadcast(n))
+        .withColumn(
+            "contrib",
+            (F.col("n_obs").cast("double") - expected)
+            * (F.col("n_obs").cast("double") - expected)
+            / expected,
+        )
+    )
+    return scored.groupBy().agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_obs").alias("n_total"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).alias("dof"),
+        F.round(F.sum("contrib"), 6).alias("chi2_stat"),
+    )
+
+
+def theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer order revenue within
+    each region — T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) — the
+    decomposable-inequality complement to q232's Gini (Theil is
+    additively decomposable across subgroups; Gini is not).
+
+    Per-customer cents and per-region (n, Σx) are exact BIGINTs; μ
+    and each ln term are double expressions over those integers. The
+    per-customer Σ reduces in one hash agg — but because double
+    addition is fold-order sensitive, the contribution is rounded 6dp
+    and cast DECIMAL(28,6) BEFORE the sum (the decimal-exact
+    reduction discipline of q223/q229), so the reduction is
+    associative and engine-exact; the one division by n happens
+    after, rounded 6dp. No windows, no joins beyond the broadcast
+    dims."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "c_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    totals = per_cust.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("total_cents"),
+    )
+    mu = F.col("total_cents").cast("double") / F.col("n_customers").cast("double")
+    share = F.col("x").cast("double") / mu
+    term = F.round(share * F.log(share), 6).cast("decimal(28,6)")
+    scored = per_cust.join(F.broadcast(totals), "r_name").select(
+        "r_name",
+        "n_customers",
+        "total_cents",
+        term.alias("term"),
+    )
+    return (
+        scored.groupBy("r_name")
+        .agg(
+            F.min("n_customers").alias("n_customers"),
+            F.min("total_cents").alias("total_cents"),
+            F.round(
+                F.sum("term").cast("double")
+                / F.min("n_customers").cast("double"),
+                6,
+            ).alias("theil_t"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test over each region's DAILY order-count
+    series: S = Σ_{i<j} sgn(x_j − x_i) with the tie-corrected normal
+    approximation — the monotonic-trend detector that pairs with
+    q231's CUSUM (CUSUM localizes a level shift; MK scores sustained
+    drift without assuming where).
+
+    The pair sum is exact: S and the tie term Σ t(t−1)(2t+5) are
+    BIGINTs; var(S) = (n(n−1)(2n+5) − ties)/18 and the
+    continuity-corrected z = (S ∓ 1)/√var are single double
+    expressions, mirrored in the oracle. The O(n²) pair join runs on
+    the AGGREGATED (region, day) series — n is days-per-region
+    (calendar-bounded, ~2.4k for 7 years), never order rows, so the
+    join is a broadcast self-join over a frame whose size is fixed by
+    the calendar regardless of fact-table scale (same bound argument
+    as q228's interval census)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    a = daily.select(
+        F.col("r_name").alias("ra"), F.col("day").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("r_name").alias("rb"), F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(b, (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db")))
+        .groupBy(F.col("ra").alias("r_name"))
+        .agg(F.sum(F.signum(F.col("xb") - F.col("xa")).cast("long")).alias("s_stat"))
+    )
+    ties = (
+        daily.groupBy("r_name", "x")
+        .agg(F.count("*").alias("t"))
+        .groupBy("r_name")
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    n = F.col("n_days")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / 18.0
+    )
+    z = F.when(
+        F.col("s_stat") > 0,
+        (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+    ).when(
+        F.col("s_stat") < 0,
+        (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    return (
+        s.join(ties, "r_name")
+        .select(
+            "r_name",
+            "n_days",
+            "s_stat",
+            "tie_term",
+            F.round(z, 6).alias("z_value"),
+        )
         .orderBy("r_name")
     )

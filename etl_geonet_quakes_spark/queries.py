@@ -6176,3 +6176,169 @@ SPECS["q231_cusum_changepoint"] = QuerySpec(
     "exactly via cum − min(0, running-min) over integers; windows "
     "only touch the (region, day) aggregate",
 )
+
+SPECS["q232_gini_concentration"] = QuerySpec(
+    rel.gini_concentration,
+    """
+    -- all-BIGINT up to the final division: tie block of value x,
+    -- count c, below b contributes 2*sum(rank*x) = x*(2*c*b + c*(c+1))
+    WITH per_cust AS (SELECT c_mktsegment, c_custkey,
+                             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                 AS x
+                      FROM orders JOIN customer ON c_custkey = o_custkey
+                      GROUP BY 1, 2),
+         v AS (SELECT c_mktsegment, x, COUNT(*) AS cnt
+               FROM per_cust GROUP BY 1, 2),
+         c AS (SELECT c_mktsegment, x, cnt,
+                      SUM(cnt) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY x) AS cum_c
+               FROM v),
+         a AS (SELECT c_mktsegment,
+                      SUM(cnt) AS n_customers,
+                      SUM(x * cnt) AS total_cents,
+                      SUM(x * (2 * cnt * (cum_c - cnt)
+                               + cnt * (cnt + 1))) AS two_ix
+               FROM c GROUP BY 1)
+    SELECT c_mktsegment, n_customers, total_cents,
+           ROUND(CAST(two_ix - (n_customers + 1) * total_cents AS DOUBLE)
+                 / CAST(n_customers * total_cents AS DOUBLE), 6) AS gini
+    FROM a ORDER BY c_mktsegment
+    """,
+    "§2.2 statistics: exact per-segment Gini of customer revenue — "
+    "rank·value sums reduced on the distinct-cents domain (tie-block "
+    "identity), grouped two-phase prefix for the cumulative counts, "
+    "one double division at the end",
+)
+
+SPECS["q233_benford_digit_test"] = QuerySpec(
+    rel.benford_digit_test,
+    """
+    -- leading digit via substring-of-cast on BIGINT cents (no float
+    -- log); expectation and chi2 terms mirrored double expressions
+    WITH d AS (SELECT CAST(SUBSTRING(CAST(
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit
+               FROM orders),
+         obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+         t AS (SELECT SUM(n_obs) AS n_total FROM obs)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_total AS DOUBLE)
+                 * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+               AS n_expected,
+           ROUND((CAST(n_obs AS DOUBLE)
+                  - CAST(n_total AS DOUBLE)
+                    * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(n_total AS DOUBLE)
+                      * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 / (CAST(n_total AS DOUBLE)
+                    * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+               AS chi2_term
+    FROM obs, t ORDER BY digit
+    """,
+    "§2.2 statistics: Benford first-digit audit of order totals — "
+    "exact digit counts (substring of BIGINT cents), per-digit "
+    "chi-square contribution vs log10(1+1/d) expectation",
+)
+
+SPECS["q234_chi2_independence"] = QuerySpec(
+    rel.chi2_independence,
+    """
+    WITH cells AS (SELECT source, lang, COUNT(*) AS n_obs
+                   FROM documents GROUP BY 1, 2),
+         r AS (SELECT source, SUM(n_obs) AS row_n FROM cells GROUP BY 1),
+         c AS (SELECT lang, SUM(n_obs) AS col_n FROM cells GROUP BY 1),
+         t AS (SELECT SUM(n_obs) AS n_total FROM cells),
+         scored AS (SELECT cells.source, cells.lang, n_obs,
+                           (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                            / CAST(n_total AS DOUBLE)) AS expected
+                    FROM cells JOIN r USING (source)
+                    JOIN c USING (lang) CROSS JOIN t)
+    SELECT COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(n_obs) AS n_total,
+           (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
+               AS dof,
+           ROUND(SUM((CAST(n_obs AS DOUBLE) - expected)
+                     * (CAST(n_obs AS DOUBLE) - expected) / expected), 6)
+               AS chi2_stat
+    FROM scored
+    """,
+    "§2.2 statistics: Pearson chi-square independence of document "
+    "source × lang — exact integer contingency cells, broadcast "
+    "margins, per-cell double contribution",
+)
+
+SPECS["q235_theil_index"] = QuerySpec(
+    rel.theil_index,
+    """
+    -- fold-order-proof reduction: each (x/mu)*ln(x/mu) term rounded
+    -- 6dp and cast DECIMAL(28,6) before the SUM (q223 discipline)
+    WITH per_cust AS (SELECT r_name, c_custkey,
+                             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                 AS x
+                      FROM orders
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation ON n_nationkey = c_nationkey
+                      JOIN region ON r_regionkey = n_regionkey
+                      GROUP BY 1, 2),
+         totals AS (SELECT r_name, COUNT(*) AS n_customers,
+                           SUM(x) AS total_cents
+                    FROM per_cust GROUP BY 1),
+         scored AS (SELECT p.r_name, n_customers, total_cents,
+                           CAST(ROUND(
+                               (CAST(x AS DOUBLE) * n_customers
+                                / CAST(total_cents AS DOUBLE))
+                               * LN(CAST(x AS DOUBLE) * n_customers
+                                    / CAST(total_cents AS DOUBLE)), 6)
+                               AS DECIMAL(28,6)) AS term
+                    FROM per_cust p JOIN totals USING (r_name))
+    SELECT r_name, MIN(n_customers) AS n_customers,
+           MIN(total_cents) AS total_cents,
+           ROUND(CAST(SUM(term) AS DOUBLE)
+                 / CAST(MIN(n_customers) AS DOUBLE), 6) AS theil_t
+    FROM scored GROUP BY r_name ORDER BY r_name
+    """,
+    "§2.2 statistics: per-region Theil T inequality of customer "
+    "revenue — decimal-exact associative reduction of the "
+    "(x/mu)·ln(x/mu) terms, decomposable complement to q232's Gini",
+)
+
+SPECS["q236_mann_kendall"] = QuerySpec(
+    rel.mann_kendall_trend,
+    """
+    -- the O(n^2) pair sum runs on the aggregated (region, day)
+    -- series: n is calendar-bounded, independent of fact scale
+    WITH daily AS (SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+                          COUNT(*) AS x
+                   FROM orders
+                   JOIN customer ON c_custkey = o_custkey
+                   JOIN nation ON n_nationkey = c_nationkey
+                   JOIN region ON r_regionkey = n_regionkey
+                   GROUP BY 1, 2),
+         s AS (SELECT a.r_name,
+                      SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS s_stat
+               FROM daily a JOIN daily b
+                 ON a.r_name = b.r_name AND a.day < b.day
+               GROUP BY 1),
+         ties AS (SELECT r_name, SUM(t) AS n_days,
+                         SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+                  FROM (SELECT r_name, x, COUNT(*) AS t
+                        FROM daily GROUP BY 1, 2)
+                  GROUP BY 1)
+    SELECT s.r_name, n_days, s_stat, tie_term,
+           ROUND(CASE
+               WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                   / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_term AS DOUBLE) / 18.0)
+               WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                   / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_term AS DOUBLE) / 18.0)
+               ELSE 0.0 END, 6) AS z_value
+    FROM s JOIN ties ON s.r_name = ties.r_name ORDER BY s.r_name
+    """,
+    "§2.2 statistics/temporal: tie-corrected Mann–Kendall trend test "
+    "per region over daily order counts — exact BIGINT S and tie "
+    "terms, continuity-corrected z, pair join bounded by the "
+    "calendar not the fact table",
+)
