@@ -5686,3 +5686,264 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str,
+                      region: str = "EUROPE", size_min: int = 20) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table in this schema, so
+    the part↔supplier offer relation is DERIVED from lineitem): for
+    every part of size ≥ ``size_min``, the supplier(s) in ``region``
+    offering it at the minimum observed sale price — cost(part, supp)
+    = MIN lineitem extendedprice in cents, an exact BIGINT, so the
+    correlated 'cost = (SELECT MIN(cost) …)' compare has no float
+    boundary.
+
+    Spark side decorrelates the scalar subquery the canonical way:
+    the per-(part, supplier) offer aggregate feeds a per-part MIN
+    aggregate, and a semi-equi join on (partkey, cost = min_cost)
+    replaces the correlated subquery — both aggregates shuffle on
+    partkey (one exchange reused); supplier/nation/region dims
+    broadcast. The oracle keeps the textbook correlated form, so the
+    hash gate proves the decorrelation. Ties (two suppliers at the
+    same min cents) emit both rows, ordered deterministically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") >= size_min
+    ).select("p_partkey", "p_type", "p_size")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    ).select("r_regionkey")
+    regional = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(regional), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_type", "p_size", "s_suppkey", "s_name",
+                 "n_name")
+        .agg(F.min("cents").alias("cost_cents"))
+    )
+    min_c = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost_cents").alias("min_cost")
+    )
+    return (
+        offers.join(
+            min_c,
+            (offers.p_partkey == F.col("mk"))
+            & (offers.cost_cents == F.col("min_cost")),
+        )
+        .select("p_partkey", "p_type", "p_size", "s_name", "n_name",
+                "cost_cents")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str,
+                    region: str = "EUROPE", mult: int = 2) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part 'stock value' held by a
+    region's suppliers is derived from lineitem sale cents, absent
+    partsupp; restriction is by REGION because the fixture's nation
+    roster doesn't include every TPC-H nation name — a single-nation
+    filter can be vacuous at small scales): parts whose revenue
+    through ``region``'s suppliers exceeds ``mult``× the AVERAGE
+    part's — the group-vs-global scalar-threshold shape. (Q11's
+    fixed-fraction threshold is scale-dependent — the spec divides it
+    by SF; an average-relative threshold keeps the query non-vacuous
+    at every fixture scale.)
+
+    The threshold compare is EXACT integer arithmetic:
+    n_parts·part_cents > mult·total_cents (no float fraction — the
+    q221/q224 integer-boundary discipline). Spark computes the global
+    (n_parts, total) as a one-row aggregate cross-joined (broadcast)
+    into the HAVING filter — the decorrelated form of Q11's scalar
+    subquery; the oracle keeps the subquery form. Per-part agg
+    shuffles once on partkey; supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    ).select("r_regionkey")
+    reg_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    nat_li = li.join(F.broadcast(reg_sup), li.l_suppkey == F.col("s_suppkey"))
+    per_part = nat_li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("value_cents")
+    )
+    total = per_part.agg(
+        F.count("*").alias("n_parts"),
+        F.sum("value_cents").alias("total_cents"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("n_parts") * F.col("value_cents")
+            > mult * F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_cents",
+            F.round(
+                F.col("value_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier↔part links from lineitem;
+    the 'customer complaints' exclusion becomes s_acctbal < 0 — the
+    schema has no comment column): distinct count of non-excluded
+    suppliers per (p_brand, p_size) bucket — the NOT-IN +
+    COUNT(DISTINCT) taxonomy entry.
+
+    Spark runs the NOT IN as a broadcast LEFT ANTI join on the
+    (tiny) excluded-supplier frame — the null-safe decorrelation of
+    NOT IN when the subquery side is known non-null; the oracle
+    keeps the NOT IN form. Distinct (brand, size, supplier) triples
+    reduce before the count (two-level agg, one shuffle each)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    links = (
+        li.join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        links.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str,
+                           min_qty: int = 250) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed at least one order whose
+    TOTAL lineitem quantity exceeds ``min_qty`` — the IN-(GROUP BY …
+    HAVING) taxonomy entry, the 'big order' screen.
+
+    Quantities are exact integers (l_quantity is integral in TPC-H;
+    cast long). Spark decorrelates the IN as a semi join against the
+    HAVING aggregate (one shuffle on orderkey, reused by the outer
+    per-order sum); customer dim broadcasts; the oracle keeps the IN
+    form. Output: customer, order, orderdate, total price cents and
+    the qualifying quantity sum, largest first."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = li.groupBy("l_orderkey").agg(F.sum("qty").alias("total_qty")).filter(
+        F.col("total_qty") > min_qty
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "total_cents", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str,
+                 qtr_start: str = "1996-01-01",
+                 qtr_end: str = "1996-04-01") -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue in a
+    quarter — the view + scalar-max-equality taxonomy entry (Q15
+    defines revenue as a view and joins it against its own MAX).
+
+    Revenue is exact: extendedprice·(1−discount) with a 2dp discount
+    is cents·(100−d₂)/100, which need not be integral — so the engine
+    never divides, carrying cents·(100−d₂) as 'centi-cents' BIGINT
+    (the q01 exact-decimal discipline in integer form). The max
+    compare is therefore exact. One shuffle on
+    suppkey; the max is a broadcast one-row frame; the oracle keeps
+    the correlated MAX-subquery form."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(qtr_start))
+        & (F.col("l_shipdate") < F.lit(qtr_end))
+    ).select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("centicents"),
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum("centicents").alias("total_revenue_cc")
+    )
+    mx = rev.agg(F.max("total_revenue_cc").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_cc") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", "total_revenue_cc",
+            F.round(F.col("total_revenue_cc").cast("double") / 10000, 6)
+            .alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    (non-urgent — the schema's stand-in for Q13's comment NOT LIKE
+    exclusion) orders they placed, INCLUDING the zero-order bucket —
+    the left-outer-join + double-aggregate taxonomy entry whose
+    whole point is that inner joins silently drop the empty group.
+
+    Spark: customer LEFT OUTER JOIN filtered orders, count non-null
+    orderkeys per customer (exact — COUNT(col) semantics make the
+    no-order customer a 0, not 1), then histogram the counts. Two
+    shuffles (custkey, then count value); the orders filter pushes
+    to the scan. Oracle mirrors with the textbook LEFT OUTER
+    formulation."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_c = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

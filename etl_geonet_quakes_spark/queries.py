@@ -6342,3 +6342,140 @@ SPECS["q236_mann_kendall"] = QuerySpec(
     "terms, continuity-corrected z, pair join bounded by the "
     "calendar not the fact table",
 )
+
+SPECS["q237_min_cost_supplier"] = QuerySpec(
+    rel.min_cost_supplier,
+    """
+    -- oracle keeps the textbook Q2 correlated-MIN form so the hash
+    -- gate proves the Spark side's decorrelation
+    WITH offers AS (SELECT p_partkey, p_type, p_size, s_suppkey,
+                           s_name, n_name,
+                           MIN(CAST(ROUND(l_extendedprice * 100)
+                                    AS BIGINT)) AS cost_cents
+                    FROM lineitem
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+                    JOIN part ON p_partkey = l_partkey
+                    WHERE r_name = 'EUROPE' AND p_size >= 20
+                    GROUP BY 1, 2, 3, 4, 5, 6)
+    SELECT p_partkey, p_type, p_size, s_name, n_name, cost_cents
+    FROM offers o
+    WHERE cost_cents = (SELECT MIN(cost_cents) FROM offers i
+                        WHERE i.p_partkey = o.p_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+    "§2.2 TPC-H Q2 shape: min-cost regional supplier per part "
+    "(offer relation derived from lineitem; exact BIGINT cents, "
+    "correlated scalar MIN decorrelated to agg + equality join)",
+)
+
+SPECS["q238_important_parts"] = QuerySpec(
+    rel.important_parts,
+    """
+    -- threshold kept exact-integer: n_parts*part > 2*total, never
+    -- a float fraction; oracle keeps the Q11 scalar-subquery form
+    WITH nat_li AS (SELECT l_partkey,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                               AS cents
+                    FROM lineitem
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+                    WHERE r_name = 'EUROPE'),
+         per_part AS (SELECT l_partkey, SUM(cents) AS value_cents
+                      FROM nat_li GROUP BY 1)
+    SELECT l_partkey AS p_partkey, value_cents,
+           ROUND(CAST(value_cents AS DOUBLE)
+                 / CAST((SELECT SUM(value_cents) FROM per_part)
+                        AS DOUBLE), 6) AS share
+    FROM per_part
+    WHERE (SELECT COUNT(*) FROM per_part) * value_cents >
+          2 * (SELECT SUM(value_cents) FROM per_part)
+    ORDER BY value_cents DESC, p_partkey
+    """,
+    "§2.2 TPC-H Q11 shape: parts above a multiple of the average "
+    "part share of a region's supplier revenue — group-vs-global "
+    "scalar threshold, exact integer boundary",
+)
+
+SPECS["q239_supplier_part_counts"] = QuerySpec(
+    rel.supplier_part_counts,
+    """
+    -- oracle keeps NOT IN; Spark runs broadcast LEFT ANTI (the
+    -- null-safe decorrelation — the subquery side is non-null keys)
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "§2.2 TPC-H Q16 shape: distinct non-excluded supplier counts "
+    "per (brand, size) — NOT IN as anti join + COUNT(DISTINCT)",
+)
+
+SPECS["q240_large_volume_customers"] = QuerySpec(
+    rel.large_volume_customers,
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST((SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS BIGINT) AS total_qty
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+    "§2.2 TPC-H Q18 shape: customers with >250-quantity orders — "
+    "IN-(GROUP BY HAVING) decorrelated to a semi join on the "
+    "having aggregate",
+)
+
+SPECS["q241_top_supplier"] = QuerySpec(
+    rel.top_supplier,
+    """
+    -- revenue carried as centi-cents BIGINT (cents*(100-d2), no
+    -- division) so the MAX equality is exact; oracle keeps Q15's
+    -- view + scalar-MAX form
+    WITH revenue AS (SELECT l_suppkey AS supplier_no,
+                            SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT)))
+                                AS total_revenue_cc
+                     FROM lineitem
+                     WHERE l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1996-04-01'
+                     GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue_cc,
+           ROUND(CAST(total_revenue_cc AS DOUBLE) / 10000, 6)
+               AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_cc = (SELECT MAX(total_revenue_cc) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "§2.2 TPC-H Q15 shape: top supplier(s) by quarterly revenue — "
+    "revenue view joined against its own scalar MAX, exact "
+    "centi-cents arithmetic",
+)
+
+SPECS["q242_customer_order_distribution"] = QuerySpec(
+    rel.customer_order_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "§2.2 TPC-H Q13 shape: customer count by number of non-urgent "
+    "orders including the zero bucket — left outer join + "
+    "double aggregate",
+)
