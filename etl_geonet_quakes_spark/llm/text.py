@@ -1058,3 +1058,49 @@ def dsir_importance(
         )
         .orderBy("doc_id")
     )
+
+
+def duplicate_ngram_rate(spark: SparkSession, sf_dir: str,
+                         n: int = 8) -> DataFrame:
+    """Per-document duplicate n-gram rate: the fraction of a doc's
+    distinct ``n``-gram shingles that occur in at least one OTHER
+    document — the standard memorization-risk audit (a doc whose
+    8-grams are mostly corpus-repeated is boilerplate or a copy, and
+    a training run will see those spans many times even after
+    doc-level dedup). Complements the pairwise dedup ladder: no pair
+    enumeration at all, so it scales where even candidate generation
+    is too expensive.
+
+    Exactness: distinct shingles per doc (the shingles_str guard:
+    short docs contribute one whole-doc shingle), corpus df per
+    shingle, n_dup = # shingles with df ≥ 2 — all exact integers from
+    two hash aggs and one shuffle join on the shingle string; the
+    rate is one rounded division. Because shingles are per-doc
+    DISTINCT, df ≥ 2 means 'appears in ≥ 2 documents', never 'twice
+    in this doc'. Scale: shuffle carries (shingle, df) — bounded by
+    the shingle vocabulary, not the token stream."""
+    from etl_geonet_quakes_spark.llm.dedup import shingles_str
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", shingles_str(F.col("text"), n).alias("sh")
+    )
+    tok = d.select(
+        "doc_id", "source", F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("t"),
+    )
+    df_tbl = tok.groupBy("t").agg(F.count("*").alias("df"))
+    return (
+        tok.join(df_tbl, "t")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.min("n_sh").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id", "source", "n_shingles", "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6479,3 +6479,94 @@ SPECS["q242_customer_order_distribution"] = QuerySpec(
     "orders including the zero bucket — left outer join + "
     "double aggregate",
 )
+
+_SH8 = """
+    CASE WHEN len(toks) >= 8
+         THEN list_distinct(list_transform(range(0, len(toks) - 7),
+                  i -> array_to_string(toks[i+1:i+8], ' ')))
+         ELSE [array_to_string(toks, ' ')] END
+"""
+
+SPECS["q243_duplicate_ngram_rate"] = QuerySpec(
+    text.duplicate_ngram_rate,
+    f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+         s AS (SELECT doc_id, source, {{_SH8}} AS sh FROM t),
+         e AS (SELECT doc_id, source, len(sh) AS n_sh, unnest(sh) AS t
+               FROM s),
+         dfx AS (SELECT t, COUNT(*) AS df FROM e GROUP BY 1)
+    SELECT doc_id, source, MIN(n_sh) AS n_shingles,
+           SUM(CAST(df >= 2 AS BIGINT)) AS n_dup,
+           ROUND(CAST(SUM(CAST(df >= 2 AS BIGINT)) AS DOUBLE)
+                 / MIN(n_sh), 6) AS dup_rate
+    FROM e JOIN dfx USING (t)
+    GROUP BY 1, 2 ORDER BY doc_id
+    """.format(_SH8=_SH8),
+    "§2.3 dedup/memorization: per-doc duplicate 8-gram rate — "
+    "fraction of a doc's distinct shingles occurring in ≥2 docs; "
+    "no pair enumeration, shuffle bounded by shingle vocabulary",
+)
+
+# k-core peel rounds unrolled for the q244 oracle: each round removes
+# present vertices whose CURRENT degree is < k, then drops their
+# edges. Generated by a loop so the round bodies cannot drift apart.
+_KCORE_EDGES = """
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+         e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+               FROM d a JOIN d b
+                 ON a.source = b.source AND a.doc_id < b.doc_id
+                AND least(len(a.tk), len(b.tk))
+                    >= 0.8 * greatest(len(a.tk), len(b.tk))
+               WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tk, b.tk)))
+                     >= 0.8),
+         e0 AS (SELECT ea AS src, eb AS dst FROM e
+                UNION ALL SELECT eb, ea FROM e),
+         verts AS (SELECT DISTINCT src AS v FROM e0),
+         deg0 AS (SELECT src AS v, COUNT(*) AS initial_deg
+                  FROM e0 GROUP BY 1),
+         p0 AS (SELECT v FROM verts)"""
+
+
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    parts = [_KCORE_EDGES]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+         r{r} AS (SELECT p{r - 1}.v, CAST({r} AS BIGINT) AS removed_round
+                  FROM p{r - 1} LEFT JOIN
+                       (SELECT src AS v, COUNT(*) AS d
+                        FROM e{r - 1} GROUP BY 1) d{r} USING (v)
+                  WHERE COALESCE(d, 0) < {k}),
+         e{r} AS (SELECT * FROM e{r - 1}
+                  WHERE src NOT IN (SELECT v FROM r{r})
+                    AND dst NOT IN (SELECT v FROM r{r})),
+         p{r} AS (SELECT v FROM p{r - 1}
+                  WHERE v NOT IN (SELECT v FROM r{r}))""")
+    removed = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f""",
+         removed AS ({removed}),
+         core AS (SELECT src AS v, COUNT(*) AS core_deg
+                  FROM e{rounds} GROUP BY 1)
+    SELECT verts.v AS doc_id, deg0.initial_deg,
+           COALESCE(removed.removed_round, 0) AS removed_round,
+           COALESCE(core.core_deg, 0) AS core_deg
+    FROM verts JOIN deg0 USING (v)
+    LEFT JOIN removed ON removed.v = verts.v
+    LEFT JOIN core ON core.v = verts.v
+    ORDER BY doc_id""")
+    return "".join(parts)
+
+
+SPECS["q244_kcore_decomposition"] = QuerySpec(
+    dedup.kcore_decomposition,
+    _kcore_sql(),
+    "§2.3 dedup graph: 2-core peeling of the near-dup graph, 4 fixed "
+    "rounds — removal round grades vertex peripherality, survivors "
+    "are the dense boilerplate communities; oracle = identically "
+    "unrolled peel (equal regardless of convergence depth)",
+)
