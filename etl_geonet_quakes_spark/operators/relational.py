@@ -5947,3 +5947,501 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01",
+                      topn: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: the ``topn`` highest-revenue orders from one
+    market segment that were placed before ``cutoff`` but still have
+    lineitems shipping after it (adapted: o_shippriority doesn't
+    exist in this schema, so o_orderpriority rides along instead —
+    same constant-per-order role in the GROUP BY).
+
+    The canonical top-k-after-join: customer (segment filter,
+    broadcast) → orders (date filter pushed to scan) → lineitem
+    (ship filter pushed to scan), one orderkey shuffle for the
+    group-by, then a global ORDER BY ... LIMIT k, which Spark
+    executes as TakeOrderedAndProject — per-partition heaps of k
+    rows, no full sort. Revenue is exact decimal so DESC ordering
+    has no float boundary; l_orderkey breaks ties so the LIMIT is
+    deterministic on both engines."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == segment
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(D_MONEY)
+            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
+        ).alias("disc_price"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("disc_price").alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), "l_orderkey")
+        .limit(topn)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            "o_orderdate", "o_orderpriority",
+        )
+    )
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str,
+                         d_lo: str = "1997-01-01",
+                         d_hi: str = "1997-04-01",
+                         late_days: int = 60) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders placed in
+    one quarter had at least one lineitem shipped more than
+    ``late_days`` after the order date (adapted: l_commitdate /
+    l_receiptdate don't exist, so "late" is ship-lag vs the order
+    date — the same EXISTS-with-correlated-inequality skeleton).
+
+    Spark expresses the EXISTS as a LEFT SEMI join: equi key
+    l_orderkey carries the shuffle, the lateness inequality rides as
+    a residual join condition, and semi-join semantics deduplicate
+    multi-late-line orders for free (no DISTINCT pass). The quarter
+    filter pushes to the orders scan. Oracle keeps the textbook
+    correlated EXISTS, so the hash gate proves the rewrite."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str,
+                            d_lo: str = "1997-01-01",
+                            d_hi: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q6 shape: the revenue increase from eliminating a band
+    of small discounts — SUM(l_extendedprice·l_discount) over one
+    ship year, discount in [0.05, 0.07], quantity < 24.
+
+    The whole query is a single scan-filter-aggregate with every
+    predicate pushed to the parquet scan (date + quantity as min/max
+    row-group pruning; at scale, the date predicate prunes
+    partitions outright) — the plan is one WholeStageCodegen span
+    with a partial/final agg pair and no shuffle beyond the one-row
+    exchange. Discount boundaries are the half-step values 0.045 /
+    0.075 so the double compare has no representability edge (the
+    fixture's discounts are multiples of 0.01); revenue is exact
+    decimal, cast once at the end."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d_hi).cast("timestamp"))
+        & (F.col("l_discount") >= 0.045)
+        & (F.col("l_discount") <= 0.075)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(D_MONEY)
+            * F.col("l_discount").cast(D_RATE)
+        ).cast("string").cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def national_market_share(spark: SparkSession, sf_dir: str,
+                          region: str = "ASIA",
+                          nation: str = "NATION_8",
+                          p_type: str = "PROMO") -> DataFrame:
+    """TPC-H Q8 shape: per order year, the share of ``region``'s
+    revenue in parts of type ``p_type`` that was supplied by
+    ``nation`` — national market share inside a regional market.
+
+    Star-snowflake with lineitem as the only big fact: part (type
+    filter) and supplier→nation (share numerator tag) broadcast into
+    lineitem, orders joins on the one real shuffle, then
+    customer→nation→region (market filter) broadcasts into the
+    result. Numerator and denominator are computed in ONE aggregate
+    pass via a conditional sum (no second scan, no self-join);
+    both are exact decimals and the share divides as doubles rounded
+    6dp on both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == region
+    ).select("r_regionkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == p_type
+    ).select("p_partkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    mkt_cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey",
+                F.year("o_orderdate").alias("o_year"))
+        .join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(D_MONEY)
+            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
+        ).alias("disc_price"),
+    )
+    per_year = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == nation,
+                       F.col("disc_price")).otherwise(F.lit(0).cast(D_MONEY))
+            ).alias("nation_dec"),
+            F.sum("disc_price").alias("total_dec"),
+        )
+    )
+    return per_year.select(
+        "o_year",
+        F.col("nation_dec").cast("string").cast("double")
+        .alias("nation_revenue"),
+        F.col("total_dec").cast("string").cast("double")
+        .alias("total_revenue"),
+        F.round(
+            F.col("nation_dec").cast("string").cast("double")
+            / F.col("total_dec").cast("string").cast("double"), 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str,
+                        name_token: str = "widget") -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) on
+    parts whose name contains ``name_token`` (adapted: partsupp
+    doesn't exist, so the unit cost is derived as 10% of
+    p_retailprice — a fixed cost model playing ps_supplycost's role).
+
+    All arithmetic is exact BIGINT micro-dollars:
+    amount_micros = ext_cents·(10000 − disc_bp) − qty·retail_cents·1000
+    — no decimal-precision-inference divergence between engines, no
+    float folding; the group sum stays integer and converts to
+    dollars once at the end. lineitem joins part (name filter,
+    broadcast) and supplier→nation (broadcast); orders joins on the
+    single real shuffle for the year key."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_token)
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_cents"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext_cents"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    amount = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation", "o_year",
+            (
+                F.col("ext_cents") * (F.lit(10000) - F.col("disc_bp"))
+                - F.col("qty") * F.col("retail_cents") * F.lit(1000)
+            ).alias("amount_micros"),
+        )
+    )
+    return (
+        amount.groupBy("nation", "o_year")
+        .agg(F.sum("amount_micros").alias("profit_micros"),
+             F.count("*").alias("n_lines"))
+        .select(
+            "nation", "o_year", "profit_micros", "n_lines",
+            F.round(F.col("profit_micros").cast("double") / 1e6, 6)
+            .alias("profit"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+def returned_item_reporting(spark: SparkSession, sf_dir: str,
+                            d_lo: str = "1997-10-01",
+                            d_hi: str = "1998-01-01",
+                            topn: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: the ``topn`` customers by revenue lost to
+    returned lineitems (l_returnflag = 'R') on orders from one
+    quarter — the churn-risk ranking.
+
+    orders (quarter filter pushed) ⋈ lineitem (returnflag pushed) on
+    the one orderkey shuffle; the per-customer aggregate reshuffles
+    on custkey; customer + nation broadcast AFTER the aggregate so
+    the dimension join touches only the surviving groups (join
+    placement discipline — at 100 TB the post-agg join is thousands
+    of rows, not billions). Exact-decimal revenue orders the top-k
+    (TakeOrderedAndProject), c_custkey breaks ties."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(D_MONEY)
+            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
+        ).alias("disc_price"),
+    )
+    per_cust = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("disc_price").alias("rev_dec"),
+             F.count("*").alias("n_return_lines"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("rev_dec"), "c_custkey")
+        .limit(topn)
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            "n_return_lines",
+        )
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str,
+                           d_lo: str = "1997-01-01",
+                           d_hi: str = "1998-01-01",
+                           late_days: int = 30) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many late-shipped lines
+    (ship-lag > ``late_days`` vs the order date — the schema's
+    stand-in for Q12's receipt-vs-commit lateness; l_shipmode doesn't
+    exist so l_linestatus carries the 2-way grouping) belonged to
+    high-priority vs low-priority orders.
+
+    One orderkey shuffle (lineitem ⋈ orders); the lateness predicate
+    is a residual on the join, the ship window pushes to the
+    lineitem scan, and both priority counts come from ONE aggregate
+    pass via conditional sums — the pivot-in-aggregate idiom."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d_hi).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0).cast("long"))
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0).cast("long"))
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str,
+                        d_lo: str = "1997-09-01",
+                        d_hi: str = "1997-10-01") -> DataFrame:
+    """TPC-H Q14 shape: the fraction of one ship month's revenue that
+    came from promotional parts (p_type = 'PROMO') — numerator and
+    denominator from ONE aggregate via a conditional sum, the same
+    single-pass idiom as q250's market share.
+
+    lineitem (month filter pushed) broadcast-joins the part type
+    column; no shuffle except the one-row aggregate exchange.
+    Revenue legs are exact decimals; the share divides as doubles
+    rounded 6dp identically on both engines."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d_hi).cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice").cast(D_MONEY)
+            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
+        ).alias("disc_price"),
+    )
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("disc_price"))
+                .otherwise(F.lit(0).cast(D_MONEY))
+            ).alias("promo_dec"),
+            F.sum("disc_price").alias("total_dec"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return agg.select(
+        F.col("promo_dec").cast("string").cast("double")
+        .alias("promo_revenue"),
+        F.col("total_dec").cast("string").cast("double")
+        .alias("total_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_dec").cast("string").cast("double")
+            / F.col("total_dec").cast("string").cast("double"), 6
+        ).alias("promo_pct"),
+        "n_lines",
+    )
+
+
+def disjunctive_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, part-size
+    band, quantity band) branches — the disjunctive-predicate
+    pushdown stressor (adapted: p_container / l_shipmode don't
+    exist; brand+size+quantity carry the three-branch structure).
+
+    lineitem broadcast-joins part on partkey with the full
+    disjunction as a residual join predicate; Catalyst extracts the
+    common partkey equi-key so the join is BroadcastHash, NOT a
+    nested-loop over the disjunction, and per-branch constraints
+    (brand IN (...), size ≥ 1) are pushed as conjunctive
+    approximations to both scans. One row out: exact-decimal
+    revenue + the matched line count."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (
+            F.col("l_extendedprice").cast(D_MONEY)
+            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
+        ).alias("disc_price"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(
+            F.broadcast(p),
+            (F.col("l_partkey") == F.col("p_partkey")) & (b1 | b2 | b3),
+        )
+        .agg(
+            F.sum("disc_price").cast("string").cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str,
+                       name_token: str = "widget",
+                       d_lo: str = "1997-01-01",
+                       d_hi: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q20 shape: suppliers who DOMINATED the supply of some
+    part — shipped more than half of that part's total 1997 quantity
+    — restricted to parts named ``*name_token*`` (adapted: partsupp
+    / availqty don't exist, so dominance is share-of-shipped-qty:
+    2·qty(part, supp) > total_qty(part), the same
+    nested-aggregate-IN-subquery skeleton).
+
+    Spark decorrelates: one (partkey, suppkey) quantity aggregate
+    (single shuffle on partkey — integer quantities sum as BIGINT),
+    a per-part total derived from it by a partial re-aggregate (AQE
+    reuses the exchange: same key prefix), the dominance filter
+    joins the two, and the surviving (supplier, part-count) groups
+    join broadcast supplier→nation dims. Oracle keeps the correlated
+    half-of-total subquery, proving the rewrite."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_token)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(d_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d_hi).cast("timestamp"))
+    ).select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    totals = ps.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = ps.join(
+        totals,
+        (ps.l_partkey == F.col("tk"))
+        & (ps.supp_qty * 2 > F.col("total_qty")),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"),
+             F.sum("supp_qty").alias("dominated_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                "n_dominated_parts", "dominated_qty")
+        .orderBy("s_suppkey")
+    )

@@ -6570,3 +6570,251 @@ SPECS["q244_kcore_decomposition"] = QuerySpec(
     "are the dense boilerplate communities; oracle = identically "
     "unrolled peel (equal regardless of convergence depth)",
 )
+
+# Exact-decimal revenue leg, shared by the round-8 TPC-H shapes: the
+# module-wide discipline (sum in DECIMAL, stringify, cast DOUBLE once)
+# so the oracle compare is bit-identical, not merely close.
+_REV = """CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(8,4))
+                  - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)"""
+_REV_DEC = """SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))"""
+
+SPECS["q245_shipping_priority"] = QuerySpec(
+    rel.shipping_priority,
+    f"""
+    WITH ranked AS (
+        SELECT l_orderkey, {_REV_DEC} AS rev_dec,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 3, 4
+        ORDER BY rev_dec DESC, l_orderkey LIMIT 10)
+    SELECT l_orderkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM ranked ORDER BY revenue DESC, l_orderkey
+    """,
+    "§2.2 TPC-H Q3 shape: top-10 unshipped-order revenue — "
+    "top-k-after-join via TakeOrderedAndProject (per-partition "
+    "heaps, no global sort), decimal-exact DESC key, "
+    "orderkey-deterministic ties",
+)
+
+SPECS["q246_order_priority_check"] = QuerySpec(
+    rel.order_priority_check,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "§2.2 TPC-H Q4 shape: late-order count per priority — "
+    "correlated EXISTS decorrelated to a LEFT SEMI join with a "
+    "residual lateness inequality (oracle keeps the EXISTS form)",
+)
+
+SPECS["q247_late_shipment_priority"] = QuerySpec(
+    rel.late_shipment_priority,
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_shipdate >  o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1 ORDER BY 1
+    """,
+    "§2.2 TPC-H Q12 shape: late-line priority split per line status "
+    "— pivot-in-aggregate conditional sums, one orderkey shuffle",
+)
+
+SPECS["q248_promo_revenue_share"] = QuerySpec(
+    rel.promo_revenue_share,
+    """
+    WITH agg AS (
+        SELECT SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(8,4))
+                                - CAST(l_discount AS DECIMAL(8,4)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_dec,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(8,4))
+                      - CAST(l_discount AS DECIMAL(8,4)))) AS total_dec,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01')
+    SELECT CAST(CAST(promo_dec AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(CAST(promo_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE), 6)
+               AS promo_pct,
+           n_lines
+    FROM agg
+    """,
+    "§2.2 TPC-H Q14 shape: promotional revenue share — numerator "
+    "and denominator from ONE conditional-sum aggregate pass",
+)
+
+SPECS["q249_disjunctive_revenue"] = QuerySpec(
+    rel.disjunctive_discount_revenue,
+    f"""
+    SELECT {_REV} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "§2.2 TPC-H Q19 shape: three OR'd (brand, size, quantity) "
+    "branches — disjunctive predicate as a broadcast-hash residual "
+    "(common equi-key extracted, no nested loop)",
+)
+
+SPECS["q250_national_market_share"] = QuerySpec(
+    rel.national_market_share,
+    """
+    WITH agg AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               SUM(CASE WHEN sn.n_name = 'NATION_8'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(8,4))
+                                - CAST(l_discount AS DECIMAL(8,4)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS nation_dec,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(8,4))
+                      - CAST(l_discount AS DECIMAL(8,4)))) AS total_dec
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        GROUP BY 1)
+    SELECT o_year,
+           CAST(CAST(nation_dec AS VARCHAR) AS DOUBLE) AS nation_revenue,
+           CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(CAST(nation_dec AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE), 6)
+               AS mkt_share
+    FROM agg ORDER BY o_year
+    """,
+    "§2.2 TPC-H Q8 shape: national market share inside a regional "
+    "market per order year — 7-relation star-snowflake, one real "
+    "shuffle, share from a single conditional-sum pass",
+)
+
+SPECS["q251_product_type_profit"] = QuerySpec(
+    rel.product_type_profit,
+    """
+    WITH amt AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+               - CAST(l_quantity AS BIGINT)
+                   * CAST(ROUND(p_retailprice * 100) AS BIGINT) * 1000
+                   AS amount_micros
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%')
+    SELECT nation, o_year,
+           SUM(amount_micros) AS profit_micros,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(amount_micros) AS DOUBLE) / 1e6, 6) AS profit
+    FROM amt GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.2 TPC-H Q9 shape: profit by (supplier nation, order year) "
+    "with a derived cost model — exact BIGINT micro-dollar "
+    "arithmetic, no decimal-inference divergence",
+)
+
+SPECS["q252_returned_items"] = QuerySpec(
+    rel.returned_item_reporting,
+    f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {_REV_DEC} AS rev_dec,
+               COUNT(*) AS n_return_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1),
+    ranked AS (
+        SELECT c_custkey, c_name, n_name AS nation, rev_dec,
+               n_return_lines
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY rev_dec DESC, c_custkey LIMIT 20)
+    SELECT c_custkey, c_name, nation,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           n_return_lines
+    FROM ranked ORDER BY revenue DESC, c_custkey
+    """,
+    "§2.2 TPC-H Q10 shape: top-20 customers by returned-line revenue "
+    "— post-aggregate dimension join (dims touch surviving groups "
+    "only), decimal-exact top-k",
+)
+
+SPECS["q253_dominant_suppliers"] = QuerySpec(
+    rel.dominant_suppliers,
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, n_name AS nation,
+           COUNT(*) AS n_dominated_parts,
+           SUM(supp_qty) AS dominated_qty
+    FROM ps
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE supp_qty * 2 > (SELECT SUM(p2.supp_qty) FROM ps p2
+                          WHERE p2.l_partkey = ps.l_partkey)
+    GROUP BY 1, 2, 3 ORDER BY s_suppkey
+    """,
+    "§2.2 TPC-H Q20 shape: suppliers shipping >half a part's total "
+    "quantity — correlated half-of-total subquery decorrelated to "
+    "one partkey-shuffled aggregate pair (oracle keeps the "
+    "correlated form)",
+)
+
+SPECS["q254_forecast_revenue"] = QuerySpec(
+    rel.forecast_revenue_change,
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+    "§2.2 TPC-H Q6 shape: discount-band revenue — single "
+    "scan-filter-aggregate, every predicate pushed to the parquet "
+    "scan (row-group pruning), one WholeStageCodegen span",
+)
