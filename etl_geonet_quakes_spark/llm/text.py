@@ -1104,3 +1104,138 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def countmin_sketch_audit(
+    spark: SparkSession, sf_dir: str,
+    depth: int = 4, width: int = 64, topn: int = 20,
+) -> DataFrame:
+    """Count-min sketch accuracy audit: build a ``depth``×``width``
+    CMS over the corpus token stream with md5-derived row hashes,
+    then report the sketch ESTIMATE next to the exact count for the
+    ``topn`` most frequent tokens — the q216 discipline (price the
+    sketch with measured columns, not folklore) applied to the
+    frequency sketch every streaming heavy-hitter pipeline rests on.
+    CMS guarantees estimate ≥ exact; ``overestimate`` is the
+    measured collision damage at this (d, w) design point.
+
+    The hash family is engine-neutral on purpose (md5 → first 15 hex
+    chars → BIGINT → mod w, the md5_feature_hash contract), so the
+    oracle rebuilds the sketch verbatim and every output column is
+    an exact integer. Plan shape: one token-count aggregate (the
+    only corpus-scale shuffle), a ``depth``-way row expansion of the
+    VOCABULARY (bounded), bucket sums over (row, bucket) ≤ d·w
+    groups, and a broadcast join back — sketch size is a constant,
+    independent of corpus scale (that being CMS's entire point)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("exact"))
+    seeds = spark.range(depth).select(F.col("id").alias("seed"))
+    hashed = (
+        counts.join(F.broadcast(seeds), F.lit(True))
+        .select(
+            "tok", "exact", "seed",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("seed").cast("string"),
+                                F.lit(":"),
+                                F.col("tok"),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+    )
+    cells = hashed.groupBy("seed", "bucket").agg(
+        F.sum("exact").alias("cell_sum")
+    )
+    est = (
+        hashed.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("tok", "exact")
+        .agg(F.min("cell_sum").alias("estimate"))
+    )
+    return (
+        est.orderBy(F.desc("exact"), "tok")
+        .limit(topn)
+        .select(
+            "tok", "exact", "estimate",
+            (F.col("estimate") - F.col("exact")).alias("overestimate"),
+            F.round(
+                (F.col("estimate") - F.col("exact")).cast("double")
+                / F.col("exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def zipf_slope(
+    spark: SparkSession, sf_dir: str,
+    max_rank: int = 1000, min_count: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) over the top-``max_rank`` tokens —
+    slope ≈ −1 for natural language; a flat slope flags synthetic or
+    template-heavy corpora and a cliff flags a closed vocabulary
+    (the q180 dense-vocab hazard, detectable from this one number).
+
+    Ranks are deterministic (frequency DESC, token ASC — a total
+    order) over the VOCABULARY, which is bounded, so the single
+    ranking window is scale-free even when the corpus is not. Float
+    discipline: each token's ln(rank)/ln(freq) moments are rounded
+    6dp and summed as DECIMAL(28,6) — associative, hence engine-
+    exact (the q223 centroid rule) — and slope/intercept/R²
+    assemble from those exact sums in single double expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= max_rank
+    )
+    dec = "decimal(28,6)"
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).cast(dec).alias("y"),
+    ).select(
+        "x", "y",
+        F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6)
+        .cast(dec).alias("xy"),
+        F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6)
+        .cast(dec).alias("xx"),
+        F.round(F.col("y").cast("double") * F.col("y").cast("double"), 6)
+        .cast(dec).alias("yy"),
+    )
+    agg = pts.agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").cast("string").cast("double").alias("sx"),
+        F.sum("y").cast("string").cast("double").alias("sy"),
+        F.sum("xy").cast("string").cast("double").alias("sxy"),
+        F.sum("xx").cast("string").cast("double").alias("sxx"),
+        F.sum("yy").cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    covn = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varxn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    varyn = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "n_points",
+        F.round(covn / varxn, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - covn / varxn * F.col("sx")) / n, 6
+        ).alias("intercept"),
+        F.round(covn * covn / (varxn * varyn), 6).alias("r_squared"),
+    )

@@ -6445,3 +6445,271 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str,
                 "n_dominated_parts", "dominated_qty")
         .orderBy("s_suppkey")
     )
+
+
+def daily_autocorrelation(spark: SparkSession, sf_dir: str,
+                          max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation of the daily order-count series at lags
+    1..``max_lag`` — the seasonality/memory diagnostic feeding
+    forecasting and anomaly baselines (a weekly cycle shows as a
+    peak at lag 7).
+
+    The series is 0-filled over a complete day spine (a missing day
+    IS a zero observation — skipping it would silently splice
+    non-adjacent days together), keyed by integer day INDEX so the
+    lag join is a plain equi-join a.idx = b.idx + k, no date
+    arithmetic in the join key. Everything random-access is
+    integer: per-lag Σx_t·x_{t−k}, Σx_t, Σx_{t−k} and the global
+    (n, Σx, Σx²) are exact BIGINTs; r_k assembles from them in ONE
+    double expression (identical shape in the oracle) so the float
+    is deterministic, rounded 6dp:
+        r_k = (C − x̄(S_t+S_tk) + (n−k)x̄²) / (SS − S·x̄).
+    Scale: the day spine is calendar-bounded (decades ≈ 10⁴ rows) —
+    every join side beyond the initial per-day count is broadcast
+    scale by construction; the one real shuffle is the date
+    group-by."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    daily = o.groupBy("d").agg(F.count("*").alias("c"))
+    bounds = daily.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day"),
+        "mind",
+    ).select(F.datediff("day", "mind").cast("long").alias("idx"), "day")
+    x = (
+        spine.join(
+            daily.join(F.broadcast(bounds), F.lit(True)).select(
+                F.datediff("d", "mind").cast("long").alias("idx"),
+                F.col("c"),
+            ),
+            "idx",
+            "left",
+        )
+        .select("idx", F.coalesce("c", F.lit(0)).alias("x"))
+    )
+    g = x.agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).withColumn("mean", F.col("s").cast("double") / F.col("n_days"))
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = x.select(F.col("idx").alias("ia"), F.col("x").alias("xa"))
+    b = x.select(F.col("idx").alias("ib"), F.col("x").alias("xb"))
+    p = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("ia") == F.col("ib") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).alias("cross_sum"),
+            F.sum("xa").alias("sum_t"),
+            F.sum("xb").alias("sum_tk"),
+        )
+    )
+    return (
+        p.join(F.broadcast(g), F.lit(True))
+        .select(
+            "n_days", "lag", "n_pairs",
+            F.round(
+                (
+                    F.col("cross_sum").cast("double")
+                    - F.col("mean") * (F.col("sum_t") + F.col("sum_tk")).cast("double")
+                    + F.col("n_pairs").cast("double") * F.col("mean") * F.col("mean")
+                )
+                / (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("mean")
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_KW_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str,
+                   bucket_cents: int = 100_000) -> DataFrame:
+    """Kruskal–Wallis H test: do the five market segments draw their
+    order values from the same distribution? The k-sample
+    generalization of q224's Mann–Whitney — rank-based, so it needs
+    no normality assumption, and the natural drift gate when a
+    corpus has more than two strata.
+
+    Rank machinery is exact integer end-to-end: order values in
+    cents, midranks via the value HISTOGRAM (cum-before from the
+    q221 two-phase cumsum — no global row window over N rows, only
+    over the value histogram bucketed by ``bucket_cents``), and each
+    segment's rank sum is carried DOUBLED (2R_j = Σ cnt_g·(2·before
+    + cnt + 1)) so tie midranks of .5 stay BIGINT. The five per-
+    segment sums pivot into one row by conditional aggregation
+    (segment roster is fixed), and H's Σ R_j²/n_j folds in ONE fixed
+    left-to-right expression — no float aggregation anywhere, so the
+    statistic is cross-engine deterministic. Tie correction
+    C = 1 − Σ(t³−t)/(N³−N); H_corr = H/C."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vals = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents"
+    )
+    hist = vals.groupBy("cents").agg(F.count("*").alias("cnt")).withColumn(
+        "bkt", (F.col("cents") / bucket_cents).cast("long")
+    )
+    cum, _ = two_phase_cumsum(hist, "bkt", ["cents"], "cnt", "cum_incl")
+    cum = cum.select(
+        "cents", "cnt", (F.col("cum_incl") - F.col("cnt")).alias("before")
+    )
+    per_sv = (
+        vals.groupBy("seg", "cents")
+        .agg(F.count("*").alias("cnt_g"))
+        .join(cum, "cents")
+        .select(
+            "seg",
+            "cnt_g",
+            (
+                F.col("cnt_g")
+                * (F.lit(2) * F.col("before") + F.col("cnt") + F.lit(1))
+            ).alias("two_r"),
+        )
+    )
+    piv = per_sv.agg(
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col("two_r")).otherwise(F.lit(0)))
+            .alias(f"two_r_{i}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col("cnt_g")).otherwise(F.lit(0)))
+            .alias(f"n_{i}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+    )
+    ties = hist.agg(
+        F.sum("cnt").alias("n_total"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie_sum"),
+    )
+    j = piv.join(F.broadcast(ties), F.lit(True))
+    nd = F.col("n_total").cast("double")
+
+    def term(i: int):
+        r = F.col(f"two_r_{i}").cast("double") / F.lit(2.0)
+        return r * r / F.col(f"n_{i}")
+
+    sum_terms = term(0) + term(1) + term(2) + term(3) + term(4)
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * sum_terms - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    tie_c = F.lit(1.0) - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    return j.select(
+        "n_total",
+        *[F.col(f"n_{i}").alias(f"n_{s.lower()}") for i, s in enumerate(_KW_SEGMENTS)],
+        *[
+            F.col(f"two_r_{i}").alias(f"two_rsum_{s.lower()}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+        F.round(h, 6).alias("h_stat"),
+        F.round(tie_c, 6).alias("tie_correction"),
+        F.round(h / tie_c, 6).alias("h_corrected"),
+        F.lit(4).cast("long").alias("df"),
+    )
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit estimator of the time-to-repeat-
+    order survival curve: for each customer, the duration from first
+    to second order is an EVENT; single-order customers are RIGHT-
+    CENSORED at the corpus end — the churn-analysis primitive, and
+    the §2.2 taxonomy's entry for estimators defined by an ordered
+    cumulative PRODUCT (everything else cumulative in the repo is a
+    sum).
+
+    Determinism contract for the product: survival at t folds
+    1−d_i/n_i factors with a STRICT left fold over the time-ordered
+    factor array (Spark ``aggregate`` over a sort_array'd
+    collect_list; DuckDB ``list_reduce`` over list(... ORDER BY t))
+    — identical association on both engines, so the doubles match
+    bit-for-bit before the 6dp round. The factor array is bounded by
+    DISTINCT event durations in days (calendar-bounded ≤ 10⁴
+    regardless of corpus size), so the broadcast of the array and
+    the O(k²) per-row filtered folds are scale-free; the heavy part
+    — per-customer first/second order — is one custkey shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    end = o.agg(F.max("d").alias("corpus_end"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"),
+        F.get(F.sort_array(F.collect_list("d")), 1).alias("second_d"),
+    )
+    dur = (
+        per_cust.join(F.broadcast(end), F.lit(True))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff("second_d", "first_d"),
+            )
+            .otherwise(F.datediff("corpus_end", "first_d"))
+            .cast("long")
+            .alias("dur"),
+            F.col("second_d").isNotNull().cast("int").alias("event"),
+        )
+    )
+    n_total = dur.agg(F.count("*").alias("n_subjects"))
+    # histogram of ALL durations -> exclusive prefix -> at-risk counts
+    hist = dur.groupBy("dur").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = hist.select(
+        "dur", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before")
+    )
+    ev = (
+        dur.filter(F.col("event") == 1)
+        .groupBy(F.col("dur").alias("t_days"))
+        .agg(F.count("*").alias("d_events"))
+    )
+    kt = (
+        ev.join(at_risk, ev.t_days == at_risk.dur)
+        .join(F.broadcast(n_total), F.lit(True))
+        .select(
+            "t_days",
+            "d_events",
+            (F.col("n_subjects") - F.col("before")).alias("n_risk"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_risk").cast("double"),
+        )
+    )
+    factors = kt.agg(
+        F.sort_array(F.collect_list(F.struct("t_days", "factor"))).alias("fl")
+    )
+    return (
+        kt.join(F.broadcast(factors), F.lit(True))
+        .select(
+            "t_days", "n_risk", "d_events",
+            F.round(
+                F.col("d_events").cast("double") / F.col("n_risk").cast("double"),
+                6,
+            ).alias("hazard"),
+            F.round(
+                F.aggregate(
+                    F.filter(
+                        F.col("fl"), lambda x: x["t_days"] <= F.col("t_days")
+                    ),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x["factor"],
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("t_days")
+    )

@@ -6818,3 +6818,280 @@ SPECS["q254_forecast_revenue"] = QuerySpec(
     "scan-filter-aggregate, every predicate pushed to the parquet "
     "scan (row-group pruning), one WholeStageCodegen span",
 )
+
+SPECS["q255_daily_autocorrelation"] = QuerySpec(
+    rel.daily_autocorrelation,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                              date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         g AS (SELECT COUNT(*) AS n_days, SUM(x) AS s, SUM(x*x) AS ss,
+                      CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean
+               FROM x),
+         lags AS (SELECT unnest(range(1, 8)) AS lag),
+         p AS (SELECT lag, COUNT(*) AS n_pairs,
+                      SUM(a.x * t.x) AS cross_sum,
+                      SUM(a.x) AS sum_t, SUM(t.x) AS sum_tk
+               FROM lags, x a, x t
+               WHERE a.idx = t.idx + lag
+               GROUP BY lag)
+    SELECT n_days, lag, n_pairs,
+           ROUND((CAST(cross_sum AS DOUBLE)
+                  - mean * CAST(sum_t + sum_tk AS DOUBLE)
+                  + CAST(n_pairs AS DOUBLE) * mean * mean)
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * mean),
+                 6) AS acf
+    FROM p, g ORDER BY lag
+    """,
+    "§2.2 time series: sample autocorrelation of daily order counts "
+    "at lags 1..7 over a 0-filled calendar spine — all moments "
+    "exact BIGINT, one deterministic double expression per lag",
+)
+
+_KW_PIV = ", ".join(
+    f"""SUM(CASE WHEN seg = '{s}' THEN two_r ELSE 0 END) AS two_r_{i},
+        SUM(CASE WHEN seg = '{s}' THEN cnt_g ELSE 0 END) AS n_{i}"""
+    for i, s in enumerate(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+)
+_KW_TERMS = " + ".join(
+    f"(CAST(two_r_{i} AS DOUBLE)/2.0)*(CAST(two_r_{i} AS DOUBLE)/2.0)/n_{i}"
+    for i in range(5)
+)
+
+SPECS["q256_kruskal_wallis"] = QuerySpec(
+    rel.kruskal_wallis,
+    f"""
+    WITH vals AS (SELECT c_mktsegment AS seg,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+         hist AS (SELECT cents, COUNT(*) AS cnt FROM vals GROUP BY 1),
+         cum AS (SELECT cents, cnt,
+                        SUM(cnt) OVER (ORDER BY cents) - cnt AS before
+                 FROM hist),
+         sv AS (SELECT seg, cents, COUNT(*) AS cnt_g
+                FROM vals GROUP BY 1, 2),
+         contrib AS (SELECT seg, cnt_g,
+                            cnt_g * (2 * before + cnt + 1) AS two_r
+                     FROM sv JOIN cum USING (cents)),
+         piv AS (SELECT {_KW_PIV} FROM contrib),
+         ties AS (SELECT SUM(cnt) AS n_total,
+                         SUM(cnt*cnt*cnt - cnt) AS tie_sum FROM hist),
+         fin AS (SELECT *,
+                        CAST(n_total AS DOUBLE) AS nd,
+                        12.0 / (CAST(n_total AS DOUBLE)
+                                * (CAST(n_total AS DOUBLE) + 1.0))
+                            * ({_KW_TERMS})
+                            - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h_raw,
+                        1.0 - CAST(tie_sum AS DOUBLE)
+                              / (CAST(n_total AS DOUBLE)
+                                 * CAST(n_total AS DOUBLE)
+                                 * CAST(n_total AS DOUBLE)
+                                 - CAST(n_total AS DOUBLE)) AS tie_raw
+                 FROM piv, ties)
+    SELECT n_total,
+           n_0 AS n_automobile, n_1 AS n_building, n_2 AS n_furniture,
+           n_3 AS n_household, n_4 AS n_machinery,
+           two_r_0 AS two_rsum_automobile, two_r_1 AS two_rsum_building,
+           two_r_2 AS two_rsum_furniture, two_r_3 AS two_rsum_household,
+           two_r_4 AS two_rsum_machinery,
+           ROUND(h_raw, 6) AS h_stat,
+           ROUND(tie_raw, 6) AS tie_correction,
+           ROUND(h_raw / tie_raw, 6) AS h_corrected,
+           CAST(4 AS BIGINT) AS df
+    FROM fin
+    """,
+    "§2.2 statistics: Kruskal–Wallis H across the five market "
+    "segments — midranks from the value histogram (two-phase "
+    "cumsum, doubled rank sums stay BIGINT), fixed-order pivot "
+    "fold, tie-corrected",
+)
+
+SPECS["q257_kaplan_meier"] = QuerySpec(
+    rel.kaplan_meier,
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         endd AS (SELECT MAX(d) AS corpus_end FROM o),
+         pc AS (SELECT o_custkey, MIN(d) AS first_d,
+                       (list_sort(list(d)))[2] AS second_d
+                FROM o GROUP BY 1),
+         dur AS (SELECT CASE WHEN second_d IS NOT NULL
+                             THEN date_diff('day', first_d, second_d)
+                             ELSE date_diff('day', first_d, corpus_end)
+                        END AS dur,
+                        CAST(second_d IS NOT NULL AS INT) AS event
+                 FROM pc, endd),
+         nt AS (SELECT COUNT(*) AS n_subjects FROM dur),
+         hist AS (SELECT dur AS hd, COUNT(*) AS cnt FROM dur GROUP BY 1),
+         ar AS (SELECT hd, COALESCE(SUM(cnt) OVER (ORDER BY hd
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS before
+                FROM hist),
+         ev AS (SELECT dur AS t_days, COUNT(*) AS d_events
+                FROM dur WHERE event = 1 GROUP BY 1),
+         kt AS (SELECT t_days, d_events,
+                       n_subjects - before AS n_risk,
+                       1.0 - CAST(d_events AS DOUBLE)
+                             / CAST(n_subjects - before AS DOUBLE) AS factor
+                FROM ev JOIN ar ON t_days = hd, nt),
+         fl AS (SELECT list(struct_pack(t_days := t_days,
+                                        factor := factor)
+                            ORDER BY t_days) AS fl FROM kt)
+    SELECT t_days, n_risk, d_events,
+           ROUND(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+               AS hazard,
+           ROUND(list_reduce(
+                     list_transform(
+                         list_filter(fl.fl, s -> s.t_days <= kt.t_days),
+                         s -> s.factor),
+                     (a, b) -> a * b), 6) AS survival
+    FROM kt, fl ORDER BY t_days
+    """,
+    "§2.2 statistics: Kaplan–Meier survival of time-to-repeat-order "
+    "with right-censoring at corpus end — the cumulative-PRODUCT "
+    "estimator, strict left fold over the time-ordered factor array "
+    "on both engines (bit-identical before the 6dp round)",
+)
+
+_NDG_EDGES = """
+    WITH d AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS tk
+               FROM documents),
+         e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+               FROM d a JOIN d b
+                 ON a.source = b.source AND a.doc_id < b.doc_id
+                AND least(len(a.tk), len(b.tk))
+                    >= 0.8 * greatest(len(a.tk), len(b.tk))
+               WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.tk, b.tk)))
+                     >= 0.8)"""
+
+SPECS["q258_degree_assortativity"] = QuerySpec(
+    dedup.degree_assortativity,
+    f"""{_NDG_EDGES},
+         dir AS (SELECT ea AS u, eb AS v FROM e
+                 UNION ALL SELECT eb, ea FROM e),
+         deg AS (SELECT u AS w, COUNT(*) AS deg FROM dir GROUP BY 1),
+         ee AS (SELECT du.deg AS du, dv.deg AS dv
+                FROM dir JOIN deg du ON dir.u = du.w
+                         JOIN deg dv ON dir.v = dv.w),
+         agg AS (SELECT COUNT(*) AS m_directed,
+                        SUM(du) AS sdu, SUM(dv) AS sdv,
+                        SUM(du * dv) AS sdudv,
+                        SUM(du * du) AS sdu2, SUM(dv * dv) AS sdv2
+                 FROM ee),
+         nv AS (SELECT COUNT(*) AS n_vertices FROM deg)
+    SELECT n_vertices,
+           CAST(m_directed / 2 AS BIGINT) AS n_edges,
+           m_directed,
+           CASE WHEN CAST(m_directed AS DOUBLE) * CAST(sdu2 AS DOUBLE)
+                     - CAST(sdu AS DOUBLE) * CAST(sdu AS DOUBLE) > 0
+                 AND CAST(m_directed AS DOUBLE) * CAST(sdv2 AS DOUBLE)
+                     - CAST(sdv AS DOUBLE) * CAST(sdv AS DOUBLE) > 0
+                THEN ROUND((CAST(m_directed AS DOUBLE)
+                            * CAST(sdudv AS DOUBLE)
+                            - CAST(sdu AS DOUBLE) * CAST(sdv AS DOUBLE))
+                           / (sqrt(CAST(m_directed AS DOUBLE)
+                                   * CAST(sdu2 AS DOUBLE)
+                                   - CAST(sdu AS DOUBLE)
+                                     * CAST(sdu AS DOUBLE))
+                              * sqrt(CAST(m_directed AS DOUBLE)
+                                     * CAST(sdv2 AS DOUBLE)
+                                     - CAST(sdv AS DOUBLE)
+                                       * CAST(sdv AS DOUBLE))), 6)
+           END AS assortativity
+    FROM agg, nv
+    """,
+    "§2.3 graph: Newman degree assortativity of the near-dup graph "
+    "— hub-leaf vs core-core topology in one number (closure-merge "
+    "safety companion to q212); exact BIGINT moments, IEEE sqrt",
+)
+
+SPECS["q259_countmin_audit"] = QuerySpec(
+    text.countmin_sketch_audit,
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+         counts AS (SELECT tok, COUNT(*) AS exact FROM tok GROUP BY 1),
+         seeds AS (SELECT unnest(range(0, 4)) AS seed),
+         hashed AS (SELECT tok, exact, seed,
+                           CAST(concat('0x', substring(md5(concat(
+                                    CAST(seed AS VARCHAR), ':', tok)),
+                                1, 15)) AS BIGINT) % 64 AS bucket
+                    FROM counts, seeds),
+         cells AS (SELECT seed, bucket, SUM(exact) AS cell_sum
+                   FROM hashed GROUP BY 1, 2),
+         est AS (SELECT tok, exact, MIN(cell_sum) AS estimate
+                 FROM hashed JOIN cells USING (seed, bucket)
+                 GROUP BY 1, 2),
+         top AS (SELECT * FROM est ORDER BY exact DESC, tok LIMIT 20)
+    SELECT tok, exact, estimate,
+           estimate - exact AS overestimate,
+           ROUND(CAST(estimate - exact AS DOUBLE)
+                 / CAST(exact AS DOUBLE), 6) AS rel_error
+    FROM top ORDER BY exact DESC, tok
+    """,
+    "§2.3 sketches: count-min sketch accuracy audit (4×64, "
+    "md5-derived rows rebuilt verbatim by the oracle) — measured "
+    "overestimate per top-20 token, all integer columns exact",
+)
+
+SPECS["q260_zipf_slope"] = QuerySpec(
+    text.zipf_slope,
+    """
+    WITH counts AS (SELECT tok, COUNT(*) AS c
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY 1 HAVING COUNT(*) >= 2),
+         ranked AS (SELECT c, row_number()
+                           OVER (ORDER BY c DESC, tok) AS rank
+                    FROM counts QUALIFY rank <= 1000),
+         pts0 AS (SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6)
+                              AS DECIMAL(28,6)) AS x,
+                         CAST(ROUND(ln(CAST(c AS DOUBLE)), 6)
+                              AS DECIMAL(28,6)) AS y
+                  FROM ranked),
+         pts AS (SELECT x, y,
+                        CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE),
+                                   6) AS DECIMAL(28,6)) AS xy,
+                        CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                                   6) AS DECIMAL(28,6)) AS xx,
+                        CAST(ROUND(CAST(y AS DOUBLE) * CAST(y AS DOUBLE),
+                                   6) AS DECIMAL(28,6)) AS yy
+                 FROM pts0),
+         agg AS (SELECT COUNT(*) AS n_points,
+                        CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+                        CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+                        CAST(CAST(SUM(xy) AS VARCHAR) AS DOUBLE) AS sxy,
+                        CAST(CAST(SUM(xx) AS VARCHAR) AS DOUBLE) AS sxx,
+                        CAST(CAST(SUM(yy) AS VARCHAR) AS DOUBLE) AS syy
+                 FROM pts)
+    SELECT n_points,
+           ROUND((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6)
+               AS slope,
+           ROUND((sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n_points AS DOUBLE) * sxx - sx * sx)
+                       * sx)
+                 / CAST(n_points AS DOUBLE), 6) AS intercept,
+           ROUND((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(n_points AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_points AS DOUBLE) * syy - sy * sy)), 6)
+               AS r_squared
+    FROM agg
+    """,
+    "§2.3 text analysis: Zipf's-law rank-frequency OLS fit over the "
+    "top-1000 vocabulary — closed-vocabulary / template-corpus "
+    "detector; 6dp-rounded moments summed as DECIMAL(28,6) "
+    "(associative ⇒ engine-exact)",
+)

@@ -135,3 +135,194 @@ def test_mann_kendall_detects_monotonic_trend(spark, tmp_path):
     r = out[0]
     assert r["s_stat"] == 45  # 10*9/2, all pairs increasing
     assert r["tie_term"] == 0 and r["z_value"] > 0
+
+
+def test_shipping_priority_topn_is_global_argmax(spark):
+    """The LIMIT-10 result equals the head of the UNLIMITED ranking —
+    TakeOrderedAndProject must not drop a higher-revenue order that
+    lands in another partition."""
+    top = rel.shipping_priority(spark, SF, topn=10).collect()
+    full = rel.shipping_priority(spark, SF, topn=10**9).collect()
+    assert [r["l_orderkey"] for r in top] == [
+        r["l_orderkey"] for r in full[:10]
+    ]
+    revs = [r["revenue"] for r in top]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_disjunctive_revenue_equals_branch_sum(spark):
+    """The three OR branches are brand-disjoint, so total revenue
+    must equal the sum of three single-branch runs — the disjunction
+    neither double-counts nor drops rows."""
+    from etl_geonet_quakes_spark.io import load_table
+    total = rel.disjunctive_discount_revenue(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    p = load_table(spark, SF, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    branches = [
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11)),
+        ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(10, 20)),
+        ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(20, 30)),
+    ]
+    n = sum(j.filter(b).count() for b in branches)
+    assert n == total["n_lines"]
+
+
+def test_dominant_supplier_unique_per_part(spark):
+    """Strict majority ⇒ at most ONE dominant supplier per part; and
+    every reported supplier must genuinely exceed half of some
+    part's total shipped quantity (recomputed independently)."""
+    from etl_geonet_quakes_spark.io import load_table
+    li = load_table(spark, SF, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, SF, "part").filter(
+        F.col("p_name").contains("widget")
+    ).select("p_partkey")
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("q").alias("t"))
+    dom = ps.join(tot, "l_partkey").filter(F.col("q") * 2 > F.col("t"))
+    per_part = dom.groupBy("l_partkey").count().agg(F.max("count")).collect()
+    assert per_part[0][0] == 1
+    reported = {
+        r["s_suppkey"]
+        for r in rel.dominant_suppliers(spark, SF).collect()
+    }
+    independent = {r["l_suppkey"] for r in dom.collect()}
+    assert reported == independent
+
+
+def test_autocorrelation_bounds_and_pair_counts(spark):
+    out = rel.daily_autocorrelation(spark, SF).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r["n_pairs"] == r["n_days"] - r["lag"]
+        assert -1.000001 <= r["acf"] <= 1.000001
+
+
+def test_kruskal_wallis_invariants(spark):
+    r = rel.kruskal_wallis(spark, SF).collect()[0]
+    n_groups = sum(
+        r[f"n_{s}"]
+        for s in ["automobile", "building", "furniture", "household",
+                  "machinery"]
+    )
+    assert n_groups == r["n_total"]
+    # sum of all rank sums = N(N+1)/2 exactly (doubled: N(N+1))
+    two_r_total = sum(
+        r[f"two_rsum_{s}"]
+        for s in ["automobile", "building", "furniture", "household",
+                  "machinery"]
+    )
+    assert two_r_total == r["n_total"] * (r["n_total"] + 1)
+    assert r["h_stat"] >= 0
+    assert 0 < r["tie_correction"] <= 1
+    assert r["df"] == 4
+
+
+def test_kaplan_meier_hand_computed(spark, tmp_path):
+    """Four hand-traced subjects: events at t=2 (×2) and t=4 (×1),
+    one censoring at t=4. S(2) = 1−2/4 = 0.5; at t=4 the at-risk set
+    is {B(event), C(censored)} ⇒ S(4) = 0.5·(1−1/2) = 0.25."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "km")
+    os.makedirs(base)
+    d = dt.datetime(2020, 1, 1)
+
+    def day(i):
+        return d + dt.timedelta(days=i)
+
+    rows = [
+        (1, day(0)), (1, day(2)),        # A: event dur 2
+        (2, day(0)), (2, day(4)),        # B: event dur 4
+        (3, day(0)),                     # C: censored at corpus end (4)
+        (4, day(1)), (4, day(3)),        # D: event dur 2
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    out = {r["t_days"]: r for r in rel.kaplan_meier(spark, base).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_risk"] == 4 and out[2]["d_events"] == 2
+    assert out[2]["survival"] == 0.5
+    assert out[4]["n_risk"] == 2 and out[4]["d_events"] == 1
+    assert out[4]["survival"] == 0.25
+
+
+def test_kaplan_meier_survival_monotone(spark):
+    out = rel.kaplan_meier(spark, SF).orderBy("t_days").collect()
+    surv = [r["survival"] for r in out]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0 <= s <= 1 for s in surv)
+    risks = [r["n_risk"] for r in out]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_assortativity_path_graph_is_minus_one(spark, tmp_path):
+    """P3 path (A−B−C, no A−C edge): degree pairs across directed
+    edges are (1,2),(2,1),(2,1),(1,2) ⇒ Newman r = −1 exactly. The
+    token sets are built so Jaccard(A,B)=Jaccard(B,C)=9/11 ≥ 0.8 but
+    Jaccard(A,C)=8/12 < 0.8."""
+    import os
+    base = str(tmp_path / "p3")
+    os.makedirs(base)
+    t = [f"t{i}" for i in range(1, 11)]
+    texts = {
+        1: " ".join(["a1"] + t[1:]),   # A: a1 t2..t10
+        2: " ".join(t),                # B: t1..t10
+        3: " ".join(t[:9] + ["c1"]),   # C: t1..t9 c1
+    }
+    spark.createDataFrame(
+        [(i, s, "en", "src", len(s)) for i, s in texts.items()],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    from etl_geonet_quakes_spark.llm import dedup as dd
+    r = dd.degree_assortativity(spark, base).collect()[0]
+    assert r["n_vertices"] == 3 and r["n_edges"] == 2
+    assert r["assortativity"] == -1.0
+
+
+def test_countmin_estimate_dominates_exact(spark):
+    out = text.countmin_sketch_audit(spark, SF).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["estimate"] >= r["exact"], r
+        assert r["overestimate"] == r["estimate"] - r["exact"]
+
+
+def test_countmin_width_one_collapses_to_total(spark):
+    """With w=1 every token hashes to the single bucket, so the
+    estimate for EVERY token is the total token count — the
+    degenerate bound that pins the bucket-sum plumbing."""
+    from etl_geonet_quakes_spark.io import load_table
+    total = (
+        load_table(spark, SF, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .count()
+    )
+    out = text.countmin_sketch_audit(spark, SF, width=1, topn=5).collect()
+    for r in out:
+        assert r["estimate"] == total
+
+
+def test_zipf_slope_flags_closed_vocabulary(spark):
+    """The synthetic fixture has a small CLOSED vocabulary — exactly
+    the corpus pathology the Zipf fit exists to flag: slope is
+    shallow (≫ the −1 of natural text) with low explanatory power.
+    The test pins the detector's verdict, not natural-language
+    behavior the fixture doesn't have."""
+    r = text.zipf_slope(spark, SF).collect()[0]
+    assert r["slope"] < 0, "frequencies are still rank-ordered"
+    assert r["slope"] > -0.5, "closed vocab => far shallower than -1"
+    assert 0 <= r["r_squared"] <= 1
+    assert r["n_points"] >= 10
