@@ -125,10 +125,22 @@ HEADLINE = [
     # (17 Exchanges), O(E^1.5) triangle wedges, R-S prefix join,
     # cross-engine MinHash audit, label propagation.
     "q211_sparse_cosine_topk",
-    "q212_clustering_coefficient",
+    "q212_local_clustering",
     "q215_cross_corpus_dedup",
-    "q216_minhash_estimator_audit",
+    "q216_minhash_accuracy",
     "q222_label_propagation",
+    # round 8 heavies: shingle-vocabulary dup rate, iterative k-core
+    # peel, TPC-H top-k-after-join + 7-relation snowflake + integer-
+    # micros profit, rank-histogram Kruskal-Wallis, product-limit
+    # Kaplan-Meier, count-min build
+    "q243_duplicate_ngram_rate",
+    "q244_kcore_decomposition",
+    "q245_shipping_priority",
+    "q250_national_market_share",
+    "q251_product_type_profit",
+    "q256_kruskal_wallis",
+    "q257_kaplan_meier",
+    "q259_countmin_audit",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

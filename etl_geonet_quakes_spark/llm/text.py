@@ -1239,3 +1239,104 @@ def zipf_slope(
         ).alias("intercept"),
         F.round(covn * covn / (varxn * varyn), 6).alias("r_squared"),
     )
+
+
+_TOKEN_RE = "^[A-Za-z0-9_]+$"
+
+
+def bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Iterative BPE-style pair-merge training at the word level:
+    each round counts all adjacent token pairs across the corpus,
+    merges the globally most frequent pair (A, B) → "A_B"
+    everywhere, and repeats on the REWRITTEN corpus — the actual
+    merge-table induction loop (q172 only priced round one's
+    counts), i.e. the vocabulary-learning step of a tokenizer
+    pipeline.
+
+    Merge application is greedy left-to-right with standard
+    non-overlap semantics ("a a a" + merge(a,a) → "a_a a"), realized
+    as ONE corpus-wide regexp_replace per round via the doubled-
+    separator trick: separators expand to two spaces so every match
+    consumes only the LEFT space of its trailing separator, making
+    RE2/Java global replace exactly equal to the sequential fold —
+    no UDF, no per-row Python. The argmax pair is a one-row
+    broadcast (ties broken by count DESC, token ASC — total order),
+    the whole loop is declarative (no driver collect), and each
+    round costs one corpus scan + one vocabulary-bounded pair-count
+    shuffle — r rounds = r scans at any scale. Candidate pairs are
+    restricted to ``[A-Za-z0-9_]+`` tokens so the pattern is
+    regex-literal by construction.
+
+    Output: one row per round — the merged pair, its corpus
+    frequency at merge time, and the corpus token count after the
+    rewrite (each merge removes exactly pair_count tokens unless
+    overlaps collapsed; the delta is the overlap audit)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_round = []
+    for r in range(1, rounds + 1):
+        toks = F.split(F.col("text"), " ")
+        pairs = d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("a"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("b"),
+                )
+            ).alias("p")
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.filter(
+                F.col("a").rlike(_TOKEN_RE) & F.col("b").rlike(_TOKEN_RE)
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+        )
+        d = (
+            d.join(F.broadcast(best), F.lit(True))
+            .select(
+                "doc_id",
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.concat(
+                                F.lit(" "),
+                                F.regexp_replace(
+                                    F.col("text"), F.lit(" "), F.lit("  ")
+                                ),
+                                F.lit(" "),
+                            ),
+                            F.concat(
+                                F.lit(" "), F.col("a"), F.lit("  "),
+                                F.col("b"), F.lit(" "),
+                            ),
+                            F.concat(
+                                F.lit(" "), F.col("a"), F.lit("_"),
+                                F.col("b"), F.lit(" "),
+                            ),
+                        ),
+                        F.lit(" +"),
+                        F.lit(" "),
+                    )
+                ).alias("text"),
+            )
+        )
+        after = d.agg(
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+            .alias("n_tokens_after")
+        )
+        per_round.append(
+            best.join(F.broadcast(after), F.lit(True)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                "pair_count",
+                "n_tokens_after",
+            )
+        )
+    out = per_round[0]
+    for f in per_round[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("round")

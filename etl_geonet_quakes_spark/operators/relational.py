@@ -6447,6 +6447,31 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str,
     )
 
 
+def _daily_count_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts 0-filled over the complete calendar spine,
+    keyed by integer day index AND calendar day — a missing day IS a
+    zero observation; skipping it would splice non-adjacent days.
+    Shared by the time-series operators (q255 ACF, q263 Holt). The
+    spine is calendar-bounded (decades ≈ 10⁴ rows): everything after
+    the one per-day count shuffle is broadcast scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    daily = o.groupBy("d").agg(F.count("*").alias("c"))
+    bounds = daily.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day"),
+        "mind",
+    ).select(F.datediff("day", "mind").cast("long").alias("idx"), "day")
+    return spine.join(
+        daily.join(F.broadcast(bounds), F.lit(True)).select(
+            F.datediff("d", "mind").cast("long").alias("idx"), F.col("c")
+        ),
+        "idx",
+        "left",
+    ).select("idx", "day", F.coalesce("c", F.lit(0)).alias("x"))
+
+
 def daily_autocorrelation(spark: SparkSession, sf_dir: str,
                           max_lag: int = 7) -> DataFrame:
     """Sample autocorrelation of the daily order-count series at lags
@@ -6468,26 +6493,7 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str,
     every join side beyond the initial per-day count is broadcast
     scale by construction; the one real shuffle is the date
     group-by."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.to_date("o_orderdate").alias("d")
-    )
-    daily = o.groupBy("d").agg(F.count("*").alias("c"))
-    bounds = daily.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day"),
-        "mind",
-    ).select(F.datediff("day", "mind").cast("long").alias("idx"), "day")
-    x = (
-        spine.join(
-            daily.join(F.broadcast(bounds), F.lit(True)).select(
-                F.datediff("d", "mind").cast("long").alias("idx"),
-                F.col("c"),
-            ),
-            "idx",
-            "left",
-        )
-        .select("idx", F.coalesce("c", F.lit(0)).alias("x"))
-    )
+    x = _daily_count_spine(spark, sf_dir).select("idx", "x")
     g = x.agg(
         F.count("*").alias("n_days"),
         F.sum("x").alias("s"),
@@ -6713,3 +6719,225 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test: do the five
+    market segments have EQUAL VARIANCE of order value? The
+    homoscedasticity gate that decides whether q167's Welch or a
+    pooled t/ANOVA is the right downstream test — variance drift is
+    its own signal, invisible to the location tests (q224/q256).
+
+    Exactness: group medians of integer cents are .0/.5 — carried
+    DOUBLED as exact BIGINTs (the q256 discipline), so the absolute
+    deviations z = |x − med| are also doubled BIGINTs; per-group
+    Σ2z is BIGINT and Σ(2z)² sums as DECIMAL(38,0) (z² ≤ 10¹⁶
+    times 10⁵ rows overflows BIGINT at scale, never DECIMAL(38)).
+    W assembles from the five groups' exact sums in one fixed
+    left-to-right pivot fold — the only floats are final single
+    expressions. The exact per-group median is one
+    ``percentile(0.5)`` aggregate (Spark computes it without a
+    global sort; at 100 TB swap for the q135 equi-depth machinery
+    if the value domain outgrows the agg buffer)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    vals = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "cents"
+    )
+    med = vals.groupBy("seg").agg(
+        F.round(F.expr("percentile(cents, 0.5)") * 2).cast("long").alias("m2")
+    )
+    z = vals.join(F.broadcast(med), "seg").select(
+        "seg",
+        F.abs(F.lit(2) * F.col("cents") - F.col("m2")).alias("z2"),
+    )
+    piv = z.agg(
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col("z2")).otherwise(F.lit(0)))
+            .alias(f"s_{i}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("seg") == s,
+                    (F.col("z2") * F.col("z2")).cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"q_{i}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+        *[
+            F.sum(F.when(F.col("seg") == s, 1).otherwise(0).cast("long"))
+            .alias(f"n_{i}")
+            for i, s in enumerate(_KW_SEGMENTS)
+        ],
+        F.count("*").alias("n_total"),
+        F.sum("z2").alias("s_all"),
+    )
+    medp = med.groupBy().pivot("seg", _KW_SEGMENTS).agg(F.first("m2"))
+    j = piv.join(F.broadcast(medp), F.lit(True))
+    nd = F.col("n_total").cast("double")
+    zbar = F.col("s_all").cast("double") / (F.lit(2.0) * nd)
+
+    def zbar_j(i: int):
+        return F.col(f"s_{i}").cast("double") / (
+            F.lit(2.0) * F.col(f"n_{i}").cast("double")
+        )
+
+    def num_j(i: int):
+        return (
+            F.col(f"n_{i}").cast("double")
+            * ((zbar_j(i) - zbar) * (zbar_j(i) - zbar))
+        )
+
+    def den_j(i: int):
+        sd = F.col(f"s_{i}").cast("double")
+        return F.col(f"q_{i}").cast("string").cast("double") / F.lit(4.0) - (
+            sd * sd
+        ) / (F.lit(4.0) * F.col(f"n_{i}").cast("double"))
+
+    num = num_j(0) + num_j(1) + num_j(2) + num_j(3) + num_j(4)
+    den = den_j(0) + den_j(1) + den_j(2) + den_j(3) + den_j(4)
+    w = (nd - F.lit(5.0)) / F.lit(4.0) * num / den
+    return j.select(
+        "n_total",
+        *[F.col(f"n_{i}").alias(f"n_{s.lower()}") for i, s in enumerate(_KW_SEGMENTS)],
+        *[
+            (F.col(s).cast("double") / F.lit(2.0)).alias(f"med_{s.lower()}")
+            for s in _KW_SEGMENTS
+        ],
+        F.round(w, 6).alias("w_stat"),
+        F.lit(4).cast("long").alias("df1"),
+        (F.col("n_total") - F.lit(5)).alias("df2"),
+    )
+
+
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit: for a fixed roster
+    of candidate FDs X → Y, measure how many X-groups carry more
+    than one Y value — the metadata-discovery primitive behind
+    schema inference, key detection, and join-safety checks on an
+    unfamiliar 100 TB lake (g3-style FD violation rate).
+
+    Each candidate is ONE groupBy(X).countDistinct(Y) aggregate —
+    a single shuffle on its own key, unioned into the report; exact
+    integers throughout, rate rounded 6dp. True keys (p_partkey,
+    doc_id) must come back violation-free — the test pins that —
+    while the behavioral candidates quantify real-world
+    denormalization noise. Notably the audit EXPOSES that the
+    synthetic generator does not enforce TPC-H's composite
+    (l_orderkey, l_linenumber) PK — exactly the schema-assumption
+    bug this operator exists to catch before a join fans out."""
+    def audit(df: DataFrame, label: str, lhs: list, rhs: str) -> DataFrame:
+        g = df.groupBy(*lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return g.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating"),
+        )
+
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
+    frames = [
+        audit(part, "part: p_partkey -> p_brand", ["p_partkey"], "p_brand"),
+        audit(orders, "orders: o_custkey -> o_orderpriority",
+              ["o_custkey"], "o_orderpriority"),
+        audit(li, "lineitem: l_orderkey -> l_suppkey",
+              ["l_orderkey"], "l_suppkey"),
+        audit(docs, "documents: doc_id -> lang", ["doc_id"], "lang"),
+        audit(cust, "customer: c_nationkey -> c_mktsegment",
+              ["c_nationkey"], "c_mktsegment"),
+        audit(li, "lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+              ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.select(
+        "fd", "n_groups", "n_violating",
+        F.round(
+            F.col("n_violating").cast("double") / F.col("n_groups").cast("double"),
+            6,
+        ).alias("violation_rate"),
+        (F.col("n_violating") == 0).cast("int").alias("holds"),
+    ).orderBy("fd")
+
+
+def holt_smoothing(spark: SparkSession, sf_dir: str,
+                   alpha: float = 0.3, beta: float = 0.1,
+                   tail_days: int = 14) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of the
+    daily order-count series, reporting the trailing ``tail_days``
+    days with their one-step-ahead forecasts — the classic
+    trend-following baseline that q123's EWMA (level-only) cannot
+    provide.
+
+    The recursion s_t = αx_t + (1−α)(s_{t−1}+b_{t−1}) is inherently
+    sequential — the q257 determinism contract applies: the series
+    folds as a STRICT left fold over the time-ordered (idx, x)
+    array (Spark ``aggregate`` seeded from the first element; the
+    oracle is a recursive CTE with the identical expression shape —
+    NOT DuckDB ``list_reduce``, whose 1.0.0 lambda mutates the
+    accumulator struct in place field-by-field), so both engines
+    produce bit-identical doubles before the 6dp round.
+    Initialization: level = x_0, trend = 0 at the first observation.
+    The array is the calendar-bounded day spine (≤ 10⁴ elements,
+    broadcast); per-reported-row prefix folds are O(tail·spine) —
+    constant work regardless of corpus size, and the only corpus-
+    scale stage is the per-day count shuffle."""
+    x = _daily_count_spine(spark, sf_dir)
+    arr = x.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("idx"), F.col("x").alias("v")))
+        ).alias("sx")
+    )
+    n = x.agg(F.max("idx").alias("max_idx"))
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+
+    def update(acc, e):
+        lvl = a * e["v"].cast("double") + (F.lit(1.0) - a) * (
+            acc["level"] + acc["trend"]
+        )
+        return F.struct(
+            lvl.alias("level"),
+            (
+                b * (lvl - acc["level"]) + (F.lit(1.0) - b) * acc["trend"]
+            ).alias("trend"),
+        )
+
+    def fold_until(limit_idx):
+        pref = F.filter(
+            F.col("sx"), lambda e: e["idx"] <= limit_idx
+        )
+        init = F.struct(
+            F.element_at(pref, 1)["v"].cast("double").alias("level"),
+            F.lit(0.0).alias("trend"),
+        )
+        return F.aggregate(
+            F.slice(pref, 2, F.size(pref) - 1), init, update
+        )
+
+    tail = (
+        x.join(F.broadcast(n), F.lit(True))
+        .filter(F.col("idx") > F.col("max_idx") - tail_days)
+        .join(F.broadcast(arr), F.lit(True))
+    )
+    st = tail.withColumn("state", fold_until(F.col("idx")))
+    return st.select(
+        "idx",
+        "day",
+        F.col("x").alias("actual"),
+        F.round(F.col("state")["level"], 6).alias("level"),
+        F.round(F.col("state")["trend"], 6).alias("trend"),
+        F.round(
+            F.col("state")["level"] + F.col("state")["trend"], 6
+        ).alias("forecast_next"),
+    ).orderBy("idx")

@@ -7095,3 +7095,205 @@ SPECS["q260_zipf_slope"] = QuerySpec(
     "detector; 6dp-rounded moments summed as DECIMAL(28,6) "
     "(associative ⇒ engine-exact)",
 )
+
+_LV_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_LV_PIV = ", ".join(
+    f"""SUM(CASE WHEN seg = '{s}' THEN z2 ELSE 0 END) AS s_{i},
+        SUM(CASE WHEN seg = '{s}' THEN CAST(z2*z2 AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS q_{i},
+        SUM(CASE WHEN seg = '{s}' THEN 1 ELSE 0 END) AS n_{i}"""
+    for i, s in enumerate(_LV_SEGS)
+)
+_LV_MEDP = ", ".join(
+    f"MAX(CASE WHEN seg = '{s}' THEN m2 END) AS m_{i}"
+    for i, s in enumerate(_LV_SEGS)
+)
+
+
+def _lv_zbar_j(i: int) -> str:
+    return (f"CAST(s_{i} AS DOUBLE) / (2.0 * CAST(n_{i} AS DOUBLE))")
+
+
+_LV_ZBAR = "CAST(s_all AS DOUBLE) / (2.0 * CAST(n_total AS DOUBLE))"
+_LV_NUM = " + ".join(
+    f"CAST(n_{i} AS DOUBLE) * (({_lv_zbar_j(i)} - {_LV_ZBAR})"
+    f" * ({_lv_zbar_j(i)} - {_LV_ZBAR}))"
+    for i in range(5)
+)
+_LV_DEN = " + ".join(
+    f"CAST(CAST(q_{i} AS VARCHAR) AS DOUBLE) / 4.0"
+    f" - (CAST(s_{i} AS DOUBLE) * CAST(s_{i} AS DOUBLE))"
+    f" / (4.0 * CAST(n_{i} AS DOUBLE))"
+    for i in range(5)
+)
+
+SPECS["q261_levene_test"] = QuerySpec(
+    rel.levene_test,
+    f"""
+    WITH vals AS (SELECT c_mktsegment AS seg,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders JOIN customer ON o_custkey = c_custkey),
+         med AS (SELECT seg, CAST(ROUND(2 * median(cents)) AS BIGINT) AS m2
+                 FROM vals GROUP BY 1),
+         z AS (SELECT seg, abs(2 * cents - m2) AS z2
+               FROM vals JOIN med USING (seg)),
+         piv AS (SELECT {_LV_PIV},
+                        COUNT(*) AS n_total, SUM(z2) AS s_all FROM z),
+         medp AS (SELECT {_LV_MEDP} FROM med)
+    SELECT n_total,
+           n_0 AS n_automobile, n_1 AS n_building, n_2 AS n_furniture,
+           n_3 AS n_household, n_4 AS n_machinery,
+           CAST(m_0 AS DOUBLE) / 2.0 AS med_automobile,
+           CAST(m_1 AS DOUBLE) / 2.0 AS med_building,
+           CAST(m_2 AS DOUBLE) / 2.0 AS med_furniture,
+           CAST(m_3 AS DOUBLE) / 2.0 AS med_household,
+           CAST(m_4 AS DOUBLE) / 2.0 AS med_machinery,
+           ROUND((CAST(n_total AS DOUBLE) - 5.0) / 4.0
+                 * ({_LV_NUM}) / ({_LV_DEN}), 6) AS w_stat,
+           CAST(4 AS BIGINT) AS df1,
+           n_total - 5 AS df2
+    FROM piv, medp
+    """,
+    "§2.2 statistics: Brown–Forsythe (median-centered Levene) "
+    "equal-variance test across the five market segments — doubled "
+    "medians and deviations stay BIGINT, squares sum as "
+    "DECIMAL(38,0), fixed-order pivot fold",
+)
+
+SPECS["q262_fd_discovery"] = QuerySpec(
+    rel.fd_discovery,
+    """
+    WITH raw AS (
+        SELECT 'customer: c_nationkey -> c_mktsegment' AS fd,
+               COUNT(*) AS n_groups,
+               SUM(CAST(n_rhs > 1 AS BIGINT)) AS n_violating
+        FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_rhs
+              FROM customer GROUP BY 1)
+        UNION ALL
+        SELECT 'documents: doc_id -> lang',
+               COUNT(*), SUM(CAST(n_rhs > 1 AS BIGINT))
+        FROM (SELECT doc_id, COUNT(DISTINCT lang) AS n_rhs
+              FROM documents GROUP BY 1)
+        UNION ALL
+        SELECT 'lineitem: (l_orderkey, l_linenumber) -> l_partkey',
+               COUNT(*), SUM(CAST(n_rhs > 1 AS BIGINT))
+        FROM (SELECT l_orderkey, l_linenumber,
+                     COUNT(DISTINCT l_partkey) AS n_rhs
+              FROM lineitem GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'lineitem: l_orderkey -> l_suppkey',
+               COUNT(*), SUM(CAST(n_rhs > 1 AS BIGINT))
+        FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_rhs
+              FROM lineitem GROUP BY 1)
+        UNION ALL
+        SELECT 'orders: o_custkey -> o_orderpriority',
+               COUNT(*), SUM(CAST(n_rhs > 1 AS BIGINT))
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'part: p_partkey -> p_brand',
+               COUNT(*), SUM(CAST(n_rhs > 1 AS BIGINT))
+        FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS n_rhs
+              FROM part GROUP BY 1))
+    SELECT fd, n_groups, n_violating,
+           ROUND(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6)
+               AS violation_rate,
+           CAST(n_violating = 0 AS INT) AS holds
+    FROM raw ORDER BY fd
+    """,
+    "§2.2 data quality: approximate functional-dependency audit "
+    "over a fixed candidate roster — key FDs must hold, behavioral "
+    "FDs quantify denormalization; one countDistinct shuffle per "
+    "candidate",
+)
+
+SPECS["q263_holt_smoothing"] = QuerySpec(
+    rel.holt_smoothing,
+    # NOTE: the oracle deliberately avoids DuckDB list_reduce — in
+    # DuckDB 1.0.0 the lambda's accumulator struct is updated
+    # IN-PLACE field by field, so a later struct_pack field reading
+    # acc.level observes the NEW level (verified by hand-trace);
+    # a recursive CTE has the well-defined sequential semantics and
+    # the identical expression shape (nl bound once, trend from nl)
+    # reproduces Spark's fold bit-for-bit before the 6dp round.
+    """
+    WITH RECURSIVE b AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx,
+                      (SELECT mind FROM g0) + CAST(idx AS INT) AS day,
+                      COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         holt AS (
+             SELECT idx, CAST(x AS DOUBLE) AS level,
+                    CAST(0.0 AS DOUBLE) AS trend
+             FROM x WHERE idx = 0
+             UNION ALL
+             SELECT s.idx, s.nl AS level,
+                    0.1 * (s.nl - s.level)
+                        + (1.0 - 0.1) * s.trend AS trend
+             FROM (SELECT x.idx, h.level, h.trend,
+                          0.3 * CAST(x.x AS DOUBLE)
+                              + (1.0 - 0.3) * (h.level + h.trend) AS nl
+                   FROM holt h JOIN x ON x.idx = h.idx + 1) s),
+         mx AS (SELECT MAX(idx) AS max_idx FROM x)
+    SELECT x.idx, x.day, x.x AS actual,
+           ROUND(h.level, 6) AS level,
+           ROUND(h.trend, 6) AS trend,
+           ROUND(h.level + h.trend, 6) AS forecast_next
+    FROM x JOIN holt h USING (idx), mx
+    WHERE x.idx > max_idx - 14
+    ORDER BY x.idx
+    """,
+    "§2.2 time series: Holt double exponential smoothing of daily "
+    "order counts, trailing 14 days + one-step forecasts — "
+    "sequential recursion as a strict left fold (Spark) vs a "
+    "recursive CTE (oracle) with the identical expression shape, "
+    "bit-identical on both engines before the 6dp round",
+)
+
+
+def _bpe_sql(rounds: int = 3) -> str:
+    parts = ["WITH t0 AS (SELECT doc_id, text FROM documents)"]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+ p{r} AS (SELECT p[1] AS a, p[2] AS b
+          FROM (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)]))
+                       AS p
+                FROM (SELECT string_split(text, ' ') AS tk FROM t{r - 1}))),
+ best{r} AS (SELECT a, b, COUNT(*) AS pair_count FROM p{r}
+             WHERE regexp_matches(a, '^[A-Za-z0-9_]+$')
+               AND regexp_matches(b, '^[A-Za-z0-9_]+$')
+             GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 1),
+ t{r} AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                     ' ' || replace(text, ' ', '  ') || ' ',
+                     ' ' || a || '  ' || b || ' ',
+                     ' ' || a || '_' || b || ' ', 'g'),
+                     ' +', ' ', 'g')) AS text
+          FROM t{r - 1}, best{r}),
+ n{r} AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens_after FROM t{r}),
+ r{r} AS (SELECT CAST({r} AS BIGINT) AS round, a AS tok_a, b AS tok_b,
+                 pair_count, n_tokens_after FROM best{r}, n{r})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY round")
+    return "".join(parts)
+
+
+SPECS["q264_bpe_merge_rounds"] = QuerySpec(
+    text.bpe_merge_rounds,
+    _bpe_sql(),
+    "§2.3 tokenizer induction: iterative BPE pair-merge training — "
+    "3 rounds of argmax-pair merge applied corpus-wide via the "
+    "doubled-separator regexp (global replace ≡ greedy left fold), "
+    "fully declarative loop, oracle = identically unrolled rounds",
+)

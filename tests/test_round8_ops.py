@@ -326,3 +326,119 @@ def test_zipf_slope_flags_closed_vocabulary(spark):
     assert r["slope"] > -0.5, "closed vocab => far shallower than -1"
     assert 0 <= r["r_squared"] <= 1
     assert r["n_points"] >= 10
+
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def test_levene_zero_on_identical_groups(spark, tmp_path):
+    """Five segments with IDENTICAL value multisets ⇒ every group
+    deviation profile equals the pooled one ⇒ W is exactly 0 — the
+    numerator's fixed-order fold must cancel to 0.0, not 1e-17."""
+    import os
+    base = str(tmp_path / "lv")
+    os.makedirs(base)
+    custs = [(i * 10 + j, seg) for i, seg in enumerate(_SEGS)
+             for j in range(3)]
+    spark.createDataFrame(
+        custs, "c_custkey: long, c_mktsegment: string"
+    ).write.parquet(f"{base}/customer.parquet")
+    vals = [100.0, 200.0, 700.0]
+    orders = [
+        (i * 100 + k, c, vals[k])
+        for i, (c, _) in enumerate(custs)
+        for k in range(3)
+    ]
+    spark.createDataFrame(
+        [(o, c, v) for o, c, v in orders],
+        "o_orderkey: long, o_custkey: long, o_totalprice: double",
+    ).write.parquet(f"{base}/orders.parquet")
+    r = rel.levene_test(spark, base).collect()[0]
+    assert r["w_stat"] == 0.0
+    assert r["n_total"] == 45 and r["df2"] == 40
+    for s in _SEGS:
+        assert r[f"med_{s.lower()}"] == 20000.0  # 200.00 in cents
+
+
+def test_levene_fixture_invariants(spark):
+    r = rel.levene_test(spark, SF).collect()[0]
+    assert sum(r[f"n_{s.lower()}"] for s in _SEGS) == r["n_total"]
+    assert r["w_stat"] >= 0
+    assert r["df1"] == 4 and r["df2"] == r["n_total"] - 5
+
+
+def test_fd_discovery_keys_hold(spark):
+    out = {r["fd"]: r for r in rel.fd_discovery(spark, SF).collect()}
+    assert out["part: p_partkey -> p_brand"]["holds"] == 1
+    assert out["documents: doc_id -> lang"]["holds"] == 1
+    # the audit catches that the synthetic generator does NOT
+    # enforce TPC-H's composite (l_orderkey, l_linenumber) PK —
+    # the schema-assumption bug this operator exists to expose
+    assert out[
+        "lineitem: (l_orderkey, l_linenumber) -> l_partkey"
+    ]["holds"] == 0
+    # behavioral candidates genuinely vary on the fixture
+    assert out["lineitem: l_orderkey -> l_suppkey"]["holds"] == 0
+    assert out["customer: c_nationkey -> c_mktsegment"]["holds"] == 0
+    for r in out.values():
+        assert 0 <= r["n_violating"] <= r["n_groups"]
+
+
+def test_holt_constant_series_is_flat(spark, tmp_path):
+    """A constant series is a fixed point of the Holt recursion:
+    level ≡ x, trend ≡ 0, forecast ≡ x — pins both the fold
+    initialization and the update algebra."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "holt")
+    os.makedirs(base)
+    d0 = dt.datetime(2021, 1, 1)
+    rows = [(i, d0 + dt.timedelta(days=i)) for i in range(20)]
+    spark.createDataFrame(
+        rows, "o_orderkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    out = rel.holt_smoothing(spark, base).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r["actual"] == 1
+        assert r["level"] == 1.0
+        assert r["trend"] == 0.0
+        assert r["forecast_next"] == 1.0
+
+
+def test_bpe_merge_hand_traced(spark, tmp_path):
+    """Hand-traced 3-round merge on a 2-doc corpus, including the
+    tie-break (count DESC, token ASC) at rounds 2 and 3."""
+    import os
+    base = str(tmp_path / "bpe")
+    os.makedirs(base)
+    docs = [(1, "a b a b c"), (2, "a b x")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    out = text.bpe_merge_rounds(spark, base).collect()
+    assert [(r["round"], r["tok_a"], r["tok_b"], r["pair_count"],
+             r["n_tokens_after"]) for r in out] == [
+        (1, "a", "b", 3, 5),        # -> "a_b a_b c" / "a_b x"
+        (2, "a_b", "a_b", 1, 4),    # -> "a_b_a_b c" / "a_b x"
+        (3, "a_b", "x", 1, 3),      # -> "a_b_a_b c" / "a_b_x"
+    ]
+
+
+def test_bpe_merge_overlap_is_greedy_nonoverlapping(spark, tmp_path):
+    """'a a a' + merge(a,a) must become 'a_a a' (2 tokens), not
+    'a_a_a' — the doubled-separator regexp equals the greedy
+    left-to-right fold."""
+    import os
+    base = str(tmp_path / "bpeov")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "a a a", "en", "s", 5)],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    out = text.bpe_merge_rounds(spark, base, rounds=1).collect()
+    assert [(r["tok_a"], r["tok_b"], r["pair_count"],
+             r["n_tokens_after"]) for r in out] == [("a", "a", 2, 2)]
