@@ -825,3 +825,86 @@ def mixture_rebalance(
         )
         .orderBy("source")
     )
+
+
+def chunk_dedup_rebuild(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """Exact substring (chunk-level) dedup with document REBUILD —
+    the RefinedWeb/C4 "remove duplicated spans, keep the document"
+    discipline, as opposed to q41's whole-document dedup: each
+    document is cut into non-overlapping ``chunk_tokens``-token
+    chunks, every chunk occurrence except the corpus-wide FIRST
+    (ordered by doc_id, then position) is dropped, and the surviving
+    chunks are stitched back into a cleaned document. Boilerplate
+    that recurs across documents disappears from every copy but the
+    canonical one; unique prose is untouched.
+
+    Distributed shape: chunking is the q90 scan-stage
+    sequence→slice→explode (no shuffle); first-occurrence election
+    is ONE window over chunk_text — a single hash-partition shuffle
+    keyed by the chunk (heavy duplicates concentrate, but a
+    chunk's group is exactly its duplicate count, the quantity
+    being measured); rebuild is one doc_id-keyed sort-agg using the
+    q36/q188 ordered-listagg pattern. Shuffles carry chunk hashes +
+    ids, never the full corpus twice. Documents whose every chunk
+    was elected elsewhere survive with empty text via the left
+    join back to the base table (tokens-removed accounting must
+    cover them)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - i * chunk_tokens, F.lit(chunk_tokens))
+            .cast("long")
+            .alias("chunk_len"),
+        ),
+    )
+    ex = d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.chunk_len"
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("chunk_len").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda c: c["chunk_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    base = d.select(
+        "doc_id",
+        F.ceil(F.size(tokens(F.col("text"))).cast("double") / F.lit(chunk_tokens))
+        .cast("long")
+        .alias("n_chunks"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )

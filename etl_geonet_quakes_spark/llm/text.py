@@ -1340,3 +1340,77 @@ def bpe_merge_rounds(
     for f in per_round[1:]:
         out = out.unionAll(f)
     return out.orderBy("round")
+
+
+def kneser_ney_score(spark: SparkSession, sf_dir: str,
+                     discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM scoring — the smoothing the
+    production LM-quality filters actually use (Kneser & Ney 1995;
+    the KenLM default), upgrading q147's add-one baseline: instead of
+    pretending every unseen continuation is equally likely, the
+    backoff weight is the DIVERSITY of continuations after the head
+    word, and the unigram backoff is the continuation probability
+    ("how many distinct contexts precede w2"), which famously stops
+    "San Francisco"-style collocations from inflating P(Francisco |
+    anything).
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    Every factor is an exact-integer ratio (bigram count, head
+    marginal, distinct-continuation counts, total bigram types), so
+    the per-bigram probability is ONE fixed-shape double expression;
+    the per-document Σ ln folds in the 6dp-rounded cosine policy
+    (q147 precedent). Distributed shape identical to q147: scan-stage
+    bigram explode, counts keyed by bigram/head/tail (the N1+ tables
+    are groupings of the bigram-TYPE table, never the corpus), one
+    bigram-keyed scoring join; shuffles carry counts, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bgc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    head = bgc.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_head"),
+        F.count("*").alias("n1p_head"),
+    )
+    tail = bgc.groupBy("w2").agg(F.count("*").alias("n1p_tail"))
+    types = bgc.agg(F.count("*").alias("n_types"))
+    dlit = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c_bg").cast("double") - dlit, F.lit(0.0))
+        / F.col("c_head").cast("double")
+        + dlit * F.col("n1p_head").cast("double")
+        / F.col("c_head").cast("double")
+        * (F.col("n1p_tail").cast("double")
+           / F.col("n_types").cast("double"))
+    )
+    scored = (
+        bigrams.join(bgc, ["w1", "w2"])
+        .join(head, "w1")
+        .join(tail, "w2")
+        .join(F.broadcast(types))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.sum("lp") / F.count("*"), 6).alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            F.round(F.exp(F.col("avg_nll")), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6941,3 +6941,191 @@ def holt_smoothing(spark: SparkSession, sf_dir: str,
             F.col("state")["level"] + F.col("state")["trend"], 6
         ).alias("forecast_next"),
     ).orderBy("idx")
+
+
+def _event_daily_pair(spark: SparkSession, sf_dir: str,
+                      type_x: str, type_y: str) -> DataFrame:
+    """Daily counts of two event types 0-filled over the complete
+    calendar spine of the events table — the two-series analogue of
+    _daily_count_spine (a missing day is a zero observation for
+    BOTH series). One per-day shuffle; the spine is calendar-bounded
+    so every downstream join is broadcast scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = (
+        e.filter(F.col("event_type").isin(type_x, type_y))
+        .groupBy("d")
+        .agg(
+            F.sum((F.col("event_type") == type_x).cast("long")).alias("x"),
+            F.sum((F.col("event_type") == type_y).cast("long")).alias("y"),
+        )
+    )
+    bounds = e.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day"),
+        "mind",
+    ).select(F.datediff("day", "mind").cast("long").alias("idx"), "day")
+    return spine.join(
+        daily.join(F.broadcast(bounds), F.lit(True)).select(
+            F.datediff("d", "mind").cast("long").alias("idx"), "x", "y"
+        ),
+        "idx",
+        "left",
+    ).select(
+        "idx",
+        "day",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+
+
+def cross_correlation(spark: SparkSession, sf_dir: str,
+                      type_x: str = "click", type_y: str = "purchase",
+                      max_lag: int = 7) -> DataFrame:
+    """Lead–lag cross-correlation between two daily event-count
+    series: for each lag 0..max_lag, the Pearson correlation of
+    (x_t, y_{t+lag}) — does today's click volume predict purchase
+    volume lag days later? — and the reverse pairing (y_t, x_{t+lag})
+    in the same row, so the asymmetry IS the causality hint a
+    symmetric correlation matrix cannot show.
+
+    Exactness: both series are integer counts on the shared 0-filled
+    day spine; per-lag moments (Σx, Σy, Σxy, Σx², Σy² over the
+    n−lag overlapping pairs) sum as BIGINT/DECIMAL(38,0) — exact on
+    both engines — and each correlation is ONE fixed-shape double
+    expression from those exact moments, so values are
+    bit-identical before the 6dp round. The lag table × spine
+    self-join is calendar-bounded (≤ (max_lag+1)·10⁴ rows at any
+    corpus scale): everything after the per-day count shuffle is
+    broadcast scale."""
+    sp = _event_daily_pair(spark, sf_dir, type_x, type_y)
+    lags = spark.range(0, max_lag + 1).select(F.col("id").alias("lag"))
+    a = sp.select(F.col("idx").alias("ai"),
+                  F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = sp.select(F.col("idx").alias("bi"),
+                  F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = (
+        a.join(F.broadcast(lags), F.lit(True))
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    g = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("ax").alias("sax"), F.sum("by").alias("sby"),
+        F.sum("ay").alias("say"), F.sum("bx").alias("sbx"),
+        F.sum(dec(F.col("ax") * F.col("by"))).alias("sxy"),
+        F.sum(dec(F.col("ay") * F.col("bx"))).alias("syx"),
+        F.sum(dec(F.col("ax") * F.col("ax"))).alias("saxx"),
+        F.sum(dec(F.col("ay") * F.col("ay"))).alias("sayy"),
+        F.sum(dec(F.col("bx") * F.col("bx"))).alias("sbxx"),
+        F.sum(dec(F.col("by") * F.col("by"))).alias("sbyy"),
+    )
+
+    def corr(n, sa, sb, sab, saa, sbb):
+        nd = F.col(n).cast("double")
+        return F.round(
+            (nd * F.col(sab).cast("double")
+             - F.col(sa).cast("double") * F.col(sb).cast("double"))
+            / (
+                F.sqrt(nd * F.col(saa).cast("double")
+                       - F.col(sa).cast("double") * F.col(sa).cast("double"))
+                * F.sqrt(nd * F.col(sbb).cast("double")
+                         - F.col(sb).cast("double") * F.col(sb).cast("double"))
+            ),
+            6,
+        )
+
+    return g.select(
+        "lag",
+        "n_pairs",
+        corr("n_pairs", "sax", "sby", "sxy", "saxx", "sbyy")
+        .alias("r_x_leads_y"),
+        corr("n_pairs", "say", "sbx", "syx", "sayy", "sbxx")
+        .alias("r_y_leads_x"),
+    ).orderBy("lag")
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str,
+                     z_threshold: float = 2.5) -> DataFrame:
+    """Seasonally-adjusted anomaly detection on the daily order-count
+    series: remove the weekly seasonal profile (mean per day-of-week
+    slot) and flag days whose residual exceeds ``z_threshold`` pooled
+    within-slot standard deviations — the alert that a raw z-score
+    (q123's EWMA) cannot give without first confusing "it's Sunday"
+    with "something broke".
+
+    Day-of-week slot = idx % 7 (days since the series start) — an
+    engine-neutral arithmetic slot, immune to the Spark-vs-DuckDB
+    dayofweek()/locale trap. Exactness: slot sums and Σx² are
+    BIGINT; the within-slot sum of squares uses the ANOVA identity
+    SSW = Σx² − Σ_d s_d²/n_d with the 7 slot terms folded in FIXED
+    slot order from a pivoted single row (the q256/q261 discipline),
+    so σ, every slot mean, and every z-score are fixed-shape double
+    expressions over exact integers — bit-identical before the 6dp
+    round, making the |z| ≥ threshold FILTER itself cross-engine
+    deterministic."""
+    x = _daily_count_spine(spark, sf_dir).withColumn(
+        "dow", F.col("idx") % 7
+    )
+    piv = x.agg(
+        *[
+            F.sum(F.when(F.col("dow") == d, F.col("x")).otherwise(F.lit(0)))
+            .alias(f"s_{d}")
+            for d in range(7)
+        ],
+        *[
+            F.sum((F.col("dow") == d).cast("long")).alias(f"n_{d}")
+            for d in range(7)
+        ],
+        F.count("*").alias("n_days"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+    def slot_term(d: int):
+        sd = F.col(f"s_{d}").cast("double")
+        return sd * sd / F.col(f"n_{d}").cast("double")
+
+    ssw = F.col("sxx").cast("double") - (
+        slot_term(0) + slot_term(1) + slot_term(2) + slot_term(3)
+        + slot_term(4) + slot_term(5) + slot_term(6)
+    )
+    stats = piv.select(
+        *[F.col(f"s_{d}") for d in range(7)],
+        *[F.col(f"n_{d}") for d in range(7)],
+        "n_days",
+        F.sqrt(ssw / (F.col("n_days") - F.lit(7)).cast("double"))
+        .alias("sigma"),
+    )
+    j = x.join(F.broadcast(stats), F.lit(True))
+    # explicit CASE chain in slot order — fixed shape on both engines
+    mean_expr = (
+        F.when(F.col("dow") == 0,
+               F.col("s_0").cast("double") / F.col("n_0").cast("double"))
+        .when(F.col("dow") == 1,
+              F.col("s_1").cast("double") / F.col("n_1").cast("double"))
+        .when(F.col("dow") == 2,
+              F.col("s_2").cast("double") / F.col("n_2").cast("double"))
+        .when(F.col("dow") == 3,
+              F.col("s_3").cast("double") / F.col("n_3").cast("double"))
+        .when(F.col("dow") == 4,
+              F.col("s_4").cast("double") / F.col("n_4").cast("double"))
+        .when(F.col("dow") == 5,
+              F.col("s_5").cast("double") / F.col("n_5").cast("double"))
+        .otherwise(
+            F.col("s_6").cast("double") / F.col("n_6").cast("double"))
+    )
+    z = (F.col("x").cast("double") - mean_expr) / F.col("sigma")
+    return (
+        j.withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) >= F.lit(float(z_threshold)))
+        .select(
+            "idx",
+            "day",
+            "dow",
+            "x",
+            F.round(mean_expr, 6).alias("dow_mean"),
+            F.round(F.col("zval"), 6).alias("z_score"),
+        )
+        .orderBy("idx")
+    )

@@ -7297,3 +7297,188 @@ SPECS["q264_bpe_merge_rounds"] = QuerySpec(
     "doubled-separator regexp (global replace ≡ greedy left fold), "
     "fully declarative loop, oracle = identically unrolled rounds",
 )
+
+SPECS["q265_chunk_dedup_rebuild"] = QuerySpec(
+    corpus.chunk_dedup_rebuild,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+         ex AS (SELECT doc_id, i AS chunk_idx,
+                       array_to_string(tk[i*8+1 : least((i+1)*8, len(tk))],
+                                       ' ') AS chunk_text,
+                       least(len(tk) - i*8, 8) AS chunk_len
+                FROM t, UNNEST(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)))
+                         AS u(i)),
+         kept AS (SELECT * FROM
+                    (SELECT *, ROW_NUMBER() OVER
+                         (PARTITION BY chunk_text
+                          ORDER BY doc_id, chunk_idx) AS rn
+                     FROM ex)
+                  WHERE rn = 1),
+         rebuilt AS (SELECT doc_id,
+                            COUNT(*) AS n_kept,
+                            CAST(SUM(chunk_len) AS BIGINT)
+                                AS n_tokens_kept,
+                            string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                                AS text_dedup
+                     FROM kept GROUP BY doc_id),
+         base AS (SELECT doc_id,
+                         CAST(ceil(len(tk) / 8.0) AS BIGINT) AS n_chunks,
+                         CAST(len(tk) AS BIGINT) AS n_tokens
+                  FROM t)
+    SELECT base.doc_id, n_chunks,
+           COALESCE(n_kept, 0) AS n_kept,
+           n_tokens,
+           COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+           COALESCE(text_dedup, '') AS text_dedup
+    FROM base LEFT JOIN rebuilt USING (doc_id)
+    ORDER BY base.doc_id
+    """,
+    "§2.3 corpus preparation: chunk-level exact substring dedup with "
+    "document rebuild (RefinedWeb-style) — scan-stage chunking, one "
+    "chunk-keyed first-occurrence window, one doc-keyed ordered "
+    "stitch; empty-surviving documents accounted via left join",
+)
+
+_XC_CORR = (
+    "ROUND((CAST(n_pairs AS DOUBLE) * CAST({sab} AS DOUBLE)"
+    " - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+    " / (sqrt(CAST(n_pairs AS DOUBLE) * CAST({saa} AS DOUBLE)"
+    "         - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+    "    * sqrt(CAST(n_pairs AS DOUBLE) * CAST({sbb} AS DOUBLE)"
+    "           - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE))), 6)"
+)
+
+SPECS["q266_cross_correlation"] = QuerySpec(
+    rel.cross_correlation,
+    f"""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+         daily AS (SELECT d,
+                          SUM(CAST(event_type = 'click' AS BIGINT)) AS x,
+                          SUM(CAST(event_type = 'purchase' AS BIGINT)) AS y
+                   FROM e WHERE event_type IN ('click', 'purchase')
+                   GROUP BY d),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+         spine AS (SELECT unnest(range(0,
+                        date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         sp AS (SELECT idx, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+                FROM spine LEFT JOIN
+                     (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                             AS idx, x, y FROM daily) dd USING (idx)),
+         pairs AS (SELECT l.lag, a.x AS ax, a.y AS ay, b.x AS bx,
+                          b.y AS by
+                   FROM (SELECT unnest(range(0, 8)) AS lag) l,
+                        sp a JOIN sp b ON b.idx = a.idx + l.lag),
+         g AS (SELECT lag, COUNT(*) AS n_pairs,
+                      SUM(ax) AS sax, SUM(by) AS sby,
+                      SUM(ay) AS say, SUM(bx) AS sbx,
+                      SUM(CAST(ax * by AS DECIMAL(38,0))) AS sxy,
+                      SUM(CAST(ay * bx AS DECIMAL(38,0))) AS syx,
+                      SUM(CAST(ax * ax AS DECIMAL(38,0))) AS saxx,
+                      SUM(CAST(ay * ay AS DECIMAL(38,0))) AS sayy,
+                      SUM(CAST(bx * bx AS DECIMAL(38,0))) AS sbxx,
+                      SUM(CAST(by * by AS DECIMAL(38,0))) AS sbyy
+               FROM pairs GROUP BY lag)
+    SELECT lag, n_pairs,
+           {_XC_CORR.format(sab='sxy', sa='sax', sb='sby',
+                            saa='saxx', sbb='sbyy')} AS r_x_leads_y,
+           {_XC_CORR.format(sab='syx', sa='say', sb='sbx',
+                            saa='sayy', sbb='sbxx')} AS r_y_leads_x
+    FROM g ORDER BY lag
+    """,
+    "§2.2 time series: lead–lag cross-correlation of click vs "
+    "purchase daily counts at lags 0..7, both directions per row — "
+    "exact BIGINT/DECIMAL moments on the shared 0-filled spine, "
+    "fixed-shape double correlations",
+)
+
+_SA_SLOT = " + ".join(
+    f"CAST(s_{d} AS DOUBLE) * CAST(s_{d} AS DOUBLE)"
+    f" / CAST(n_{d} AS DOUBLE)"
+    for d in range(7)
+)
+_SA_MEAN = (
+    "CASE "
+    + " ".join(
+        f"WHEN dow = {d} THEN CAST(s_{d} AS DOUBLE) / CAST(n_{d} AS DOUBLE)"
+        for d in range(6)
+    )
+    + " ELSE CAST(s_6 AS DOUBLE) / CAST(n_6 AS DOUBLE) END"
+)
+_SA_PIV = ", ".join(
+    f"SUM(CASE WHEN dow = {d} THEN x ELSE 0 END) AS s_{d},"
+    f" SUM(CAST(dow = {d} AS BIGINT)) AS n_{d}"
+    for d in range(7)
+)
+
+SPECS["q267_seasonal_anomaly"] = QuerySpec(
+    rel.seasonal_anomaly,
+    f"""
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                        date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx,
+                      (SELECT mind FROM g0) + CAST(idx AS INT) AS day,
+                      COALESCE(c, 0) AS x, idx % 7 AS dow
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         piv AS (SELECT {_SA_PIV}, COUNT(*) AS n_days,
+                        SUM(x * x) AS sxx FROM x),
+         st AS (SELECT *,
+                       sqrt((CAST(sxx AS DOUBLE) - ({_SA_SLOT}))
+                            / CAST(n_days - 7 AS DOUBLE)) AS sigma
+                FROM piv)
+    SELECT idx, day, dow, x,
+           ROUND({_SA_MEAN}, 6) AS dow_mean,
+           ROUND((CAST(x AS DOUBLE) - ({_SA_MEAN})) / sigma, 6) AS z_score
+    FROM x, st
+    WHERE abs((CAST(x AS DOUBLE) - ({_SA_MEAN})) / sigma) >= 2.5
+    ORDER BY idx
+    """,
+    "§2.2 time series: weekly-seasonal anomaly detection on daily "
+    "order counts — slot = idx % 7 (engine-neutral), ANOVA-identity "
+    "pooled within-slot sigma from exact BIGINT sums, deterministic "
+    "|z| >= 2.5 filter",
+)
+
+SPECS["q268_kneser_ney"] = QuerySpec(
+    text.kneser_ney_score,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+         b AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+               FROM t, UNNEST(range(1, len(tk))) AS u(i)),
+         bgc AS (SELECT w1, w2, COUNT(*) AS c_bg FROM b GROUP BY 1, 2),
+         head AS (SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_head,
+                         COUNT(*) AS n1p_head
+                  FROM bgc GROUP BY 1),
+         tail AS (SELECT w2, COUNT(*) AS n1p_tail FROM bgc GROUP BY 1),
+         ty AS (SELECT COUNT(*) AS n_types FROM bgc),
+         s AS (SELECT doc_id,
+                      LN(greatest(CAST(c_bg AS DOUBLE) - 0.75, 0.0)
+                             / CAST(c_head AS DOUBLE)
+                         + 0.75 * CAST(n1p_head AS DOUBLE)
+                             / CAST(c_head AS DOUBLE)
+                         * (CAST(n1p_tail AS DOUBLE)
+                             / CAST(n_types AS DOUBLE))) AS lp
+               FROM b JOIN bgc USING (w1, w2)
+                      JOIN head USING (w1)
+                      JOIN tail USING (w2)
+                      CROSS JOIN ty),
+         agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                        ROUND(-SUM(lp) / COUNT(*), 6) AS avg_nll
+                 FROM s GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, avg_nll,
+           ROUND(exp(avg_nll), 6) AS ppl
+    FROM agg ORDER BY doc_id
+    """,
+    "§2.3 text quality: interpolated Kneser-Ney bigram LM scoring "
+    "(KenLM-default smoothing; continuation-count backoff) — exact "
+    "integer count tables, one bigram-keyed scoring join, 6dp "
+    "fold-order policy on the per-doc ln sum",
+)

