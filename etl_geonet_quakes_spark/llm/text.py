@@ -1414,3 +1414,58 @@ def kneser_ney_score(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+_PHRASES = ["table scan", "hash join", "sort merge", "window batch stream"]
+
+
+def phrase_search(spark: SparkSession, sf_dir: str,
+                  phrases: list | None = None) -> DataFrame:
+    """Exact phrase search over the corpus — the positional-index
+    retrieval primitive q114's postings list only stores: for each
+    query phrase, how many documents contain the tokens ADJACENTLY
+    and in order (and how many total occurrences), including
+    zero-match phrases (a missing phrase is an answer, not an empty
+    row).
+
+    Shape: instead of an L-way positional self-join (L shuffles per
+    phrase), corpus n-grams of exactly the lengths the query set
+    needs are generated scan-stage (q29's ngram_join builder, no
+    shuffle) and equi-joined against the BROADCAST phrase list —
+    one shuffle total (the per-phrase count agg), independent of
+    phrase length or count. At 100 TB the join carries only grams
+    that hash-match a phrase bucket... every non-matching gram dies
+    in the broadcast-hash probe inside the scan stage."""
+    if phrases is None:
+        phrases = list(_PHRASES)
+    lens = sorted({len(p.split()) for p in phrases})
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    grams = None
+    for L in lens:
+        g = d.filter(F.size(toks) >= L).select(
+            "doc_id",
+            F.explode(ngram_join(tokens(F.col("text")), L)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    plist = spark.createDataFrame(
+        [(p,) for p in phrases], "phrase: string"
+    )
+    hits = (
+        grams.join(F.broadcast(plist), F.col("gram") == F.col("phrase"))
+        .groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+    )
+    return (
+        plist.join(hits, "phrase", "left")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("phrase_len"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

@@ -7129,3 +7129,227 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str,
         )
         .orderBy("idx")
     )
+
+
+def holt_winters(spark: SparkSession, sf_dir: str,
+                 alpha: float = 0.3, beta: float = 0.1,
+                 gamma: float = 0.2, tail_days: int = 14) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing (level + trend +
+    weekly seasonal, period 7) of the daily order-count series —
+    the full triple-exponential forecaster q263's Holt cannot be
+    (it chases the weekend dip as a trend change; the seasonal
+    state absorbs it).
+
+    State = (level, trend, s0..s6) as NINE scalar struct fields —
+    deliberately not an array, so both engines update the one slot
+    idx%7 through an identical fixed-order CASE chain (no list
+    mutation semantics to disagree on; the q263 lesson). Init from
+    the first week: level = mean(x_0..x_6), trend = 0,
+    s_j = x_j − level; the fold runs over idx ≥ 7. The oracle is a
+    recursive CTE with the new level bound ONCE in a subquery
+    (q263 discipline), so doubles are bit-identical before the 6dp
+    round. Spine is calendar-bounded: per-tail-row prefix folds are
+    O(tail·spine) regardless of corpus scale; the one corpus-scale
+    stage is the per-day count shuffle. Requires a series of at
+    least 7 + tail_days days (the fixture spans years)."""
+    x = _daily_count_spine(spark, sf_dir)
+    a, b, g = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    week = x.filter(F.col("idx") < 7).agg(
+        F.sum("x").alias("s7"),
+        *[F.max(F.when(F.col("idx") == j, F.col("x"))).alias(f"x_{j}")
+          for j in range(7)],
+    )
+    lvl0 = F.col("s7").cast("double") / F.lit(7.0)
+    init = F.struct(
+        lvl0.alias("level"),
+        F.lit(0.0).alias("trend"),
+        *[(F.col(f"x_{j}").cast("double") - lvl0).alias(f"s{j}")
+          for j in range(7)],
+    )
+    arr = x.filter(F.col("idx") >= 7).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("idx"), F.col("x").alias("v")))
+        ).alias("sx")
+    )
+    n = x.agg(F.max("idx").alias("max_idx"))
+
+    def slot_case(acc, e):
+        slot = e["idx"] % 7
+        c = F.when(slot == 0, acc["s0"])
+        for j in range(1, 6):
+            c = c.when(slot == j, acc[f"s{j}"])
+        return c.otherwise(acc["s6"])
+
+    def update(acc, e):
+        v = e["v"].cast("double")
+        sold = slot_case(acc, e)
+        lvl = a * (v - sold) + (F.lit(1.0) - a) * (
+            acc["level"] + acc["trend"]
+        )
+        tr = b * (lvl - acc["level"]) + (F.lit(1.0) - b) * acc["trend"]
+        slot = e["idx"] % 7
+        return F.struct(
+            lvl.alias("level"),
+            tr.alias("trend"),
+            *[
+                F.when(
+                    slot == j,
+                    g * (v - lvl) + (F.lit(1.0) - g) * acc[f"s{j}"],
+                ).otherwise(acc[f"s{j}"]).alias(f"s{j}")
+                for j in range(7)
+            ],
+        )
+
+    def fold_until(limit_idx):
+        pref = F.filter(F.col("sx"), lambda e: e["idx"] <= limit_idx)
+        return F.aggregate(pref, init, update)
+
+    tail = (
+        x.join(F.broadcast(n), F.lit(True))
+        .filter(F.col("idx") > F.col("max_idx") - tail_days)
+        .join(F.broadcast(arr), F.lit(True))
+        .join(F.broadcast(week), F.lit(True))
+    )
+    st = tail.withColumn("state", fold_until(F.col("idx")))
+    nxt = (F.col("idx") + 1) % 7
+    season_next = F.when(nxt == 0, F.col("state")["s0"])
+    for j in range(1, 6):
+        season_next = season_next.when(nxt == j, F.col("state")[f"s{j}"])
+    season_next = season_next.otherwise(F.col("state")["s6"])
+    cur = F.col("idx") % 7
+    season_cur = F.when(cur == 0, F.col("state")["s0"])
+    for j in range(1, 6):
+        season_cur = season_cur.when(cur == j, F.col("state")[f"s{j}"])
+    season_cur = season_cur.otherwise(F.col("state")["s6"])
+    return st.select(
+        "idx",
+        "day",
+        F.col("x").alias("actual"),
+        F.round(F.col("state")["level"], 6).alias("level"),
+        F.round(F.col("state")["trend"], 6).alias("trend"),
+        F.round(season_cur, 6).alias("seasonal"),
+        F.round(
+            F.col("state")["level"] + F.col("state")["trend"] + season_next,
+            6,
+        ).alias("forecast_next"),
+    ).orderBy("idx")
+
+
+def pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on the daily order-count series —
+    the rank-based (distribution-free) single-changepoint detector,
+    the nonparametric sibling of q231's CUSUM (which trusts means;
+    Pettitt survives heavy tails and outliers).
+
+    Exact O(n log n) identity: with midranks R_i over the full
+    series, U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i) collapses to the
+    cumulative sum Σ_{i≤t} (n + 1 − 2R_i) — the antisymmetric part
+    over i,j ≤ t cancels — and the midrank form 2R_i = 2·(#less) +
+    (#ties) + 1 keeps everything BIGINT (doubled ranks, the q256
+    discipline), ties included, no O(n²) pair join. K = max|U_t|
+    over t < n; the changepoint is the earliest argmax;
+    p ≈ 2·exp(−6K²/(n³+n²)) is the standard approximation (one
+    fixed-shape double expression). Ranks come from a value-count
+    table (distinct daily counts — bounded domain) joined back
+    broadcast; the only corpus-scale shuffle is the per-day count."""
+    x = _daily_count_spine(spark, sf_dir).select("idx", "day", "x")
+    vc = x.groupBy("x").agg(F.count("*").alias("t"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vc.select(
+        "x",
+        "t",
+        (F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+         + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    n = x.agg(F.count("*").alias("n_days"))
+    wu = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    u = (
+        x.join(F.broadcast(ranks), "x")
+        .join(F.broadcast(n), F.lit(True))
+        .select(
+            "idx",
+            "day",
+            "n_days",
+            F.sum(F.col("n_days") + F.lit(1) - F.col("r2"))
+            .over(wu)
+            .alias("u"),  # U_t = Σ_{i≤t} (n + 1 − 2R_i), 2R_i = r2
+        )
+        .filter(F.col("idx") < F.col("n_days") - 1)
+    )
+    best = u.orderBy(F.abs(F.col("u")).desc(), "idx").limit(1)
+    nd = F.col("n_days").cast("double")
+    k = F.abs(F.col("u")).cast("double")
+    return best.select(
+        "n_days",
+        F.abs(F.col("u")).alias("k_stat"),
+        F.col("idx").alias("tau_idx"),
+        F.col("day").alias("tau_day"),
+        F.signum(F.col("u").cast("double")).cast("int").alias("direction"),
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0) * k * k / (nd * nd * nd + nd * nd)
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def bipartite_hits(spark: SparkSession, sf_dir: str,
+                   topn: int = 20) -> DataFrame:
+    """Bipartite HITS (co-HITS) over the customer→part purchase
+    graph: hub customers buy the authoritative parts, authoritative
+    parts are bought by hub customers — two reinforcement rounds of
+    the Kleinberg iteration, UNNORMALIZED so every score stays an
+    exact integer (a² = (AᵀA)² applied to the all-ones vector);
+    normalization is a presentation concern, done once at the end
+    as score/max (fixed-shape double, 6dp). Reports the top
+    ``topn`` authority parts.
+
+    Edges are the DISTINCT (customer, part) pairs (set semantics —
+    a repeat purchase is not extra endorsement). Each half-iteration
+    is one edge⋈score equi-join + key agg — the shuffles carry
+    (key, score) pairs only; scores cast DECIMAL(38,0) before the
+    third power sum so 100 TB degree products cannot overflow
+    BIGINT. Top-k is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    h1 = edges.groupBy("cust").agg(F.count("*").alias("h1"))
+    a1 = (
+        edges.join(h1, "cust")
+        .groupBy("part")
+        .agg(F.sum("h1").alias("a1"))
+    )
+    h2 = (
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum(F.col("a1").cast("decimal(38,0)")).alias("h2"))
+    )
+    a2 = (
+        edges.join(h2, "cust")
+        .groupBy("part")
+        .agg(F.sum("h2").alias("a2"))
+    )
+    mx = a2.agg(F.max("a2").alias("amax"))
+    return (
+        a2.join(F.broadcast(mx), F.lit(True))
+        .select(
+            "part",
+            F.col("a2").alias("authority"),
+            F.round(
+                F.col("a2").cast("double") / F.col("amax").cast("double"), 6
+            ).alias("authority_norm"),
+        )
+        .orderBy(F.desc("authority"), "part")
+        .limit(topn)
+    )

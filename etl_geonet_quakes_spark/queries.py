@@ -7482,3 +7482,189 @@ SPECS["q268_kneser_ney"] = QuerySpec(
     "integer count tables, one bigram-keyed scoring join, 6dp "
     "fold-order policy on the per-doc ln sum",
 )
+
+SPECS["q269_phrase_search"] = QuerySpec(
+    text.phrase_search,
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+         g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+                FROM t, UNNEST(range(1, len(tk))) AS u(i)
+                WHERE len(tk) >= 2),
+         g3 AS (SELECT doc_id,
+                       tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+                FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3),
+         grams AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+         p AS (SELECT * FROM (VALUES ('table scan'), ('hash join'),
+                                     ('sort merge'),
+                                     ('window batch stream')) v(phrase)),
+         hits AS (SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs,
+                         COUNT(*) AS n_occurrences
+                  FROM grams JOIN p ON gram = phrase GROUP BY 1)
+    SELECT phrase,
+           CAST(len(string_split(phrase, ' ')) AS BIGINT) AS phrase_len,
+           COALESCE(n_docs, 0) AS n_docs,
+           COALESCE(n_occurrences, 0) AS n_occurrences
+    FROM p LEFT JOIN hits USING (phrase)
+    ORDER BY phrase
+    """,
+    "§2.3 retrieval: exact adjacent-phrase search — corpus n-grams "
+    "of only the needed lengths joined against the broadcast phrase "
+    "list (no L-way positional self-join); zero-match phrases "
+    "reported via left join",
+)
+
+_HW_X = ", ".join(
+    f"MAX(CASE WHEN idx = {j} THEN x END) AS x_{j}" for j in range(7)
+)
+_HW_S0 = ",\n                    ".join(
+    f"CAST(x_{j} AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS s{j}"
+    for j in range(7)
+)
+_HW_SOLD = (
+    "CASE "
+    + " ".join(f"WHEN x.idx % 7 = {j} THEN h.s{j}" for j in range(6))
+    + " ELSE h.s6 END"
+)
+_HW_SNEW = ",\n                    ".join(
+    f"CASE WHEN s.idx % 7 = {j} THEN 0.2 * (s.v - s.nl)"
+    f" + (1.0 - 0.2) * s.s{j} ELSE s.s{j} END"
+    for j in range(7)
+)
+_HW_HS = ", ".join(f"h.s{j}" for j in range(7))
+_HW_SS = ", ".join(f"s0.s{j}" for j in range(7))
+_HW_SEAS_CUR = (
+    "CASE "
+    + " ".join(f"WHEN x.idx % 7 = {j} THEN h.s{j}" for j in range(6))
+    + " ELSE h.s6 END"
+)
+_HW_SEAS_NXT = (
+    "CASE "
+    + " ".join(f"WHEN (x.idx + 1) % 7 = {j} THEN h.s{j}" for j in range(6))
+    + " ELSE h.s6 END"
+)
+
+SPECS["q270_holt_winters"] = QuerySpec(
+    rel.holt_winters,
+    f"""
+    WITH RECURSIVE b AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx,
+                      (SELECT mind FROM g0) + CAST(idx AS INT) AS day,
+                      COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         wk AS (SELECT CAST(SUM(x) AS BIGINT) AS s7, {_HW_X}
+                FROM x WHERE idx < 7),
+         hw AS (
+             SELECT CAST(6 AS BIGINT) AS idx,
+                    CAST(s7 AS DOUBLE) / 7.0 AS level,
+                    CAST(0.0 AS DOUBLE) AS trend,
+                    {_HW_S0}
+             FROM wk
+             UNION ALL
+             SELECT s.idx, s.nl AS level,
+                    0.1 * (s.nl - s.level)
+                        + (1.0 - 0.1) * s.trend AS trend,
+                    {_HW_SNEW}
+             FROM (SELECT s0.idx, s0.v, s0.level, s0.trend, {_HW_SS},
+                          0.3 * (s0.v - s0.sold)
+                              + (1.0 - 0.3) * (s0.level + s0.trend) AS nl
+                   FROM (SELECT x.idx, CAST(x.x AS DOUBLE) AS v,
+                                h.level, h.trend, {_HW_HS},
+                                {_HW_SOLD} AS sold
+                         FROM hw h JOIN x ON x.idx = h.idx + 1) s0) s),
+         mx AS (SELECT MAX(idx) AS max_idx FROM x)
+    SELECT x.idx, x.day, x.x AS actual,
+           ROUND(h.level, 6) AS level,
+           ROUND(h.trend, 6) AS trend,
+           ROUND({_HW_SEAS_CUR}, 6) AS seasonal,
+           ROUND(h.level + h.trend + {_HW_SEAS_NXT}, 6) AS forecast_next
+    FROM x JOIN hw h USING (idx), mx
+    WHERE x.idx > max_idx - 14
+    ORDER BY x.idx
+    """,
+    "§2.2 time series: Holt-Winters additive weekly-seasonal "
+    "smoothing — nine-scalar state struct (no list mutation), "
+    "fixed-order slot CASE chain, recursive-CTE oracle with the "
+    "new level bound once; bit-identical doubles before 6dp",
+)
+
+SPECS["q271_pettitt_test"] = QuerySpec(
+    rel.pettitt_test,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx,
+                      (SELECT mind FROM g0) + CAST(idx AS INT) AS day,
+                      COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         vc AS (SELECT x, COUNT(*) AS t FROM x GROUP BY 1),
+         r AS (SELECT x,
+                      2 * COALESCE(SUM(t) OVER
+                          (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + t + 1 AS r2
+               FROM vc),
+         n AS (SELECT COUNT(*) AS n_days FROM x),
+         u AS (SELECT idx, day, n_days,
+                      SUM(n_days + 1 - r2) OVER (ORDER BY idx) AS u
+               FROM x JOIN r USING (x), n),
+         best AS (SELECT * FROM u WHERE idx < n_days - 1
+                  ORDER BY abs(u) DESC, idx LIMIT 1)
+    SELECT n_days,
+           abs(u) AS k_stat,
+           idx AS tau_idx,
+           day AS tau_day,
+           CAST(sign(CAST(u AS DOUBLE)) AS INT) AS direction,
+           ROUND(2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE)
+                           * CAST(abs(u) AS DOUBLE)
+                           / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                              * CAST(n_days AS DOUBLE)
+                              + CAST(n_days AS DOUBLE)
+                              * CAST(n_days AS DOUBLE))), 6) AS p_approx
+    FROM best
+    """,
+    "§2.2 statistics: Pettitt rank-based changepoint test — exact "
+    "O(n log n) via the midrank identity U_t = cumsum(n+1-2R_i), "
+    "doubled ranks stay BIGINT, ties handled; standard p "
+    "approximation as one fixed-shape double",
+)
+
+SPECS["q272_bipartite_hits"] = QuerySpec(
+    rel.bipartite_hits,
+    """
+    WITH edges AS (SELECT DISTINCT o_custkey AS cust,
+                                   l_partkey AS part
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         h1 AS (SELECT cust, COUNT(*) AS h1 FROM edges GROUP BY 1),
+         a1 AS (SELECT part, CAST(SUM(h1) AS BIGINT) AS a1
+                FROM edges JOIN h1 USING (cust) GROUP BY 1),
+         h2 AS (SELECT cust, SUM(CAST(a1 AS DECIMAL(38,0))) AS h2
+                FROM edges JOIN a1 USING (part) GROUP BY 1),
+         a2 AS (SELECT part, CAST(SUM(h2) AS DECIMAL(38,0)) AS a2
+                FROM edges JOIN h2 USING (cust) GROUP BY 1),
+         mx AS (SELECT MAX(a2) AS amax FROM a2)
+    SELECT part, a2 AS authority,
+           ROUND(CAST(a2 AS DOUBLE) / CAST(amax AS DOUBLE), 6)
+               AS authority_norm
+    FROM a2, mx
+    ORDER BY a2 DESC, part LIMIT 20
+    """,
+    "§2.2 graph: bipartite HITS (co-HITS) over the customer-part "
+    "purchase graph, two unnormalized reinforcement rounds — exact "
+    "integer scores (DECIMAL(38,0) for the cubic growth), "
+    "edge-join + key-agg per half-iteration, TakeOrderedAndProject",
+)

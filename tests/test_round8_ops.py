@@ -554,3 +554,105 @@ def test_kneser_ney_hand_traced(spark, tmp_path):
     assert out[0]["n_bigrams"] == 3
     assert out[0]["avg_nll"] == round(expected, 6)
     assert out[0]["ppl"] == round(math.exp(round(expected, 6)), 6)
+
+
+def test_phrase_search_adjacency_and_zero_match(spark, tmp_path):
+    """'beta gamma' is adjacent in doc 1 only; 'gamma beta' never
+    occurs (order matters); a phrase absent entirely still gets a
+    zero row."""
+    import os
+    base = str(tmp_path / "ph")
+    os.makedirs(base)
+    docs = [(1, "alpha beta gamma beta"), (2, "beta alpha gamma")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    ).write.parquet(f"{base}/documents.parquet")
+    out = {r["phrase"]: r for r in text.phrase_search(
+        spark, base,
+        phrases=["beta gamma", "gamma beta", "alpha beta gamma", "zz qq"],
+    ).collect()}
+    assert out["beta gamma"]["n_docs"] == 1
+    assert out["beta gamma"]["n_occurrences"] == 1
+    assert out["gamma beta"]["n_occurrences"] == 1  # doc1 pos 3-4
+    assert out["alpha beta gamma"]["n_docs"] == 1
+    assert out["alpha beta gamma"]["phrase_len"] == 3
+    assert out["zz qq"]["n_docs"] == 0 and out["zz qq"]["n_occurrences"] == 0
+
+
+def test_holt_winters_pure_weekly_pattern_is_fixpoint(spark, tmp_path):
+    """A perfectly repeating weekly pattern with no trend is a fixed
+    point: level = weekly mean, trend = 0, seasonal = x_j − mean,
+    and the one-step forecast is EXACTLY next day's value."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "hw")
+    os.makedirs(base)
+    d0 = dt.datetime(2023, 1, 2)
+    pattern = [7, 14, 21, 14, 7, 28, 14]  # mean = 15
+    rows = []
+    oid = 0
+    for w in range(5):
+        for j, c in enumerate(pattern):
+            for _ in range(c):
+                oid += 1
+                rows.append((oid, d0 + dt.timedelta(days=w * 7 + j)))
+    spark.createDataFrame(
+        rows, "o_orderkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    out = rel.holt_winters(spark, base).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r["level"] == 15.0
+        assert r["trend"] == 0.0
+        assert r["seasonal"] == r["actual"] - 15.0
+        nxt = pattern[(r["idx"] + 1) % 7]
+        assert r["forecast_next"] == float(nxt)
+
+
+def test_pettitt_finds_planted_step(spark, tmp_path):
+    """10 low days then 10 high days: K = 10·10 pairs all positive,
+    changepoint at the last low day, direction +1."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "pt")
+    os.makedirs(base)
+    d0 = dt.datetime(2024, 6, 1)
+    rows = []
+    oid = 0
+    for i in range(20):
+        for _ in range(1 if i < 10 else 5):
+            oid += 1
+            rows.append((oid, d0 + dt.timedelta(days=i)))
+    spark.createDataFrame(
+        rows, "o_orderkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    r = rel.pettitt_test(spark, base).collect()[0]
+    assert r["n_days"] == 20
+    assert r["k_stat"] == 100
+    assert r["tau_idx"] == 9
+    assert r["direction"] == 1
+    assert 0 < r["p_approx"] < 0.05
+
+
+def test_bipartite_hits_hand_traced(spark, tmp_path):
+    """Two customers, two parts, three edges — a2 hand-traced:
+    p10 = 8, p11 = 5 (unnormalized (AᵀA)² on the ones vector)."""
+    import os
+    base = str(tmp_path / "hits")
+    os.makedirs(base)
+    spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2)],
+        "o_orderkey: long, o_custkey: long",
+    ).write.parquet(f"{base}/orders.parquet")
+    spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 10), (102, 10)],
+        "l_orderkey: long, l_partkey: long",
+    ).write.parquet(f"{base}/lineitem.parquet")
+    out = {int(r["part"]): r for r in
+           rel.bipartite_hits(spark, base).collect()}
+    assert int(out[10]["authority"]) == 8
+    assert int(out[11]["authority"]) == 5
+    assert out[10]["authority_norm"] == 1.0
+    assert out[11]["authority_norm"] == 0.625
