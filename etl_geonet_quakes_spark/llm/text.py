@@ -1469,3 +1469,88 @@ def phrase_search(spark: SparkSession, sf_dir: str,
         )
         .orderBy("phrase")
     )
+
+
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes source classifier with its confusion
+    matrix — the classic provenance/quality classifier (and the
+    leakage probe: if a trivial NB separates sources, the corpus has
+    source shibboleths q164's MI already hinted at). Train add-one
+    token counts per source on the corpus, score every document
+    against every source, predict the argmax posterior, report
+    true × predicted counts.
+
+    score(d, s) = ln P(s) + Σ_t∈d ln (c(t,s)+1)/(n_s+V): every
+    factor an exact-integer ratio; each per-(doc, source) ln sum is
+    rounded 6dp BEFORE the argmax (the q147 fold-order policy —
+    rounding first makes the argmax itself cross-engine
+    deterministic), ties broken by source name via row_number.
+
+    Shape: token counts are one (token, source) hash agg of the
+    token stream; scoring joins each doc token to the count table
+    LEFT per source (missing pair ⇒ smoothed floor), a 5× bounded
+    fan-out — the shuffles carry (token, source, count); the
+    confusion matrix is O(|sources|²)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("source").alias("true_source")
+    )
+    srcs = d.select(
+        F.col("true_source").alias("src")
+    ).distinct()
+    prior = d.groupBy(F.col("true_source").alias("src")).agg(
+        F.count("*").alias("n_docs_src")
+    )
+    totals = d.agg(F.count("*").alias("n_docs_total"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tc = (
+        tok.join(d.select("doc_id", "true_source"), "doc_id")
+        .groupBy("token", F.col("true_source").alias("src"))
+        .agg(F.count("*").alias("c_ts"))
+    )
+    ns = tc.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    pair = tok.join(F.broadcast(srcs), F.lit(True))
+    scored = (
+        pair.join(tc, ["token", "src"], "left")
+        .join(F.broadcast(ns), "src")
+        .join(F.broadcast(vocab), F.lit(True))
+        .groupBy("doc_id", "src")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c_ts"), F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("n_s") + F.col("v")).cast("double")
+                )
+            ).alias("ll")
+        )
+    )
+    post = (
+        scored.join(F.broadcast(prior), "src")
+        .join(F.broadcast(totals), F.lit(True))
+        .select(
+            "doc_id",
+            "src",
+            F.round(
+                F.col("ll")
+                + F.log(
+                    F.col("n_docs_src").cast("double")
+                    / F.col("n_docs_total").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "src")
+    pred = (
+        post.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("src").alias("pred_source"))
+    )
+    return (
+        d.select("doc_id", "true_source")
+        .join(pred, "doc_id")
+        .groupBy("true_source", "pred_source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_source", "pred_source")
+    )

@@ -31,6 +31,8 @@ partial+final hash aggs, and nothing collects to the driver.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7352,4 +7354,295 @@ def bipartite_hits(spark: SparkSession, sf_dir: str,
         )
         .orderBy(F.desc("authority"), "part")
         .limit(topn)
+    )
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str,
+                 n_replicates: int = 64) -> DataFrame:
+    """Deterministic bootstrap confidence interval for the mean order
+    value: ``n_replicates`` half-samples drawn by the engine-portable
+    md5 coin (replicate b keeps order o iff the 60-bit
+    md5(b ':' o_orderkey) hash is even — the q46/q100 determinism
+    family, so both engines draw IDENTICAL replicates), each
+    replicate's mean computed from exact BIGINT cent sums, and the
+    95% CI read off the empirical replicate distribution by exact
+    order statistics (ceil(0.025·B) and ceil(0.975·B) via
+    row_number — no interpolation to disagree on).
+
+    This is the m-out-of-n (m ≈ n/2) bootstrap — the variant that
+    stays valid under distributed draw-without-replacement, and the
+    one a 100 TB engine can actually run: the B replicates
+    materialize as ONE fact-side explode (row × B membership bits →
+    filter) feeding one (replicate)-keyed partial agg; nothing is
+    ever collected. The standard error folds the B=64 replicate
+    means exactly: each mean is rounded 6dp → DECIMAL, summed as
+    DECIMAL(38,12) (associative ⇒ engine-exact), variance assembled
+    from Σm, Σm² in one fixed-shape double expression."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = spark.range(1, n_replicates + 1).select(F.col("id").alias("rep"))
+    drawn = (
+        o.join(F.broadcast(b), F.lit(True))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("rep").cast("string"),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        .groupBy("rep")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            "rep",
+            "m",
+            F.round(
+                F.col("s").cast("double")
+                / (F.lit(100.0) * F.col("m").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("mean_b"),
+        )
+    )
+    w = Window.orderBy("mean_b", "rep")
+    ranked = drawn.withColumn("rn", F.row_number().over(w))
+    lo_idx = math.ceil(0.025 * n_replicates)
+    hi_idx = math.ceil(0.975 * n_replicates)
+    full = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sc"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_replicates"),
+        F.sum(F.col("mean_b").cast("decimal(38,12)")).alias("sm"),
+        F.sum(
+            (F.col("mean_b") * F.col("mean_b")).cast("decimal(38,12)")
+        ).alias("sm2"),
+        F.max(F.when(F.col("rn") == lo_idx, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("mean_b"))).alias("hi"),
+    )
+    bd = F.col("n_replicates").cast("double")
+    return agg.join(F.broadcast(full), F.lit(True)).select(
+        "n_orders",
+        "n_replicates",
+        F.round(
+            F.col("sc").cast("double")
+            / (F.lit(100.0) * F.col("n_orders").cast("double")),
+            6,
+        ).alias("point_mean"),
+        F.col("lo").cast("double").alias("ci_lo"),
+        F.col("hi").cast("double").alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("sm2").cast("double")
+                    - F.col("sm").cast("double")
+                    * F.col("sm").cast("double") / bd
+                )
+                / (bd - F.lit(1.0))
+            ),
+            6,
+        ).alias("se_boot"),
+    )
+
+
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join cardinality estimation vs ground truth —
+    the pre-flight a 100 TB engine runs BEFORE committing to a join
+    order: for each candidate equi-join, the System-R estimate
+    |A|·|B| / max(ndv_A, ndv_B) against the exact join size
+    Σ_k c_A(k)·c_B(k), priced from per-key COUNT TABLES (two key
+    aggs + a count-join — never the join itself; the whole point is
+    the audit costs a histogram, not the join).
+
+    Exact arithmetic: actual rows sum as DECIMAL(38,0) (count
+    products overflow BIGINT at scale); the estimate is one
+    fixed-shape double expression (misestimate factor 6dp). A
+    misestimate ≫ 1 flags key skew the independence assumption
+    misses — exactly where AQE's skew-join or a salting rewrite
+    (q19) must step in."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def audit(name, left, lk, right, rk):
+        la = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count("*").alias("ca")
+        )
+        ra = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count("*").alias("cb")
+        )
+        lt = la.agg(F.sum("ca").alias("n_left"),
+                    F.count("*").alias("ndv_left"))
+        rt = ra.agg(F.sum("cb").alias("n_right"),
+                    F.count("*").alias("ndv_right"))
+        act = la.join(ra, "k").agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("ca") * F.col("cb")).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("actual_rows")
+        )
+        return (
+            lt.join(F.broadcast(rt), F.lit(True))
+            .join(F.broadcast(act), F.lit(True))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                "actual_rows",
+                F.round(
+                    F.col("n_left").cast("double")
+                    * F.col("n_right").cast("double")
+                    / F.greatest(
+                        F.col("ndv_left").cast("double"),
+                        F.col("ndv_right").cast("double"),
+                    ),
+                    2,
+                ).alias("est_rows"),
+                F.round(
+                    F.col("actual_rows").cast("double")
+                    / (
+                        F.col("n_left").cast("double")
+                        * F.col("n_right").cast("double")
+                        / F.greatest(
+                            F.col("ndv_left").cast("double"),
+                            F.col("ndv_right").cast("double"),
+                        )
+                    ),
+                    6,
+                ).alias("misestimate"),
+            )
+        )
+
+    frames = [
+        audit("customer-orders", c, "c_custkey", o, "o_custkey"),
+        audit("orders-lineitem", o, "o_orderkey", li, "l_orderkey"),
+        audit("part-lineitem", p, "p_partkey", li, "l_partkey"),
+        audit("orders-selfjoin-custkey", o, "o_custkey", o, "o_custkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("join_name")
+
+
+def apriori_triples(spark: SparkSession, sf_dir: str,
+                    rel_support: float = 0.01) -> DataFrame:
+    """Apriori L2→L3 frequent-itemset mining over order baskets of
+    part BRANDS: pairs meeting relative support ``rel_support`` (1% of baskets) first (L2), then
+    candidate triples generated only from L2 (prefix join) and
+    pruned by the apriori property (every 2-subset must be in L2)
+    BEFORE any counting touches the fact table — the candidate set
+    a 100 TB basket scan can afford to verify, because it is
+    broadcast-small by construction.
+
+    Shape: baskets are DISTINCT (order, brand) pairs (set
+    semantics); L2 is one pair-explode + support agg; candidate
+    triples join L2⋈L2 on the shared first item with b2 < b3, then
+    an inner prune-join against L2 on the (b2,b3) edge; support
+    counting is basket-triple explode ⋈ broadcast(candidates).
+    Everything is exact integers; support ratio is one division,
+    6dp."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"),
+                F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = baskets.agg(
+        F.countDistinct("oid").alias("n_baskets")
+    )
+    ba = baskets.groupBy("oid").agg(
+        F.array_sort(F.collect_list("item")).alias("items")
+    )
+    pairs = ba.select(
+        "oid",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda x: F.transform(
+                            F.col("items"),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("pr"),
+    ).select("oid", "pr.a", "pr.b")
+    thresh = F.ceil(F.lit(float(rel_support)) * F.col("n_baskets"))
+    l2 = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("sup2"))
+        .join(F.broadcast(nb), F.lit(True))
+        .filter(F.col("sup2") >= thresh)
+        .drop("n_baskets")
+    )
+    l2x = l2.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
+    l2y = l2.select(F.col("a").alias("c1"), F.col("b").alias("c3"))
+    cand = (
+        l2x.join(l2y, "c1")
+        .filter(F.col("c2") < F.col("c3"))
+        .join(
+            l2.select(F.col("a").alias("c2"), F.col("b").alias("c3")),
+            ["c2", "c3"],
+        )
+    )
+    triples = pairs.join(
+        F.broadcast(cand.select(F.col("c1").alias("a"),
+                                F.col("c2").alias("b"), "c3")),
+        ["a", "b"],
+    ).join(
+        baskets.select(F.col("oid").alias("oid2"),
+                       F.col("item").alias("c3v")),
+        (F.col("oid") == F.col("oid2")) & (F.col("c3v") == F.col("c3")),
+    )
+    return (
+        triples.groupBy("a", "b", "c3")
+        .agg(F.count("*").alias("support"))
+        .join(F.broadcast(nb), F.lit(True))
+        .filter(F.col("support") >= thresh)
+        .select(
+            F.col("a").alias("item1"),
+            F.col("b").alias("item2"),
+            F.col("c3").alias("item3"),
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.col("n_baskets").cast("double"),
+                6,
+            ).alias("support_ratio"),
+        )
+        .orderBy("item1", "item2", "item3")
     )

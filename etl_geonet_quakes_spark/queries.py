@@ -7668,3 +7668,239 @@ SPECS["q272_bipartite_hits"] = QuerySpec(
     "integer scores (DECIMAL(38,0) for the cubic growth), "
     "edge-join + key-agg per half-iteration, TakeOrderedAndProject",
 )
+
+SPECS["q273_stream_full_outer_join"] = QuerySpec(
+    stw.stream_full_outer_join,
+    """
+    -- q214's left-outer leg completed to FULL OUTER: unmatched
+    -- clicks null-pad right, unmatched purchases null-pad left;
+    -- both null families exist only through watermark eviction on
+    -- their respective sides (time-ordered feed + dual-side
+    -- sentinel flush batches), so the hash gate certifies both
+    -- sides' eviction machinery.
+    WITH c AS (SELECT event_id AS click_id, user_id AS c_user,
+                      CAST(ts AS TIMESTAMP) AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+                      CAST(ts AS TIMESTAMP) AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           COALESCE(c.c_user, p.p_user) AS user_id,
+           epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+    FROM c FULL JOIN p
+      ON p.p_user = c.c_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 48 HOUR
+    ORDER BY c.click_id, p.purchase_id
+    """,
+    "§2.2 streaming: stream-stream FULL OUTER interval join ≡ batch "
+    "full join — completes the streaming-join taxonomy "
+    "(inner q10/q75, left q214); null rows on BOTH sides exist only "
+    "through watermark-driven state eviction",
+)
+
+SPECS["q274_feature_hashing"] = QuerySpec(
+    dedup.feature_hashing_audit,
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         bt AS (SELECT CAST(concat('0x', substring(md5(token), 1, 15))
+                            AS BIGINT) % 64 AS bucket,
+                       token, COUNT(*) AS c
+                FROM tok GROUP BY 1, 2),
+         r AS (SELECT bucket, token, c,
+                      ROW_NUMBER() OVER (PARTITION BY bucket
+                          ORDER BY c DESC, token DESC) AS rn,
+                      CAST(SUM(c) OVER (PARTITION BY bucket) AS BIGINT)
+                          AS n_tokens,
+                      COUNT(*) OVER (PARTITION BY bucket) AS n_distinct
+               FROM bt)
+    SELECT bucket, n_tokens, n_distinct, token AS top_token,
+           ROUND(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS top_share
+    FROM r WHERE rn = 1 ORDER BY bucket
+    """,
+    "§2.3 ML features: the hashing trick with its collision audit — "
+    "engine-portable md5 60-bit hash mod 64 buckets, per-bucket "
+    "load/distinct/purity; O(n_buckets) output at any scale",
+)
+
+SPECS["q275_bootstrap_ci"] = QuerySpec(
+    rel.bootstrap_ci,
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         reps AS (SELECT unnest(range(1, 65)) AS rep),
+         drawn AS (SELECT rep, COUNT(*) AS m, SUM(cents) AS s
+                   FROM o, reps
+                   WHERE CAST(concat('0x',
+                           substring(md5(CAST(rep AS VARCHAR) || ':'
+                                         || CAST(o_orderkey AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 2 = 0
+                   GROUP BY rep),
+         means AS (SELECT rep, m,
+                          CAST(ROUND(CAST(s AS DOUBLE)
+                                     / (100.0 * CAST(m AS DOUBLE)), 6)
+                               AS DECIMAL(18,6)) AS mean_b
+                   FROM drawn),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b, rep)
+                               AS rn
+                    FROM means),
+         agg AS (SELECT COUNT(*) AS n_replicates,
+                        SUM(CAST(mean_b AS DECIMAL(38,12))) AS sm,
+                        SUM(CAST(CAST(mean_b AS DECIMAL(28,6)) * mean_b
+                                 AS DECIMAL(38,12))) AS sm2,
+                        MAX(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+                        MAX(CASE WHEN rn = 63 THEN mean_b END) AS hi
+                 FROM ranked),
+         f AS (SELECT COUNT(*) AS n_orders,
+                      SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sc
+               FROM orders)
+    SELECT n_orders, n_replicates,
+           ROUND(CAST(sc AS DOUBLE)
+                 / (100.0 * CAST(n_orders AS DOUBLE)), 6) AS point_mean,
+           CAST(lo AS DOUBLE) AS ci_lo,
+           CAST(hi AS DOUBLE) AS ci_hi,
+           ROUND(sqrt((CAST(sm2 AS DOUBLE)
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                         / CAST(n_replicates AS DOUBLE))
+                      / (CAST(n_replicates AS DOUBLE) - 1.0)), 6)
+               AS se_boot
+    FROM agg, f
+    """,
+    "§2.2 statistics: deterministic m-out-of-n bootstrap CI for the "
+    "mean order value — 64 md5-coin half-samples identical on both "
+    "engines, exact cent sums per replicate, CI by exact order "
+    "statistics, SE from DECIMAL-exact replicate-mean moments",
+)
+
+SPECS["q276_naive_bayes"] = QuerySpec(
+    text.naive_bayes_confusion,
+    """
+    WITH d AS (SELECT doc_id, source AS true_source FROM documents),
+         srcs AS (SELECT DISTINCT source AS src FROM documents),
+         prior AS (SELECT source AS src, COUNT(*) AS n_docs_src
+                   FROM documents GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         tc AS (SELECT token, true_source AS src, COUNT(*) AS c_ts
+                FROM tok JOIN d USING (doc_id) GROUP BY 1, 2),
+         ns AS (SELECT src, CAST(SUM(c_ts) AS BIGINT) AS n_s
+                FROM tc GROUP BY 1),
+         v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+         pair AS (SELECT tok.doc_id, tok.token, srcs.src
+                  FROM tok, srcs),
+         scored AS (SELECT doc_id, src,
+                           SUM(LN(CAST(COALESCE(c_ts, 0) + 1 AS DOUBLE)
+                                  / CAST(n_s + v AS DOUBLE))) AS ll
+                    FROM pair LEFT JOIN tc USING (token, src)
+                              JOIN ns USING (src)
+                              CROSS JOIN v
+                    GROUP BY 1, 2),
+         post AS (SELECT doc_id, src,
+                         ROUND(ll + LN(CAST(n_docs_src AS DOUBLE)
+                                       / CAST(n_docs_total AS DOUBLE)), 6)
+                             AS score
+                  FROM scored JOIN prior USING (src) CROSS JOIN tot),
+         pred AS (SELECT doc_id, src AS pred_source
+                  FROM (SELECT *, ROW_NUMBER() OVER
+                            (PARTITION BY doc_id
+                             ORDER BY score DESC, src) AS rn
+                        FROM post)
+                  WHERE rn = 1)
+    SELECT true_source, pred_source, COUNT(*) AS n_docs
+    FROM d JOIN pred USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.3 text classification: multinomial naive-Bayes source "
+    "classifier + confusion matrix — add-one counts, 6dp-rounded "
+    "posterior BEFORE argmax (deterministic cross-engine), "
+    "row_number tie-break by source",
+)
+
+_JC_EST = (
+    "ROUND(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)"
+    " / greatest(CAST(ndv_left AS DOUBLE), CAST(ndv_right AS DOUBLE)), 2)"
+)
+_JC_MIS = (
+    "ROUND(CAST(actual_rows AS DOUBLE)"
+    " / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)"
+    "    / greatest(CAST(ndv_left AS DOUBLE),"
+    "               CAST(ndv_right AS DOUBLE))), 6)"
+)
+
+
+def _jc_one(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+        SELECT '{name}' AS join_name, n_left, n_right,
+               ndv_left, ndv_right, actual_rows,
+               {_JC_EST} AS est_rows, {_JC_MIS} AS misestimate
+        FROM (SELECT CAST(SUM(ca) AS BIGINT) AS n_left,
+                     COUNT(*) AS ndv_left
+              FROM (SELECT {lk}, COUNT(*) AS ca FROM {lt} GROUP BY 1)),
+             (SELECT CAST(SUM(cb) AS BIGINT) AS n_right,
+                     COUNT(*) AS ndv_right
+              FROM (SELECT {rk}, COUNT(*) AS cb FROM {rt} GROUP BY 1)),
+             (SELECT COALESCE(SUM(CAST(ca * cb AS DECIMAL(38,0))),
+                              CAST(0 AS DECIMAL(38,0))) AS actual_rows
+              FROM (SELECT {lk} AS k, COUNT(*) AS ca FROM {lt} GROUP BY 1)
+                   la JOIN
+                   (SELECT {rk} AS k, COUNT(*) AS cb FROM {rt} GROUP BY 1)
+                   ra USING (k))"""
+
+
+SPECS["q277_join_cardinality_audit"] = QuerySpec(
+    rel.join_cardinality_audit,
+    f"""
+    SELECT * FROM ({_jc_one('customer-orders', 'customer', 'c_custkey',
+                            'orders', 'o_custkey')}
+    UNION ALL {_jc_one('orders-lineitem', 'orders', 'o_orderkey',
+                       'lineitem', 'l_orderkey')}
+    UNION ALL {_jc_one('orders-selfjoin-custkey', 'orders', 'o_custkey',
+                       'orders', 'o_custkey')}
+    UNION ALL {_jc_one('part-lineitem', 'part', 'p_partkey',
+                       'lineitem', 'l_partkey')})
+    ORDER BY join_name
+    """,
+    "§2.2 query optimization: System-R join cardinality estimate vs "
+    "exact join size priced from per-key count tables (never the "
+    "join itself) — DECIMAL(38,0) count products, misestimate "
+    "factor flags skew where AQE/salting must step in",
+)
+
+SPECS["q278_apriori_triples"] = QuerySpec(
+    rel.apriori_triples,
+    """
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT COUNT(DISTINCT oid) AS n_baskets FROM baskets),
+         pairs AS (SELECT x.oid, x.item AS a, y.item AS b
+                   FROM baskets x JOIN baskets y
+                     ON x.oid = y.oid AND x.item < y.item),
+         l2 AS (SELECT a, b, COUNT(*) AS sup2 FROM pairs
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= ceil(0.01 * (SELECT n_baskets FROM nb))),
+         cand AS (SELECT p.a AS c1, p.b AS c2, q.b AS c3
+                  FROM l2 p JOIN l2 q ON p.a = q.a AND p.b < q.b
+                  JOIN l2 r ON r.a = p.b AND r.b = q.b),
+         tri AS (SELECT pr.oid, c.c1, c.c2, c.c3
+                 FROM pairs pr JOIN cand c
+                   ON pr.a = c.c1 AND pr.b = c.c2
+                 JOIN baskets b3
+                   ON b3.oid = pr.oid AND b3.item = c.c3)
+    SELECT c1 AS item1, c2 AS item2, c3 AS item3,
+           COUNT(*) AS support,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST((SELECT n_baskets FROM nb) AS DOUBLE), 6)
+               AS support_ratio
+    FROM tri GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= ceil(0.01 * (SELECT n_baskets FROM nb))
+    ORDER BY 1, 2, 3
+    """,
+    "§2.2 market basket: apriori L2→L3 frequent brand triples — "
+    "relative 1% support, candidates generated and subset-pruned "
+    "from L2 before any fact-table counting (broadcast-small by "
+    "construction)",
+)

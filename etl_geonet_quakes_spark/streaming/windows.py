@@ -544,3 +544,92 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("click_id") >= 0)
         .orderBy("click_id", "purchase_id")
     )
+
+
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — the last
+    leg of the streaming-join taxonomy (inner q10/q75, left outer
+    q214): clicks with no purchase in the following 48 h emit
+    null-padded on the right, AND purchases with no qualifying click
+    in the preceding 48 h emit null-padded on the left. Both null
+    families exist only through watermark-driven state eviction on
+    their respective sides, so the batch FULL JOIN oracle certifies
+    BOTH sides' eviction machinery at once.
+
+    Replay discipline is q214's verbatim (time-ordered feed, two
+    far-future sentinel batches routed to both sides, 1 h watermark
+    delay); the only delta is the join type and the coalesced user
+    key in the projection (a purchase-only row carries its user on
+    the right side). State bounds are symmetric: each side holds 48 h
+    + watermark delay, the only sustainable full-outer shape at
+    100 TB/day."""
+    import tempfile
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.streaming.feed import (
+        far_future_sentinel_batches,
+        write_time_ordered_feed,
+    )
+
+    base = tempfile.mkdtemp(prefix="full_outer_join_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    sentinels = far_future_sentinel_batches(
+        ev,
+        "ts",
+        row={
+            "user_id": F.lit(-1).cast("long"),
+            "event_type": F.lit("sentinel"),
+        },
+        id_col="event_id",
+    )
+    feed = write_time_ordered_feed(ev, base, 4, "ts", trailing=sentinels)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kinds, id_alias, user_alias, ts_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .filter(F.col("event_type").isin(*kinds))
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "1 hour")
+        )
+
+    clicks = side(["click", "sentinel"], "click_id", "c_user", "click_ts")
+    purchases = side(
+        ["purchase", "sentinel"], "purchase_id", "p_user", "purchase_ts"
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 48 HOURS")
+        ),
+        "fullOuter",
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+    name = _run_to_memory(out, "append")
+    return (
+        spark.table(name)
+        .filter(
+            (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+            & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        )
+        .orderBy("click_id", "purchase_id")
+    )
