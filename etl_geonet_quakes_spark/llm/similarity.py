@@ -901,3 +901,129 @@ def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def rrf_hybrid_fusion(
+    spark: SparkSession, sf_dir: str,
+    query_terms: tuple = ("spark", "hash", "join", "window"),
+    query_vec_id: int = 1, rrf_k: int = 60, topn: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion of LEXICAL (BM25, q101's exact scoring
+    expression) and SEMANTIC (exact cosine to a query embedding,
+    q43's machinery) rankings — the hybrid-search combiner every
+    production retrieval stack runs (OpenSearch/Elastic RRF;
+    Cormack et al. 2009): rrf(d) = Σ_r 1/(k + rank_r(d)) over the
+    rankings that contain d, top-``topn`` by fused score.
+
+    Determinism: both rankings order by (unrounded score DESC, id
+    ASC) exactly as their certified parents (q101/q43 precedent —
+    identical fold shapes make the pre-round doubles match
+    cross-engine); the fused score is a FIXED two-term sum of exact
+    reciprocals of integer ranks, rounded 6dp. Docs and vectors
+    align by doc_id = vec_id; a document missing from one ranking
+    simply contributes that ranking's term as 0 (full outer join +
+    coalesce — absence is information, not an error).
+
+    Scale: each ranking is its parent's shape (scan-stage explode +
+    broadcast stats for BM25; broadcast query vector for cosine);
+    the fusion join is rank-table sized, and top-n is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*query_terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(stats), F.lit(True))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    F.col("tf") * F.lit(2.2)
+                    / (
+                        F.col("tf")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                )
+            ).alias("lex_score")
+        )
+    )
+    wl = Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
+    lex = lex_scored.select(
+        "doc_id", F.row_number().over(wl).alias("rank_lex")
+    )
+    e = _nonzero(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+    )
+    qv = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    sem_scored = (
+        e.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qv), F.lit(True))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    ws = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = sem_scored.select(
+        "doc_id", F.row_number().over(ws).alias("rank_sem")
+    )
+    kk = F.lit(float(rrf_k))
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (kk + F.col("rank_lex").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (kk + F.col("rank_sem").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_raw"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= topn)
+        .select(
+            "rnk",
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round(F.col("rrf_raw"), 6).alias("rrf_score"),
+        )
+        .orderBy("rnk")
+    )

@@ -7646,3 +7646,229 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
         )
         .orderBy("item1", "item2", "item3")
     )
+
+
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str,
+                       zone_rows: int = 512) -> DataFrame:
+    """Zone-map (min/max statistics) skip-rate audit — the
+    data-layout question every lakehouse table must answer: if this
+    table were laid out in its CURRENT order (o_orderdate, tie
+    o_orderkey) in zones of ``zone_rows`` rows, what fraction of
+    zones could each candidate predicate skip using only per-zone
+    min/max? High skip rate on date predicates + near-zero on value
+    predicates is the signature that date clustering helps scans
+    but a Z-ORDER (q126) is needed for multi-column pruning.
+
+    Zones here are simulated by a row_number over the declared sort
+    (ONE global sort at audit time — the audit is a planning tool;
+    in production the zones ARE the parquet row groups and the
+    stats come free from footers). Per-zone min/max is one zone-
+    keyed agg; predicate overlap tests are pure column algebra on
+    the O(n/zone_rows) stats table. All counts exact BIGINT; ratios
+    6dp."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.orderBy("d", "o_orderkey")
+    zones = (
+        o.withColumn(
+            "zone",
+            F.floor(
+                (F.row_number().over(w) - 1) / F.lit(float(zone_rows))
+            ).cast("long"),
+        )
+        .groupBy("zone")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("cents").alias("min_c"),
+            F.max("cents").alias("max_c"),
+        )
+    )
+    preds = [
+        ("date_1996", F.col("max_d") < F.lit("1996-01-01").cast("date"),
+         F.col("min_d") >= F.lit("1996-01-01").cast("date")),
+        ("date_1998plus",
+         F.col("max_d") < F.lit("1998-01-01").cast("date"),
+         F.col("min_d") >= F.lit("1998-01-01").cast("date")),
+        ("value_top", F.col("max_c") < F.lit(40000000),
+         F.col("min_c") >= F.lit(40000000)),
+    ]
+    frames = []
+    for name, skip_cond, full_cond in preds:
+        frames.append(
+            zones.agg(
+                F.lit(name).alias("predicate"),
+                F.count("*").alias("n_zones"),
+                F.sum(skip_cond.cast("long")).alias("n_skippable"),
+                F.sum(full_cond.cast("long")).alias("n_full_match"),
+                F.round(
+                    F.sum(skip_cond.cast("long")).cast("double")
+                    / F.count("*").cast("double"),
+                    6,
+                ).alias("skip_ratio"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("predicate")
+
+
+def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scalar feature as a classifier — here
+    "does document length (n_chars) predict lang = 'en'?" — via the
+    rank-sum identity AUC = (R⁺ − n₊(n₊+1)/2) / (n₊·n₋) with
+    MIDRANKS, which handles ties exactly (AUC counts a tie as ½ —
+    the trapezoid rule's half-credit) and never materializes the
+    n₊·n₋ pair matrix. The evaluation primitive behind every
+    quality-filter threshold sweep.
+
+    Doubled midranks (2R = 2·#less + #ties + 1, the q256/q271
+    discipline) keep the rank sum BIGINT-exact; AUC is one
+    fixed-shape double from three exact integers, 6dp. Ranks come
+    from a value-count table (bounded domain) joined back
+    broadcast; one corpus-scale agg."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").alias("s"),
+    )
+    vc = d.groupBy("s").agg(
+        F.count("*").alias("t"),
+        F.sum("y").alias("t_pos"),
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "s",
+        "t",
+        "t_pos",
+        (F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+         + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t_pos").alias("n_pos"),
+        F.sum(F.col("t") - F.col("t_pos")).alias("n_neg"),
+        F.sum(F.col("t_pos") * F.col("r2")).alias("r2_sum_pos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "r2_sum_pos",
+        F.round(
+            (
+                F.col("r2_sum_pos").cast("double") / F.lit(2.0)
+                - np_.cast("double") * (np_.cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (np_.cast("double") * nn.cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def diff_in_differences(spark: SparkSession, sf_dir: str,
+                        pivot: str = "2024-01-15") -> DataFrame:
+    """Difference-in-differences on the events stream: treatment =
+    HEAVY ADOPTERS (users whose signup count is strictly above the
+    per-user average — an exact integer criterion: c_u · n_users >
+    total_signups, cross-multiplied so no float threshold exists to
+    disagree on), outcome = per-user click count, pre vs post the
+    pivot date. DiD = (post_T − pre_T) − (post_C − pre_C) of the
+    group means — the causal-inference workhorse for feature-launch
+    readouts, with the parallel-trends caveat every DiD must carry:
+    this estimates the treatment effect ONLY if the light users'
+    trend is the counterfactual.
+
+    Every cell is an exact BIGINT (clicks, user counts from one
+    (user, period) agg + one membership join); the four means and
+    DiD assemble in ONE fixed-shape double expression, 6dp. Users
+    with no clicks in a period count as zero via the user universe
+    × period frame (missing = 0 is an observation, the q255 spine
+    lesson applied to panels)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    users = e.select("user_id").distinct()
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("c_su"))
+    )
+    tot = su.agg(
+        F.sum("c_su").alias("total_su"), F.count("*").alias("n_su_users")
+    )
+    panel = (
+        users.join(su, "user_id", "left")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "user_id",
+            (
+                F.coalesce("c_su", F.lit(0)) * F.col("n_su_users")
+                > F.col("total_su")
+            ).cast("int").alias("g"),
+        )
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id",
+            (F.col("d") >= F.lit(pivot).cast("date"))
+            .cast("int")
+            .alias("post"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cells = (
+        panel.join(F.broadcast(spark.range(0, 2).select(
+            F.col("id").cast("int").alias("post"))), F.lit(True))
+        .join(clicks, ["user_id", "post"], "left")
+        .groupBy("g", "post")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("n_clicks"),
+        )
+    )
+    piv = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("g") == g) & (F.col("post") == p),
+                    F.col("n_clicks"),
+                )
+            ).alias(f"c_{g}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("g") == g) & (F.col("post") == p),
+                    F.col("n_users"),
+                )
+            ).alias(f"n_{g}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def mean(g, p):
+        return (
+            F.col(f"c_{g}{p}").cast("double")
+            / F.col(f"n_{g}{p}").cast("double")
+        )
+
+    return piv.select(
+        F.col("n_10").alias("n_treated"),
+        F.col("n_00").alias("n_control"),
+        F.round(mean(1, 0), 6).alias("pre_treated_mean"),
+        F.round(mean(1, 1), 6).alias("post_treated_mean"),
+        F.round(mean(0, 0), 6).alias("pre_control_mean"),
+        F.round(mean(0, 1), 6).alias("post_control_mean"),
+        F.round(
+            (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 6
+        ).alias("did"),
+    )

@@ -7904,3 +7904,210 @@ SPECS["q278_apriori_triples"] = QuerySpec(
     "from L2 before any fact-table counting (broadcast-small by "
     "construction)",
 )
+
+SPECS["q279_rrf_fusion"] = QuerySpec(
+    similarity.rrf_hybrid_fusion,
+    """
+    -- hybrid search: BM25 (q101's exact expression) ⊕ cosine
+    -- (q43's) fused by reciprocal rank, k=60.
+    WITH tok AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+                FROM tok
+                WHERE token IN ('spark', 'hash', 'join', 'window')
+                GROUP BY doc_id, dl, token),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                          AVG(len(string_split(text, ' '))) AS avgdl
+                   FROM documents),
+         dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY token),
+         lexs AS (SELECT tf.doc_id,
+                         SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                             * (tf.tf * 2.2
+                                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                                  / s.avgdl)))) AS score
+                  FROM tf JOIN dfreq USING (token) CROSS JOIN stats s
+                  GROUP BY tf.doc_id),
+         lex AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY score DESC,
+                                           doc_id ASC) AS rank_lex
+                 FROM lexs),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+         sems AS (SELECT e.vec_id AS doc_id,
+                         list_dot_product(qv, v)
+                             / (SQRT(list_dot_product(qv, qv))
+                                * SQRT(list_dot_product(v, v))) AS cos
+                  FROM e CROSS JOIN q WHERE e.vec_id <> 1),
+         sem AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY cos DESC,
+                                           doc_id ASC) AS rank_sem
+                 FROM sems),
+         fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                          rank_lex, rank_sem,
+                          COALESCE(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)),
+                                   0.0)
+                          + COALESCE(1.0 / (60.0 + CAST(rank_sem AS DOUBLE)),
+                                     0.0) AS rrf_raw
+                   FROM lex FULL JOIN sem USING (doc_id)),
+         ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_raw DESC,
+                                                 doc_id ASC) AS rnk
+                    FROM fused)
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, rank_lex, rank_sem,
+           ROUND(rrf_raw, 6) AS rrf_score
+    FROM ranked WHERE rnk <= 15 ORDER BY rnk
+    """,
+    "§2.3 retrieval: reciprocal-rank fusion of BM25 and exact-cosine "
+    "rankings (hybrid search) — both parents' certified expressions, "
+    "fixed two-term reciprocal sum, full-outer absence-as-zero",
+)
+
+SPECS["q280_zonemap_audit"] = QuerySpec(
+    rel.zonemap_skip_audit,
+    """
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         z AS (SELECT CAST(FLOOR((ROW_NUMBER() OVER
+                            (ORDER BY d, o_orderkey) - 1) / 512.0)
+                           AS BIGINT) AS zone,
+                      d, cents
+               FROM o),
+         zones AS (SELECT zone, COUNT(*) AS n_rows,
+                          MIN(d) AS min_d, MAX(d) AS max_d,
+                          MIN(cents) AS min_c, MAX(cents) AS max_c
+                   FROM z GROUP BY zone)
+    SELECT * FROM (
+        SELECT 'date_1996' AS predicate, COUNT(*) AS n_zones,
+               SUM(CAST(max_d < DATE '1996-01-01' AS BIGINT))
+                   AS n_skippable,
+               SUM(CAST(min_d >= DATE '1996-01-01' AS BIGINT))
+                   AS n_full_match,
+               ROUND(CAST(SUM(CAST(max_d < DATE '1996-01-01' AS BIGINT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS skip_ratio
+        FROM zones
+        UNION ALL
+        SELECT 'date_1998plus', COUNT(*),
+               SUM(CAST(max_d < DATE '1998-01-01' AS BIGINT)),
+               SUM(CAST(min_d >= DATE '1998-01-01' AS BIGINT)),
+               ROUND(CAST(SUM(CAST(max_d < DATE '1998-01-01' AS BIGINT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        FROM zones
+        UNION ALL
+        SELECT 'value_top', COUNT(*),
+               SUM(CAST(max_c < 40000000 AS BIGINT)),
+               SUM(CAST(min_c >= 40000000 AS BIGINT)),
+               ROUND(CAST(SUM(CAST(max_c < 40000000 AS BIGINT))
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        FROM zones)
+    ORDER BY predicate
+    """,
+    "§2.2 layout: zone-map min/max skip-rate audit over the declared "
+    "sort order — date predicates prune, value predicates cannot "
+    "(the Z-ORDER motivation, q126); stats-table algebra only",
+)
+
+SPECS["q281_auc_score"] = QuerySpec(
+    rel.auc_score,
+    """
+    WITH d AS (SELECT CAST(lang = 'en' AS INT) AS y, n_chars AS s
+               FROM documents),
+         vc AS (SELECT s, COUNT(*) AS t, CAST(SUM(y) AS BIGINT) AS t_pos
+                FROM d GROUP BY s),
+         ranked AS (SELECT s, t, t_pos,
+                           2 * COALESCE(SUM(t) OVER
+                               (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0)
+                           + t + 1 AS r2
+                    FROM vc),
+         agg AS (SELECT CAST(SUM(t_pos) AS BIGINT) AS n_pos,
+                        CAST(SUM(t - t_pos) AS BIGINT) AS n_neg,
+                        CAST(SUM(t_pos * r2) AS BIGINT) AS r2_sum_pos
+                 FROM ranked)
+    SELECT n_pos, n_neg, r2_sum_pos,
+           ROUND((CAST(r2_sum_pos AS DOUBLE) / 2.0
+                  - CAST(n_pos AS DOUBLE)
+                    * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               AS auc
+    FROM agg
+    """,
+    "§2.2 evaluation: exact ROC-AUC via the midrank rank-sum "
+    "identity (ties = half credit), doubled ranks BIGINT, no pair "
+    "matrix; one fixed-shape double",
+)
+
+SPECS["q282_diff_in_differences"] = QuerySpec(
+    rel.diff_in_differences,
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d
+               FROM events),
+         users AS (SELECT DISTINCT user_id FROM e),
+         su AS (SELECT user_id, COUNT(*) AS c_su
+                FROM e WHERE event_type = 'signup' GROUP BY 1),
+         tot AS (SELECT CAST(SUM(c_su) AS BIGINT) AS total_su,
+                        COUNT(*) AS n_su_users FROM su),
+         panel AS (SELECT u.user_id,
+                          CAST(COALESCE(s.c_su, 0) * t.n_su_users
+                               > t.total_su AS INT) AS g
+                   FROM users u LEFT JOIN su s USING (user_id)
+                   CROSS JOIN tot t),
+         clicks AS (SELECT user_id,
+                           CAST(d >= DATE '2024-01-15' AS INT) AS post,
+                           COUNT(*) AS c
+                    FROM e WHERE event_type = 'click'
+                    GROUP BY 1, 2),
+         cells AS (SELECT g, p.post, COUNT(*) AS n_users,
+                          CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_clicks
+                   FROM panel CROSS JOIN
+                        (SELECT unnest(range(0, 2)) AS post) p
+                   LEFT JOIN clicks
+                     ON clicks.user_id = panel.user_id
+                    AND clicks.post = p.post
+                   GROUP BY 1, 2),
+         piv AS (SELECT
+                     MAX(CASE WHEN g = 0 AND post = 0 THEN n_clicks END)
+                         AS c_00,
+                     MAX(CASE WHEN g = 0 AND post = 1 THEN n_clicks END)
+                         AS c_01,
+                     MAX(CASE WHEN g = 1 AND post = 0 THEN n_clicks END)
+                         AS c_10,
+                     MAX(CASE WHEN g = 1 AND post = 1 THEN n_clicks END)
+                         AS c_11,
+                     MAX(CASE WHEN g = 0 AND post = 0 THEN n_users END)
+                         AS n_00,
+                     MAX(CASE WHEN g = 0 AND post = 1 THEN n_users END)
+                         AS n_01,
+                     MAX(CASE WHEN g = 1 AND post = 0 THEN n_users END)
+                         AS n_10,
+                     MAX(CASE WHEN g = 1 AND post = 1 THEN n_users END)
+                         AS n_11
+                 FROM cells)
+    SELECT n_10 AS n_treated, n_00 AS n_control,
+           ROUND(CAST(c_10 AS DOUBLE) / CAST(n_10 AS DOUBLE), 6)
+               AS pre_treated_mean,
+           ROUND(CAST(c_11 AS DOUBLE) / CAST(n_11 AS DOUBLE), 6)
+               AS post_treated_mean,
+           ROUND(CAST(c_00 AS DOUBLE) / CAST(n_00 AS DOUBLE), 6)
+               AS pre_control_mean,
+           ROUND(CAST(c_01 AS DOUBLE) / CAST(n_01 AS DOUBLE), 6)
+               AS post_control_mean,
+           ROUND((CAST(c_11 AS DOUBLE) / CAST(n_11 AS DOUBLE)
+                  - CAST(c_10 AS DOUBLE) / CAST(n_10 AS DOUBLE))
+                 - (CAST(c_01 AS DOUBLE) / CAST(n_01 AS DOUBLE)
+                    - CAST(c_00 AS DOUBLE) / CAST(n_00 AS DOUBLE)), 6)
+               AS did
+    FROM piv
+    """,
+    "§2.2 causal analytics: difference-in-differences on the events "
+    "panel (treatment = above-average signup intensity via exact "
+    "integer cross-multiply, outcome = clicks, pre/post pivot) — "
+    "exact BIGINT cells, zero-fill via user×period frame",
+)

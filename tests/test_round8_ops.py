@@ -142,7 +142,10 @@ def test_shipping_priority_topn_is_global_argmax(spark):
     TakeOrderedAndProject must not drop a higher-revenue order that
     lands in another partition."""
     top = rel.shipping_priority(spark, SF, topn=10).collect()
-    full = rel.shipping_priority(spark, SF, topn=10**9).collect()
+    # "unlimited" = a bound safely above the fixture's row count;
+    # a huge literal (10**9) makes TakeOrderedAndProject allocate
+    # the full top-k buffer per partition and OOMs the executor
+    full = rel.shipping_priority(spark, SF, topn=100_000).collect()
     assert [r["l_orderkey"] for r in top] == [
         r["l_orderkey"] for r in full[:10]
     ]
@@ -780,3 +783,81 @@ def test_apriori_triples_respect_monotonicity(spark):
         true_sup = sum(1 for s in sets.values() if t <= s)
         assert r["support"] == true_sup
         assert r["support"] >= thresh
+
+
+def test_rrf_fusion_rewards_dual_presence(spark):
+    """A doc ranked in BOTH lists must outscore a doc holding the
+    same single-list rank but absent from the other list; scores
+    are bounded by 2/(60+1)."""
+    from etl_geonet_quakes_spark.llm.similarity import rrf_hybrid_fusion
+    out = rrf_fusion_rows = rrf_hybrid_fusion(spark, SF).collect()
+    assert len(out) == 15
+    assert [r["rnk"] for r in out] == list(range(1, 16))
+    for r in out:
+        assert r["rrf_score"] <= round(2 / 61, 6) + 1e-9
+        lex = 1 / (60 + r["rank_lex"]) if r["rank_lex"] else 0.0
+        sem = 1 / (60 + r["rank_sem"]) if r["rank_sem"] else 0.0
+        assert r["rrf_score"] == round(lex + sem, 6)
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_zonemap_date_clustering_prunes(spark):
+    """Sorted-by-date zones must make date predicates highly
+    skippable while the uncorrelated value predicate skips ~nothing
+    — the Z-ORDER motivation, quantified."""
+    out = {r["predicate"]: r for r in
+           rel.zonemap_skip_audit(spark, SF).collect()}
+    assert out["date_1998plus"]["n_skippable"] > 0
+    assert out["value_top"]["n_skippable"] == 0
+    for r in out.values():
+        assert r["n_skippable"] + r["n_full_match"] <= r["n_zones"]
+
+
+def test_auc_matches_pair_counting(spark):
+    """AUC from the rank identity equals brute-force pair counting
+    P(s+ > s-) + 0.5 P(tie) on the fixture."""
+    from etl_geonet_quakes_spark.io import load_table
+    r = rel.auc_score(spark, SF).collect()[0]
+    rows = load_table(spark, SF, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("y"), "n_chars"
+    ).collect()
+    pos = [x["n_chars"] for x in rows if x["y"] == 1]
+    neg = [x["n_chars"] for x in rows if x["y"] == 0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    brute = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert r["auc"] == round(brute, 6)
+
+
+def test_did_cells_are_exact(spark):
+    """DiD must equal the hand-recomputed four-cell means, and the
+    panel zero-fill must count every user in every period."""
+    from etl_geonet_quakes_spark.io import load_table
+    r = rel.diff_in_differences(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    ).collect()
+    users = {e["user_id"] for e in ev}
+    su = {}
+    for e in ev:
+        if e["event_type"] == "signup":
+            su[e["user_id"]] = su.get(e["user_id"], 0) + 1
+    total, nsu = sum(su.values()), len(su)
+    treated = {u for u in users if su.get(u, 0) * nsu > total}
+    import datetime as dt
+    pivot = dt.date(2024, 1, 15)
+    cells = {(g, p): 0 for g in (0, 1) for p in (0, 1)}
+    for e in ev:
+        if e["event_type"] != "click":
+            continue
+        g = 1 if e["user_id"] in treated else 0
+        p = 1 if e["d"] >= pivot else 0
+        cells[(g, p)] += 1
+    n_t, n_c = len(treated), len(users) - len(treated)
+    assert r["n_treated"] == n_t and r["n_control"] == n_c
+    did = (cells[(1, 1)] / n_t - cells[(1, 0)] / n_t) - (
+        cells[(0, 1)] / n_c - cells[(0, 0)] / n_c
+    )
+    assert r["did"] == round(did, 6)
