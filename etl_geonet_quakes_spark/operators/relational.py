@@ -7872,3 +7872,318 @@ def diff_in_differences(spark: SparkSession, sf_dir: str,
             (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0)), 6
         ).alias("did"),
     )
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str,
+                     year_a: int = 1996, year_b: int = 1997) -> DataFrame:
+    """Price-volume decomposition of the year-over-year revenue
+    change per part brand — the FP&A revenue bridge: Δrev splits
+    EXACTLY into volume effect (Δqty at old price) + price effect
+    (Δprice at new volume), because q_b·p_b − q_a·p_a =
+    (q_b − q_a)·p_a + (p_b − p_a)·q_b is an identity, and the
+    decomposition residual column proves it row by row (must be 0
+    up to the 6dp round — a self-auditing operator).
+
+    Exactness: per-(brand, year) revenue sums as BIGINT cents and
+    quantity as BIGINT units; average prices p = rev/qty are the
+    only doubles, entering one fixed-shape expression per effect.
+    Shape: one (brand, year)-keyed agg over the lineitem scan with
+    the year filter pushed down; the bridge itself is a pivot over
+    two year columns — broadcast scale."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("rev_c"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.filter(F.col("yr").isin(year_a, year_b))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "yr")
+        .agg(F.sum("qty").alias("q"), F.sum("rev_c").alias("r"))
+    )
+    piv = g.groupBy("p_brand").agg(
+        F.max(F.when(F.col("yr") == year_a, F.col("q"))).alias("q_a"),
+        F.max(F.when(F.col("yr") == year_a, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("yr") == year_b, F.col("q"))).alias("q_b"),
+        F.max(F.when(F.col("yr") == year_b, F.col("r"))).alias("r_b"),
+    ).filter(
+        F.col("q_a").isNotNull() & F.col("q_b").isNotNull()
+        & (F.col("q_a") > 0) & (F.col("q_b") > 0)
+    )
+    p_a = F.col("r_a").cast("double") / F.col("q_a").cast("double")
+    p_b = F.col("r_b").cast("double") / F.col("q_b").cast("double")
+    vol = (F.col("q_b") - F.col("q_a")).cast("double") * p_a
+    price = (p_b - p_a) * F.col("q_b").cast("double")
+    delta = (F.col("r_b") - F.col("r_a")).cast("double")
+    return piv.select(
+        "p_brand",
+        "q_a",
+        "q_b",
+        "r_a",
+        "r_b",
+        F.round(vol / F.lit(100.0), 6).alias("volume_effect"),
+        F.round(price / F.lit(100.0), 6).alias("price_effect"),
+        F.round((delta - vol - price) / F.lit(100.0), 6)
+        .alias("residual"),
+    ).orderBy("p_brand")
+
+
+def sprt_test(spark: SparkSession, sf_dir: str,
+              p0: float = 0.45, p1: float = 0.55,
+              alpha: float = 0.05, beta: float = 0.05) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the live event
+    stream: is the click share among click|view events p1 (H1) or
+    p0 (H0)? Events are consumed in timestamp order; after each one
+    the cumulative log-likelihood ratio is checked against the Wald
+    boundaries A = ln((1−β)/α), B = ln(β/(1−α)); the FIRST crossing
+    decides — the sequential design that stops reading a 100 TB
+    stream after thousands of events instead of scanning it all,
+    with guaranteed error rates.
+
+    Exactness: after n events with k clicks, LLR(n) = k·l1 +
+    (n−k)·l0 with constant l1 = ln(p1/p0), l0 = ln((1−p1)/(1−p0)) —
+    a LINEAR function of two exact BIGINT prefix counts (one
+    window cumsum), so every trajectory point is one fixed-shape
+    double and the crossing comparison is cross-engine
+    deterministic. Output: the decision row (or the final
+    'continue' row if no boundary was hit)."""
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "ts",
+            "event_id",
+            (F.col("event_type") == "click").cast("long").alias("x"),
+        )
+    )
+    w = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    traj = e.select(
+        "ts",
+        "event_id",
+        F.sum("x").over(w).alias("k"),
+        F.count("*").over(w).alias("n"),
+    ).select(
+        "ts",
+        "event_id",
+        "k",
+        "n",
+        (
+            F.col("k").cast("double") * F.lit(l1)
+            + (F.col("n") - F.col("k")).cast("double") * F.lit(l0)
+        ).alias("llr"),
+    )
+    crossed = traj.filter(
+        (F.col("llr") >= F.lit(a_bound)) | (F.col("llr") <= F.lit(b_bound))
+    )
+    first = crossed.orderBy("n").limit(1)
+    total = traj.orderBy(F.desc("n")).limit(1)
+    decision_row = first.unionAll(total).orderBy("n").limit(1)
+    return decision_row.select(
+        F.col("n").alias("n_at_decision"),
+        F.col("k").alias("k_clicks"),
+        F.round(F.col("llr"), 6).alias("llr"),
+        F.when(F.col("llr") >= F.lit(a_bound), F.lit("accept_h1"))
+        .when(F.col("llr") <= F.lit(b_bound), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.round(F.lit(a_bound), 6).alias("upper_bound"),
+        F.round(F.lit(b_bound), 6).alias("lower_bound"),
+    )
+
+
+def link_prediction_auc(spark: SparkSession, sf_dir: str,
+                        min_cooccur: int = 2,
+                        neg_mod: int = 7) -> DataFrame:
+    """AUC evaluation of common-neighbor link prediction on the part
+    co-purchase graph — closing the loop q174 opened: the predictor
+    says "parts sharing many graph neighbors should be linked"; this
+    measures how well that score separates REAL edges from
+    md5-sampled NON-edges (negative sampling, the standard protocol
+    when true negatives are the quadratic complement).
+
+    Graph: edge (p,q) iff bought together in ≥ ``min_cooccur``
+    orders. Positives = all edges; negatives = node pairs drawn by
+    the deterministic md5 coin (1/``neg_mod`` of pairs), minus real
+    edges. Both classes scored by |N(p) ∩ N(q)| via the adjacency
+    self-join (exact integers); AUC via the q281 midrank identity —
+    doubled ranks BIGINT, ties = half credit. Sampling, scoring,
+    ranking and the final AUC are all engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    copairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_orderkey").alias("oid"),
+            F.col("x.l_partkey").alias("u"),
+            F.col("y.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        copairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_cooccur)
+        .select("u", "v")
+    )
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = adj.select(F.col("u").alias("n")).distinct()
+    cn = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(F.count("*").alias("score"))
+    )
+    pos = edges.withColumn("y", F.lit(1))
+    negs = (
+        nodes.alias("n1")
+        .join(
+            nodes.select(F.col("n").alias("m")).alias("n2"),
+            F.col("n") < F.col("m"),
+        )
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("n").cast("string"),
+                            F.lit("-"),
+                            F.col("m").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % neg_mod
+            == 0
+        )
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .join(edges, ["u", "v"], "left_anti")
+        .withColumn("y", F.lit(0))
+    )
+    labeled = (
+        pos.unionAll(negs)
+        .join(cn, ["u", "v"], "left")
+        .select("y", F.coalesce("score", F.lit(0)).alias("s"))
+    )
+    vc = labeled.groupBy("s").agg(
+        F.count("*").alias("t"), F.sum("y").alias("t_pos")
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vc.select(
+        "s",
+        "t",
+        "t_pos",
+        (F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+         + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t_pos").alias("n_pos"),
+        F.sum(F.col("t") - F.col("t_pos")).alias("n_neg"),
+        F.sum(F.col("t_pos") * F.col("r2")).alias("r2_sum_pos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("r2_sum_pos").cast("double") / F.lit(2.0)
+                - np_.cast("double") * (np_.cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (np_.cast("double") * nn.cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect-size bundle for the source × lang contingency q234
+    tests: the chi-square statistic answers "is there association?";
+    Cramér's V = sqrt(χ²/(N·min(r−1,c−1))), Cohen's w = sqrt(χ²/N)
+    and Pearson's contingency coefficient C = sqrt(χ²/(χ²+N))
+    answer "HOW MUCH" — the numbers that survive when N is 100 TB
+    and every p-value is 0.
+
+    Same exact-count machinery as q234 (one groupBy(source, lang)
+    count; expected cells from broadcast marginals); χ² folds the
+    bounded cell frame with per-cell 6dp rounding (q234 discipline),
+    and each effect size is one fixed-shape double from χ² and
+    exact BIGINTs."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rows_m = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    cols_m = cells.groupBy("lang").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("lang").alias("c"),
+    )
+    contrib = (
+        cells.join(F.broadcast(rows_m), "source")
+        .join(F.broadcast(cols_m), "lang")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.round(
+                (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("rt").cast("double") * F.col("ct").cast("double")
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("cell"),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    g = contrib.groupBy("n", "r", "c").agg(
+        F.round(F.sum("cell"), 6).alias("chi2"),
+        F.count("*").alias("n_cells"),
+    )
+    nd = F.col("n").cast("double")
+    chi = F.col("chi2")
+    return g.select(
+        "n",
+        "n_cells",
+        "chi2",
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                chi
+                / (nd * F.least(F.col("r") - 1, F.col("c") - 1)
+                   .cast("double"))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(F.sqrt(chi / nd), 6).alias("cohens_w"),
+        F.round(F.sqrt(chi / (chi + nd)), 6).alias("contingency_c"),
+    )

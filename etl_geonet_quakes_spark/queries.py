@@ -22,6 +22,7 @@ the tests in tests/ carry the semantics instead.
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -8110,4 +8111,188 @@ SPECS["q282_diff_in_differences"] = QuerySpec(
     "panel (treatment = above-average signup intensity via exact "
     "integer cross-multiply, outcome = clicks, pre/post pivot) — "
     "exact BIGINT cells, zero-fill via user×period frame",
+)
+
+SPECS["q283_price_volume_mix"] = QuerySpec(
+    rel.price_volume_mix,
+    """
+    WITH li AS (SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS rev_c
+                FROM lineitem),
+         g AS (SELECT p_brand, yr,
+                      CAST(SUM(qty) AS BIGINT) AS q,
+                      CAST(SUM(rev_c) AS BIGINT) AS r
+               FROM li JOIN part ON l_partkey = p_partkey
+               WHERE yr IN (1996, 1997)
+               GROUP BY 1, 2),
+         piv AS (SELECT p_brand,
+                        MAX(CASE WHEN yr = 1996 THEN q END) AS q_a,
+                        MAX(CASE WHEN yr = 1996 THEN r END) AS r_a,
+                        MAX(CASE WHEN yr = 1997 THEN q END) AS q_b,
+                        MAX(CASE WHEN yr = 1997 THEN r END) AS r_b
+                 FROM g GROUP BY 1
+                 HAVING MAX(CASE WHEN yr = 1996 THEN q END) IS NOT NULL
+                    AND MAX(CASE WHEN yr = 1997 THEN q END) IS NOT NULL
+                    AND MAX(CASE WHEN yr = 1996 THEN q END) > 0
+                    AND MAX(CASE WHEN yr = 1997 THEN q END) > 0)
+    SELECT p_brand, q_a, q_b, r_a, r_b,
+           ROUND((CAST(q_b - q_a AS DOUBLE)
+                  * (CAST(r_a AS DOUBLE) / CAST(q_a AS DOUBLE)))
+                 / 100.0, 6) AS volume_effect,
+           ROUND(((CAST(r_b AS DOUBLE) / CAST(q_b AS DOUBLE)
+                   - CAST(r_a AS DOUBLE) / CAST(q_a AS DOUBLE))
+                  * CAST(q_b AS DOUBLE)) / 100.0, 6) AS price_effect,
+           ROUND((CAST(r_b - r_a AS DOUBLE)
+                  - CAST(q_b - q_a AS DOUBLE)
+                    * (CAST(r_a AS DOUBLE) / CAST(q_a AS DOUBLE))
+                  - (CAST(r_b AS DOUBLE) / CAST(q_b AS DOUBLE)
+                     - CAST(r_a AS DOUBLE) / CAST(q_a AS DOUBLE))
+                    * CAST(q_b AS DOUBLE)) / 100.0, 6) AS residual
+    FROM piv ORDER BY p_brand
+    """,
+    "§2.2 business analytics: price-volume revenue bridge per brand "
+    "— exact identity decomposition with a self-auditing residual "
+    "column (must round to 0); BIGINT cents/units, fixed-shape "
+    "double effects",
+)
+
+SPECS["q284_sprt_test"] = QuerySpec(
+    rel.sprt_test,
+    f"""
+    WITH e AS (SELECT ts, event_id,
+                      CAST(event_type = 'click' AS BIGINT) AS x
+               FROM events WHERE event_type IN ('click', 'view')),
+         traj AS (SELECT ts, event_id,
+                         SUM(x) OVER (ORDER BY ts, event_id) AS k,
+                         COUNT(*) OVER (ORDER BY ts, event_id) AS n
+                  FROM e),
+         llr AS (SELECT ts, event_id, k, n,
+                        CAST(k AS DOUBLE) * {math.log(0.55 / 0.45)!r}
+                        + CAST(n - k AS DOUBLE)
+                          * {math.log(0.45 / 0.55)!r} AS llr
+                 FROM traj),
+         crossed AS (SELECT * FROM llr
+                     WHERE llr >= {math.log(0.95 / 0.05)!r}
+                        OR llr <= {math.log(0.05 / 0.95)!r}
+                     ORDER BY n LIMIT 1),
+         final AS (SELECT * FROM llr ORDER BY n DESC LIMIT 1),
+         pick AS (SELECT * FROM (SELECT * FROM crossed
+                                 UNION ALL SELECT * FROM final)
+                  ORDER BY n LIMIT 1)
+    SELECT n AS n_at_decision, k AS k_clicks,
+           ROUND(llr, 6) AS llr,
+           CASE WHEN llr >= {math.log(0.95 / 0.05)!r} THEN 'accept_h1'
+                WHEN llr <= {math.log(0.05 / 0.95)!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(ROUND({math.log(0.95 / 0.05)!r}, 6) AS DOUBLE)
+               AS upper_bound,
+           CAST(ROUND({math.log(0.05 / 0.95)!r}, 6) AS DOUBLE)
+               AS lower_bound
+    FROM pick
+    """,
+    "§2.2 sequential analytics: Wald SPRT on the time-ordered event "
+    "stream (click share p0=0.45 vs p1=0.55, alpha=beta=0.05) — LLR "
+    "is linear in two exact prefix counts, first boundary crossing "
+    "decides; stops reading the stream early by design",
+)
+
+SPECS["q285_link_prediction_auc"] = QuerySpec(
+    rel.link_prediction_auc,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS pk
+                FROM lineitem),
+         copairs AS (SELECT DISTINCT x.oid, x.pk AS u, y.pk AS v
+                     FROM li x JOIN li y
+                       ON x.oid = y.oid AND x.pk < y.pk),
+         edges AS (SELECT u, v FROM copairs
+                   GROUP BY u, v HAVING COUNT(*) >= 2),
+         adj AS (SELECT u, v FROM edges
+                 UNION ALL SELECT v AS u, u AS v FROM edges),
+         nodes AS (SELECT DISTINCT u AS n FROM adj),
+         cn AS (SELECT a.u AS u, b.u AS v, COUNT(*) AS score
+                FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+                GROUP BY 1, 2),
+         pos AS (SELECT u, v, 1 AS y FROM edges),
+         negs AS (SELECT n1.n AS u, n2.n AS v, 0 AS y
+                  FROM nodes n1 JOIN nodes n2 ON n1.n < n2.n
+                  WHERE CAST(concat('0x',
+                          substring(md5(CAST(n1.n AS VARCHAR) || '-'
+                                        || CAST(n2.n AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 7 = 0
+                    AND NOT EXISTS (SELECT 1 FROM edges e
+                                    WHERE e.u = n1.n AND e.v = n2.n)),
+         labeled AS (SELECT y, COALESCE(score, 0) AS s
+                     FROM (SELECT * FROM pos UNION ALL
+                           SELECT * FROM negs) l
+                     LEFT JOIN cn USING (u, v)),
+         vc AS (SELECT s, COUNT(*) AS t, CAST(SUM(y) AS BIGINT) AS t_pos
+                FROM labeled GROUP BY s),
+         ranked AS (SELECT s, t, t_pos,
+                           2 * COALESCE(SUM(t) OVER
+                               (ORDER BY s ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING), 0)
+                           + t + 1 AS r2
+                    FROM vc),
+         agg AS (SELECT CAST(SUM(t_pos) AS BIGINT) AS n_pos,
+                        CAST(SUM(t - t_pos) AS BIGINT) AS n_neg,
+                        CAST(SUM(t_pos * r2) AS BIGINT) AS r2_sum_pos
+                 FROM ranked)
+    SELECT n_pos, n_neg,
+           ROUND((CAST(r2_sum_pos AS DOUBLE) / 2.0
+                  - CAST(n_pos AS DOUBLE)
+                    * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+               AS auc
+    FROM agg
+    """,
+    "§2.2 graph ML evaluation: common-neighbor link prediction "
+    "scored by AUC over real edges vs md5-sampled non-edges "
+    "(negative sampling) — exact integer scores, midrank AUC "
+    "identity, fully engine-exact",
+)
+
+SPECS["q286_effect_sizes"] = QuerySpec(
+    rel.effect_sizes,
+    """
+    WITH cells AS (SELECT source, lang, COUNT(*) AS o
+                   FROM documents GROUP BY 1, 2),
+         rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                        COUNT(DISTINCT source) AS r,
+                        COUNT(DISTINCT lang) AS c
+                 FROM cells),
+         contrib AS (SELECT ROUND(
+                         (CAST(o AS DOUBLE)
+                          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         * (CAST(o AS DOUBLE)
+                            - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                         / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 6) AS cell,
+                        n, r, c
+                     FROM cells JOIN rm USING (source)
+                          JOIN cm USING (lang) CROSS JOIN tot),
+         g AS (SELECT n, r, c, ROUND(SUM(cell), 6) AS chi2,
+                      COUNT(*) AS n_cells
+               FROM contrib GROUP BY 1, 2, 3)
+    SELECT n, n_cells, chi2,
+           (r - 1) * (c - 1) AS dof,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+               AS cramers_v,
+           ROUND(sqrt(chi2 / CAST(n AS DOUBLE)), 6) AS cohens_w,
+           ROUND(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
+               AS contingency_c
+    FROM g
+    """,
+    "§2.2 statistics: effect sizes (Cramér's V, Cohen's w, Pearson "
+    "C) for the q234 source×lang contingency — the magnitudes that "
+    "survive when N makes every p-value 0; exact counts, per-cell "
+    "6dp discipline",
 )

@@ -861,3 +861,74 @@ def test_did_cells_are_exact(spark):
         cells[(0, 1)] / n_c - cells[(0, 0)] / n_c
     )
     assert r["did"] == round(did, 6)
+
+
+def test_price_volume_mix_residual_is_zero(spark):
+    """The decomposition is an algebraic identity: residual must
+    round to 0 for every brand, and the effects must sum to the
+    actual revenue delta."""
+    out = rel.price_volume_mix(spark, SF).collect()
+    assert out, "both years present in fixture"
+    for r in out:
+        assert r["residual"] == 0.0
+        delta = (r["r_b"] - r["r_a"]) / 100.0
+        assert abs(r["volume_effect"] + r["price_effect"] - delta) < 5e-6
+
+
+def test_sprt_decision_consistent_with_trajectory(spark):
+    """The decision row's LLR must lie on/beyond the boundary it
+    names, and n_at_decision is within the event count."""
+    r = rel.sprt_test(spark, SF).collect()[0]
+    if r["decision"] == "accept_h1":
+        assert r["llr"] >= r["upper_bound"] - 1e-9
+    elif r["decision"] == "accept_h0":
+        assert r["llr"] <= r["lower_bound"] + 1e-9
+    else:
+        assert r["lower_bound"] < r["llr"] < r["upper_bound"]
+    assert 1 <= r["n_at_decision"] <= 398 * 10  # any sf
+    assert 0 <= r["k_clicks"] <= r["n_at_decision"]
+
+
+def test_sprt_planted_stream_decides_h0(spark, tmp_path):
+    """A stream of almost-all views must cross the LOWER boundary:
+    hand-plantable because LLR is linear in (n, k)."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "sprt")
+    os.makedirs(base)
+    d0 = dt.datetime(2024, 2, 1)
+    rows = []
+    for i in range(60):
+        et = "click" if i % 10 == 0 else "view"
+        rows.append((i, d0 + dt.timedelta(minutes=i), i, et, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    ).write.parquet(f"{base}/events.parquet")
+    r = rel.sprt_test(spark, base).collect()[0]
+    assert r["decision"] == "accept_h0"
+    # crossing requires llr <= ln(0.05/0.95): with l=ln(11/9),
+    # llr = l*(2k-n); first cross at the earliest n with
+    # (2k-n) <= -14.66 -> n=17, k=2 gives 2k-n = -13; n=18,k=2: -14;
+    # n=19,k=2: -15 -> crossing at n=19
+    assert r["n_at_decision"] == 19
+
+
+def test_link_prediction_auc_beats_chance(spark):
+    """Common-neighbor scores on real edges must beat the sampled
+    non-edges well above chance on the co-purchase graph."""
+    r = rel.link_prediction_auc(spark, SF).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["auc"] > 0.5
+
+
+def test_effect_sizes_bounds_and_consistency(spark):
+    r = rel.effect_sizes(spark, SF).collect()[0]
+    assert r["chi2"] >= 0
+    assert 0 <= r["cramers_v"] <= 1
+    assert 0 <= r["contingency_c"] < 1
+    # V = w / sqrt(min(r-1,c-1)): here min side is langs (5) -> 2.0
+    import math as m
+    assert abs(r["cramers_v"] - r["cohens_w"] / m.sqrt(4)) < 1e-6
