@@ -7934,7 +7934,8 @@ def price_volume_mix(spark: SparkSession, sf_dir: str,
 
 def sprt_test(spark: SparkSession, sf_dir: str,
               p0: float = 0.45, p1: float = 0.55,
-              alpha: float = 0.05, beta: float = 0.05) -> DataFrame:
+              alpha: float = 0.05, beta: float = 0.05,
+              max_events: int = 100_000) -> DataFrame:
     """Wald's Sequential Probability Ratio Test on the live event
     stream: is the click share among click|view events p1 (H1) or
     p0 (H0)? Events are consumed in timestamp order; after each one
@@ -7950,7 +7951,16 @@ def sprt_test(spark: SparkSession, sf_dir: str,
     window cumsum), so every trajectory point is one fixed-shape
     double and the crossing comparison is cross-engine
     deterministic. Output: the decision row (or the final
-    'continue' row if no boundary was hit)."""
+    'continue' row if no boundary was hit).
+
+    Scale: the cumulative window is ORDER-only (single-partition) —
+    acceptable ONLY because the scan is capped at ``max_events``
+    time-ordered events first: Wald's expected sample size
+    E[N] ≈ ((1−β)A + βB)/(p1·l1 + (1−p1)·l0) is O(10²–10³) for any
+    practically distinguishable (p0, p1), so the cap loses nothing
+    (a 'continue' at the cap means the hypotheses are closer than
+    the design's resolution — itself the answer). The cap is a
+    TakeOrderedAndProject, never a full sort of the stream."""
     l1 = math.log(p1 / p0)
     l0 = math.log((1.0 - p1) / (1.0 - p0))
     a_bound = math.log((1.0 - beta) / alpha)
@@ -7963,6 +7973,8 @@ def sprt_test(spark: SparkSession, sf_dir: str,
             "event_id",
             (F.col("event_type") == "click").cast("long").alias("x"),
         )
+        .orderBy("ts", "event_id")
+        .limit(max_events)
     )
     w = Window.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -8186,4 +8198,284 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.round(F.sqrt(chi / nd), 6).alias("cohens_w"),
         F.round(F.sqrt(chi / (chi + nd)), 6).alias("contingency_c"),
+    )
+
+
+_CORR_COLS = [
+    ("quantity", "l_quantity", 1),
+    ("extendedprice", "l_extendedprice", 100),
+    ("discount", "l_discount", 100),
+    ("tax", "l_tax", 100),
+]
+
+
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    columns (quantity, extendedprice, discount, tax) — the feature
+    screen run before any model: ONE aggregation pass computes every
+    Σx, Σx², Σxy as exact integers (scaled to units/cents, summed as
+    DECIMAL(38,0) — count·cent² products overflow BIGINT at 100 TB),
+    then each of the 6 upper-triangle correlations is one
+    fixed-shape double expression, 6dp. No per-pair scans, no
+    corr() builtin (whose fold order is engine-private): the moment
+    pass shuffles a single 15-number row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * s).cast("long").alias(n)
+            for n, c, s in _CORR_COLS
+        ]
+    )
+    names = [n for n, _, _ in _CORR_COLS]
+    dec = lambda c: c.cast("decimal(38,0)")
+    aggs = [F.count("*").alias("n")]
+    for n in names:
+        aggs.append(F.sum(n).alias(f"s_{n}"))
+        aggs.append(F.sum(dec(F.col(n) * F.col(n))).alias(f"q_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(dec(F.col(a) * F.col(b))).alias(f"p_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+
+    def corr(a, b):
+        nd = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        pab = F.col(f"p_{a}_{b}").cast("double")
+        va = nd * qa - sa * sa
+        vb = nd * qb - sb * sb
+        # a constant column has no defined correlation: NULL, not a
+        # divide-by-zero (ANSI) or an engine-specific inf
+        return F.when(
+            (va > 0) & (vb > 0),
+            F.round((nd * pab - sa * sb) / (F.sqrt(va) * F.sqrt(vb)), 6),
+        )
+
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            rows.append(
+                m.select(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.col("n"),
+                    corr(a, b).alias("r"),
+                )
+            )
+    out = rows[0]
+    for f in rows[1:]:
+        out = out.unionAll(f)
+    return out.orderBy("var_a", "var_b")
+
+
+def pca_2d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-D PCA of (quantity, extendedprice): the 2×2
+    covariance matrix has EXACT eigenvalues λ = ((a+c) ±
+    sqrt((a−c)² + 4b²))/2 — no iteration (q152's power method is
+    for d ≫ 2; at d = 2 the characteristic polynomial is the whole
+    algorithm). Reports both eigenvalues, the explained-variance
+    ratio, and the principal-axis angle — the scatter-plot summary
+    for a 100 TB table, computed from one moment pass.
+
+    Covariance entries are exact rationals from BIGINT/DECIMAL
+    moments (population covariance, /n); the eigen formulas and
+    atan2 are fixed-shape doubles rounded 6dp (the libm policy).
+    Units: quantity in units, price in cents — the docstring-level
+    warning that UNSCALED PCA follows the larger-variance column is
+    part of the operator's honest contract (standardize first via
+    q150 if you want shape, not scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    a = (F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double") / nd) / nd
+    c = (F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy").cast("double") / nd) / nd
+    b = (F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double") / nd) / nd
+    disc = F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)
+    l1 = ((a + c) + disc) / F.lit(2.0)
+    l2 = ((a + c) - disc) / F.lit(2.0)
+    return m.select(
+        "n",
+        F.round(a, 6).alias("var_x"),
+        F.round(c, 6).alias("var_y"),
+        F.round(b, 6).alias("cov_xy"),
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(l1 / (l1 + l2), 6).alias("explained_ratio"),
+        F.round(
+            F.degrees(F.atan2(F.lit(2.0) * b, a - c) / F.lit(2.0)), 6
+        ).alias("principal_angle_deg"),
+    )
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily order-count series: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(j − i) — up to ~29%
+    outlier contamination leaves it unmoved, where q254's OLS line
+    chases every spike. Reported against the OLS slope so the gap
+    IS the outlier diagnostic.
+
+    The pair set is spine × spine (calendar-bounded: decades ≈ 10⁴
+    days ⇒ ≤ 10⁸/2 pairs worst-case, independent of corpus scale —
+    and broadcast-joinable since the spine fits in one partition).
+    Slopes are integer-ratio doubles; the median is selected by
+    row_number with (slope, i, j) tie-order — identical doubles ⇒
+    identical selection cross-engine — and averaged over the two
+    middles when the pair count is even (fixed-shape, 6dp). OLS
+    slope comes from exact BIGINT moments."""
+    x = _daily_count_spine(spark, sf_dir).select("idx", "x")
+    a = x.select(F.col("idx").alias("i"), F.col("x").alias("xi"))
+    b = x.select(F.col("idx").alias("j"), F.col("x").alias("xj"))
+    pairs = a.join(b, F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("xj") - F.col("xi")).cast("double")
+            / (F.col("j") - F.col("i")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "i", "j")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    cnt = pairs.agg(F.count("*").alias("n_pairs"))
+    lo = F.floor((F.col("n_pairs") + 1) / F.lit(2.0)).cast("long")
+    hi = F.floor(F.col("n_pairs") / F.lit(2.0)).cast("long") + 1
+    med = (
+        ranked.join(F.broadcast(cnt), F.lit(True))
+        .filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("ts_slope"),
+        )
+    )
+    ols = x.agg(
+        F.count("*").alias("n_days"),
+        F.sum("idx").alias("si"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("idx") * F.col("x")).alias("six"),
+        F.sum(F.col("idx") * F.col("idx")).alias("sii"),
+    )
+    nd = F.col("n_days").cast("double")
+    ols_slope = (
+        nd * F.col("six").cast("double")
+        - F.col("si").cast("double") * F.col("sx").cast("double")
+    ) / (
+        nd * F.col("sii").cast("double")
+        - F.col("si").cast("double") * F.col("si").cast("double")
+    )
+    return med.join(F.broadcast(ols), F.lit(True)).select(
+        "n_days",
+        "n_pairs",
+        "ts_slope",
+        F.round(ols_slope, 6).alias("ols_slope"),
+    )
+
+
+def brand_modularity(spark: SparkSession, sf_dir: str,
+                     min_cooccur: int = 2) -> DataFrame:
+    """Categorical modularity of the part co-purchase graph with
+    communities = part BRAND: Q = Σ_i (e_ii − a_i²), where e_ii is
+    the fraction of edge ends joining brand i to itself and a_i its
+    total edge-end share — "do customers buy within brands?"
+    (Newman 2006). Q > 0 means intra-brand clustering; the
+    categorical companion to q258's numeric degree assortativity,
+    and the community-quality score you'd apply to q222's detected
+    labels at scale.
+
+    Graph = q285's edge construction (co-purchased in ≥2 orders).
+    All edge-end counts are exact BIGINTs from one edge⋈brand join
+    + brand-keyed aggs; the Σ over the ≤25-brand frame folds
+    per-brand terms rounded 6dp (the q234 bounded-frame policy).
+    Also reports the assortativity normalization
+    Q/(1 − Σa_i²)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    copairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_orderkey").alias("oid"),
+            F.col("x.l_partkey").alias("u"),
+            F.col("y.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        copairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_cooccur)
+        .select("u", "v")
+    )
+    bu = p.select(F.col("p_partkey").alias("u"),
+                  F.col("p_brand").alias("cu"))
+    bv = p.select(F.col("p_partkey").alias("v"),
+                  F.col("p_brand").alias("cv"))
+    be = edges.join(F.broadcast(bu), "u").join(F.broadcast(bv), "v")
+    m = be.agg(F.count("*").alias("m_edges"))
+    intra = be.filter(F.col("cu") == F.col("cv")).groupBy(
+        F.col("cu").alias("brand")
+    ).agg(F.count("*").alias("e_in"))
+    ends = (
+        be.select(F.col("cu").alias("brand"))
+        .unionAll(be.select(F.col("cv").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").alias("d"))
+    )
+    per = (
+        ends.join(intra, "brand", "left")
+        .join(F.broadcast(m), F.lit(True))
+        .select(
+            "brand",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d",
+            "m_edges",
+            F.round(
+                F.coalesce("e_in", F.lit(0)).cast("double")
+                / F.col("m_edges").cast("double")
+                - (
+                    F.col("d").cast("double")
+                    / (F.lit(2.0) * F.col("m_edges").cast("double"))
+                )
+                * (
+                    F.col("d").cast("double")
+                    / (F.lit(2.0) * F.col("m_edges").cast("double"))
+                ),
+                6,
+            ).alias("q_term"),
+            F.round(
+                (
+                    F.col("d").cast("double")
+                    / (F.lit(2.0) * F.col("m_edges").cast("double"))
+                )
+                * (
+                    F.col("d").cast("double")
+                    / (F.lit(2.0) * F.col("m_edges").cast("double"))
+                ),
+                6,
+            ).alias("a_sq"),
+        )
+    )
+    return per.agg(
+        F.max("m_edges").alias("m_edges"),
+        F.count("*").alias("n_brands"),
+        F.round(F.sum("q_term"), 6).alias("modularity_q"),
+        F.round(
+            F.sum("q_term") / (F.lit(1.0) - F.sum("a_sq")), 6
+        ).alias("assortativity_norm"),
     )

@@ -8163,7 +8163,8 @@ SPECS["q284_sprt_test"] = QuerySpec(
     f"""
     WITH e AS (SELECT ts, event_id,
                       CAST(event_type = 'click' AS BIGINT) AS x
-               FROM events WHERE event_type IN ('click', 'view')),
+               FROM events WHERE event_type IN ('click', 'view')
+               ORDER BY ts, event_id LIMIT 100000),
          traj AS (SELECT ts, event_id,
                          SUM(x) OVER (ORDER BY ts, event_id) AS k,
                          COUNT(*) OVER (ORDER BY ts, event_id) AS n
@@ -8295,4 +8296,196 @@ SPECS["q286_effect_sizes"] = QuerySpec(
     "C) for the q234 source×lang contingency — the magnitudes that "
     "survive when N makes every p-value 0; exact counts, per-cell "
     "6dp discipline",
+)
+
+_CM_COLS = [("quantity", "l_quantity", 1), ("extendedprice", "l_extendedprice", 100),
+            ("discount", "l_discount", 100), ("tax", "l_tax", 100)]
+_CM_NAMES = [n for n, _, _ in _CM_COLS]
+_CM_SEL = ", ".join(
+    f"CAST(ROUND({c} * {s}) AS BIGINT) AS {n}" for n, c, s in _CM_COLS
+)
+_CM_MOM = (
+    "COUNT(*) AS n, "
+    + ", ".join(
+        f"CAST(SUM({n}) AS BIGINT) AS s_{n},"
+        f" SUM(CAST({n} AS DECIMAL(19,0)) * {n}) AS q_{n}"
+        for n in _CM_NAMES
+    )
+    + ", "
+    + ", ".join(
+        f"SUM(CAST({a} AS DECIMAL(19,0)) * {b}) AS p_{a}_{b}"
+        for i, a in enumerate(_CM_NAMES)
+        for b in _CM_NAMES[i + 1:]
+    )
+)
+
+
+def _cm_corr(a: str, b: str) -> str:
+    va = (f"(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+          f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))")
+    vb = (f"(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+          f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))")
+    return (
+        f"CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+        f"ROUND((CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / (sqrt({va}) * sqrt({vb})), 6) END"
+    )
+
+
+_CM_ROWS = "\n    UNION ALL ".join(
+    f"SELECT '{a}' AS var_a, '{b}' AS var_b, n, {_cm_corr(a, b)} AS r FROM m"
+    for i, a in enumerate(_CM_NAMES)
+    for b in _CM_NAMES[i + 1:]
+)
+
+SPECS["q287_correlation_matrix"] = QuerySpec(
+    rel.correlation_matrix,
+    f"""
+    WITH li AS (SELECT {_CM_SEL} FROM lineitem),
+         m AS (SELECT {_CM_MOM} FROM li)
+    SELECT * FROM ({_CM_ROWS})
+    ORDER BY var_a, var_b
+    """,
+    "§2.2 statistics: pairwise Pearson matrix of the lineitem "
+    "numerics from ONE moment pass — exact DECIMAL(38,0) products, "
+    "no engine-private corr() fold; 6 fixed-shape doubles",
+)
+
+SPECS["q288_pca_2d_exact"] = QuerySpec(
+    rel.pca_2d_exact,
+    """
+    WITH li AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem),
+         m AS (SELECT COUNT(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+                      SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy,
+                      SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy
+               FROM li),
+         cov AS (SELECT n,
+                        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS a,
+                        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS c,
+                        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS b
+                 FROM m),
+         eig AS (SELECT n, a, c, b,
+                        sqrt((a - c) * (a - c) + 4.0 * b * b) AS disc
+                 FROM cov)
+    SELECT n,
+           ROUND(a, 6) AS var_x,
+           ROUND(c, 6) AS var_y,
+           ROUND(b, 6) AS cov_xy,
+           ROUND(((a + c) + disc) / 2.0, 6) AS lambda1,
+           ROUND(((a + c) - disc) / 2.0, 6) AS lambda2,
+           ROUND((((a + c) + disc) / 2.0)
+                 / ((((a + c) + disc) / 2.0)
+                    + (((a + c) - disc) / 2.0)), 6) AS explained_ratio,
+           ROUND(degrees(atan2(2.0 * b, a - c) / 2.0), 6)
+               AS principal_angle_deg
+    FROM eig
+    """,
+    "§2.2 ML: closed-form 2x2 PCA (characteristic polynomial IS the "
+    "algorithm at d=2) — exact covariance from one moment pass, "
+    "eigenvalues/angle as fixed-shape doubles",
+)
+
+SPECS["q289_theil_sen"] = QuerySpec(
+    rel.theil_sen_slope,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         pairs AS (SELECT a.idx AS i, bb.idx AS j,
+                          CAST(bb.x - a.x AS DOUBLE)
+                          / CAST(bb.idx - a.idx AS DOUBLE) AS slope
+                   FROM x a JOIN x bb ON a.idx < bb.idx),
+         ranked AS (SELECT *, ROW_NUMBER() OVER
+                        (ORDER BY slope, i, j) AS rn
+                    FROM pairs),
+         cnt AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+         med AS (SELECT MAX(n_pairs) AS n_pairs,
+                        ROUND(AVG(slope), 6) AS ts_slope
+                 FROM ranked, cnt
+                 WHERE rn = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
+                    OR rn = CAST(FLOOR(n_pairs / 2.0) AS BIGINT) + 1),
+         ols AS (SELECT COUNT(*) AS n_days,
+                        CAST(SUM(idx) AS BIGINT) AS si,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(idx * x) AS BIGINT) AS six,
+                        CAST(SUM(idx * idx) AS BIGINT) AS sii
+                 FROM x)
+    SELECT n_days, n_pairs, ts_slope,
+           ROUND((CAST(n_days AS DOUBLE) * CAST(six AS DOUBLE)
+                  - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(sii AS DOUBLE)
+                    - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)), 6)
+               AS ols_slope
+    FROM med, ols
+    """,
+    "§2.2 statistics: Theil-Sen robust trend (median of pairwise "
+    "slopes) vs OLS on the daily series — calendar-bounded pair "
+    "set, deterministic median selection by (slope, i, j)",
+)
+
+SPECS["q290_brand_modularity"] = QuerySpec(
+    rel.brand_modularity,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS pk
+                FROM lineitem),
+         copairs AS (SELECT DISTINCT x.oid, x.pk AS u, y.pk AS v
+                     FROM li x JOIN li y
+                       ON x.oid = y.oid AND x.pk < y.pk),
+         edges AS (SELECT u, v FROM copairs
+                   GROUP BY u, v HAVING COUNT(*) >= 2),
+         be AS (SELECT e.u, e.v, pu.p_brand AS cu, pv.p_brand AS cv
+                FROM edges e JOIN part pu ON e.u = pu.p_partkey
+                             JOIN part pv ON e.v = pv.p_partkey),
+         m AS (SELECT COUNT(*) AS m_edges FROM be),
+         intra AS (SELECT cu AS brand, COUNT(*) AS e_in
+                   FROM be WHERE cu = cv GROUP BY 1),
+         ends AS (SELECT brand, COUNT(*) AS d FROM
+                    (SELECT cu AS brand FROM be
+                     UNION ALL SELECT cv AS brand FROM be)
+                  GROUP BY 1),
+         per AS (SELECT ends.brand,
+                        COALESCE(e_in, 0) AS e_in, d, m_edges,
+                        ROUND(CAST(COALESCE(e_in, 0) AS DOUBLE)
+                              / CAST(m_edges AS DOUBLE)
+                              - (CAST(d AS DOUBLE)
+                                 / (2.0 * CAST(m_edges AS DOUBLE)))
+                                * (CAST(d AS DOUBLE)
+                                   / (2.0 * CAST(m_edges AS DOUBLE))), 6)
+                            AS q_term,
+                        ROUND((CAST(d AS DOUBLE)
+                               / (2.0 * CAST(m_edges AS DOUBLE)))
+                              * (CAST(d AS DOUBLE)
+                                 / (2.0 * CAST(m_edges AS DOUBLE))), 6)
+                            AS a_sq
+                 FROM ends LEFT JOIN intra USING (brand)
+                      CROSS JOIN m)
+    SELECT MAX(m_edges) AS m_edges,
+           COUNT(*) AS n_brands,
+           ROUND(SUM(q_term), 6) AS modularity_q,
+           ROUND(SUM(q_term) / (1.0 - SUM(a_sq)), 6)
+               AS assortativity_norm
+    FROM per
+    """,
+    "§2.2 graph: categorical modularity of the co-purchase graph by "
+    "brand (Newman Q + normalized assortativity) — exact edge-end "
+    "counts, bounded 25-brand frame with per-term 6dp fold",
 )

@@ -932,3 +932,72 @@ def test_effect_sizes_bounds_and_consistency(spark):
     # V = w / sqrt(min(r-1,c-1)): here min side is langs (5) -> 2.0
     import math as m
     assert abs(r["cramers_v"] - r["cohens_w"] / m.sqrt(4)) < 1e-6
+
+
+def test_correlation_matrix_self_consistency(spark, tmp_path):
+    """All 6 upper-triangle pairs present with r in [-1, 1] on the
+    fixture (whose columns are drawn independently — near-zero r is
+    the correct answer there); a planted perfectly-linear pair on a
+    synthetic dir must give exactly r = 1.0."""
+    out = rel.correlation_matrix(spark, SF).collect()
+    assert len(out) == 6
+    d = {(r["var_a"], r["var_b"]): r["r"] for r in out}
+    assert all(-1.0 <= v <= 1.0 for v in d.values())
+    import os
+    base = str(tmp_path / "cm")
+    os.makedirs(base)
+    rows = [(float(q), float(q) * 7.0, 0.01 * (q % 5), 0.02)
+            for q in range(1, 40)]
+    spark.createDataFrame(
+        rows, "l_quantity: double, l_extendedprice: double, "
+              "l_discount: double, l_tax: double"
+    ).write.parquet(f"{base}/lineitem.parquet")
+    planted = {(r["var_a"], r["var_b"]): r["r"] for r in
+               rel.correlation_matrix(spark, base).collect()}
+    assert planted[("quantity", "extendedprice")] == 1.0
+
+
+def test_pca_2d_eigen_identities(spark):
+    """Trace and determinant identities: l1 + l2 = var_x + var_y,
+    l1*l2 = var_x*var_y - cov^2 (to rounding); l1 >= l2."""
+    r = rel.pca_2d_exact(spark, SF).collect()[0]
+    assert r["lambda1"] >= r["lambda2"]
+    tr = r["var_x"] + r["var_y"]
+    assert abs((r["lambda1"] + r["lambda2"]) - tr) / abs(tr) < 1e-9
+    det = r["var_x"] * r["var_y"] - r["cov_xy"] * r["cov_xy"]
+    assert abs(r["lambda1"] * r["lambda2"] - det) / max(abs(det), 1) < 1e-3
+    assert 0.5 <= r["explained_ratio"] <= 1.0
+
+
+def test_theil_sen_robust_to_planted_outlier(spark, tmp_path):
+    """A clean linear series (slope 2/day) with ONE wild outlier
+    day: Theil-Sen must stay at ~2, OLS must be dragged away —
+    the operator's reason to exist, demonstrated."""
+    import datetime as dt
+    import os
+    base = str(tmp_path / "ts")
+    os.makedirs(base)
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    for i in range(15):
+        # outlier near the end: center outliers have zero OLS
+        # leverage and would leave the slope untouched
+        n = 5 + 2 * i if i != 13 else 500
+        for _ in range(n):
+            oid += 1
+            rows.append((oid, d0 + dt.timedelta(days=i)))
+    spark.createDataFrame(
+        rows, "o_orderkey: long, o_orderdate: timestamp"
+    ).write.parquet(f"{base}/orders.parquet")
+    r = rel.theil_sen_slope(spark, base).collect()[0]
+    assert r["n_days"] == 15
+    assert abs(r["ts_slope"] - 2.0) < 0.5
+    assert abs(r["ols_slope"] - 2.0) > 2.0  # OLS dragged by outlier
+
+
+def test_brand_modularity_bounds(spark):
+    r = rel.brand_modularity(spark, SF).collect()[0]
+    assert r["m_edges"] > 0
+    assert -1.0 <= r["modularity_q"] <= 1.0
+    assert -1.0 <= r["assortativity_norm"] <= 1.0
