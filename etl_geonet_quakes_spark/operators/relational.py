@@ -8479,3 +8479,210 @@ def brand_modularity(spark: SparkSession, sf_dir: str,
             F.sum("q_term") / (F.lit(1.0) - F.sum("a_sq")), 6
         ).alias("assortativity_norm"),
     )
+
+
+def surrogate_keys(spark: SparkSession, sf_dir: str,
+                   seed_below: int = 250) -> DataFrame:
+    """Warehouse surrogate-key assignment — the dimensional-modeling
+    load step every ETL engine must do deterministically: members
+    already in the dimension keep their keys; NEW members get
+    max(existing_sk) + dense_rank(name) — stable, gap-free,
+    rerun-idempotent. Simulated here: the 'source' dimension is
+    seeded from documents with doc_id < ``seed_below`` (the prior
+    load), and the full corpus brings the new members.
+
+    Keys are ranks over a DISTINCT member list (dimension-sized, not
+    fact-sized — the window never sees the fact table); the fact
+    scan contributes only a distinct-projection. At 100 TB the
+    dimension stays broadcast-scale, which is precisely why
+    surrogate assignment is a dimension-side operation (Kimball's
+    rule re-derived as a partitioning argument)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    existing = (
+        d.filter(F.col("doc_id") < seed_below)
+        .select("source")
+        .distinct()
+    )
+    we = Window.orderBy("source")
+    dim = existing.select(
+        "source", F.dense_rank().over(we).alias("sk"),
+        F.lit(0).alias("is_new"),
+    )
+    mx = dim.agg(F.coalesce(F.max("sk"), F.lit(0)).alias("max_sk"))
+    incoming = d.select("source").distinct()
+    new = (
+        incoming.join(existing, "source", "left_anti")
+        .join(F.broadcast(mx), F.lit(True))
+        .select(
+            "source",
+            (F.col("max_sk") + F.dense_rank().over(we)).alias("sk"),
+            F.lit(1).alias("is_new"),
+        )
+    )
+    return dim.unionAll(new).orderBy("sk")
+
+
+def woe_iv(spark: SparkSession, sf_dir: str,
+           n_bins: int = 10) -> DataFrame:
+    """Weight-of-evidence / information-value of the order-value
+    decile against the URGENT-priority target — the credit-scoring
+    feature screen (WOE = ln(pos share / neg share) per bin; IV =
+    Σ(Δshare·WOE)): IV < 0.02 means the feature is useless, > 0.3
+    suspiciously strong. Bins are exact equi-depth via ntile over
+    the deterministic (cents, orderkey) order — both engines tile
+    identically because the order is total.
+
+    All shares are exact-integer ratios; WOE and the IV terms are
+    fixed-shape doubles, 6dp. One sort-window pass + one bin-keyed
+    agg; the bin frame is O(n_bins)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    b = o.withColumn("bin", F.ntile(n_bins).over(w))
+    cells = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("pos_tot"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("neg_tot"),
+    )
+    ps = F.col("n_pos").cast("double") / F.col("pos_tot").cast("double")
+    ns = (F.col("n") - F.col("n_pos")).cast("double") / F.col(
+        "neg_tot"
+    ).cast("double")
+    return (
+        cells.join(F.broadcast(tot), F.lit(True))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "min_cents",
+            "max_cents",
+            F.round(F.log(ps / ns), 6).alias("woe"),
+            F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def conformal_interval(spark: SparkSession, sf_dir: str,
+                       alpha: float = 0.1) -> DataFrame:
+    """Split-conformal prediction interval for the daily order count
+    under the weekly-seasonal model — the distribution-free
+    uncertainty wrapper modern forecasting stacks bolt onto any
+    point model: calibrate |residual| quantiles on half the days
+    (even idx), then check EMPIRICAL COVERAGE of point ± q_hat on
+    the held-out odd days. Coverage ≥ 1 − α is the conformal
+    guarantee (finite-sample, model-agnostic); the audit row shows
+    whether it held.
+
+    The point model is the calibration-half day-of-week mean
+    (idx%7 slots, the q267 engine-neutral trick); q_hat is the
+    EXACT ⌈(n_cal+1)(1−α)⌉-th smallest calibration score by
+    row_number — no quantile interpolation to disagree on.
+    Everything is spine-bounded after the one per-day count
+    shuffle; scores are |integer − rational| doubles with fixed
+    shape."""
+    x = _daily_count_spine(spark, sf_dir).withColumn(
+        "dow", F.col("idx") % 7
+    )
+    cal = x.filter(F.col("idx") % 2 == 0)
+    test = x.filter(F.col("idx") % 2 == 1)
+    model = cal.groupBy("dow").agg(
+        F.sum("x").alias("s"), F.count("*").alias("m")
+    )
+    mu = F.col("s").cast("double") / F.col("m").cast("double")
+    cal_scores = cal.join(F.broadcast(model), "dow").select(
+        F.abs(F.col("x").cast("double") - mu).alias("score")
+    )
+    n_cal = cal_scores.agg(F.count("*").alias("n_cal"))
+    wq = Window.orderBy("score")
+    k = F.ceil(
+        (F.col("n_cal") + 1).cast("double") * F.lit(1.0 - alpha)
+    ).cast("long")
+    qhat = (
+        cal_scores.withColumn("rn", F.row_number().over(wq))
+        .join(F.broadcast(n_cal), F.lit(True))
+        .filter(F.col("rn") == F.least(k, F.col("n_cal")))
+        .select(F.col("score").alias("q_hat"), "n_cal")
+    )
+    cov = (
+        test.join(F.broadcast(model), "dow")
+        .join(F.broadcast(qhat), F.lit(True))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.max("q_hat").alias("q_hat"),
+            F.sum(
+                (
+                    F.abs(F.col("x").cast("double") - mu)
+                    <= F.col("q_hat")
+                ).cast("long")
+            ).alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "n_cal",
+        "n_test",
+        F.round(F.col("q_hat"), 6).alias("q_hat"),
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+        F.lit(round(1.0 - alpha, 6)).alias("target_coverage"),
+    )
+
+
+def rolling_correlation(spark: SparkSession, sf_dir: str,
+                        window_days: int = 28) -> DataFrame:
+    """Trailing ``window_days``-day rolling Pearson correlation of
+    the click vs purchase daily series — q266 gave ONE global
+    number; markets/pipelines drift, so the rolling version is the
+    monitoring curve (correlation breakdown = the coupling between
+    funnel stages broke).
+
+    All five window moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
+    sums over the idx-RANGE frame on the 0-filled spine — exact —
+    and each day's r is one fixed-shape double, 6dp, emitted only
+    for complete windows. Spine-bounded; the single corpus-scale
+    stage is the per-day count."""
+    sp = _event_daily_pair(spark, sf_dir, "click", "purchase")
+    w = (
+        Window.orderBy("idx")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    m = sp.select(
+        "idx",
+        "day",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    ).filter(F.col("n") == window_days)
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    va = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vb = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return m.select(
+        "idx",
+        "day",
+        F.when((va > 0) & (vb > 0),
+               F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6))
+        .alias("r_rolling"),
+    ).orderBy("idx")

@@ -8489,3 +8489,164 @@ SPECS["q290_brand_modularity"] = QuerySpec(
     "brand (Newman Q + normalized assortativity) — exact edge-end "
     "counts, bounded 25-brand frame with per-term 6dp fold",
 )
+
+SPECS["q291_surrogate_keys"] = QuerySpec(
+    rel.surrogate_keys,
+    """
+    WITH existing AS (SELECT DISTINCT source FROM documents
+                      WHERE doc_id < 250),
+         dim AS (SELECT source,
+                        CAST(DENSE_RANK() OVER (ORDER BY source)
+                             AS BIGINT) AS sk,
+                        0 AS is_new
+                 FROM existing),
+         mx AS (SELECT COALESCE(MAX(sk), 0) AS max_sk FROM dim),
+         incoming AS (SELECT DISTINCT source FROM documents),
+         newm AS (SELECT i.source,
+                         mx.max_sk
+                         + CAST(DENSE_RANK() OVER (ORDER BY i.source)
+                                AS BIGINT) AS sk,
+                         1 AS is_new
+                  FROM incoming i, mx
+                  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                                    WHERE e.source = i.source))
+    SELECT * FROM (SELECT * FROM dim UNION ALL SELECT * FROM newm)
+    ORDER BY sk
+    """,
+    "§2.2 warehouse load: deterministic surrogate-key assignment — "
+    "existing members keep keys, new members get max+dense_rank; "
+    "dimension-sized windows only, rerun-idempotent",
+)
+
+SPECS["q292_woe_iv"] = QuerySpec(
+    rel.woe_iv,
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey)
+                          AS bin
+               FROM o),
+         cells AS (SELECT bin, COUNT(*) AS n,
+                          CAST(SUM(y) AS BIGINT) AS n_pos,
+                          MIN(cents) AS min_cents,
+                          MAX(cents) AS max_cents
+                   FROM b GROUP BY bin),
+         tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_tot,
+                        CAST(SUM(n - n_pos) AS BIGINT) AS neg_tot
+                 FROM cells)
+    SELECT bin, n, n_pos, min_cents, max_cents,
+           ROUND(LN((CAST(n_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE))
+                    / (CAST(n - n_pos AS DOUBLE)
+                       / CAST(neg_tot AS DOUBLE))), 6) AS woe,
+           ROUND((CAST(n_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)
+                  - CAST(n - n_pos AS DOUBLE) / CAST(neg_tot AS DOUBLE))
+                 * LN((CAST(n_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE))
+                      / (CAST(n - n_pos AS DOUBLE)
+                         / CAST(neg_tot AS DOUBLE))), 6) AS iv_term
+    FROM cells, tot ORDER BY bin
+    """,
+    "§2.2 feature engineering: weight-of-evidence / information "
+    "value of order-value deciles vs the URGENT target — exact "
+    "equi-depth ntile over a total order, integer shares, "
+    "fixed-shape ln",
+)
+
+SPECS["q293_conformal_interval"] = QuerySpec(
+    rel.conformal_interval,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x, idx % 7 AS dow
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         cal AS (SELECT * FROM x WHERE idx % 2 = 0),
+         tst AS (SELECT * FROM x WHERE idx % 2 = 1),
+         model AS (SELECT dow, CAST(SUM(x) AS BIGINT) AS s,
+                          COUNT(*) AS m
+                   FROM cal GROUP BY 1),
+         cs AS (SELECT abs(CAST(cal.x AS DOUBLE)
+                           - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                           AS score
+                FROM cal JOIN model USING (dow)),
+         nc AS (SELECT COUNT(*) AS n_cal FROM cs),
+         qh AS (SELECT score AS q_hat, n_cal
+                FROM (SELECT score, ROW_NUMBER() OVER (ORDER BY score)
+                             AS rn FROM cs), nc
+                WHERE rn = least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE)
+                                           * 0.9) AS BIGINT), n_cal)),
+         cov AS (SELECT MAX(n_cal) AS n_cal, COUNT(*) AS n_test,
+                        MAX(q_hat) AS q_hat,
+                        CAST(SUM(CAST(abs(CAST(tst.x AS DOUBLE)
+                                 - CAST(s AS DOUBLE) / CAST(m AS DOUBLE))
+                                 <= q_hat AS BIGINT)) AS BIGINT)
+                            AS n_covered
+                 FROM tst JOIN model USING (dow), qh)
+    SELECT n_cal, n_test, ROUND(q_hat, 6) AS q_hat, n_covered,
+           ROUND(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+               AS coverage,
+           CAST(0.9 AS DOUBLE) AS target_coverage
+    FROM cov
+    """,
+    "§2.2 uncertainty: split-conformal interval for daily counts "
+    "under the dow-mean model — exact order-statistic q_hat "
+    "(no quantile interpolation), held-out coverage audit vs the "
+    "finite-sample guarantee",
+)
+
+SPECS["q294_rolling_correlation"] = QuerySpec(
+    rel.rolling_correlation,
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+         daily AS (SELECT d,
+                          SUM(CAST(event_type = 'click' AS BIGINT)) AS x,
+                          SUM(CAST(event_type = 'purchase' AS BIGINT)) AS y
+                   FROM e WHERE event_type IN ('click', 'purchase')
+                   GROUP BY d),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+         spine AS (SELECT unnest(range(0,
+                        date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         sp AS (SELECT idx,
+                       (SELECT mind FROM g0) + CAST(idx AS INT) AS day,
+                       COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+                FROM spine LEFT JOIN
+                     (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                             AS idx, x, y FROM daily) dd USING (idx)),
+         m AS (SELECT idx, day,
+                      COUNT(*) OVER w AS n,
+                      SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                      SUM(x * y) OVER w AS sxy,
+                      SUM(x * x) OVER w AS sxx,
+                      SUM(y * y) OVER w AS syy
+               FROM sp
+               WINDOW w AS (ORDER BY idx
+                            RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT idx, day,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS r_rolling
+    FROM m WHERE n = 28 ORDER BY idx
+    """,
+    "§2.2 monitoring: 28-day rolling Pearson correlation of click "
+    "vs purchase daily series — exact BIGINT window moments on the "
+    "0-filled spine, NULL-guarded degenerate windows, complete "
+    "windows only",
+)

@@ -1001,3 +1001,60 @@ def test_brand_modularity_bounds(spark):
     assert r["m_edges"] > 0
     assert -1.0 <= r["modularity_q"] <= 1.0
     assert -1.0 <= r["assortativity_norm"] <= 1.0
+
+
+def test_surrogate_keys_stable_and_gapless(spark):
+    out = rel.surrogate_keys(spark, SF).collect()
+    sks = [r["sk"] for r in out]
+    assert sks == list(range(1, len(out) + 1))
+    # existing members occupy the low keys, new members the high
+    n_old = sum(1 for r in out if r["is_new"] == 0)
+    assert all(r["sk"] <= n_old for r in out if r["is_new"] == 0)
+    assert all(r["sk"] > n_old for r in out if r["is_new"] == 1)
+    # idempotence: seeding with the FULL corpus yields no new rows
+    full = rel.surrogate_keys(spark, SF, seed_below=10**9).collect()
+    assert all(r["is_new"] == 0 for r in full)
+
+
+def test_woe_iv_shares_balance(spark):
+    out = rel.woe_iv(spark, SF).collect()
+    assert len(out) == 10
+    # bins partition the orders; bin edges are monotone
+    for a, b in zip(out, out[1:]):
+        assert a["max_cents"] <= b["min_cents"]
+    # every iv_term is non-negative (share gap and WOE share sign)
+    for r in out:
+        assert r["iv_term"] >= 0
+
+
+def test_conformal_coverage_meets_guarantee(spark):
+    r = rel.conformal_interval(spark, SF).collect()[0]
+    assert r["q_hat"] >= 0
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    # split-conformal guarantee: coverage >= 1 - alpha on
+    # exchangeable data; allow small slack for the fixture's size
+    assert r["coverage"] >= r["target_coverage"] - 0.05
+
+
+def test_rolling_correlation_window_exactness(spark):
+    """Spot-check one window against a brute-force recompute."""
+    from etl_geonet_quakes_spark.io import load_table
+    out = rel.rolling_correlation(spark, SF).collect()
+    assert out, "fixture spans > 28 days"
+    for r in out:
+        if r["r_rolling"] is not None:
+            assert -1.0 <= r["r_rolling"] <= 1.0
+    sp = rel._event_daily_pair(spark, SF, "click", "purchase").collect()
+    series = {r["idx"]: (r["x"], r["y"]) for r in sp}
+    probe = out[len(out) // 2]
+    xs = [series[i][0] for i in range(probe["idx"] - 27, probe["idx"] + 1)]
+    ys = [series[i][1] for i in range(probe["idx"] - 27, probe["idx"] + 1)]
+    n = 28.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    import math as m
+    expect = (n * sxy - sx * sy) / (
+        m.sqrt(n * sxx - sx * sx) * m.sqrt(n * syy - sy * sy)
+    )
+    assert probe["r_rolling"] == round(expect, 6)
