@@ -1554,3 +1554,56 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )
+
+
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity per source — the generation-
+    quality metric (distinct-1/2/3 of Li et al.'s diversity family):
+    the share of UNIQUE n-grams among all emitted n-grams. Synthetic
+    or mode-collapsed corpora crater distinct-2/3 long before any
+    per-doc repetition metric (q243 measures within/across-doc
+    duplication; this measures vocabulary exhaustion).
+
+    distinct counts are per-source countDistinct over the n-gram
+    stream (one shuffle keyed by (source, gram) — partial aggs
+    collapse the Zipf head map-side); totals are exact integers and
+    the ratios fixed-shape 6dp doubles."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    parts = []
+    for n in (1, 2, 3):
+        g = d.filter(F.size(tokens(F.col("text"))) >= n).select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(ngram_join(tokens(F.col("text")), n)).alias("gram"),
+        )
+        parts.append(g)
+    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    per = grams.groupBy("source", "n").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+    )
+    return (
+        per.groupBy("source")
+        .pivot("n", [1, 2, 3])
+        .agg(
+            F.first("n_grams").alias("total"),
+            F.first("n_distinct").alias("uniq"),
+        )
+        .select(
+            "source",
+            F.col("1_total").alias("n_unigrams"),
+            F.round(
+                F.col("1_uniq").cast("double") / F.col("1_total").cast("double"),
+                6,
+            ).alias("distinct_1"),
+            F.round(
+                F.col("2_uniq").cast("double") / F.col("2_total").cast("double"),
+                6,
+            ).alias("distinct_2"),
+            F.round(
+                F.col("3_uniq").cast("double") / F.col("3_total").cast("double"),
+                6,
+            ).alias("distinct_3"),
+        )
+        .orderBy("source")
+    )

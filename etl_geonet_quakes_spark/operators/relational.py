@@ -6631,25 +6631,18 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str,
     )
 
 
-def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier product-limit estimator of the time-to-repeat-
-    order survival curve: for each customer, the duration from first
-    to second order is an EVENT; single-order customers are RIGHT-
-    CENSORED at the corpus end — the churn-analysis primitive, and
-    the §2.2 taxonomy's entry for estimators defined by an ordered
-    cumulative PRODUCT (everything else cumulative in the repo is a
-    sum).
+def _survival_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared life-table builder for the survival estimators (q257
+    Kaplan–Meier product-limit, q300 Nelson–Aalen cumulative
+    hazard): time-to-repeat-order durations per customer (single-
+    order customers right-censored at corpus end), reduced to the
+    event-time frame (t_days, d_events, n_risk).
 
-    Determinism contract for the product: survival at t folds
-    1−d_i/n_i factors with a STRICT left fold over the time-ordered
-    factor array (Spark ``aggregate`` over a sort_array'd
-    collect_list; DuckDB ``list_reduce`` over list(... ORDER BY t))
-    — identical association on both engines, so the doubles match
-    bit-for-bit before the 6dp round. The factor array is bounded by
-    DISTINCT event durations in days (calendar-bounded ≤ 10⁴
-    regardless of corpus size), so the broadcast of the array and
-    the O(k²) per-row filtered folds are scale-free; the heavy part
-    — per-customer first/second order — is one custkey shuffle."""
+    The heavy stage is the one custkey shuffle for first/second
+    order; the at-risk counts come from an exclusive prefix sum over
+    the DISTINCT-duration histogram (calendar-bounded ≤ 10⁴ rows
+    regardless of corpus size), so everything downstream of the
+    per-customer agg is scale-free."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d")
     )
@@ -6683,7 +6676,7 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dur").alias("t_days"))
         .agg(F.count("*").alias("d_events"))
     )
-    kt = (
+    return (
         ev.join(at_risk, ev.t_days == at_risk.dur)
         .join(F.broadcast(n_total), F.lit(True))
         .select(
@@ -6691,11 +6684,32 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_events",
             (F.col("n_subjects") - F.col("before")).alias("n_risk"),
         )
-        .withColumn(
-            "factor",
-            F.lit(1.0)
-            - F.col("d_events").cast("double") / F.col("n_risk").cast("double"),
-        )
+    )
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit estimator of the time-to-repeat-
+    order survival curve: for each customer, the duration from first
+    to second order is an EVENT; single-order customers are RIGHT-
+    CENSORED at the corpus end — the churn-analysis primitive, and
+    the §2.2 taxonomy's entry for estimators defined by an ordered
+    cumulative PRODUCT (everything else cumulative in the repo is a
+    sum).
+
+    Determinism contract for the product: survival at t folds
+    1−d_i/n_i factors with a STRICT left fold over the time-ordered
+    factor array (Spark ``aggregate`` over a sort_array'd
+    collect_list; DuckDB ``list_reduce`` over list(... ORDER BY t))
+    — identical association on both engines, so the doubles match
+    bit-for-bit before the 6dp round. The factor array is bounded by
+    DISTINCT event durations in days (calendar-bounded ≤ 10⁴
+    regardless of corpus size), so the broadcast of the array and
+    the O(k²) per-row filtered folds are scale-free; the heavy part
+    — per-customer first/second order — is one custkey shuffle."""
+    kt = _survival_risk_table(spark, sf_dir).withColumn(
+        "factor",
+        F.lit(1.0)
+        - F.col("d_events").cast("double") / F.col("n_risk").cast("double"),
     )
     factors = kt.agg(
         F.sort_array(F.collect_list(F.struct("t_days", "factor"))).alias("fl")
@@ -8686,3 +8700,224 @@ def rolling_correlation(spark: SparkSession, sf_dir: str,
                F.round(num / (F.sqrt(va) * F.sqrt(vb)), 6))
         .alias("r_rolling"),
     ).orderBy("idx")
+
+
+def cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document "raters" —
+    the inter-annotator agreement statistic every labeling pipeline
+    reports before trusting its labels (raw accuracy overstates
+    agreement when the base rate is skewed; kappa subtracts the
+    chance floor). Rater A flags docs containing the token 'dup';
+    rater B flags docs with a repeated 'batch batch' run — two
+    independent low-quality heuristics rating the same construct.
+
+    All four confusion cells are exact integers from one scan-stage
+    aggregate (zero shuffles beyond the final single-row reduce);
+    p_o, p_e and kappa are fixed-shape single-expression doubles,
+    6dp. At 100 TB this is a map-side count — the cheapest audit in
+    the repo."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("text").contains("dup").cast("long").alias("ra"),
+        F.col("text").contains("batch batch").cast("long").alias("rb"),
+    )
+    cells = d.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 0)).cast("long")).alias("n10"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 1)).cast("long")).alias("n01"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("long")).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return cells.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED classifier errors — the correct way
+    to compare two classifiers evaluated on the SAME documents
+    (independent-sample tests like q167's Welch are wrong here: the
+    per-document pairing removes shared variance, and only the
+    DISCORDANT pairs carry information). Target: lang = 'en';
+    classifier A predicts en when the text contains 'the',
+    classifier B when n_chars > 120.
+
+    b = A right & B wrong, c = A wrong & B right; the continuity-
+    corrected statistic (|b−c|−1)²/(b+c) is χ²(1) under H₀ (the two
+    classifiers have equal error rates). All cells are exact
+    integers from one scan-stage aggregate; the statistic is one
+    fixed-shape double, 6dp, NULL-guarded when b+c = 0."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.col("text").contains("the").cast("long").alias("pa"),
+        (F.col("n_chars") > 120).cast("long").alias("pb"),
+    ).select(
+        (F.col("pa") == F.col("y")).cast("long").alias("ca"),
+        (F.col("pb") == F.col("y")).cast("long").alias("cb"),
+    )
+    cells = d.agg(
+        F.count("*").alias("n"),
+        F.sum("ca").alias("n_correct_a"),
+        F.sum("cb").alias("n_correct_b"),
+        F.sum(((F.col("ca") == 1) & (F.col("cb") == 0)).cast("long")).alias("b_disc"),
+        F.sum(((F.col("ca") == 0) & (F.col("cb") == 1)).cast("long")).alias("c_disc"),
+    )
+    bc = (F.col("b_disc") + F.col("c_disc")).cast("double")
+    num = (
+        F.abs((F.col("b_disc") - F.col("c_disc")).cast("double")) - F.lit(1.0)
+    )
+    return cells.select(
+        "n",
+        F.round(F.col("n_correct_a").cast("double") / F.col("n").cast("double"), 6)
+        .alias("acc_a"),
+        F.round(F.col("n_correct_b").cast("double") / F.col("n").cast("double"), 6)
+        .alias("acc_b"),
+        "b_disc", "c_disc",
+        F.when(bc > 0, F.round(num * num / bc, 6)).alias("mcnemar_chi2"),
+    )
+
+
+def lift_gains(spark: SparkSession, sf_dir: str,
+               n_bins: int = 10) -> DataFrame:
+    """Decile lift / cumulative-gains table for a score against the
+    URGENT-priority target — the model-evaluation report q281's AUC
+    compresses to one number: rank orders by value (score = total
+    price, descending), cut into exact deciles, and show per-decile
+    response rate, cumulative capture and cumulative lift. The
+    campaign-targeting question ("mail the top 2 deciles?") reads
+    straight off the table.
+
+    The decile cut is exact ntile over the total (cents DESC,
+    orderkey) order; every cell is an integer count, the cumulative
+    columns are integer window sums over the 10-row frame, and the
+    ratios are fixed-shape doubles, 6dp."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    w = Window.orderBy(F.desc("cents"), "o_orderkey")
+    b = o.withColumn("decile", F.ntile(n_bins).over(w))
+    cells = b.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+    )
+    base = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    return (
+        cum.join(F.broadcast(tot), F.lit(True))
+        .select(
+            "decile", "n", "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+            ).alias("response_rate"),
+            "cum_pos",
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("pos_tot").cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+                / base,
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str,
+                k: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under
+    the quasi-identifier (nation, market segment, balance rounded to
+    the nearest 1000) — the privacy gate a dataset must pass before
+    release: any QI group smaller than k re-identifies its members,
+    and any group with a single sensitive value (here: delinquency,
+    acctbal < 0) discloses the attribute even at size ≥ k.
+
+    One QI-keyed hash agg builds the group frame; the audit row is a
+    bounded second reduce over group sizes. Every output is an exact
+    integer or an integer ratio (6dp) — nothing in a privacy audit
+    should be approximate."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.round(F.col("c_acctbal") * 100).cast("long") / 100000)
+        .alias("bal_k"),
+        (F.col("c_acctbal") < 0).cast("long").alias("sensitive"),
+    )
+    g = c.groupBy("nat", "seg", "bal_k").agg(
+        F.count("*").alias("k_size"),
+        F.countDistinct("sensitive").alias("l_div"),
+    )
+    return g.agg(
+        F.sum("k_size").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("k_size").alias("min_group_size"),
+        F.sum((F.col("k_size") < k).cast("long")).alias("groups_below_k"),
+        F.sum(
+            F.when(F.col("k_size") < k, F.col("k_size")).otherwise(F.lit(0))
+        ).alias("rows_at_risk"),
+        F.round(
+            F.sum(
+                F.when(F.col("k_size") < k, F.col("k_size")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("k_size").cast("double"),
+            6,
+        ).alias("risk_share"),
+        F.min("l_div").alias("min_l_diversity"),
+        F.sum((F.col("l_div") == 1).cast("long")).alias("groups_l1"),
+    )
+
+
+def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the q257
+    time-to-repeat-order life table — the additive dual of
+    Kaplan–Meier (H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ), preferred when hazards
+    are the modeling target (H is unbiased where the product-limit
+    S is not) plus the Breslow survival exp(−H) for comparison
+    against q257's product fold.
+
+    Determinism: per-time hazards are rounded to 6dp FIRST and
+    accumulated as DECIMAL(18,6) window sums — decimal addition is
+    associative, so the running sum is exact and engine-independent
+    (the additive counterpart of q257's ordered product fold).
+    Everything here is post-life-table: the frame is bounded by
+    distinct durations (≤ 10⁴), scale-free."""
+    kt = _survival_risk_table(spark, sf_dir)
+    h6 = F.round(
+        F.col("d_events").cast("double") / F.col("n_risk").cast("double"), 6
+    )
+    w = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        kt.withColumn("hazard", h6)
+        .withColumn(
+            "cum_hazard",
+            F.sum(F.col("hazard").cast("decimal(18,6)")).over(w)
+            .cast("double"),
+        )
+        .select(
+            "t_days", "n_risk", "d_events", "hazard",
+            F.round("cum_hazard", 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("cum_hazard")), 6).alias("s_breslow"),
+        )
+        .orderBy("t_days")
+    )

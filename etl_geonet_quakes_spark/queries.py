@@ -8650,3 +8650,231 @@ SPECS["q294_rolling_correlation"] = QuerySpec(
     "0-filled spine, NULL-guarded degenerate windows, complete "
     "windows only",
 )
+
+SPECS["q295_cohen_kappa"] = QuerySpec(
+    rel.cohen_kappa,
+    """
+    WITH d AS (SELECT CAST(contains(text, 'dup') AS BIGINT) AS ra,
+                      CAST(contains(text, 'batch batch') AS BIGINT) AS rb
+               FROM documents),
+         cells AS (SELECT COUNT(*) AS n,
+                          CAST(SUM(CAST(ra = 1 AND rb = 1 AS BIGINT))
+                               AS BIGINT) AS n11,
+                          CAST(SUM(CAST(ra = 1 AND rb = 0 AS BIGINT))
+                               AS BIGINT) AS n10,
+                          CAST(SUM(CAST(ra = 0 AND rb = 1 AS BIGINT))
+                               AS BIGINT) AS n01,
+                          CAST(SUM(CAST(ra = 0 AND rb = 0 AS BIGINT))
+                               AS BIGINT) AS n00
+                   FROM d)
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS p_observed,
+           ROUND((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS p_expected,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                     + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0
+                    - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                       + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+               AS kappa
+    FROM cells
+    """,
+    "§2.2 annotation QA: Cohen's kappa between two deterministic "
+    "document raters — exact integer confusion cells, chance-"
+    "corrected agreement, one map-side aggregate",
+)
+
+SPECS["q296_mcnemar_test"] = QuerySpec(
+    rel.mcnemar_test,
+    """
+    WITH d AS (SELECT CAST(CAST(contains(text, 'the') AS BIGINT)
+                           = CAST(lang = 'en' AS BIGINT) AS BIGINT) AS ca,
+                      CAST(CAST(n_chars > 120 AS BIGINT)
+                           = CAST(lang = 'en' AS BIGINT) AS BIGINT) AS cb
+               FROM documents),
+         cells AS (SELECT COUNT(*) AS n,
+                          CAST(SUM(ca) AS BIGINT) AS n_correct_a,
+                          CAST(SUM(cb) AS BIGINT) AS n_correct_b,
+                          CAST(SUM(CAST(ca = 1 AND cb = 0 AS BIGINT))
+                               AS BIGINT) AS b_disc,
+                          CAST(SUM(CAST(ca = 0 AND cb = 1 AS BIGINT))
+                               AS BIGINT) AS c_disc
+                   FROM d)
+    SELECT n,
+           ROUND(CAST(n_correct_a AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS acc_a,
+           ROUND(CAST(n_correct_b AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS acc_b,
+           b_disc, c_disc,
+           CASE WHEN b_disc + c_disc > 0
+                THEN ROUND((abs(CAST(b_disc - c_disc AS DOUBLE)) - 1.0)
+                           * (abs(CAST(b_disc - c_disc AS DOUBLE)) - 1.0)
+                           / CAST(b_disc + c_disc AS DOUBLE), 6)
+           END AS mcnemar_chi2
+    FROM cells
+    """,
+    "§2.2 model comparison: McNemar's paired test on two document "
+    "classifiers vs the lang target — discordant-pair cells exact, "
+    "continuity-corrected chi-square, NULL-guarded",
+)
+
+SPECS["q297_lift_gains"] = QuerySpec(
+    rel.lift_gains,
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents DESC, o_orderkey)
+                          AS decile
+               FROM o),
+         cells AS (SELECT decile, COUNT(*) AS n,
+                          CAST(SUM(y) AS BIGINT) AS n_pos
+                   FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                        CAST(SUM(n_pos) AS BIGINT) AS pos_tot
+                 FROM cells),
+         cum AS (SELECT decile, n, n_pos,
+                        CAST(SUM(n) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_n,
+                        CAST(SUM(n_pos) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_pos
+                 FROM cells)
+    SELECT decile, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS response_rate,
+           cum_pos,
+           ROUND(CAST(cum_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE), 6)
+               AS cum_capture,
+           ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                 / (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+               AS cum_lift
+    FROM cum, tot ORDER BY decile
+    """,
+    "§2.2 model evaluation: decile lift / cumulative-gains table "
+    "for the price score vs the URGENT target — exact ntile cut, "
+    "integer window cumulatives, the table q281's AUC compresses",
+)
+
+SPECS["q298_k_anonymity"] = QuerySpec(
+    rel.k_anonymity,
+    """
+    WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                      FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                            / 100000) AS bal_k,
+                      CAST(c_acctbal < 0 AS BIGINT) AS sensitive
+               FROM customer),
+         g AS (SELECT nat, seg, bal_k, COUNT(*) AS k_size,
+                      COUNT(DISTINCT sensitive) AS l_div
+               FROM c GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(k_size) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_groups,
+           MIN(k_size) AS min_group_size,
+           CAST(SUM(CAST(k_size < 5 AS BIGINT)) AS BIGINT)
+               AS groups_below_k,
+           CAST(SUM(CASE WHEN k_size < 5 THEN k_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN k_size < 5 THEN k_size ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(k_size) AS DOUBLE), 6)
+               AS risk_share,
+           MIN(l_div) AS min_l_diversity,
+           CAST(SUM(CAST(l_div = 1 AS BIGINT)) AS BIGINT) AS groups_l1
+    FROM g
+    """,
+    "§2.2 privacy: k-anonymity / l-diversity audit of the customer "
+    "QI (nation, segment, balance-to-1000) — exact group frame, "
+    "rows-at-risk and attribute-disclosure counts",
+)
+
+SPECS["q299_nelson_aalen"] = QuerySpec(
+    rel.nelson_aalen,
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         endd AS (SELECT MAX(d) AS corpus_end FROM o),
+         pc AS (SELECT o_custkey, MIN(d) AS first_d,
+                       (list_sort(list(d)))[2] AS second_d
+                FROM o GROUP BY 1),
+         dur AS (SELECT CASE WHEN second_d IS NOT NULL
+                             THEN date_diff('day', first_d, second_d)
+                             ELSE date_diff('day', first_d, corpus_end)
+                        END AS dur,
+                        CAST(second_d IS NOT NULL AS INT) AS event
+                 FROM pc, endd),
+         nt AS (SELECT COUNT(*) AS n_subjects FROM dur),
+         hist AS (SELECT dur AS hd, COUNT(*) AS cnt FROM dur GROUP BY 1),
+         ar AS (SELECT hd, COALESCE(SUM(cnt) OVER (ORDER BY hd
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS before
+                FROM hist),
+         ev AS (SELECT dur AS t_days, COUNT(*) AS d_events
+                FROM dur WHERE event = 1 GROUP BY 1),
+         kt AS (SELECT t_days, d_events,
+                       n_subjects - before AS n_risk
+                FROM ev JOIN ar ON t_days = hd, nt),
+         hz AS (SELECT t_days, n_risk, d_events,
+                       ROUND(CAST(d_events AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE), 6) AS hazard
+                FROM kt),
+         ch AS (SELECT *, CAST(SUM(CAST(hazard AS DECIMAL(18,6)))
+                               OVER (ORDER BY t_days
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+                              AS cum_hazard
+                FROM hz)
+    SELECT t_days, n_risk, d_events, hazard,
+           ROUND(cum_hazard, 6) AS cum_hazard,
+           ROUND(exp(-cum_hazard), 6) AS s_breslow
+    FROM ch ORDER BY t_days
+    """,
+    "§2.2 statistics: Nelson–Aalen cumulative hazard over the q257 "
+    "life table — 6dp hazards accumulated as DECIMAL(18,6) (exact "
+    "associative running sum), Breslow survival for KM comparison",
+)
+
+SPECS["q300_ngram_diversity"] = QuerySpec(
+    text.ngram_diversity,
+    """
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks
+               FROM documents),
+         g AS (
+           SELECT source, 1 AS n, unnest(toks) AS gram
+           FROM t WHERE len(toks) >= 1
+           UNION ALL
+           SELECT source, 2 AS n,
+                  unnest(list_transform(range(0, len(toks) - 1),
+                         i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
+           FROM t WHERE len(toks) >= 2
+           UNION ALL
+           SELECT source, 3 AS n,
+                  unnest(list_transform(range(0, len(toks) - 2),
+                         i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+           FROM t WHERE len(toks) >= 3),
+         per AS (SELECT source, n, COUNT(*) AS n_grams,
+                        COUNT(DISTINCT gram) AS n_distinct
+                 FROM g GROUP BY 1, 2)
+    SELECT source,
+           MAX(CASE WHEN n = 1 THEN n_grams END) AS n_unigrams,
+           ROUND(CAST(MAX(CASE WHEN n = 1 THEN n_distinct END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 1 THEN n_grams END) AS DOUBLE), 6)
+               AS distinct_1,
+           ROUND(CAST(MAX(CASE WHEN n = 2 THEN n_distinct END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 2 THEN n_grams END) AS DOUBLE), 6)
+               AS distinct_2,
+           ROUND(CAST(MAX(CASE WHEN n = 3 THEN n_distinct END) AS DOUBLE)
+                 / CAST(MAX(CASE WHEN n = 3 THEN n_grams END) AS DOUBLE), 6)
+               AS distinct_3
+    FROM per GROUP BY source ORDER BY source
+    """,
+    "§2.3 corpus diversity: distinct-1/2/3 unique-n-gram shares per "
+    "source — the mode-collapse metric; (source, gram) keyed agg "
+    "with map-side partials over the Zipf head",
+)

@@ -1058,3 +1058,60 @@ def test_rolling_correlation_window_exactness(spark):
         m.sqrt(n * sxx - sx * sx) * m.sqrt(n * syy - sy * sy)
     )
     assert probe["r_rolling"] == round(expect, 6)
+
+
+def test_cohen_kappa_bounds_and_cells(spark):
+    r = rel.cohen_kappa(spark, SF).collect()[0]
+    assert r["n"] == r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 <= r["p_expected"] <= 1.0
+
+
+def test_mcnemar_cells_consistent(spark):
+    r = rel.mcnemar_test(spark, SF).collect()[0]
+    assert 0 <= r["b_disc"] + r["c_disc"] <= r["n"]
+    if r["mcnemar_chi2"] is not None:
+        assert r["mcnemar_chi2"] >= 0
+    # accuracy difference must come entirely from discordant pairs
+    assert round(r["acc_a"] - r["acc_b"], 6) == round(
+        (r["b_disc"] - r["c_disc"]) / r["n"], 6
+    )
+
+
+def test_lift_gains_monotone_capture(spark):
+    out = rel.lift_gains(spark, SF).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    caps = [r["cum_capture"] for r in out]
+    assert all(a <= b for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == 1.0
+    # final cumulative lift over the whole population is exactly 1
+    assert out[-1]["cum_lift"] == 1.0
+
+
+def test_k_anonymity_accounting(spark):
+    r = rel.k_anonymity(spark, SF).collect()[0]
+    assert r["rows_at_risk"] <= r["n_rows"]
+    assert r["groups_below_k"] <= r["n_groups"]
+    assert 1 <= r["min_l_diversity"] <= 2
+    assert r["min_group_size"] >= 1
+
+
+def test_nelson_aalen_vs_km_relationship(spark):
+    """H(t) is nondecreasing and exp(-H) upper-bounds the KM
+    product-limit survival at every event time (1-x <= exp(-x))."""
+    na = {r["t_days"]: r for r in rel.nelson_aalen(spark, SF).collect()}
+    km = {r["t_days"]: r for r in rel.kaplan_meier(spark, SF).collect()}
+    assert set(na) == set(km)
+    hs = [na[t]["cum_hazard"] for t in sorted(na)]
+    assert all(a <= b for a, b in zip(hs, hs[1:]))
+    for t in na:
+        assert na[t]["s_breslow"] >= km[t]["survival"] - 1e-6
+
+
+def test_ngram_diversity_ordering(spark):
+    out = text.ngram_diversity(spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        # longer n-grams are strictly more diverse on word-soup text
+        assert 0 < r["distinct_1"] <= r["distinct_2"] <= r["distinct_3"] <= 1.0
