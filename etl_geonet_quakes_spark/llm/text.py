@@ -1607,3 +1607,99 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def burrows_delta(spark: SparkSession, sf_dir: str,
+                  top_n: int = 20) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source
+    pair — the authorship-attribution classic: z-score each source's
+    relative frequency of the corpus's ``top_n`` most common words
+    (function words in real prose; the closed vocabulary here), then
+    Delta(a,b) = mean |z_a − z_b|. Near-zero Delta between two
+    sources is a provenance signal q205's copy matrix sees only for
+    verbatim copying — this catches STYLE-level siblings.
+
+    Determinism: every cross-row double reduction is an ORDERED
+    LEFT FOLD over a sort_array'd collect_list (Spark ``aggregate``
+    / DuckDB ``list_reduce`` — identical association, the q257
+    discipline), so mu, sigma, z and the per-pair Delta are
+    bit-identical before the single final 6dp round; no
+    intermediate rounding anywhere (per-term 6dp rounds sit on
+    round-tie boundaries the two engines resolve differently).
+    Shape: one (word, source) count agg; the top-n vocabulary is a
+    global-count top-k; all folds run on bounded |sources| / top_n
+    frames. Population sigma over sources; words with sigma = 0 are
+    dropped from every pair symmetrically."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    cs = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ns = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    wt = Window.orderBy(F.desc("c_tot"), "w")
+    top = (
+        cs.groupBy("w").agg(F.sum("c").alias("c_tot"))
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= top_n)
+        .select("w")
+    )
+    srcs = ns.select("source", "n_tok")
+    # complete (source, top-word) grid so absent words are f = 0
+    grid = srcs.join(F.broadcast(top), F.lit(True))
+    f = (
+        grid.join(cs, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            (F.coalesce("c", F.lit(0)).cast("double")
+             / F.col("n_tok").cast("double")).alias("f"),
+        )
+    )
+    fold_sum = lambda arr: F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    stats = f.groupBy("w").agg(
+        F.count("*").alias("s_cnt"),
+        F.sort_array(F.collect_list(F.struct("source", "f"))).alias("fl"),
+    ).select(
+        "w", "s_cnt",
+        fold_sum(F.transform("fl", lambda s: s["f"])).alias("f_sum"),
+        fold_sum(F.transform("fl", lambda s: s["f"] * s["f"])).alias("f_sq"),
+    )
+    mu = F.col("f_sum") / F.col("s_cnt").cast("double")
+    var = F.col("f_sq") / F.col("s_cnt").cast("double") - mu * mu
+    z = (
+        f.join(F.broadcast(stats), "w")
+        .filter(var > 0)
+        .select(
+            "source", "w",
+            ((F.col("f") - mu) / F.sqrt(var)).alias("z"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b", "w",
+            F.abs(F.col("za") - F.col("zb")).alias("dz"),
+        )
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sort_array(F.collect_list(F.struct("w", "dz"))).alias("dl"),
+        )
+        .select(
+            "src_a", "src_b", "n_words",
+            F.round(
+                fold_sum(F.transform("dl", lambda s: s["dz"]))
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("delta"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -8921,3 +8921,145 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+def calibration_audit(spark: SparkSession, sf_dir: str,
+                      n_bins: int = 10) -> DataFrame:
+    """Calibration audit (ECE / MCE / Brier) of a frequency model
+    for P(order is URGENT | month, customer segment) — the
+    reliability check every probabilistic scorer needs: a model can
+    have great AUC yet lie about its confidence. Rates are trained
+    on even orderkeys, evaluated on odd ones; predictions land in
+    ``n_bins`` equal-width confidence bins; ECE is the
+    support-weighted mean |accuracy − confidence| gap, MCE the
+    worst bin, Brier the mean squared error.
+
+    Determinism: per-(month, segment) rates are exact integer
+    ratios; every cross-row reduction of a double (bin confidence
+    mass, per-group Brier contributions m·p² − 2ps + s, the ECE
+    fold) is rounded 6dp per term and summed as DECIMAL(28,6) —
+    associative, engine-independent. Shape: one orders⋈customer
+    shuffle, then a 60-group frame; the bin frame is O(n_bins)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.month("o_orderdate").alias("mo"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = o.join(c, "o_custkey")
+    train = j.filter(F.col("o_orderkey") % 2 == 0)
+    test = j.filter(F.col("o_orderkey") % 2 == 1)
+    model = train.groupBy("mo", "seg").agg(
+        F.sum("y").alias("s_tr"), F.count("*").alias("m_tr")
+    )
+    p = F.col("s_tr").cast("double") / F.col("m_tr").cast("double")
+    # per-group TEST sufficient stats — everything downstream is a
+    # bounded-frame decimal fold
+    gt = (
+        test.join(F.broadcast(model), ["mo", "seg"])
+        .groupBy("mo", "seg", "s_tr", "m_tr")
+        .agg(F.count("*").alias("m_te"), F.sum("y").alias("s_te"))
+        .select(
+            p.alias("p_hat"),
+            "m_te",
+            "s_te",
+            F.least(
+                F.floor(p * n_bins).cast("long"), F.lit(n_bins - 1)
+            ).alias("bin"),
+        )
+    )
+    bins = gt.groupBy("bin").agg(
+        F.sum("m_te").alias("n_b"),
+        F.sum("s_te").alias("pos_b"),
+        F.sum(
+            F.round(F.col("m_te") * F.col("p_hat"), 6).cast("decimal(28,6)")
+        ).alias("conf_mass"),
+        F.sum(
+            F.round(
+                F.col("m_te") * F.col("p_hat") * F.col("p_hat")
+                - 2 * F.col("p_hat") * F.col("s_te")
+                + F.col("s_te"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("brier_mass"),
+    )
+    gap = F.abs(
+        F.col("pos_b").cast("double") / F.col("n_b").cast("double")
+        - F.col("conf_mass").cast("double") / F.col("n_b").cast("double")
+    )
+    return bins.agg(
+        F.sum("n_b").alias("n_test"),
+        F.count("*").alias("bins_used"),
+        F.round(
+            F.sum(
+                F.round(F.col("n_b") * gap, 6).cast("decimal(28,6)")
+            ).cast("double")
+            / F.sum("n_b").cast("double"),
+            6,
+        ).alias("ece"),
+        F.round(F.max(F.round(gap, 6)), 6).alias("mce"),
+        F.round(
+            F.sum("brier_mass").cast("double")
+            / F.sum("n_b").cast("double"),
+            6,
+        ).alias("brier"),
+    )
+
+
+def page_hinkley(spark: SparkSession, sf_dir: str,
+                 delta: float = 0.0, lam: float = 25.0) -> DataFrame:
+    """Page–Hinkley drift detector over the daily event-count
+    series — the sequential changepoint monitor (CUSUM's one-sided
+    sibling, q231) streaming systems run on throughput: accumulate
+    deviations of each day from the RUNNING mean, track the
+    cumulative-sum's running minimum, and alarm when the excursion
+    U_t − min U exceeds λ.
+
+    Determinism: the running mean is an exact integer-prefix-sum
+    ratio; each day's deviation is rounded 6dp and accumulated as a
+    DECIMAL(28,6) running sum (associative — the q299 discipline),
+    so U_t, its running min, and the alarm flag are engine-exact.
+    One per-day count shuffle; everything after is spine-bounded
+    sequential windows."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d")
+    )
+    daily = e.groupBy("d").agg(F.count("*").alias("x"))
+    bounds = e.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day")
+    )
+    x = (
+        spine.join(daily, spine.day == daily.d, "left")
+        .select(
+            "day", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = x.select(
+        "day", "x",
+        (F.sum("x").over(w).cast("double")
+         / F.count("*").over(w).cast("double")).alias("run_mean"),
+    )
+    dev6 = F.round(
+        F.col("x").cast("double") - F.col("run_mean") - F.lit(delta), 6
+    ).cast("decimal(28,6)")
+    u = m.select(
+        "day", "x",
+        F.round("run_mean", 6).alias("run_mean"),
+        F.sum(dev6).over(w).alias("u_dec"),
+    )
+    mn = u.withColumn("u_min", F.min("u_dec").over(w))
+    return mn.select(
+        "day", "x", "run_mean",
+        F.round(F.col("u_dec").cast("double"), 6).alias("u_stat"),
+        F.round(
+            (F.col("u_dec") - F.col("u_min")).cast("double"), 6
+        ).alias("excursion"),
+        ((F.col("u_dec") - F.col("u_min")).cast("double") > lam)
+        .cast("long")
+        .alias("alarm"),
+    ).orderBy("day")

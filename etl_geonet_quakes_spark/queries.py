@@ -8878,3 +8878,138 @@ SPECS["q300_ngram_diversity"] = QuerySpec(
     "source — the mode-collapse metric; (source, gram) keyed agg "
     "with map-side partials over the Zipf head",
 )
+
+SPECS["q301_calibration_audit"] = QuerySpec(
+    rel.calibration_audit,
+    """
+    WITH j AS (SELECT o.o_orderkey, MONTH(o.o_orderdate) AS mo,
+                      c.c_mktsegment AS seg,
+                      CAST(o.o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         model AS (SELECT mo, seg, CAST(SUM(y) AS BIGINT) AS s_tr,
+                          COUNT(*) AS m_tr
+                   FROM j WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+         gt AS (SELECT CAST(s_tr AS DOUBLE) / CAST(m_tr AS DOUBLE)
+                           AS p_hat,
+                       COUNT(*) AS m_te,
+                       CAST(SUM(y) AS BIGINT) AS s_te,
+                       least(CAST(FLOOR(CAST(s_tr AS DOUBLE)
+                                        / CAST(m_tr AS DOUBLE) * 10)
+                                  AS BIGINT), 9) AS bin
+                FROM j JOIN model USING (mo, seg)
+                WHERE o_orderkey % 2 = 1
+                GROUP BY s_tr, m_tr),
+         bins AS (SELECT bin,
+                         CAST(SUM(m_te) AS BIGINT) AS n_b,
+                         CAST(SUM(s_te) AS BIGINT) AS pos_b,
+                         SUM(CAST(ROUND(m_te * p_hat, 6)
+                                  AS DECIMAL(28,6))) AS conf_mass,
+                         SUM(CAST(ROUND(m_te * p_hat * p_hat
+                                        - 2 * p_hat * s_te + s_te, 6)
+                                  AS DECIMAL(28,6))) AS brier_mass
+                  FROM gt GROUP BY 1)
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n_test,
+           COUNT(*) AS bins_used,
+           ROUND(CAST(SUM(CAST(ROUND(n_b * abs(CAST(pos_b AS DOUBLE)
+                                               / CAST(n_b AS DOUBLE)
+                                     - CAST(conf_mass AS DOUBLE)
+                                       / CAST(n_b AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(SUM(n_b) AS DOUBLE), 6) AS ece,
+           ROUND(MAX(ROUND(abs(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                               - CAST(conf_mass AS DOUBLE)
+                                 / CAST(n_b AS DOUBLE)), 6)), 6) AS mce,
+           ROUND(CAST(SUM(brier_mass) AS DOUBLE)
+                 / CAST(SUM(n_b) AS DOUBLE), 6) AS brier
+    FROM bins
+    """,
+    "§2.2 model evaluation: ECE/MCE/Brier calibration audit of the "
+    "(month, segment) frequency model, train-even/test-odd split — "
+    "exact integer rates, 6dp-per-term DECIMAL folds",
+)
+
+SPECS["q302_page_hinkley"] = QuerySpec(
+    rel.page_hinkley,
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+         daily AS (SELECT d, COUNT(*) AS c FROM e GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+         spine AS (SELECT (SELECT mind FROM g0)
+                          + CAST(unnest(range(0,
+                                date_diff('day', mind, maxd) + 1))
+                                 AS INT) AS day
+                   FROM g0),
+         x AS (SELECT day, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN daily ON day = d),
+         m AS (SELECT day, x,
+                      CAST(SUM(x) OVER w AS DOUBLE)
+                      / CAST(COUNT(*) OVER w AS DOUBLE) AS run_mean
+               FROM x
+               WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)),
+         u AS (SELECT day, x, run_mean,
+                      SUM(CAST(ROUND(CAST(x AS DOUBLE) - run_mean
+                                     - 0.0, 6) AS DECIMAL(28,6)))
+                          OVER w AS u_dec
+               FROM m
+               WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)),
+         mn AS (SELECT *, MIN(u_dec) OVER (ORDER BY day ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS u_min
+                FROM u)
+    SELECT day, x, ROUND(run_mean, 6) AS run_mean,
+           ROUND(CAST(u_dec AS DOUBLE), 6) AS u_stat,
+           ROUND(CAST(u_dec - u_min AS DOUBLE), 6) AS excursion,
+           CAST(CAST(u_dec - u_min AS DOUBLE) > 25.0 AS BIGINT) AS alarm
+    FROM mn ORDER BY day
+    """,
+    "§2.2 monitoring: Page–Hinkley sequential drift detector on "
+    "daily event throughput — running-mean deviations accumulated "
+    "as DECIMAL(28,6), exact running min, engine-exact alarms",
+)
+
+SPECS["q303_burrows_delta"] = QuerySpec(
+    text.burrows_delta,
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         cs AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         ns AS (SELECT source, COUNT(*) AS n_tok FROM tok GROUP BY 1),
+         top AS (SELECT w FROM (
+                     SELECT w, ROW_NUMBER() OVER (
+                                ORDER BY SUM(c) DESC, w) AS rk
+                     FROM cs GROUP BY w)
+                 WHERE rk <= 20),
+         f AS (SELECT ns.source, top.w,
+                      CAST(COALESCE(cs.c, 0) AS DOUBLE)
+                      / CAST(ns.n_tok AS DOUBLE) AS f
+               FROM ns CROSS JOIN top
+               LEFT JOIN cs ON cs.source = ns.source AND cs.w = top.w),
+         stats AS (SELECT w, COUNT(*) AS s_cnt,
+                          list_reduce(list(f ORDER BY source),
+                                      (a, b) -> a + b) AS f_sum,
+                          list_reduce(list(f * f ORDER BY source),
+                                      (a, b) -> a + b) AS f_sq
+                   FROM f GROUP BY 1),
+         z AS (SELECT source, f.w,
+                      (f - f_sum / s_cnt)
+                      / sqrt(f_sq / s_cnt
+                             - (f_sum / s_cnt) * (f_sum / s_cnt)) AS z
+               FROM f JOIN stats ON f.w = stats.w
+               WHERE f_sq / s_cnt
+                     - (f_sum / s_cnt) * (f_sum / s_cnt) > 0),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.w,
+                          abs(a.z - b.z) AS dz
+                   FROM z a JOIN z b
+                     ON a.w = b.w AND a.source < b.source)
+    SELECT src_a, src_b, COUNT(*) AS n_words,
+           ROUND(list_reduce(list(dz ORDER BY w), (a, b) -> a + b)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.3 provenance: Burrows' Delta stylometric distance between "
+    "source pairs over the top-20 vocabulary — z-scored relative "
+    "frequencies, ordered left-fold reductions (bit-identical "
+    "doubles, single final round), style-level sibling detection",
+)

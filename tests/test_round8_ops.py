@@ -1115,3 +1115,31 @@ def test_ngram_diversity_ordering(spark):
     for r in out:
         # longer n-grams are strictly more diverse on word-soup text
         assert 0 < r["distinct_1"] <= r["distinct_2"] <= r["distinct_3"] <= 1.0
+
+
+def test_calibration_audit_bounds(spark):
+    r = rel.calibration_audit(spark, SF).collect()[0]
+    assert r["n_test"] > 0
+    assert 1 <= r["bins_used"] <= 10
+    assert 0.0 <= r["ece"] <= r["mce"] <= 1.0
+    assert 0.0 <= r["brier"] <= 0.25 + 1e-6  # worst case p=0.5 everywhere
+
+
+def test_page_hinkley_invariants(spark):
+    out = rel.page_hinkley(spark, SF).collect()
+    assert out[0]["u_stat"] == 0.0  # first deviation is x - x = 0
+    for r in out:
+        assert r["excursion"] >= 0.0
+        assert r["alarm"] in (0, 1)
+        assert r["alarm"] == (1 if r["excursion"] > 25.0 else 0)
+
+
+def test_burrows_delta_symmetric_bounds(spark):
+    out = text.burrows_delta(spark, SF).collect()
+    assert out, "at least one source pair"
+    srcs = {r["src_a"] for r in out} | {r["src_b"] for r in out}
+    n = len(srcs)
+    assert len(out) == n * (n - 1) // 2  # complete pair set
+    for r in out:
+        assert r["delta"] >= 0.0
+        assert r["n_words"] >= 1
