@@ -9183,3 +9183,155 @@ def logistic_irls(spark: SparkSession, sf_dir: str,
         # (and is the scale-comparable quantity anyway)
         F.round(ll / F.col("n").cast("double"), 6).alias("avg_log_likelihood"),
     )
+
+
+def cox_ph(spark: SparkSession, sf_dir: str,
+           iters: int = 3) -> DataFrame:
+    """Cox proportional-hazards fit (single binary covariate:
+    customer segment = BUILDING vs rest) on the q257 time-to-repeat-
+    order data, Breslow tie handling, ``iters`` unrolled Newton
+    steps on the partial likelihood — survival REGRESSION, where
+    q257/q299 only estimate curves. β is the log hazard ratio of
+    repeat-ordering for BUILDING customers.
+
+    Per event time t the partial-likelihood terms need only
+    (d_t, s_t, n0_t, n1_t): total/treated events and the at-risk
+    counts per covariate arm. Risk sets come from exclusive prefix
+    sums over the per-arm duration histogram with event-time markers
+    spliced in (marker sorts BEFORE same-duration subjects, so
+    "before" counts dur < t strictly and ties stay in the risk set).
+    The frame is calendar-bounded (≤10⁴ event times), so the Newton
+    score/information sums are ordered left folds over a broadcast
+    array — the q304 discipline; each step is a materialized
+    projection mirroring the oracle's iteration CTEs. The corpus-
+    scale work is one custkey shuffle + one broadcast segment join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("x"),
+    )
+    end = o.agg(F.max("d").alias("corpus_end"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"),
+        F.get(F.sort_array(F.collect_list("d")), 1).alias("second_d"),
+    )
+    dur = (
+        per_cust.join(c, "o_custkey")
+        .join(F.broadcast(end), F.lit(True))
+        .select(
+            F.when(
+                F.col("second_d").isNotNull(),
+                F.datediff("second_d", "first_d"),
+            )
+            .otherwise(F.datediff("corpus_end", "first_d"))
+            .cast("long")
+            .alias("dur"),
+            F.col("second_d").isNotNull().cast("int").alias("event"),
+            "x",
+        )
+    )
+    nx = dur.groupBy("x").agg(F.count("*").alias("n_x"))
+    hist = dur.groupBy("dur", "x").agg(F.count("*").alias("cnt"))
+    ev = (
+        dur.filter(F.col("event") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(
+            F.count("*").alias("d_t"),
+            F.sum("x").alias("s_t"),
+        )
+    )
+    # timeline per arm: subjects (tag 1) + event-time markers (tag 0);
+    # exclusive prefix at a marker = subjects with dur < t strictly
+    arms = nx.select("x")
+    markers = ev.select(F.col("t").alias("dur")).join(
+        F.broadcast(arms), F.lit(True)
+    ).select("dur", "x", F.lit(0).alias("cnt"), F.lit(0).alias("tag"))
+    subjects = hist.select("dur", "x", "cnt", F.lit(1).alias("tag"))
+    wx = (
+        Window.partitionBy("x")
+        .orderBy("dur", "tag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = (
+        subjects.unionAll(markers)
+        .withColumn("bef", F.coalesce(F.sum("cnt").over(wx), F.lit(0)))
+        .filter(F.col("tag") == 0)
+        .select(F.col("dur").alias("t"), "x", "bef")
+    )
+    risk = (
+        before.join(F.broadcast(nx), "x")
+        .select("t", "x", (F.col("n_x") - F.col("bef")).alias("at_risk"))
+    )
+    frame = (
+        ev.join(
+            risk.groupBy("t").agg(
+                F.sum(F.when(F.col("x") == 0, F.col("at_risk"))
+                      .otherwise(F.lit(0))).alias("n0"),
+                F.sum(F.when(F.col("x") == 1, F.col("at_risk"))
+                      .otherwise(F.lit(0))).alias("n1"),
+            ),
+            "t",
+        )
+    )
+    tot = frame.agg(
+        F.sum("d_t").alias("n_events"), F.count("*").alias("n_times")
+    )
+    one = frame.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d_t", "s_t", "n0", "n1"))
+        ).alias("fl")
+    ).join(F.broadcast(tot), F.lit(True)).select(
+        "n_events", "n_times",
+        F.transform(
+            "fl",
+            lambda r: F.struct(
+                r["d_t"].cast("double").alias("d"),
+                r["s_t"].cast("double").alias("s"),
+                r["n0"].cast("double").alias("n0"),
+                r["n1"].cast("double").alias("n1"),
+            ),
+        ).alias("cells"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform("cells", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    def denom(r):
+        return r["n0"] + r["n1"] * F.exp(F.col("b"))
+
+    df = one
+    for _ in range(iters):
+        df = df.select(
+            "n_events", "n_times", "cells", "b",
+            fold(
+                lambda r: r["s"]
+                - r["d"] * r["n1"] * F.exp(F.col("b")) / denom(r)
+            ).alias("score_u"),
+            fold(
+                lambda r: r["d"]
+                * (r["n1"] * F.exp(F.col("b")) * r["n0"])
+                / (denom(r) * denom(r))
+            ).alias("info_i"),
+        )
+        df = df.select(
+            "n_events", "n_times", "cells",
+            (F.col("b") + F.col("score_u") / F.col("info_i")).alias("b"),
+        )
+    info_f = fold(
+        lambda r: r["d"]
+        * (r["n1"] * F.exp(F.col("b")) * r["n0"])
+        / (denom(r) * denom(r))
+    )
+    return df.select(
+        "n_events",
+        "n_times",
+        F.lit(iters).alias("iters"),
+        F.round("b", 6).alias("beta"),
+        F.round(F.exp("b"), 6).alias("hazard_ratio"),
+        F.round(F.lit(1.0) / F.sqrt(info_f), 6).alias("se_beta"),
+    )

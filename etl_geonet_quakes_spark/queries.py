@@ -9107,3 +9107,101 @@ SPECS["q304_logistic_irls"] = QuerySpec(
     "(bin, y) sufficient-statistics frame — ordered left folds, "
     "closed-form 2x2 Newton solve, zero per-row float work",
 )
+
+# q305's Cox oracle: Newton steps unrolled by a loop (q304 pattern);
+# every fold mirrors the Spark ordered left fold with identical term
+# association, including the Breslow denominator shape.
+_COX_U = ("list_reduce(list_transform(cells, "
+          "r -> r.s - r.d * r.n1 * exp(b) "
+          "/ (r.n0 + r.n1 * exp(b))), (a, t) -> a + t)")
+_COX_I = ("list_reduce(list_transform(cells, "
+          "r -> r.d * (r.n1 * exp(b) * r.n0) "
+          "/ ((r.n0 + r.n1 * exp(b)) * (r.n0 + r.n1 * exp(b)))), "
+          "(a, t) -> a + t)")
+
+
+def _cox_step(k: int) -> str:
+    prev = "prep" if k == 1 else f"i{k - 1}"
+    return f"""
+         s{k} AS (SELECT n_events, n_times, cells, b,
+                         {_COX_U} AS score_u,
+                         {_COX_I} AS info_i
+                  FROM {prev}),
+         i{k} AS (SELECT n_events, n_times, cells,
+                         b + score_u / info_i AS b
+                  FROM s{k})"""
+
+
+_COX_SQL = (
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         cx AS (SELECT c_custkey,
+                       CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS x
+                FROM customer),
+         endd AS (SELECT MAX(d) AS corpus_end FROM o),
+         pc AS (SELECT o_custkey, MIN(d) AS first_d,
+                       (list_sort(list(d)))[2] AS second_d
+                FROM o GROUP BY 1),
+         dur AS (SELECT CASE WHEN second_d IS NOT NULL
+                             THEN date_diff('day', first_d, second_d)
+                             ELSE date_diff('day', first_d, corpus_end)
+                        END AS dur,
+                        CAST(second_d IS NOT NULL AS INT) AS event, x
+                 FROM pc JOIN cx ON pc.o_custkey = cx.c_custkey, endd),
+         nx AS (SELECT x, COUNT(*) AS n_x FROM dur GROUP BY 1),
+         hist AS (SELECT dur, x, COUNT(*) AS cnt FROM dur GROUP BY 1, 2),
+         ev AS (SELECT dur AS t, COUNT(*) AS d_t,
+                       CAST(SUM(x) AS BIGINT) AS s_t
+                FROM dur WHERE event = 1 GROUP BY 1),
+         tl AS (SELECT dur, x, cnt, 1 AS tag FROM hist
+                UNION ALL
+                SELECT t AS dur, nx.x, 0 AS cnt, 0 AS tag FROM ev, nx),
+         bef AS (SELECT dur AS t, x, tag,
+                        COALESCE(SUM(cnt) OVER (PARTITION BY x
+                             ORDER BY dur, tag ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS bef
+                 FROM tl),
+         risk AS (SELECT t, bef.x, n_x - bef AS at_risk
+                  FROM bef JOIN nx USING (x) WHERE tag = 0),
+         byarm AS (SELECT t,
+                          CAST(SUM(CASE WHEN x = 0 THEN at_risk
+                                        ELSE 0 END) AS BIGINT) AS n0,
+                          CAST(SUM(CASE WHEN x = 1 THEN at_risk
+                                        ELSE 0 END) AS BIGINT) AS n1
+                   FROM risk GROUP BY 1),
+         frame AS (SELECT ev.t, d_t, s_t, n0, n1
+                   FROM ev JOIN byarm USING (t)),
+         tot AS (SELECT CAST(SUM(d_t) AS BIGINT) AS n_events,
+                        COUNT(*) AS n_times
+                 FROM frame),
+         fl AS (SELECT list(struct_pack(t := t, d_t := d_t, s_t := s_t,
+                                        n0 := n0, n1 := n1)
+                            ORDER BY t) AS fl
+                FROM frame),
+         prep AS (SELECT n_events, n_times,
+                         list_transform(fl, r -> struct_pack(
+                             d := CAST(r.d_t AS DOUBLE),
+                             s := CAST(r.s_t AS DOUBLE),
+                             n0 := CAST(r.n0 AS DOUBLE),
+                             n1 := CAST(r.n1 AS DOUBLE))) AS cells,
+                         0.0 AS b
+                  FROM fl, tot),"""
+    + ",".join(_cox_step(k) for k in (1, 2, 3))
+    + f"""
+    SELECT n_events, n_times, 3 AS iters,
+           ROUND(b, 6) AS beta,
+           ROUND(exp(b), 6) AS hazard_ratio,
+           ROUND(1.0 / sqrt({_COX_I}), 6) AS se_beta
+    FROM i3
+    """
+)
+
+SPECS["q305_cox_ph"] = QuerySpec(
+    rel.cox_ph,
+    _COX_SQL,
+    "§2.2 survival regression: Cox proportional hazards (Breslow "
+    "ties) of repeat-order hazard on the BUILDING-segment covariate "
+    "— per-arm risk sets from marker-spliced prefix sums, 3 Newton "
+    "steps on the partial likelihood via ordered folds",
+)

@@ -1157,3 +1157,17 @@ def test_logistic_irls_converged_and_sane(spark):
     assert r3["avg_log_likelihood"] < 0
     base = 1.0 / (1.0 + m.exp(-r3["b0"]))
     assert 0.05 < base < 0.5  # URGENT is one of five priorities
+
+
+def test_cox_ph_converged_and_consistent(spark):
+    """3 vs 5 Newton steps agree to 6dp (converged); the fitted
+    hazard ratio is positive and finite, and se shrinks with more
+    events (sanity against the sf0.01 fixture)."""
+    r3 = rel.cox_ph(spark, SF, iters=3).collect()[0]
+    r5 = rel.cox_ph(spark, SF, iters=5).collect()[0]
+    assert abs(r3["beta"] - r5["beta"]) < 1e-4
+    assert r3["hazard_ratio"] > 0
+    assert r3["se_beta"] > 0
+    assert r3["n_events"] > 0 and r3["n_times"] > 0
+    big = rel.cox_ph(spark, SF01, iters=3).collect()[0]
+    assert big["se_beta"] < r3["se_beta"]
