@@ -9335,3 +9335,150 @@ def cox_ph(spark: SparkSession, sf_dir: str,
         F.round(F.exp("b"), 6).alias("hazard_ratio"),
         F.round(F.lit(1.0) / F.sqrt(info_f), 6).alias("se_beta"),
     )
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str,
+               rounds: int = 3) -> DataFrame:
+    """Iterative proportional fitting (raking) of the order-count
+    (nation × segment) contingency table to the CUSTOMER table's
+    nation and segment margins — the survey-weighting / synthetic-
+    population workhorse: alternately scale rows then columns to hit
+    both target margins while preserving the seed's interaction
+    structure.
+
+    Each IPF pass is a margin-sized join: the per-margin weight sums
+    are ordered left folds over sort_array'd collect_lists (a
+    deterministic groupBy-of-doubles, the q303 discipline), the
+    targets broadcast. The plan grows LINEARLY in rounds — the
+    tempting all-in-one-array formulation (transform + nested
+    filter/fold) re-inlines each pass into the next under projection
+    collapse and evaluates in exponential time; measured, not
+    theorized. The corpus-scale work is one orders⋈customer shuffle
+    for the seed; the raking frame is ≤ 25·5 cells, so at 100 TB
+    the six tiny exchanges are noise. Weights are exact doubles
+    until the single final 6dp round."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = o.join(c, "o_custkey")
+    cells = (
+        j.groupBy("nat", "seg")
+        .agg(F.count("*").alias("n_seed"))
+        .withColumn("w", F.col("n_seed").cast("double"))
+    )
+    rt = c.groupBy("nat").agg(F.count("*").alias("rt"))
+    ct = c.groupBy("seg").agg(F.count("*").alias("ct"))
+
+    def fold_sum(key_col, other_col):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(other_col, "w"))),
+                lambda s: s["w"],
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+
+    for _ in range(rounds):
+        rs = cells.groupBy("nat").agg(fold_sum("nat", "seg").alias("ms"))
+        cells = (
+            cells.join(F.broadcast(rs), "nat")
+            .join(F.broadcast(rt), "nat")
+            .select(
+                "nat", "seg", "n_seed",
+                (F.col("w") * F.col("rt").cast("double") / F.col("ms"))
+                .alias("w"),
+            )
+        )
+        cs = cells.groupBy("seg").agg(fold_sum("seg", "nat").alias("ms"))
+        cells = (
+            cells.join(F.broadcast(cs), "seg")
+            .join(F.broadcast(ct), "seg")
+            .select(
+                "nat", "seg", "n_seed",
+                (F.col("w") * F.col("ct").cast("double") / F.col("ms"))
+                .alias("w"),
+            )
+        )
+    return cells.select(
+        "nat", "seg", "n_seed", F.round("w", 6).alias("w_raked")
+    ).orderBy("nat", "seg")
+
+
+def propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect — the
+    observational-causal estimator beyond q282's diff-in-differences:
+    treatment T = order placed in H2 (month ≥ 7), outcome Y = URGENT
+    priority, confounder = customer market segment. Propensities
+    e(seg) = P(T | seg) are exact integer ratios from the train
+    counts; both the Horvitz–Thompson and the Hajek (self-
+    normalized) ATE assemble from per-segment INTEGER sufficient
+    statistics (n, treated, y-sums per arm), so the only doubles
+    are bounded-frame ordered folds over ≤5 segment cells.
+
+    One orders⋈customer shuffle + one segment agg; at 100 TB the
+    estimator is margin-sized. (With month-uniform fixtures the ATE
+    ~ 0 — the audit value is the exact machinery, as with q301.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.month("o_orderdate") >= 7).cast("long").alias("t"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_s"),
+            F.sum("t").alias("t_s"),
+            F.sum(F.col("t") * F.col("y")).alias("y1_s"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("y")).alias("y0_s"),
+        )
+    )
+    one = cells.agg(
+        F.sum("n_s").alias("n"),
+        F.sum("t_s").alias("n_treated"),
+        F.sum("y1_s").alias("y1"),
+        F.sum("y0_s").alias("y0"),
+        F.sort_array(
+            F.collect_list(F.struct("seg", "n_s", "t_s", "y1_s", "y0_s"))
+        ).alias("cells"),
+    )
+
+    def fsum(term):
+        return F.aggregate(
+            F.transform("cells", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    def e(cell):
+        return cell["t_s"].cast("double") / cell["n_s"].cast("double")
+
+    nd = F.col("n").cast("double")
+    ht = (
+        fsum(lambda s: s["y1_s"].cast("double") / e(s))
+        - fsum(
+            lambda s: s["y0_s"].cast("double") / (F.lit(1.0) - e(s))
+        )
+    ) / nd
+    # (no separate Hajek estimator: with exact within-cell
+    # propensities Σ T/e = Σ n_s = n identically, so Hajek ≡ HT)
+    naive = (
+        F.col("y1").cast("double") / F.col("n_treated").cast("double")
+        - F.col("y0").cast("double")
+        / (F.col("n") - F.col("n_treated")).cast("double")
+    )
+    return one.select(
+        "n",
+        "n_treated",
+        F.round(
+            F.col("n_treated").cast("double") / nd, 6
+        ).alias("p_treated"),
+        F.round(naive, 6).alias("naive_diff"),
+        F.round(ht, 6).alias("ate_ipw"),
+    )

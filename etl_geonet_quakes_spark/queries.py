@@ -9205,3 +9205,100 @@ SPECS["q305_cox_ph"] = QuerySpec(
     "— per-arm risk sets from marker-spliced prefix sums, 3 Newton "
     "steps on the partial likelihood via ordered folds",
 )
+
+# q306's IPF oracle: row/column passes unrolled by a loop; per-pass
+# margin sums are ordered left folds (list_reduce over list(w ORDER
+# BY <other key>)) mirroring Spark's sort_array/aggregate groupBy.
+_IPF_PASS = """r{k}s AS (SELECT nat,
+              list_reduce(list(w ORDER BY seg), (a, t) -> a + t) AS ms
+          FROM {i} GROUP BY nat),
+    r{k} AS (SELECT nat, seg, n_seed,
+                    w * CAST(rt AS DOUBLE) / ms AS w
+             FROM {i} JOIN r{k}s USING (nat) JOIN rt0 USING (nat)),
+    c{k}s AS (SELECT seg,
+              list_reduce(list(w ORDER BY nat), (a, t) -> a + t) AS ms
+          FROM r{k} GROUP BY seg),
+    c{k} AS (SELECT nat, seg, n_seed,
+                    w * CAST(ct AS DOUBLE) / ms AS w
+             FROM r{k} JOIN c{k}s USING (seg) JOIN ct0 USING (seg))"""
+
+
+def _ipf_rounds(rounds: int) -> str:
+    parts, prev = [], "base"
+    for k in range(1, rounds + 1):
+        parts.append(_IPF_PASS.format(k=k, i=prev))
+        prev = f"c{k}"
+    return ",\n    ".join(parts)
+
+
+SPECS["q306_ipf_raking"] = QuerySpec(
+    rel.ipf_raking,
+    """
+    WITH j AS (SELECT c.c_nationkey AS nat, c.c_mktsegment AS seg
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         base AS (SELECT nat, seg, COUNT(*) AS n_seed,
+                         CAST(COUNT(*) AS DOUBLE) AS w
+                  FROM j GROUP BY 1, 2),
+         rt0 AS (SELECT c_nationkey AS nat, COUNT(*) AS rt
+                 FROM customer GROUP BY 1),
+         ct0 AS (SELECT c_mktsegment AS seg, COUNT(*) AS ct
+                 FROM customer GROUP BY 1),
+    """
+    + _ipf_rounds(3)
+    + """
+    SELECT nat, seg, n_seed, ROUND(w, 6) AS w_raked
+    FROM c3 ORDER BY nat, seg
+    """,
+    "§2.2 survey statistics: 3-round IPF raking of the order-count "
+    "(nation x segment) table to the customer margins — margin-"
+    "sized joins, ordered-fold group sums, plan linear in rounds",
+)
+
+SPECS["q307_propensity_ate"] = QuerySpec(
+    rel.propensity_ate,
+    """
+    WITH j AS (SELECT CAST(MONTH(o.o_orderdate) >= 7 AS BIGINT) AS t,
+                      CAST(o.o_orderpriority = '1-URGENT' AS BIGINT)
+                          AS y,
+                      c.c_mktsegment AS seg
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         cells AS (SELECT seg, COUNT(*) AS n_s,
+                          CAST(SUM(t) AS BIGINT) AS t_s,
+                          CAST(SUM(t * y) AS BIGINT) AS y1_s,
+                          CAST(SUM((1 - t) * y) AS BIGINT) AS y0_s
+                   FROM j GROUP BY 1),
+         one AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                        CAST(SUM(t_s) AS BIGINT) AS n_treated,
+                        CAST(SUM(y1_s) AS BIGINT) AS y1,
+                        CAST(SUM(y0_s) AS BIGINT) AS y0,
+                        list(struct_pack(seg := seg, n_s := n_s,
+                                         t_s := t_s, y1_s := y1_s,
+                                         y0_s := y0_s)
+                             ORDER BY seg) AS cells
+                 FROM cells)
+    SELECT n, n_treated,
+           ROUND(CAST(n_treated AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS p_treated,
+           ROUND(CAST(y1 AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                 - CAST(y0 AS DOUBLE)
+                   / CAST(n - n_treated AS DOUBLE), 6) AS naive_diff,
+           ROUND((list_reduce(list_transform(cells,
+                      s -> CAST(s.y1_s AS DOUBLE)
+                           / (CAST(s.t_s AS DOUBLE)
+                              / CAST(s.n_s AS DOUBLE))),
+                      (a, t) -> a + t)
+                  - list_reduce(list_transform(cells,
+                      s -> CAST(s.y0_s AS DOUBLE)
+                           / (1.0 - CAST(s.t_s AS DOUBLE)
+                                    / CAST(s.n_s AS DOUBLE))),
+                      (a, t) -> a + t))
+                 / CAST(n AS DOUBLE), 6) AS ate_ipw
+    FROM one
+    """,
+    "§2.2 causal inference: inverse-propensity-weighted ATE "
+    "(treatment = H2 order, outcome = URGENT, confounder = segment) "
+    "— exact integer cell stats, Horvitz-Thompson fold over the "
+    "bounded segment frame",
+)

@@ -1171,3 +1171,43 @@ def test_cox_ph_converged_and_consistent(spark):
     assert r3["n_events"] > 0 and r3["n_times"] > 0
     big = rel.cox_ph(spark, SF01, iters=3).collect()[0]
     assert big["se_beta"] < r3["se_beta"]
+
+
+def test_ipf_raking_hits_margins(spark):
+    """After 3 rounds the column (segment) margins are exact by
+    construction; the row (nation) margins are within 1% relative —
+    IPF's geometric convergence on a well-connected table."""
+    from etl_geonet_quakes_spark.io import load_table
+    out = rel.ipf_raking(spark, SF).collect()
+    c = load_table(spark, SF, "customer")
+    seg_t = {
+        r["seg"]: r["t"]
+        for r in c.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count("*").alias("t"))
+        .collect()
+    }
+    nat_t = {
+        r["nat"]: r["t"]
+        for r in c.groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(F.count("*").alias("t"))
+        .collect()
+    }
+    seg_sum, nat_sum = {}, {}
+    for r in out:
+        seg_sum[r["seg"]] = seg_sum.get(r["seg"], 0.0) + r["w_raked"]
+        nat_sum[r["nat"]] = nat_sum.get(r["nat"], 0.0) + r["w_raked"]
+    for s, t in seg_t.items():
+        assert abs(seg_sum[s] - t) < 1e-3 * t
+    for n, t in nat_t.items():
+        if n in nat_sum:
+            assert abs(nat_sum[n] - t) < 0.01 * t + 1.0
+
+
+def test_propensity_ate_reduces_to_naive_without_confounding(spark):
+    """With a single segment stratum the IPW estimate equals the
+    naive difference; across strata it stays within the naive ±
+    the maximum stratum spread (bounded reweighting sanity)."""
+    r = rel.propensity_ate(spark, SF).collect()[0]
+    assert 0.0 < r["p_treated"] < 1.0
+    assert abs(r["ate_ipw"] - r["naive_diff"]) < 0.2
+    assert -1.0 <= r["ate_ipw"] <= 1.0
