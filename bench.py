@@ -141,6 +141,22 @@ HEADLINE = [
     "q256_kruskal_wallis",
     "q257_kaplan_meier",
     "q259_countmin_audit",
+    "q264_bpe_merge_rounds",
+    "q268_kneser_ney",
+    "q269_phrase_search",
+    "q272_bipartite_hits",
+    "q275_bootstrap_ci",
+    "q276_naive_bayes",
+    "q278_apriori_triples",
+    "q281_auc_score",
+    "q285_link_prediction_auc",
+    "q289_theil_sen",
+    "q290_brand_modularity",
+    "q300_ngram_diversity",
+    "q303_burrows_delta",
+    "q304_logistic_irls",
+    "q305_cox_ph",
+    "q306_ipf_raking",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

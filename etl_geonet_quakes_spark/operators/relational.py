@@ -8029,7 +8029,7 @@ def sprt_test(spark: SparkSession, sf_dir: str,
 
 def link_prediction_auc(spark: SparkSession, sf_dir: str,
                         min_cooccur: int = 2,
-                        neg_mod: int = 7) -> DataFrame:
+                        n_buckets: int = 64) -> DataFrame:
     """AUC evaluation of common-neighbor link prediction on the part
     co-purchase graph — closing the loop q174 opened: the predictor
     says "parts sharing many graph neighbors should be linked"; this
@@ -8038,9 +8038,13 @@ def link_prediction_auc(spark: SparkSession, sf_dir: str,
     when true negatives are the quadratic complement).
 
     Graph: edge (p,q) iff bought together in ≥ ``min_cooccur``
-    orders. Positives = all edges; negatives = node pairs drawn by
-    the deterministic md5 coin (1/``neg_mod`` of pairs), minus real
-    edges. Both classes scored by |N(p) ∩ N(q)| via the adjacency
+    orders. Positives = all edges; negatives = same-md5-bucket node
+    pairs (bucket = md5(n) % ``n_buckets``) minus real edges — the
+    bucket EQUI-join replaces the all-pairs n<m cartesian the naive
+    protocol needs (PLANS.md flagged it: the only cartesian in the
+    repo, and quadratic in nodes). Candidates are Σ|bucket|²/2 ≈
+    n²/(2B); size B ∝ n for a linear negative sample at 100 TB.
+    Both classes scored by |N(p) ∩ N(q)| via the adjacency
     self-join (exact integers); AUC via the q281 midrank identity —
     doubled ranks BIGINT, ties = half credit. Sampling, scoring,
     ranking and the final AUC are all engine-exact."""
@@ -8076,31 +8080,24 @@ def link_prediction_auc(spark: SparkSession, sf_dir: str,
         .agg(F.count("*").alias("score"))
     )
     pos = edges.withColumn("y", F.lit(1))
-    negs = (
-        nodes.alias("n1")
-        .join(
-            nodes.select(F.col("n").alias("m")).alias("n2"),
-            F.col("n") < F.col("m"),
-        )
-        .filter(
+    nb = nodes.select(
+        "n",
+        (
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("n").cast("string"),
-                            F.lit("-"),
-                            F.col("m").cast("string"),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
+                F.substring(F.md5(F.col("n").cast("string")), 1, 15),
                 16,
                 10,
             ).cast("long")
-            % neg_mod
-            == 0
+            % n_buckets
+        ).alias("b"),
+    )
+    negs = (
+        nb.alias("n1")
+        .join(
+            nb.select(F.col("n").alias("m"), "b").alias("n2"),
+            "b",
         )
+        .filter(F.col("n") < F.col("m"))
         .select(F.col("n").alias("u"), F.col("m").alias("v"))
         .join(edges, ["u", "v"], "left_anti")
         .withColumn("y", F.lit(0))
@@ -9364,10 +9361,15 @@ def ipf_raking(spark: SparkSession, sf_dir: str,
         F.col("c_mktsegment").alias("seg"),
     )
     j = o.join(c, "o_custkey")
+    # localCheckpoint: each pass references cells twice (margin agg +
+    # scale join), so without truncation the lineage doubles per pass
+    # and the seed join replays 2^(2·rounds) times (PLANS.md caught
+    # 191 Exchanges). The frame is ≤125 rows — checkpointing is free.
     cells = (
         j.groupBy("nat", "seg")
         .agg(F.count("*").alias("n_seed"))
         .withColumn("w", F.col("n_seed").cast("double"))
+        .localCheckpoint()
     )
     rt = c.groupBy("nat").agg(F.count("*").alias("rt"))
     ct = c.groupBy("seg").agg(F.count("*").alias("ct"))
@@ -9402,6 +9404,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str,
                 (F.col("w") * F.col("ct").cast("double") / F.col("ms"))
                 .alias("w"),
             )
+            .localCheckpoint()
         )
     return cells.select(
         "nat", "seg", "n_seed", F.round("w", 6).alias("w_raked")
@@ -9482,3 +9485,177 @@ def propensity_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(naive, 6).alias("naive_diff"),
         F.round(ht, 6).alias("ate_ipw"),
     )
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily order
+    series: trend = centered 7-day moving average, seasonal = the
+    day-of-week mean of the detrended series, residual = the rest —
+    the STL-lite every forecasting pipeline runs before q263/q270
+    smoothing (those FIT a model; this EXPLAINS the series).
+
+    Exactness: with a 7-day window the detrended value ×7 is the
+    BIGINT 7·x_t − Σ₇x; day-of-week seasonal means are ratios of
+    BIGINT sums (denominator 7·count), so trend/seasonal/residual
+    are single-expression doubles from exact integers, 6dp. Rows
+    exist only where the centered window is complete. One per-day
+    shuffle; the spine is calendar-bounded."""
+    x = _daily_count_spine(spark, sf_dir).withColumn(
+        "dow", F.col("idx") % 7
+    )
+    w7 = Window.orderBy("idx").rowsBetween(-3, 3)
+    t = x.select(
+        "idx", "dow", "x",
+        F.count("*").over(w7).alias("n7"),
+        F.sum("x").over(w7).alias("s7"),
+    ).filter(F.col("n7") == 7)
+    # detrended ×7 is exact: 7x − Σ₇
+    d = t.withColumn("det7", 7 * F.col("x") - F.col("s7"))
+    sea = d.groupBy("dow").agg(
+        F.sum("det7").alias("sea_num"), F.count("*").alias("sea_cnt")
+    )
+    trend = F.col("s7").cast("double") / F.lit(7.0)
+    seasonal = F.col("sea_num").cast("double") / (
+        F.lit(7.0) * F.col("sea_cnt").cast("double")
+    )
+    return (
+        d.join(F.broadcast(sea), "dow")
+        .select(
+            "idx", "dow", "x",
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("x").cast("double") - trend - seasonal, 6
+            ).alias("residual"),
+        )
+        .orderBy("idx")
+    )
+
+
+def pacf_yw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily order series at lags
+    1–3 via the closed-form Durbin–Levinson/Yule–Walker solutions —
+    the AR-order diagnostic q255's ACF cannot give (ACF of an AR(1)
+    decays forever; PACF cuts off at the true order).
+
+    Exactness: with u_t = n·x_t − S (BIGINT), every autocovariance
+    ratio r_k = Σu_t·u_{t+k} / Σu_t² is an exact integer ratio (the
+    n² scaling cancels); lag products sum as DECIMAL(38,0) so 100 TB
+    day-counts cannot overflow. The PACF recursions are fixed
+    single-expression doubles of the three r's. One per-day shuffle,
+    three lead columns, one reduce."""
+    x = _daily_count_spine(spark, sf_dir)
+    tot = x.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    w = Window.orderBy("idx")
+    u = (
+        x.join(F.broadcast(tot), F.lit(True))
+        .select(
+            (F.col("n") * F.col("x") - F.col("s")).alias("u"),
+            (F.col("n") * F.lead("x", 1).over(w) - F.col("s")).alias("u1"),
+            (F.col("n") * F.lead("x", 2).over(w) - F.col("s")).alias("u2"),
+            (F.col("n") * F.lead("x", 3).over(w) - F.col("s")).alias("u3"),
+            "n",
+        )
+    )
+    m = u.groupBy("n").agg(
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)")).alias("d0"),
+        F.sum((F.col("u") * F.col("u1")).cast("decimal(38,0)")).alias("d1"),
+        F.sum((F.col("u") * F.col("u2")).cast("decimal(38,0)")).alias("d2"),
+        F.sum((F.col("u") * F.col("u3")).cast("decimal(38,0)")).alias("d3"),
+    )
+    r1 = F.col("d1").cast("double") / F.col("d0").cast("double")
+    r2 = F.col("d2").cast("double") / F.col("d0").cast("double")
+    r3 = F.col("d3").cast("double") / F.col("d0").cast("double")
+    p22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    p21 = r1 * (F.lit(1.0) - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (
+        F.lit(1.0) - p21 * r1 - p22 * r2
+    )
+    return m.select(
+        "n",
+        F.round(r1, 6).alias("acf_1"),
+        F.round(r2, 6).alias("acf_2"),
+        F.round(r3, 6).alias("acf_3"),
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(p22, 6).alias("pacf_2"),
+        F.round(p33, 6).alias("pacf_3"),
+    )
+
+
+def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F-tests between the daily click and
+    purchase series, BOTH directions: does adding the other series'
+    lag-1 value improve the one-lag autoregression? The lead–lag
+    companion to q266's cross-correlation — correlation measures
+    co-movement, Granger measures incremental predictability.
+
+    All raw regression moments (Σy, Σy₋₁, Σx₋₁ and the five cross
+    products) are exact BIGINT/DECIMAL(38,0) sums over the 0-filled
+    spine; the 2-predictor OLS solves in closed form (Cramer on the
+    centered 2×2 system), so slopes, both RSS and F are fixed-shape
+    doubles of exact integers. One per-day shuffle; two bounded
+    single-row branches unioned."""
+    sp = _event_daily_pair(spark, sf_dir, "click", "purchase")
+
+    def one_direction(df, label):
+        w = Window.orderBy("idx")
+        rows = df.select(
+            F.col("y").alias("yt"),
+            F.lag("y", 1).over(w).alias("yl"),
+            F.lag("x", 1).over(w).alias("xl"),
+        ).filter(F.col("yl").isNotNull())
+        mm = rows.agg(
+            F.count("*").alias("m"),
+            F.sum("yt").alias("sy"),
+            F.sum("yl").alias("sy1"),
+            F.sum("xl").alias("sx1"),
+            F.sum((F.col("yt") * F.col("yt")).cast("decimal(38,0)"))
+            .alias("syy"),
+            F.sum((F.col("yl") * F.col("yl")).cast("decimal(38,0)"))
+            .alias("sy1y1"),
+            F.sum((F.col("xl") * F.col("xl")).cast("decimal(38,0)"))
+            .alias("sx1x1"),
+            F.sum((F.col("yt") * F.col("yl")).cast("decimal(38,0)"))
+            .alias("syy1"),
+            F.sum((F.col("yt") * F.col("xl")).cast("decimal(38,0)"))
+            .alias("syx1"),
+            F.sum((F.col("yl") * F.col("xl")).cast("decimal(38,0)"))
+            .alias("sy1x1"),
+        )
+        md = F.col("m").cast("double")
+        syd = F.col("sy").cast("double")
+        sy1d = F.col("sy1").cast("double")
+        sx1d = F.col("sx1").cast("double")
+        # centered sums (exact-integer inputs, fixed double shape)
+        cyy = F.col("syy").cast("double") - syd * syd / md
+        c11 = F.col("sy1y1").cast("double") - sy1d * sy1d / md
+        c22 = F.col("sx1x1").cast("double") - sx1d * sx1d / md
+        c12 = F.col("sy1x1").cast("double") - sy1d * sx1d / md
+        c1y = F.col("syy1").cast("double") - sy1d * syd / md
+        c2y = F.col("syx1").cast("double") - sx1d * syd / md
+        det = c11 * c22 - c12 * c12
+        b = (c1y * c22 - c2y * c12) / det
+        c = (c11 * c2y - c12 * c1y) / det
+        rss_u = cyy - b * c1y - c * c2y
+        br = c1y / c11
+        rss_r = cyy - br * c1y
+        f = (rss_r - rss_u) / (rss_u / (md - F.lit(3.0)))
+        return mm.select(
+            F.lit(label).alias("direction"),
+            "m",
+            F.round(b, 6).alias("slope_own_lag"),
+            F.round(c, 6).alias("slope_other_lag"),
+            F.round(rss_r, 6).alias("rss_restricted"),
+            F.round(rss_u, 6).alias("rss_unrestricted"),
+            F.round(f, 6).alias("f_stat"),
+        )
+
+    d1 = one_direction(
+        sp.select("idx", F.col("x").alias("x"), F.col("y").alias("y")),
+        "click->purchase",
+    )
+    d2 = one_direction(
+        sp.select("idx", F.col("y").alias("x"), F.col("x").alias("y")),
+        "purchase->click",
+    )
+    return d1.unionAll(d2).orderBy("direction")

@@ -8216,13 +8216,14 @@ SPECS["q285_link_prediction_auc"] = QuerySpec(
                 FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
                 GROUP BY 1, 2),
          pos AS (SELECT u, v, 1 AS y FROM edges),
+         nb AS (SELECT n, CAST(concat('0x',
+                        substring(md5(CAST(n AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 64 AS b
+                FROM nodes),
          negs AS (SELECT n1.n AS u, n2.n AS v, 0 AS y
-                  FROM nodes n1 JOIN nodes n2 ON n1.n < n2.n
-                  WHERE CAST(concat('0x',
-                          substring(md5(CAST(n1.n AS VARCHAR) || '-'
-                                        || CAST(n2.n AS VARCHAR)),
-                                    1, 15)) AS BIGINT) % 7 = 0
-                    AND NOT EXISTS (SELECT 1 FROM edges e
+                  FROM nb n1 JOIN nb n2
+                    ON n1.b = n2.b AND n1.n < n2.n
+                  WHERE NOT EXISTS (SELECT 1 FROM edges e
                                     WHERE e.u = n1.n AND e.v = n2.n)),
          labeled AS (SELECT y, COALESCE(score, 0) AS s
                      FROM (SELECT * FROM pos UNION ALL
@@ -8249,9 +8250,9 @@ SPECS["q285_link_prediction_auc"] = QuerySpec(
     FROM agg
     """,
     "§2.2 graph ML evaluation: common-neighbor link prediction "
-    "scored by AUC over real edges vs md5-sampled non-edges "
-    "(negative sampling) — exact integer scores, midrank AUC "
-    "identity, fully engine-exact",
+    "scored by AUC over real edges vs md5-BUCKET-sampled non-edges "
+    "(equi-join negative sampling, no cartesian) — exact integer "
+    "scores, midrank AUC identity, fully engine-exact",
 )
 
 SPECS["q286_effect_sizes"] = QuerySpec(
@@ -9301,4 +9302,174 @@ SPECS["q307_propensity_ate"] = QuerySpec(
     "(treatment = H2 order, outcome = URGENT, confounder = segment) "
     "— exact integer cell stats, Horvitz-Thompson fold over the "
     "bounded segment frame",
+)
+
+SPECS["q308_seasonal_decompose"] = QuerySpec(
+    rel.seasonal_decompose,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x, idx % 7 AS dow
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         t AS (SELECT idx, dow, x,
+                      COUNT(*) OVER w AS n7,
+                      CAST(SUM(x) OVER w AS BIGINT) AS s7
+               FROM x
+               WINDOW w AS (ORDER BY idx ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING)),
+         dd AS (SELECT *, 7 * x - s7 AS det7 FROM t WHERE n7 = 7),
+         sea AS (SELECT dow, CAST(SUM(det7) AS BIGINT) AS sea_num,
+                        COUNT(*) AS sea_cnt
+                 FROM dd GROUP BY 1)
+    SELECT idx, dow, x,
+           ROUND(CAST(s7 AS DOUBLE) / 7.0, 6) AS trend,
+           ROUND(CAST(sea_num AS DOUBLE)
+                 / (7.0 * CAST(sea_cnt AS DOUBLE)), 6) AS seasonal,
+           ROUND(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0
+                 - CAST(sea_num AS DOUBLE)
+                   / (7.0 * CAST(sea_cnt AS DOUBLE)), 6) AS residual
+    FROM dd JOIN sea USING (dow) ORDER BY idx
+    """,
+    "§2.2 time series: classical additive decomposition of daily "
+    "orders (centered 7-day MA trend, dow seasonal, residual) — "
+    "detrended x7 stays BIGINT, complete windows only",
+)
+
+SPECS["q309_pacf_yw"] = QuerySpec(
+    rel.pacf_yw,
+    """
+    WITH b AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM b),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM b) bb USING (idx)),
+         tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+                 FROM x),
+         u AS (SELECT n * x - s AS u,
+                      n * lead(x, 1) OVER (ORDER BY idx) - s AS u1,
+                      n * lead(x, 2) OVER (ORDER BY idx) - s AS u2,
+                      n * lead(x, 3) OVER (ORDER BY idx) - s AS u3,
+                      n
+               FROM x, tot),
+         m AS (SELECT n,
+                      SUM(CAST(u * u AS DECIMAL(38,0))) AS d0,
+                      SUM(CAST(u * u1 AS DECIMAL(38,0))) AS d1,
+                      SUM(CAST(u * u2 AS DECIMAL(38,0))) AS d2,
+                      SUM(CAST(u * u3 AS DECIMAL(38,0))) AS d3
+               FROM u GROUP BY n),
+         r AS (SELECT n,
+                      CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE) AS r1,
+                      CAST(d2 AS DOUBLE) / CAST(d0 AS DOUBLE) AS r2,
+                      CAST(d3 AS DOUBLE) / CAST(d0 AS DOUBLE) AS r3
+               FROM m),
+         p AS (SELECT *,
+                      (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+               FROM r),
+         p2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM p)
+    SELECT n,
+           ROUND(r1, 6) AS acf_1,
+           ROUND(r2, 6) AS acf_2,
+           ROUND(r3, 6) AS acf_3,
+           ROUND(r1, 6) AS pacf_1,
+           ROUND(p22, 6) AS pacf_2,
+           ROUND((r3 - p21 * r2 - p22 * r1)
+                 / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf_3
+    FROM p2
+    """,
+    "§2.2 time series: ACF + closed-form Durbin-Levinson PACF at "
+    "lags 1-3 of daily orders — scaled residuals keep every "
+    "autocovariance an exact integer ratio, DECIMAL(38,0) products",
+)
+
+SPECS["q310_granger_causality"] = QuerySpec(
+    rel.granger_causality,
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+         daily AS (SELECT d,
+                          SUM(CAST(event_type = 'click' AS BIGINT)) AS x,
+                          SUM(CAST(event_type = 'purchase' AS BIGINT)) AS y
+                   FROM e WHERE event_type IN ('click', 'purchase')
+                   GROUP BY d),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+         spine AS (SELECT unnest(range(0,
+                        date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         sp AS (SELECT idx, COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+                FROM spine LEFT JOIN
+                     (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                             AS idx, x, y FROM daily) dd USING (idx)),
+         both_dirs AS (
+             SELECT 'click->purchase' AS direction, idx,
+                    y AS yt, x AS xs FROM sp
+             UNION ALL
+             SELECT 'purchase->click' AS direction, idx,
+                    x AS yt, y AS xs FROM sp),
+         rows_ AS (SELECT direction, yt,
+                          lag(yt, 1) OVER (PARTITION BY direction
+                                           ORDER BY idx) AS yl,
+                          lag(xs, 1) OVER (PARTITION BY direction
+                                           ORDER BY idx) AS xl
+                   FROM both_dirs),
+         mm AS (SELECT direction, COUNT(*) AS m,
+                       CAST(SUM(yt) AS BIGINT) AS sy,
+                       CAST(SUM(yl) AS BIGINT) AS sy1,
+                       CAST(SUM(xl) AS BIGINT) AS sx1,
+                       SUM(CAST(yt * yt AS DECIMAL(38,0))) AS syy,
+                       SUM(CAST(yl * yl AS DECIMAL(38,0))) AS sy1y1,
+                       SUM(CAST(xl * xl AS DECIMAL(38,0))) AS sx1x1,
+                       SUM(CAST(yt * yl AS DECIMAL(38,0))) AS syy1,
+                       SUM(CAST(yt * xl AS DECIMAL(38,0))) AS syx1,
+                       SUM(CAST(yl * xl AS DECIMAL(38,0))) AS sy1x1
+                FROM rows_ WHERE yl IS NOT NULL GROUP BY 1),
+         cc AS (SELECT direction, m,
+                       CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                           * CAST(sy AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS cyy,
+                       CAST(sy1y1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                           * CAST(sy1 AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS c11,
+                       CAST(sx1x1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                           * CAST(sx1 AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS c22,
+                       CAST(sy1x1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                           * CAST(sx1 AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS c12,
+                       CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                           * CAST(sy AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS c1y,
+                       CAST(syx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                           * CAST(sy AS DOUBLE)
+                           / CAST(m AS DOUBLE) AS c2y
+                FROM mm),
+         fit AS (SELECT direction, m, cyy, c1y, c2y, c11,
+                        (c1y * c22 - c2y * c12)
+                        / (c11 * c22 - c12 * c12) AS b,
+                        (c11 * c2y - c12 * c1y)
+                        / (c11 * c22 - c12 * c12) AS c
+                 FROM cc)
+    SELECT direction, m,
+           ROUND(b, 6) AS slope_own_lag,
+           ROUND(c, 6) AS slope_other_lag,
+           ROUND(cyy - c1y / c11 * c1y, 6) AS rss_restricted,
+           ROUND(cyy - b * c1y - c * c2y, 6) AS rss_unrestricted,
+           ROUND(((cyy - c1y / c11 * c1y) - (cyy - b * c1y - c * c2y))
+                 / ((cyy - b * c1y - c * c2y)
+                    / (CAST(m AS DOUBLE) - 3.0)), 6) AS f_stat
+    FROM fit ORDER BY direction
+    """,
+    "§2.2 time series: Granger-causality F-tests between daily "
+    "click and purchase series, both directions — exact DECIMAL "
+    "regression moments, closed-form 2-predictor OLS, nested-model "
+    "F from identical double shapes",
 )

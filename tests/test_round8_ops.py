@@ -1211,3 +1211,36 @@ def test_propensity_ate_reduces_to_naive_without_confounding(spark):
     assert 0.0 < r["p_treated"] < 1.0
     assert abs(r["ate_ipw"] - r["naive_diff"]) < 0.2
     assert -1.0 <= r["ate_ipw"] <= 1.0
+
+
+def test_seasonal_decompose_identity(spark):
+    """x == trend + seasonal + residual by construction (6dp), and
+    the seasonal component is a pure dow function."""
+    out = rel.seasonal_decompose(spark, SF).collect()
+    assert out, "complete 7-day windows exist"
+    by_dow = {}
+    for r in out:
+        assert abs(r["x"] - (r["trend"] + r["seasonal"] + r["residual"])) < 5e-6
+        by_dow.setdefault(r["dow"], set()).add(r["seasonal"])
+    for vals in by_dow.values():
+        assert len(vals) == 1
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    r = rel.pacf_yw(spark, SF).collect()[0]
+    assert r["pacf_1"] == r["acf_1"]
+    for k in (1, 2, 3):
+        assert -1.0 <= r[f"acf_{k}"] <= 1.0
+        assert -1.0 <= r[f"pacf_{k}"] <= 1.0
+
+
+def test_granger_directions_and_rss_ordering(spark):
+    out = rel.granger_causality(spark, SF).collect()
+    assert [r["direction"] for r in out] == [
+        "click->purchase", "purchase->click"
+    ]
+    for r in out:
+        # adding a regressor can only reduce RSS
+        assert r["rss_unrestricted"] <= r["rss_restricted"] + 1e-6
+        assert r["f_stat"] >= -1e-9
+        assert r["m"] > 10
