@@ -1703,3 +1703,133 @@ def burrows_delta(spark: SparkSession, sf_dir: str,
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate and Good–Turing unseen-mass
+    for each source's vocabulary — the corpus-acquisition question
+    ("how much vocabulary haven't we crawled yet?") answered from
+    singleton/doubleton counts alone: Chao1 = V + N₁²/(2N₂),
+    P(unseen) ≈ N₁/N. A source whose estimated richness far exceeds
+    its observed vocabulary is under-sampled; a closed template
+    vocabulary shows Chao1 ≈ V.
+
+    Everything is exact integers (observed vocab, singleton and
+    doubleton counts, token totals) except the two final 6dp
+    ratios. One (source, token) agg + one bounded reduce — the
+    cheapest scaling diagnostic in the §2.3 family."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tc = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count("*").alias("v_obs"),
+            F.sum("c").alias("n_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+            F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+        )
+        .select(
+            "source", "v_obs", "n_tokens", "n1", "n2",
+            F.round(
+                F.col("v_obs").cast("double")
+                + F.when(
+                    F.col("n2") > 0,
+                    F.col("n1").cast("double") * F.col("n1").cast("double")
+                    / (F.lit(2.0) * F.col("n2").cast("double")),
+                ).otherwise(
+                    F.col("n1").cast("double")
+                    * (F.col("n1").cast("double") - F.lit(1.0))
+                    / F.lit(2.0)
+                ),
+                6,
+            ).alias("chao1"),
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("unseen_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+def heaps_law(spark: SparkSession, sf_dir: str,
+              n_checkpoints: int = 20) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth over the
+    corpus read in doc_id order — the companion scaling law to
+    q260's Zipf slope (β ≈ 0.4–0.6 for natural text; a closed
+    template vocabulary flattens to β ≈ 0). Feeds crawl-budget
+    decisions: expected NEW vocabulary from 10× more data is
+    K·(10n)^β − K·n^β.
+
+    Exactness: each token's FIRST-occurrence position is an exact
+    min-aggregate; V(n) at the ``n_checkpoints`` evenly spaced
+    prefixes is an exclusive-prefix count (integers). The log-log
+    OLS runs over the bounded checkpoint frame with 6dp-per-term
+    DECIMAL folds. One (token) min-agg + one token-count agg — no
+    quadratic prefix recomputation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    # global token position: cumulative tokens of prior docs + pos
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("len"))
+    wd = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    off = dl.select(
+        "doc_id", F.coalesce(F.sum("len").over(wd), F.lit(0)).alias("off")
+    )
+    gpos = tok.join(off, "doc_id").select(
+        "w", (F.col("off") + F.col("pos") + 1).alias("gp")
+    )
+    first = gpos.groupBy("w").agg(F.min("gp").alias("fp"))
+    n_tot = dl.agg(F.sum("len").alias("n_tok"))
+    # checkpoints: n_i = floor(i * n_tok / n_checkpoints), i = 1..C
+    cps = (
+        n_tot.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_checkpoints))
+            ).alias("i"),
+            "n_tok",
+        )
+        .select(
+            "i",
+            (F.col("i") * F.col("n_tok") / F.lit(n_checkpoints))
+            .cast("long")
+            .alias("n_at"),
+        )
+    )
+    vobs = (
+        cps.join(
+            first,
+            F.col("fp") <= F.col("n_at"),
+            "left",
+        )
+        .groupBy("i", "n_at")
+        .agg(F.count("fp").alias("v_at"))
+    )
+    lx = F.log(F.col("n_at").cast("double"))
+    ly = F.log(F.col("v_at").cast("double"))
+    m = vobs.agg(
+        F.count("*").alias("c"),
+        F.sum(F.round(lx, 6).cast("decimal(28,6)")).alias("sx"),
+        F.sum(F.round(ly, 6).cast("decimal(28,6)")).alias("sy"),
+        F.sum(F.round(lx * ly, 6).cast("decimal(28,6)")).alias("sxy"),
+        F.sum(F.round(lx * lx, 6).cast("decimal(28,6)")).alias("sxx"),
+    )
+    cd = F.col("c").cast("double")
+    beta = (
+        cd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        cd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    logk = (F.col("sy").cast("double") - beta * F.col("sx").cast("double")) / cd
+    return m.select(
+        F.col("c").alias("n_checkpoints"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(logk), 6).alias("k_coef"),
+    )

@@ -9659,3 +9659,90 @@ def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase->click",
     )
     return d1.unionAll(d2).orderBy("direction")
+
+
+# nDCG position weights 1/log2(i+1) as shared literals: computed ONCE
+# in Python and embedded verbatim in both the Spark plan and the SQL
+# oracle, so no engine's log2 is in the data path.
+_NDCG_W = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+_NDCG_IDCG = [sum(_NDCG_W[:m]) for m in range(0, 11)]  # [0, w1, w1+w2, ...]
+
+
+def ndcg_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Mean nDCG@10 of a popularity recommender: brands ranked by
+    first-half-period order volume, evaluated against each
+    customer's second-half purchases — the ranking-quality metric
+    (graded, position-discounted) that q281's AUC and q297's lift
+    cannot express. The IR-evaluation entry of the §2.2 taxonomy.
+
+    The decisive exactness trick: per-customer DCG is a subset-sum
+    of TEN fixed position weights, so the corpus-level mean
+    assembles from the integer matrix cnt[m][i] = #(customers with
+    m relevant brands hitting rank i) — Σ cnt·wᵢ/IDCG_m over a
+    bounded ≤ 10·|brands| frame (ordered fold), with the weights
+    embedded as identical literals in both engines. No per-customer
+    float ever crosses an aggregation. Scale: two brand-keyed aggs
+    + one customer-keyed agg; the eval frame is constant-size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    mid = o.agg(
+        F.date_add(F.min("d"), (F.datediff(F.max("d"), F.min("d")) / 2)
+                   .cast("int")).alias("mid")
+    )
+    ob = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(mid), F.lit(True))
+        .select("o_custkey", "brand", "d", "mid")
+    )
+    wr = Window.orderBy(F.desc("n_tr"), "brand")
+    top = (
+        ob.filter(F.col("d") < F.col("mid"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_tr"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("brand", "rank")
+    )
+    test = (
+        ob.filter(F.col("d") >= F.col("mid"))
+        .select("o_custkey", "brand")
+        .distinct()
+    )
+    per_cust = test.groupBy("o_custkey").agg(
+        F.least(F.count("*"), F.lit(k)).alias("m")
+    )
+    hits = (
+        test.join(F.broadcast(top), "brand")
+        .join(per_cust, "o_custkey")
+        .groupBy("m", "rank")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_cust = per_cust.agg(F.count("*").alias("n_customers"))
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    idcg_arr = F.array(*[F.lit(v) for v in _NDCG_IDCG])
+    cells = hits.agg(
+        F.sort_array(F.collect_list(F.struct("m", "rank", "cnt"))).alias("cl")
+    ).join(F.broadcast(n_cust), F.lit(True))
+    total = F.aggregate(
+        F.transform(
+            "cl",
+            lambda s: s["cnt"].cast("double")
+            * F.element_at(w_arr, s["rank"].cast("int"))
+            / F.element_at(idcg_arr, s["m"].cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return cells.select(
+        "n_customers",
+        F.round(total / F.col("n_customers").cast("double"), 6)
+        .alias("mean_ndcg"),
+    )

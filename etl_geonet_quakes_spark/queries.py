@@ -9473,3 +9473,138 @@ SPECS["q310_granger_causality"] = QuerySpec(
     "regression moments, closed-form 2-predictor OLS, nested-model "
     "F from identical double shapes",
 )
+
+# q311's position weights: the SAME Python-computed literals go into
+# the Spark plan (rel._NDCG_W) and this SQL text, so neither engine's
+# log2 is in the data path.
+_NDCG_W_SQL = "[" + ", ".join(repr(w) for w in rel._NDCG_W) + "]"
+_NDCG_IDCG_SQL = "[" + ", ".join(repr(v) for v in rel._NDCG_IDCG) + "]"
+
+SPECS["q311_ndcg_at_k"] = QuerySpec(
+    rel.ndcg_at_k,
+    f"""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         mid AS (SELECT MIN(d) + CAST(FLOOR(
+                        date_diff('day', MIN(d), MAX(d)) / 2) AS INT)
+                            AS mid
+                 FROM o),
+         ob AS (SELECT o.o_custkey, p.p_brand AS brand, o.d, mid.mid
+                FROM o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                       JOIN part p ON l.l_partkey = p.p_partkey, mid),
+         top AS (SELECT brand, rank FROM (
+                     SELECT brand, ROW_NUMBER() OVER (
+                            ORDER BY COUNT(*) DESC, brand) AS rank
+                     FROM ob WHERE d < mid GROUP BY brand)
+                 WHERE rank <= 10),
+         test AS (SELECT DISTINCT o_custkey, brand
+                  FROM ob WHERE d >= mid),
+         pc AS (SELECT o_custkey, least(COUNT(*), 10) AS m
+                FROM test GROUP BY 1),
+         hits AS (SELECT m, rank, COUNT(*) AS cnt
+                  FROM test JOIN top USING (brand)
+                       JOIN pc USING (o_custkey)
+                  GROUP BY 1, 2),
+         nc AS (SELECT COUNT(*) AS n_customers FROM pc),
+         cl AS (SELECT list(struct_pack(m := m, rank := rank,
+                                        cnt := cnt)
+                            ORDER BY m, rank) AS cl
+                FROM hits)
+    SELECT n_customers,
+           ROUND(list_reduce(list_transform(cl,
+                     s -> CAST(s.cnt AS DOUBLE)
+                          * ({_NDCG_W_SQL})[s.rank]
+                          / ({_NDCG_IDCG_SQL})[s.m + 1]),
+                     (a, t) -> a + t)
+                 / CAST(n_customers AS DOUBLE), 6) AS mean_ndcg
+    FROM cl, nc
+    """,
+    "§2.2 IR evaluation: mean nDCG@10 of the popularity recommender "
+    "on a temporal split — per-customer DCG is a subset-sum of ten "
+    "shared literal weights, assembled from the integer (m, rank) "
+    "hit matrix; no per-customer float aggregation",
+)
+
+SPECS["q312_chao1_richness"] = QuerySpec(
+    text.chao1_richness,
+    """
+    WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+         cc AS (SELECT source, w, COUNT(*) AS c FROM tc GROUP BY 1, 2),
+         agg AS (SELECT source, COUNT(*) AS v_obs,
+                        CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        CAST(SUM(CAST(c = 1 AS BIGINT)) AS BIGINT) AS n1,
+                        CAST(SUM(CAST(c = 2 AS BIGINT)) AS BIGINT) AS n2
+                 FROM cc GROUP BY 1)
+    SELECT source, v_obs, n_tokens, n1, n2,
+           ROUND(CAST(v_obs AS DOUBLE)
+                 + CASE WHEN n2 > 0
+                        THEN CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                             / (2.0 * CAST(n2 AS DOUBLE))
+                        ELSE CAST(n1 AS DOUBLE)
+                             * (CAST(n1 AS DOUBLE) - 1.0) / 2.0
+                   END, 6) AS chao1,
+           ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS unseen_mass
+    FROM agg ORDER BY source
+    """,
+    "§2.3 corpus scaling: Chao1 richness + Good-Turing unseen mass "
+    "per source from singleton/doubleton counts — the crawl-budget "
+    "diagnostic, exact integers to the final ratios",
+)
+
+SPECS["q313_heaps_law"] = QuerySpec(
+    text.heaps_law,
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS len FROM d),
+         off AS (SELECT doc_id, COALESCE(SUM(len) OVER (
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS off
+                 FROM dl),
+         tok AS (SELECT doc_id, unnest(toks) AS w,
+                        unnest(range(1, len(toks) + 1)) AS pos
+                 FROM d),
+         gpos AS (SELECT w, off + pos AS gp
+                  FROM tok JOIN off USING (doc_id)),
+         first AS (SELECT w, MIN(gp) AS fp FROM gpos GROUP BY 1),
+         n_tot AS (SELECT CAST(SUM(len) AS BIGINT) AS n_tok FROM dl),
+         cps AS (SELECT i, CAST(FLOOR(i * n_tok / 20) AS BIGINT) AS n_at
+                 FROM (SELECT unnest(range(1, 21)) AS i), n_tot),
+         vobs AS (SELECT i, n_at, COUNT(fp) AS v_at
+                  FROM cps LEFT JOIN first ON fp <= n_at
+                  GROUP BY 1, 2),
+         m AS (SELECT COUNT(*) AS c,
+                      SUM(CAST(ROUND(ln(CAST(n_at AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) AS sx,
+                      SUM(CAST(ROUND(ln(CAST(v_at AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) AS sy,
+                      SUM(CAST(ROUND(ln(CAST(n_at AS DOUBLE))
+                                     * ln(CAST(v_at AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) AS sxy,
+                      SUM(CAST(ROUND(ln(CAST(n_at AS DOUBLE))
+                                     * ln(CAST(n_at AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) AS sxx
+               FROM vobs)
+    SELECT c AS n_checkpoints,
+           ROUND((CAST(c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS beta,
+           ROUND(exp((CAST(sy AS DOUBLE)
+                      - (CAST(c AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(c AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(c AS DOUBLE)), 6) AS k_coef
+    FROM m
+    """,
+    "§2.3 corpus scaling: Heaps'-law V(n)=K n^beta fit over 20 "
+    "evenly spaced prefixes — first-occurrence positions exact, "
+    "log-log OLS on the bounded checkpoint frame with 6dp DECIMAL "
+    "folds",
+)

@@ -1244,3 +1244,28 @@ def test_granger_directions_and_rss_ordering(spark):
         assert r["rss_unrestricted"] <= r["rss_restricted"] + 1e-6
         assert r["f_stat"] >= -1e-9
         assert r["m"] > 10
+
+
+def test_ndcg_bounds_and_population(spark):
+    r = rel.ndcg_at_k(spark, SF).collect()[0]
+    assert r["n_customers"] > 0
+    assert 0.0 <= r["mean_ndcg"] <= 1.0
+
+
+def test_chao1_dominates_observed_vocab(spark):
+    out = text.chao1_richness(spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert r["chao1"] >= r["v_obs"]
+        assert 0.0 <= r["unseen_mass"] <= 1.0
+        assert r["n1"] + 2 * r["n2"] <= r["n_tokens"]
+
+
+def test_heaps_beta_near_zero_on_closed_vocabulary(spark):
+    """The fixture's template vocabulary saturates almost instantly,
+    so the Heaps exponent must be far below natural-text 0.4-0.6 —
+    the flat case this diagnostic exists to flag."""
+    r = text.heaps_law(spark, SF).collect()[0]
+    assert r["n_checkpoints"] == 20
+    assert r["beta"] < 0.2
+    assert r["k_coef"] > 0
