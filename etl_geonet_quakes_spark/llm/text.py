@@ -1632,8 +1632,16 @@ def burrows_delta(spark: SparkSession, sf_dir: str,
     dropped from every pair symmetrically."""
     d = load_table(spark, sf_dir, "documents").select("source", "text")
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
-    cs = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
-    ns = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    # cs is referenced three times (vocabulary top-k, totals, the f
+    # grid join); localCheckpoint pins the one token-stream shuffle —
+    # the frame is vocabulary-sized, the house precedent for pinning
+    # (simhash fingerprints are doc-sized). Totals derive from cs.
+    cs = (
+        tok.groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    ns = cs.groupBy("source").agg(F.sum("c").alias("n_tok"))
     wt = Window.orderBy(F.desc("c_tot"), "w")
     top = (
         cs.groupBy("w").agg(F.sum("c").alias("c_tot"))

@@ -9229,14 +9229,26 @@ def cox_ph(spark: SparkSession, sf_dir: str,
             "x",
         )
     )
-    nx = dur.groupBy("x").agg(F.count("*").alias("n_x"))
-    hist = dur.groupBy("dur", "x").agg(F.count("*").alias("cnt"))
+    # ONE corpus-scale aggregate to the calendar-bounded (dur, x,
+    # event) frame; risk sets, arm totals and event counts all derive
+    # from it (three separate aggs over dur would replay the custkey
+    # shuffle three times — PLANS.md counted 31 Exchanges).
+    # localCheckpoint: base is referenced by nx/hist/ev — without
+    # truncation each replays the custkey shuffle; the frame is
+    # calendar-bounded (≤ 10⁴·2·2 rows), free to pin at any scale
+    base = (
+        dur.groupBy("dur", "x", "event")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    nx = base.groupBy("x").agg(F.sum("cnt").alias("n_x"))
+    hist = base.groupBy("dur", "x").agg(F.sum("cnt").alias("cnt"))
     ev = (
-        dur.filter(F.col("event") == 1)
+        base.filter(F.col("event") == 1)
         .groupBy(F.col("dur").alias("t"))
         .agg(
-            F.count("*").alias("d_t"),
-            F.sum("x").alias("s_t"),
+            F.sum("cnt").alias("d_t"),
+            F.sum(F.col("x") * F.col("cnt")).alias("s_t"),
         )
     )
     # timeline per arm: subjects (tag 1) + event-time markers (tag 0);
