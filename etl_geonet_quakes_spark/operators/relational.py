@@ -9758,3 +9758,234 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         F.round(total / F.col("n_customers").cast("double"), 6)
         .alias("mean_ndcg"),
     )
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis-distance outlier audit of orders in the 2D
+    (value, item-count) plane — the multivariate generalization of
+    q116's z-score outliers: a cheap order with many lines is normal
+    in each marginal but anomalous jointly; only the covariance-
+    corrected distance sees it. Output is the d² histogram (unit
+    buckets, 10+ capped) plus the χ²(2; 0.99) = 9.21034 exceedance
+    count — the fraud/QA triage table.
+
+    All five moments are exact BIGINT/DECIMAL(38,0) sums, so μ, the
+    covariance, its closed-form 2×2 inverse and every per-row d² are
+    identical doubles on both engines; bucket floors and the
+    threshold compare therefore agree exactly. One lineitem
+    count-agg + one broadcast moment join; output is O(12) rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    items = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    rows = o.join(items, o.o_orderkey == items.l_orderkey).select("c", "k")
+    mom = rows.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("k").alias("sk"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("scc"),
+        F.sum((F.col("k") * F.col("k")).cast("decimal(38,0)")).alias("skk"),
+        F.sum((F.col("c") * F.col("k")).cast("decimal(38,0)")).alias("sck"),
+    )
+    nd = F.col("n").cast("double")
+    mc = F.col("sc").cast("double") / nd
+    mk = F.col("sk").cast("double") / nd
+    vcc = F.col("scc").cast("double") / nd - mc * mc
+    vkk = F.col("skk").cast("double") / nd - mk * mk
+    vck = F.col("sck").cast("double") / nd - mc * mk
+    det = vcc * vkk - vck * vck
+    dc = F.col("c").cast("double") - mc
+    dk = F.col("k").cast("double") - mk
+    d2 = (dc * dc * vkk - F.lit(2.0) * dc * dk * vck + dk * dk * vcc) / det
+    scored = rows.join(F.broadcast(mom), F.lit(True)).select(
+        F.least(F.floor(d2).cast("long"), F.lit(10)).alias("bucket"),
+        (d2 > F.lit(9.21034)).cast("long").alias("is_outlier"),
+    )
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the order-value decile and the line-item
+    count — the concordance companion to q118's Spearman: ρ measures
+    monotone co-ranking strength, τ the probability a random pair is
+    concordant (more robust to outlying ranks, and the quantity
+    copula models calibrate to).
+
+    The all-pairs definition collapses onto the BOUNDED joint
+    frequency table (10 deciles × ≤7 item counts): concordant /
+    discordant pair totals are an O(k²) self-join of ≤70 cells with
+    exact integer products; tie terms come from the marginals. The
+    corpus-scale work is one ntile + one (decile, k) agg."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    items = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    w = Window.orderBy("cents", "o_orderkey")
+    rows = (
+        o.withColumn("d", F.ntile(10).over(w))
+        .join(items, o.o_orderkey == items.l_orderkey)
+        .select("d", "k")
+    )
+    cells = rows.groupBy("d", "k").agg(F.count("*").alias("cnt"))
+    a = cells.select(
+        F.col("d").alias("da"), F.col("k").alias("ka"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("d").alias("db"), F.col("k").alias("kb"),
+        F.col("cnt").alias("cb"),
+    )
+    pairs = a.join(F.broadcast(b), F.lit(True)).filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("ka") < F.col("kb")))
+    )
+    pc = pairs.agg(
+        F.sum(
+            F.when(
+                ((F.col("da") < F.col("db")) & (F.col("ka") < F.col("kb")))
+                | ((F.col("da") > F.col("db")) & (F.col("ka") > F.col("kb"))),
+                (F.col("ca") * F.col("cb")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                ((F.col("da") < F.col("db")) & (F.col("ka") > F.col("kb")))
+                | ((F.col("da") > F.col("db")) & (F.col("ka") < F.col("kb"))),
+                (F.col("ca") * F.col("cb")).cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    nn = rows.agg(F.count("*").alias("n"))
+    tx = (
+        rows.groupBy("d").agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1) / 2).cast("decimal(38,0)")
+            ).alias("tie_x")
+        )
+    )
+    ty = (
+        rows.groupBy("k").agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t") * (F.col("t") - 1) / 2).cast("decimal(38,0)")
+            ).alias("tie_y")
+        )
+    )
+    res = (
+        pc.join(F.broadcast(nn), F.lit(True))
+        .join(F.broadcast(tx), F.lit(True))
+        .join(F.broadcast(ty), F.lit(True))
+    )
+    n0 = (F.col("n").cast("double") * (F.col("n").cast("double") - 1.0)) / 2.0
+    num = F.col("conc").cast("double") - F.col("disc").cast("double")
+    return res.select(
+        "n",
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            num
+            / F.sqrt(
+                (n0 - F.col("tie_x").cast("double"))
+                * (n0 - F.col("tie_y").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout on the events
+    panel: outcome = per-user H2 purchases, covariate = the user's
+    H1 clicks (pre-experiment data), arms by the md5 coin — the
+    estimator production experimentation platforms run on every
+    metric (Deng et al.): Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X)
+    removes the pre-period component of the variance without
+    touching the expectation; the reported variance_reduction is
+    ρ²(X, Y), the exact fraction of metric variance CUPED removes.
+
+    Per-user sums are integers; θ, both arm means, the adjusted
+    diff and ρ² all assemble from ONE aggregate of exact
+    BIGINT/DECIMAL(38,0) pooled moments — fixed double shapes, 6dp.
+    One user-keyed agg; the estimator frame is nine scalars."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    mid = e.agg(
+        F.date_add(
+            F.min("d"),
+            (F.datediff(F.max("d"), F.min("d")) / 2).cast("int"),
+        ).alias("mid")
+    )
+    per_user = (
+        e.join(F.broadcast(mid), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                ((F.col("event_type") == "click") & (F.col("d") < F.col("mid")))
+                .cast("long")
+            ).alias("x"),
+            F.sum(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("d") >= F.col("mid"))
+                ).cast("long")
+            ).alias("y"),
+        )
+        .select(
+            "x", "y",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("arm")).alias("n1"),
+        F.sum(F.col("arm") * F.col("y")).alias("sy1"),
+        F.sum(F.col("arm") * F.col("x")).alias("sx1"),
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    ybar = F.col("sy").cast("double") / nd
+    varx = F.col("sxx").cast("double") / nd - xbar * xbar
+    vary = F.col("syy").cast("double") / nd - ybar * ybar
+    covxy = F.col("sxy").cast("double") / nd - xbar * ybar
+    theta = covxy / varx
+    n1d = F.col("n1").cast("double")
+    n0d = nd - n1d
+    y1 = F.col("sy1").cast("double") / n1d
+    y0 = (F.col("sy") - F.col("sy1")).cast("double") / n0d
+    x1 = F.col("sx1").cast("double") / n1d
+    x0 = (F.col("sx") - F.col("sx1")).cast("double") / n0d
+    adj = (y1 - theta * (x1 - xbar)) - (y0 - theta * (x0 - xbar))
+    return mom.select(
+        "n",
+        F.col("n1").alias("n_treated"),
+        F.round(theta, 6).alias("theta"),
+        F.round(y1 - y0, 6).alias("naive_diff"),
+        F.round(adj, 6).alias("cuped_diff"),
+        F.round(covxy * covxy / (varx * vary), 6)
+        .alias("variance_reduction"),
+    )

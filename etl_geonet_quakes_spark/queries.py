@@ -9608,3 +9608,168 @@ SPECS["q313_heaps_law"] = QuerySpec(
     "log-log OLS on the bounded checkpoint frame with 6dp DECIMAL "
     "folds",
 )
+
+SPECS["q314_mahalanobis_outliers"] = QuerySpec(
+    rel.mahalanobis_outliers,
+    """
+    WITH items AS (SELECT l_orderkey, COUNT(*) AS k
+                   FROM lineitem GROUP BY 1),
+         rows_ AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                          k
+                   FROM orders o JOIN items i
+                     ON o.o_orderkey = i.l_orderkey),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(c) AS BIGINT) AS sc,
+                        CAST(SUM(k) AS BIGINT) AS sk,
+                        SUM(CAST(c * c AS DECIMAL(38,0))) AS scc,
+                        SUM(CAST(k * k AS DECIMAL(38,0))) AS skk,
+                        SUM(CAST(c * k AS DECIMAL(38,0))) AS sck
+                 FROM rows_),
+         mv AS (SELECT n,
+                       CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mc,
+                       CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS mk,
+                       CAST(scc AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS vcc,
+                       CAST(skk AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS vkk,
+                       CAST(sck AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) AS vck
+                FROM mom),
+         scored AS (SELECT least(CAST(FLOOR(
+                        ((CAST(c AS DOUBLE) - mc) * (CAST(c AS DOUBLE) - mc)
+                             * vkk
+                         - 2.0 * (CAST(c AS DOUBLE) - mc)
+                               * (CAST(k AS DOUBLE) - mk) * vck
+                         + (CAST(k AS DOUBLE) - mk)
+                               * (CAST(k AS DOUBLE) - mk) * vcc)
+                        / (vcc * vkk - vck * vck)) AS BIGINT), 10)
+                           AS bucket,
+                        CAST(((CAST(c AS DOUBLE) - mc)
+                              * (CAST(c AS DOUBLE) - mc) * vkk
+                              - 2.0 * (CAST(c AS DOUBLE) - mc)
+                                    * (CAST(k AS DOUBLE) - mk) * vck
+                              + (CAST(k AS DOUBLE) - mk)
+                                    * (CAST(k AS DOUBLE) - mk) * vcc)
+                             / (vcc * vkk - vck * vck) > 9.21034
+                             AS BIGINT) AS is_outlier
+                    FROM rows_, mv)
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    "§2.2 anomaly detection: Mahalanobis d² audit of orders in the "
+    "(value, item-count) plane — exact DECIMAL moments, closed-form "
+    "2x2 inverse, unit-bucket histogram + chi2(2; .99) exceedances",
+)
+
+SPECS["q315_kendall_tau_b"] = QuerySpec(
+    rel.kendall_tau_b,
+    """
+    WITH items AS (SELECT l_orderkey, COUNT(*) AS k
+                   FROM lineitem GROUP BY 1),
+         rows_ AS (SELECT b.d, i.k FROM (
+                       SELECT o_orderkey,
+                              NTILE(10) OVER (ORDER BY
+                                  CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                  o_orderkey) AS d
+                       FROM orders) b
+                   JOIN items i ON b.o_orderkey = i.l_orderkey),
+         cells AS (SELECT d, k, COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2),
+         pc AS (SELECT
+                    SUM(CASE WHEN (a.d < b.d AND a.k < b.k)
+                               OR (a.d > b.d AND a.k > b.k)
+                             THEN CAST(a.cnt * b.cnt AS DECIMAL(38,0))
+                             ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+                    SUM(CASE WHEN (a.d < b.d AND a.k > b.k)
+                               OR (a.d > b.d AND a.k < b.k)
+                             THEN CAST(a.cnt * b.cnt AS DECIMAL(38,0))
+                             ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+                FROM cells a JOIN cells b
+                  ON (a.d < b.d) OR (a.d = b.d AND a.k < b.k)),
+         nn AS (SELECT COUNT(*) AS n FROM rows_),
+         tx AS (SELECT SUM(CAST(t * (t - 1) / 2 AS DECIMAL(38,0)))
+                           AS tie_x
+                FROM (SELECT COUNT(*) AS t FROM rows_ GROUP BY d)),
+         ty AS (SELECT SUM(CAST(t * (t - 1) / 2 AS DECIMAL(38,0)))
+                           AS tie_y
+                FROM (SELECT COUNT(*) AS t FROM rows_ GROUP BY k))
+    SELECT n,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                         / 2.0 - CAST(tie_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                           / 2.0 - CAST(tie_y AS DOUBLE))), 6) AS tau_b
+    FROM pc, nn, tx, ty
+    """,
+    "§2.2 statistics: Kendall tau-b between value decile and item "
+    "count — all-pairs concordance collapsed onto the bounded joint "
+    "frequency table (O(k^2) on <=70 cells), exact tie terms",
+)
+
+SPECS["q316_cuped_adjustment"] = QuerySpec(
+    rel.cuped_adjustment,
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d
+               FROM events),
+         mid AS (SELECT MIN(d) + CAST(FLOOR(
+                        date_diff('day', MIN(d), MAX(d)) / 2) AS INT)
+                            AS mid
+                 FROM e),
+         pu AS (SELECT user_id,
+                       CAST(SUM(CAST(event_type = 'click' AND d < mid
+                                     AS BIGINT)) AS BIGINT) AS x,
+                       CAST(SUM(CAST(event_type = 'purchase' AND d >= mid
+                                     AS BIGINT)) AS BIGINT) AS y
+                FROM e, mid GROUP BY 1),
+         pua AS (SELECT x, y,
+                        CAST(concat('0x', substring(
+                             md5(CAST(user_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 2 AS arm
+                 FROM pu),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                        SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                        SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                        CAST(SUM(arm) AS BIGINT) AS n1,
+                        CAST(SUM(arm * y) AS BIGINT) AS sy1,
+                        CAST(SUM(arm * x) AS BIGINT) AS sx1
+                 FROM pua),
+         mv AS (SELECT n, n1,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                       CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS varx,
+                       CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vary_,
+                       CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS covxy,
+                       CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS y1,
+                       CAST(sy - sy1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS y0,
+                       CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS x1,
+                       CAST(sx - sx1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) AS x0
+                FROM mom)
+    SELECT n, n1 AS n_treated,
+           ROUND(covxy / varx, 6) AS theta,
+           ROUND(y1 - y0, 6) AS naive_diff,
+           ROUND((y1 - covxy / varx * (x1 - xbar))
+                 - (y0 - covxy / varx * (x0 - xbar)), 6) AS cuped_diff,
+           ROUND(covxy * covxy / (varx * vary_), 6)
+               AS variance_reduction
+    FROM mv
+    """,
+    "§2.2 experimentation: CUPED variance-reduced A/B estimator "
+    "(H1 clicks covariate, H2 purchases outcome, md5-coin arms) — "
+    "one exact pooled-moment aggregate, rho^2 reported as the "
+    "variance actually removed",
+)

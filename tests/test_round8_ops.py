@@ -1269,3 +1269,33 @@ def test_heaps_beta_near_zero_on_closed_vocabulary(spark):
     assert r["n_checkpoints"] == 20
     assert r["beta"] < 0.2
     assert r["k_coef"] > 0
+
+
+def test_mahalanobis_buckets_partition(spark):
+    out = rel.mahalanobis_outliers(spark, SF).collect()
+    assert out[0]["bucket"] >= 0
+    # outliers only live in buckets >= 9 (9.21 threshold)
+    for r in out:
+        if r["bucket"] < 9:
+            assert r["n_outliers"] == 0
+    # chi2(2): ~1% beyond 9.21 under normality; allow wide fixture slack
+    tot = sum(r["n"] for r in out)
+    outl = sum(r["n_outliers"] for r in out)
+    assert 0 <= outl < 0.1 * tot
+
+
+def test_kendall_tau_bounds_and_sign_vs_spearman(spark):
+    r = rel.kendall_tau_b(spark, SF).collect()[0]
+    assert -1.0 <= r["tau_b"] <= 1.0
+    assert r["concordant"] >= 0 and r["discordant"] >= 0
+    # value decile and item count are essentially independent in the
+    # fixture: |tau| should be small
+    assert abs(r["tau_b"]) < 0.2
+
+
+def test_cuped_preserves_expectation_reduces_variance(spark):
+    r = rel.cuped_adjustment(spark, SF).collect()[0]
+    assert 0.0 <= r["variance_reduction"] <= 1.0
+    assert 0 < r["n_treated"] < r["n"]
+    # the adjustment shifts the diff by theta*(x1-x0): bounded sanity
+    assert abs(r["cuped_diff"] - r["naive_diff"]) < 1.0
