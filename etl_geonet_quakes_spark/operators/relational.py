@@ -9989,3 +9989,106 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(covxy * covxy / (varx * vary), 6)
         .alias("variance_reduction"),
     )
+
+
+def isotonic_regression(spark: SparkSession, sf_dir: str,
+                        n_bins: int = 10) -> DataFrame:
+    """Exact isotonic regression of the URGENT rate on the order-
+    value decile — the monotone calibrator (PAVA's fixed point)
+    paired with q301's binned calibration audit: when a score is
+    known to be directionally informative, the isotonic fit is the
+    best monotone rate estimate under squared loss.
+
+    Instead of the sequential pool-adjacent-violators loop, the fit
+    uses the closed max-min characterization iso(i) =
+    max_{a≤i} min_{b≥i... } mean(y[a..b]) evaluated over the BOUNDED
+    decile grid: prefix sums make every interval mean an exact
+    integer ratio, and the O(k³) nested fold (k = 10 → ≤10³ terms)
+    runs as array expressions on a single broadcast row — no
+    iteration, no driver loop, engine-exact (min/max of identical
+    doubles). The corpus-scale work is one ntile + one cell agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    cells = (
+        o.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+    )
+    one = cells.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "n", "pos"))).alias("cl")
+    )
+    k = F.size("cl")
+    # 1-based prefix arrays with a leading 0 so P[b+1]-P[a] spans a..b
+    prefix = one.select(
+        "cl",
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.aggregate(
+                    F.slice("cl", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, s: a + s["pos"],
+                ),
+            ),
+        ).alias("pp"),
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.aggregate(
+                    F.slice("cl", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, s: a + s["n"],
+                ),
+            ),
+        ).alias("pn"),
+    )
+
+    def mean_ab(a, b):
+        # mean over bins a..b from the prefix arrays (1-based)
+        return (
+            F.element_at(F.col("pp"), b + 1) - F.element_at(F.col("pp"), a)
+        ).cast("double") / (
+            F.element_at(F.col("pn"), b + 1) - F.element_at(F.col("pn"), a)
+        ).cast("double")
+
+    iso = prefix.select(
+        "cl",
+        F.transform(
+            F.sequence(F.lit(1), F.size("cl")),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), i),
+                    lambda a: F.array_min(
+                        F.transform(
+                            F.sequence(i, F.size("cl")),
+                            lambda b: mean_ab(a, b),
+                        )
+                    ),
+                )
+            ),
+        ).alias("fit"),
+    )
+    return (
+        iso.select(
+            F.posexplode("cl").alias("i0", "c"),
+            F.col("fit"),
+        )
+        .select(
+            F.col("c.bin").alias("bin"),
+            F.col("c.n").alias("n"),
+            F.col("c.pos").alias("n_pos"),
+            F.round(
+                F.col("c.pos").cast("double") / F.col("c.n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round(
+                F.element_at("fit", F.col("i0").cast("int") + 1), 6
+            ).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

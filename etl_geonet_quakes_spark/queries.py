@@ -9773,3 +9773,58 @@ SPECS["q316_cuped_adjustment"] = QuerySpec(
     "one exact pooled-moment aggregate, rho^2 reported as the "
     "variance actually removed",
 )
+
+SPECS["q317_isotonic_regression"] = QuerySpec(
+    rel.isotonic_regression,
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey)
+                          AS bin
+               FROM o),
+         cells AS (SELECT bin, COUNT(*) AS n,
+                          CAST(SUM(y) AS BIGINT) AS pos
+                   FROM b GROUP BY 1),
+         cl AS (SELECT list(struct_pack(bin := bin, n := n, pos := pos)
+                            ORDER BY bin) AS cl
+                FROM cells),
+         prefix AS (SELECT cl,
+                       list_concat([CAST(0 AS BIGINT)],
+                           list_transform(range(1, len(cl) + 1),
+                               i -> list_reduce(
+                                   list_transform(cl[1:i], s -> s.pos),
+                                   (a, t) -> a + t))) AS pp,
+                       list_concat([CAST(0 AS BIGINT)],
+                           list_transform(range(1, len(cl) + 1),
+                               i -> list_reduce(
+                                   list_transform(cl[1:i], s -> s.n),
+                                   (a, t) -> a + t))) AS pn
+                    FROM cl),
+         iso AS (SELECT cl,
+                        list_transform(range(1, len(cl) + 1),
+                            i -> list_max(list_transform(range(1, i + 1),
+                                a -> list_min(list_transform(
+                                        range(i, len(cl) + 1),
+                                        b -> CAST(pp[b + 1] - pp[a]
+                                                  AS DOUBLE)
+                                             / CAST(pn[b + 1] - pn[a]
+                                                    AS DOUBLE))))))
+                            AS fit
+                 FROM prefix)
+    SELECT c.bin AS bin, c.n AS n, c.pos AS n_pos,
+           ROUND(CAST(c.pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6)
+               AS raw_rate,
+           ROUND(fit[i], 6) AS iso_rate
+    FROM (SELECT unnest(cl) AS c,
+                 unnest(range(1, len(cl) + 1)) AS i,
+                 fit
+          FROM iso)
+    ORDER BY bin
+    """,
+    "§2.2 calibration: exact isotonic regression of the URGENT rate "
+    "on value deciles via the closed max-min characterization — "
+    "O(k^3) nested folds on the bounded grid, exact interval means, "
+    "no PAVA iteration",
+)

@@ -1299,3 +1299,32 @@ def test_cuped_preserves_expectation_reduces_variance(spark):
     assert 0 < r["n_treated"] < r["n"]
     # the adjustment shifts the diff by theta*(x1-x0): bounded sanity
     assert abs(r["cuped_diff"] - r["naive_diff"]) < 1.0
+
+
+def test_isotonic_fit_properties(spark):
+    """Monotone nondecreasing, mass-preserving (weighted mean of fit
+    equals global rate), and a brute-force PAVA cross-check."""
+    out = rel.isotonic_regression(spark, SF).collect()
+    rates = [r["iso_rate"] for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(rates, rates[1:]))
+    tot_n = sum(r["n"] for r in out)
+    tot_pos = sum(r["n_pos"] for r in out)
+    fit_mass = sum(r["iso_rate"] * r["n"] for r in out)
+    assert abs(fit_mass - tot_pos) < 1e-2 * tot_n
+    # brute-force PAVA on the same cells (pos, n, bin-count)
+    blocks = [[r["n_pos"], r["n"], 1] for r in out]
+    merged = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) > 1 and (
+            merged[-2][0] * merged[-1][1] >= merged[-1][0] * merged[-2][1]
+        ):
+            p, n, c = merged.pop()
+            merged[-1][0] += p
+            merged[-1][1] += n
+            merged[-1][2] += c
+    expect = []
+    for p, n, c in merged:
+        expect.extend([p / n] * c)
+    for got, exp in zip(rates, expect):
+        assert abs(got - exp) < 1e-6
