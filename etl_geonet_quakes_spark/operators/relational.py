@@ -10092,3 +10092,134 @@ def isotonic_regression(spark: SparkSession, sf_dir: str,
         )
         .orderBy("bin")
     )
+
+
+# RBO discount weights p^(d-1) at p=0.9, shared literals (q311 style)
+_RBO_P = 0.9
+_RBO_W = [_RBO_P ** (d - 1) for d in range(1, 11)]
+
+
+def rank_biased_overlap(spark: SparkSession, sf_dir: str,
+                        k: int = 10) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, truncated at k) between the H1
+    and H2 brand-popularity top-10 rankings — the top-weighted
+    ranking-similarity measure (Webber et al.) that answers "did the
+    leaderboard actually change?" where Spearman/Kendall (whole-
+    permutation) and q311's nDCG (one ranking vs relevance) cannot.
+
+    X_d = |top_d(A) ∩ top_d(B)| comes from one inner join of the two
+    ≤k-row rank lists; the discounted sum Σ p^{d−1}·X_d/d runs over
+    a 10-element fold with the p-powers embedded as SHARED literals
+    in both engines (no pow() in the data path). Corpus-scale work:
+    two brand aggs; the eval frame is constant."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    mid = o.agg(
+        F.date_add(
+            F.min("d"), (F.datediff(F.max("d"), F.min("d")) / 2).cast("int")
+        ).alias("mid")
+    )
+    ob = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), "l_partkey")
+        .join(F.broadcast(mid), F.lit(True))
+        .select("brand", "d", "mid")
+    )
+
+    def topk(df, label):
+        w = Window.orderBy(F.desc("cnt"), "brand")
+        return (
+            df.groupBy("brand")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("brand", F.col("r").alias(label))
+        )
+    ra = topk(ob.filter(F.col("d") < F.col("mid")), "ra")
+    rb = topk(ob.filter(F.col("d") >= F.col("mid")), "rb")
+    joined = ra.join(rb, "brand")
+    depths = spark.range(1, k + 1).select(F.col("id").alias("depth"))
+    xd = (
+        depths.join(
+            F.broadcast(
+                joined.agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("ra", "rb"))
+                    ).alias("pl")
+                )
+            ),
+            F.lit(True),
+        )
+        .select(
+            "depth",
+            F.size(
+                F.filter(
+                    "pl",
+                    lambda s: (s["ra"] <= F.col("depth"))
+                    & (s["rb"] <= F.col("depth")),
+                )
+            ).cast("long").alias("x_d"),
+        )
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    one = xd.agg(
+        F.max(F.when(F.col("depth") == k, F.col("x_d"))).alias("overlap_k"),
+        F.sort_array(F.collect_list(F.struct("depth", "x_d"))).alias("xl"),
+    )
+    rbo = F.lit(1.0 - _RBO_P) * F.aggregate(
+        F.transform(
+            "xl",
+            lambda s: F.element_at(w_arr, s["depth"].cast("int"))
+            * s["x_d"].cast("double")
+            / s["depth"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return one.select(
+        F.lit(k).alias("k"),
+        "overlap_k",
+        F.round(rbo, 6).alias("rbo"),
+    )
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the q316 experiment
+    assignment: chi-square goodness-of-fit of the md5-coin arm
+    counts against the designed 50/50 split — the first check every
+    experimentation platform runs before reading ANY metric (a
+    biased randomizer invalidates q282/q307/q316 silently).
+
+    χ² = (n₁−n₀)²/n exactly (two-cell GOF identity); the 95%
+    boundary 3.841 is a shared literal. One user-keyed distinct +
+    one reduce; all integers until the final two doubles."""
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arms = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm")
+    )
+    cc = arms.agg(
+        F.count("*").alias("n"), F.sum("arm").alias("n_treated")
+    )
+    diff = (F.lit(2) * F.col("n_treated") - F.col("n")).cast("double")
+    chi2 = diff * diff / F.col("n").cast("double")
+    return cc.select(
+        "n",
+        "n_treated",
+        (F.col("n") - F.col("n_treated")).alias("n_control"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841)).cast("long").alias("srm_flag"),
+    )

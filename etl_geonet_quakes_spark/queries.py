@@ -9828,3 +9828,78 @@ SPECS["q317_isotonic_regression"] = QuerySpec(
     "O(k^3) nested folds on the bounded grid, exact interval means, "
     "no PAVA iteration",
 )
+
+_RBO_W_SQL = "[" + ", ".join(repr(w) for w in rel._RBO_W) + "]"
+
+SPECS["q318_rank_biased_overlap"] = QuerySpec(
+    rel.rank_biased_overlap,
+    f"""
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         mid AS (SELECT MIN(d) + CAST(FLOOR(
+                        date_diff('day', MIN(d), MAX(d)) / 2) AS INT)
+                            AS mid
+                 FROM o),
+         ob AS (SELECT p.p_brand AS brand, o.d, mid.mid
+                FROM o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                       JOIN part p ON l.l_partkey = p.p_partkey, mid),
+         ra AS (SELECT brand, r AS ra FROM (
+                    SELECT brand, ROW_NUMBER() OVER (
+                           ORDER BY COUNT(*) DESC, brand) AS r
+                    FROM ob WHERE d < mid GROUP BY brand)
+                WHERE r <= 10),
+         rb AS (SELECT brand, r AS rb FROM (
+                    SELECT brand, ROW_NUMBER() OVER (
+                           ORDER BY COUNT(*) DESC, brand) AS r
+                    FROM ob WHERE d >= mid GROUP BY brand)
+                WHERE r <= 10),
+         pl AS (SELECT list(struct_pack(ra := ra, rb := rb)
+                            ORDER BY ra, rb) AS pl
+                FROM ra JOIN rb USING (brand)),
+         xd AS (SELECT depth,
+                       CAST(len(list_filter(pl,
+                            s -> s.ra <= depth AND s.rb <= depth))
+                            AS BIGINT) AS x_d
+                FROM (SELECT unnest(range(1, 11)) AS depth), pl),
+         one AS (SELECT MAX(CASE WHEN depth = 10 THEN x_d END)
+                            AS overlap_k,
+                        list(struct_pack(depth := depth, x_d := x_d)
+                             ORDER BY depth, x_d) AS xl
+                 FROM xd)
+    SELECT 10 AS k, overlap_k,
+           ROUND(0.09999999999999998 * list_reduce(list_transform(xl,
+                     s -> ({_RBO_W_SQL})[s.depth]
+                          * CAST(s.x_d AS DOUBLE)
+                          / CAST(s.depth AS DOUBLE)),
+                     (a, t) -> a + t), 6) AS rbo
+    FROM one
+    """,
+    "§2.2 IR evaluation: truncated rank-biased overlap (p=0.9) "
+    "between H1 and H2 brand top-10s — top-weighted leaderboard "
+    "stability, shared literal discount weights, constant frame",
+)
+
+SPECS["q319_srm_check"] = QuerySpec(
+    rel.srm_check,
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+         arms AS (SELECT CAST(concat('0x', substring(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 2 AS arm
+                  FROM u),
+         cc AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(arm) AS BIGINT) AS n_treated
+                FROM arms)
+    SELECT n, n_treated, n - n_treated AS n_control,
+           ROUND(CAST(2 * n_treated - n AS DOUBLE)
+                 * CAST(2 * n_treated - n AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS chi2,
+           CAST(CAST(2 * n_treated - n AS DOUBLE)
+                * CAST(2 * n_treated - n AS DOUBLE)
+                / CAST(n AS DOUBLE) > 3.841 AS BIGINT) AS srm_flag
+    FROM cc
+    """,
+    "§2.2 experimentation: sample-ratio-mismatch chi-square "
+    "guardrail on the md5-coin assignment — the validity gate for "
+    "q282/q307/q316, exact two-cell GOF identity",
+)

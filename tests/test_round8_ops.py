@@ -1328,3 +1328,19 @@ def test_isotonic_fit_properties(spark):
         expect.extend([p / n] * c)
     for got, exp in zip(rates, expect):
         assert abs(got - exp) < 1e-6
+
+
+def test_rbo_bounds_and_self_similarity(spark):
+    r = rel.rank_biased_overlap(spark, SF).collect()[0]
+    assert 0.0 <= r["rbo"] <= 1.0
+    assert 0 <= r["overlap_k"] <= 10
+    # RBO is truncated: even identical rankings stay below 1 at k=10
+    max_rbo = 0.1 * sum(rel._RBO_W[d - 1] for d in range(1, 11))
+    assert r["rbo"] <= max_rbo + 1e-9
+
+
+def test_srm_passes_on_md5_coin(spark):
+    r = rel.srm_check(spark, SF01).collect()[0]
+    assert r["n"] == r["n_treated"] + r["n_control"]
+    # the md5 coin is unbiased: no mismatch at sf0.01
+    assert r["srm_flag"] == 0
