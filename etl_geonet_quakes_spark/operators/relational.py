@@ -10223,3 +10223,127 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841)).cast("long").alias("srm_flag"),
     )
+
+
+def safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock / reorder-point table per brand at a 95% service
+    level: SS = z·σ_d·√L, ROP = μ_d·L + SS with lead time L = 7 days
+    and z = 1.645 (shared literal) — the inventory-planning query
+    every supply-chain warehouse runs off the demand history.
+
+    Daily demand per brand comes from one (brand, day) agg INCLUDING
+    zero days (the spine join — omitting them biases σ down, the
+    classic planning bug); μ and σ are exact integer/DECIMAL moments
+    over the calendar-bounded per-brand series. 25 brands × days is
+    margin-sized after the one corpus agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), "l_partkey")
+        .groupBy("brand", "d")
+        .agg(F.round(F.sum(F.col("l_quantity").cast(D_QTY)) * 100)
+             .cast("long").alias("q100"))
+    )
+    days = o.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("n_days")
+    )
+    mom = (
+        demand.groupBy("brand")
+        .agg(
+            F.count("*").alias("active_days"),
+            F.sum("q100").alias("sq"),
+            F.sum((F.col("q100") * F.col("q100")).cast("decimal(38,0)"))
+            .alias("sqq"),
+        )
+        .join(F.broadcast(days), F.lit(True))
+    )
+    # zero days enter the moments via the full calendar denominator
+    nd = F.col("n_days").cast("double")
+    mu = F.col("sq").cast("double") / nd / F.lit(100.0)
+    var = (
+        F.col("sqq").cast("double") / nd / F.lit(10000.0) - mu * mu
+    )
+    lead = F.lit(7.0)
+    z = F.lit(1.645)
+    ss = z * F.sqrt(var) * F.sqrt(lead)
+    return mom.select(
+        "brand",
+        "active_days",
+        "n_days",
+        F.round(mu, 6).alias("mu_daily"),
+        F.round(F.sqrt(var), 6).alias("sigma_daily"),
+        F.round(ss, 6).alias("safety_stock"),
+        F.round(mu * lead + ss, 6).alias("reorder_point"),
+    ).orderBy("brand")
+
+
+def ltv_curve(spark: SparkSession, sf_dir: str,
+              max_age_months: int = 12) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-
+    order month, cumulative revenue per customer tracked by cohort
+    age in months — the LTV table every subscription/commerce
+    finance team reads (columns: how much has a month-m-old cohort
+    spent per head so far; a flattening curve caps acquisition
+    spend). Completes the q101 retention / q163 growth-accounting
+    family with the MONEY dimension.
+
+    Revenue is exact DECIMAL cents; the cumulative column is an
+    integer window sum within cohort; per-head values divide by the
+    exact cohort size. Two shuffles (first-order agg, cohort-age
+    agg); the output frame is cohorts × ages, calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "MM").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    aged = (
+        o.join(first, "o_custkey")
+        .select(
+            "cohort",
+            F.months_between(F.col("m"), F.col("cohort"))
+            .cast("long")
+            .alias("age"),
+            "cents",
+        )
+        .filter(F.col("age") < max_age_months)
+    )
+    cells = aged.groupBy("cohort", "age").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count("*").alias("n_orders"),
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("rev_cents").over(wc))
+        .join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "cohort_size",
+            "n_orders",
+            F.round(F.col("rev_cents").cast("double") / 100.0, 2)
+            .alias("revenue"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("cum_ltv_per_head"),
+        )
+        .orderBy("cohort", "age")
+    )

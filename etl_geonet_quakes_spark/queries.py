@@ -9903,3 +9903,93 @@ SPECS["q319_srm_check"] = QuerySpec(
     "guardrail on the md5-coin assignment — the validity gate for "
     "q282/q307/q316, exact two-cell GOF identity",
 )
+
+SPECS["q320_safety_stock"] = QuerySpec(
+    rel.safety_stock,
+    """
+    WITH d0 AS (SELECT li.l_partkey, li.l_quantity,
+                       CAST(o.o_orderdate AS DATE) AS d
+                FROM lineitem li JOIN orders o
+                  ON li.l_orderkey = o.o_orderkey),
+         demand AS (SELECT p.p_brand AS brand, d,
+                           CAST(ROUND(SUM(CAST(l_quantity
+                                AS DECIMAL(18,2))) * 100) AS BIGINT)
+                               AS q100
+                    FROM d0 JOIN part p ON d0.l_partkey = p.p_partkey
+                    GROUP BY 1, 2),
+         days AS (SELECT date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                                   MAX(CAST(o_orderdate AS DATE))) + 1
+                             AS n_days
+                  FROM orders),
+         mom AS (SELECT brand, COUNT(*) AS active_days,
+                        CAST(SUM(q100) AS BIGINT) AS sq,
+                        SUM(CAST(q100 * q100 AS DECIMAL(38,0))) AS sqq
+                 FROM demand GROUP BY 1)
+    SELECT brand, active_days, n_days,
+           ROUND(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0, 6)
+               AS mu_daily,
+           ROUND(sqrt(CAST(sqq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                      / 10000.0
+                      - (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                         / 100.0)
+                        * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                           / 100.0)), 6) AS sigma_daily,
+           ROUND(1.645 * sqrt(CAST(sqq AS DOUBLE)
+                              / CAST(n_days AS DOUBLE) / 10000.0
+                              - (CAST(sq AS DOUBLE)
+                                 / CAST(n_days AS DOUBLE) / 100.0)
+                                * (CAST(sq AS DOUBLE)
+                                   / CAST(n_days AS DOUBLE) / 100.0))
+                 * sqrt(7.0), 6) AS safety_stock,
+           ROUND(CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+                 * 7.0
+                 + 1.645 * sqrt(CAST(sqq AS DOUBLE)
+                                / CAST(n_days AS DOUBLE) / 10000.0
+                                - (CAST(sq AS DOUBLE)
+                                   / CAST(n_days AS DOUBLE) / 100.0)
+                                  * (CAST(sq AS DOUBLE)
+                                     / CAST(n_days AS DOUBLE) / 100.0))
+                   * sqrt(7.0), 6) AS reorder_point
+    FROM mom, days ORDER BY brand
+    """,
+    "§2.2 supply chain: per-brand safety stock + reorder point at "
+    "95% service, 7-day lead — zero-day-correct exact demand "
+    "moments over the full calendar denominator",
+)
+
+SPECS["q321_ltv_curve"] = QuerySpec(
+    rel.ltv_curve,
+    """
+    WITH o AS (SELECT o_custkey,
+                      date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+         first AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1),
+         sized AS (SELECT cohort, COUNT(DISTINCT o_custkey)
+                              AS cohort_size
+                   FROM first GROUP BY 1),
+         aged AS (SELECT cohort,
+                         CAST(date_diff('month', cohort, m) AS BIGINT)
+                             AS age,
+                         cents
+                  FROM o JOIN first USING (o_custkey)
+                  WHERE date_diff('month', cohort, m) < 12),
+         cells AS (SELECT cohort, age,
+                          CAST(SUM(cents) AS BIGINT) AS rev_cents,
+                          COUNT(*) AS n_orders
+                   FROM aged GROUP BY 1, 2),
+         cum AS (SELECT *, CAST(SUM(rev_cents) OVER (
+                        PARTITION BY cohort ORDER BY age
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS BIGINT) AS cum_cents
+                 FROM cells)
+    SELECT CAST(cohort AS DATE) AS cohort, age, cohort_size, n_orders,
+           ROUND(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(cum_cents AS DOUBLE) / 100.0
+                 / CAST(cohort_size AS DOUBLE), 6) AS cum_ltv_per_head
+    FROM cum JOIN sized USING (cohort) ORDER BY cohort, age
+    """,
+    "§2.2 product analytics: cohort LTV curve (first-order-month "
+    "cohorts x age in months, cumulative revenue per head) — exact "
+    "DECIMAL cents, integer window cumulatives",
+)

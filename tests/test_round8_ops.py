@@ -1344,3 +1344,28 @@ def test_srm_passes_on_md5_coin(spark):
     assert r["n"] == r["n_treated"] + r["n_control"]
     # the md5 coin is unbiased: no mismatch at sf0.01
     assert r["srm_flag"] == 0
+
+
+def test_safety_stock_nonnegative_and_rop_identity(spark):
+    out = rel.safety_stock(spark, SF).collect()
+    assert len(out) == 25  # TPC-H brands
+    for r in out:
+        assert r["sigma_daily"] >= 0
+        assert r["safety_stock"] >= 0
+        assert abs(
+            r["reorder_point"] - (r["mu_daily"] * 7 + r["safety_stock"])
+        ) < 1e-5  # three 6dp-rounded columns compound
+        assert r["active_days"] <= r["n_days"]
+
+
+def test_ltv_curve_monotone_within_cohort(spark):
+    out = rel.ltv_curve(spark, SF).collect()
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    assert len(by_cohort) > 5
+    for rows in by_cohort.values():
+        ages = [r["age"] for r in rows]
+        assert ages == sorted(ages)
+        ltvs = [r["cum_ltv_per_head"] for r in rows]
+        assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
