@@ -7726,20 +7726,220 @@ SPECS["q274_feature_hashing"] = QuerySpec(
     "load/distinct/purity; O(n_buckets) output at any scale",
 )
 
+# q275's oracle: the 64 coin bits come from one md5 per order (two
+# 60-bit limbs); the 128 conditional aggregates are generated by a
+# loop so the per-replicate bodies cannot drift from the Spark side.
 SPECS["q275_bootstrap_ci"] = QuerySpec(
     rel.bootstrap_ci,
     """
     WITH o AS (SELECT o_orderkey,
                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
                FROM orders),
-         reps AS (SELECT unnest(range(1, 65)) AS rep),
-         drawn AS (SELECT rep, COUNT(*) AS m, SUM(cents) AS s
-                   FROM o, reps
-                   WHERE CAST(concat('0x',
-                           substring(md5(CAST(rep AS VARCHAR) || ':'
-                                         || CAST(o_orderkey AS VARCHAR)),
-                                     1, 15)) AS BIGINT) % 2 = 0
-                   GROUP BY rep),
+         hh AS (SELECT cents,
+                       CAST(concat('0x', substring(
+                            md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h1,
+                       CAST(concat('0x', substring(
+                            md5(CAST(o_orderkey AS VARCHAR)), 16, 15))
+                            AS BIGINT) AS h2
+                FROM o),
+         wide AS (SELECT
+                 COUNT(CASE WHEN ((h1 >> 0) & 1) = 0 THEN 1 END) AS m1,
+                 SUM(CASE WHEN ((h1 >> 0) & 1) = 0 THEN cents END) AS s1,
+                 COUNT(CASE WHEN ((h1 >> 1) & 1) = 0 THEN 1 END) AS m2,
+                 SUM(CASE WHEN ((h1 >> 1) & 1) = 0 THEN cents END) AS s2,
+                 COUNT(CASE WHEN ((h1 >> 2) & 1) = 0 THEN 1 END) AS m3,
+                 SUM(CASE WHEN ((h1 >> 2) & 1) = 0 THEN cents END) AS s3,
+                 COUNT(CASE WHEN ((h1 >> 3) & 1) = 0 THEN 1 END) AS m4,
+                 SUM(CASE WHEN ((h1 >> 3) & 1) = 0 THEN cents END) AS s4,
+                 COUNT(CASE WHEN ((h1 >> 4) & 1) = 0 THEN 1 END) AS m5,
+                 SUM(CASE WHEN ((h1 >> 4) & 1) = 0 THEN cents END) AS s5,
+                 COUNT(CASE WHEN ((h1 >> 5) & 1) = 0 THEN 1 END) AS m6,
+                 SUM(CASE WHEN ((h1 >> 5) & 1) = 0 THEN cents END) AS s6,
+                 COUNT(CASE WHEN ((h1 >> 6) & 1) = 0 THEN 1 END) AS m7,
+                 SUM(CASE WHEN ((h1 >> 6) & 1) = 0 THEN cents END) AS s7,
+                 COUNT(CASE WHEN ((h1 >> 7) & 1) = 0 THEN 1 END) AS m8,
+                 SUM(CASE WHEN ((h1 >> 7) & 1) = 0 THEN cents END) AS s8,
+                 COUNT(CASE WHEN ((h1 >> 8) & 1) = 0 THEN 1 END) AS m9,
+                 SUM(CASE WHEN ((h1 >> 8) & 1) = 0 THEN cents END) AS s9,
+                 COUNT(CASE WHEN ((h1 >> 9) & 1) = 0 THEN 1 END) AS m10,
+                 SUM(CASE WHEN ((h1 >> 9) & 1) = 0 THEN cents END) AS s10,
+                 COUNT(CASE WHEN ((h1 >> 10) & 1) = 0 THEN 1 END) AS m11,
+                 SUM(CASE WHEN ((h1 >> 10) & 1) = 0 THEN cents END) AS s11,
+                 COUNT(CASE WHEN ((h1 >> 11) & 1) = 0 THEN 1 END) AS m12,
+                 SUM(CASE WHEN ((h1 >> 11) & 1) = 0 THEN cents END) AS s12,
+                 COUNT(CASE WHEN ((h1 >> 12) & 1) = 0 THEN 1 END) AS m13,
+                 SUM(CASE WHEN ((h1 >> 12) & 1) = 0 THEN cents END) AS s13,
+                 COUNT(CASE WHEN ((h1 >> 13) & 1) = 0 THEN 1 END) AS m14,
+                 SUM(CASE WHEN ((h1 >> 13) & 1) = 0 THEN cents END) AS s14,
+                 COUNT(CASE WHEN ((h1 >> 14) & 1) = 0 THEN 1 END) AS m15,
+                 SUM(CASE WHEN ((h1 >> 14) & 1) = 0 THEN cents END) AS s15,
+                 COUNT(CASE WHEN ((h1 >> 15) & 1) = 0 THEN 1 END) AS m16,
+                 SUM(CASE WHEN ((h1 >> 15) & 1) = 0 THEN cents END) AS s16,
+                 COUNT(CASE WHEN ((h1 >> 16) & 1) = 0 THEN 1 END) AS m17,
+                 SUM(CASE WHEN ((h1 >> 16) & 1) = 0 THEN cents END) AS s17,
+                 COUNT(CASE WHEN ((h1 >> 17) & 1) = 0 THEN 1 END) AS m18,
+                 SUM(CASE WHEN ((h1 >> 17) & 1) = 0 THEN cents END) AS s18,
+                 COUNT(CASE WHEN ((h1 >> 18) & 1) = 0 THEN 1 END) AS m19,
+                 SUM(CASE WHEN ((h1 >> 18) & 1) = 0 THEN cents END) AS s19,
+                 COUNT(CASE WHEN ((h1 >> 19) & 1) = 0 THEN 1 END) AS m20,
+                 SUM(CASE WHEN ((h1 >> 19) & 1) = 0 THEN cents END) AS s20,
+                 COUNT(CASE WHEN ((h1 >> 20) & 1) = 0 THEN 1 END) AS m21,
+                 SUM(CASE WHEN ((h1 >> 20) & 1) = 0 THEN cents END) AS s21,
+                 COUNT(CASE WHEN ((h1 >> 21) & 1) = 0 THEN 1 END) AS m22,
+                 SUM(CASE WHEN ((h1 >> 21) & 1) = 0 THEN cents END) AS s22,
+                 COUNT(CASE WHEN ((h1 >> 22) & 1) = 0 THEN 1 END) AS m23,
+                 SUM(CASE WHEN ((h1 >> 22) & 1) = 0 THEN cents END) AS s23,
+                 COUNT(CASE WHEN ((h1 >> 23) & 1) = 0 THEN 1 END) AS m24,
+                 SUM(CASE WHEN ((h1 >> 23) & 1) = 0 THEN cents END) AS s24,
+                 COUNT(CASE WHEN ((h1 >> 24) & 1) = 0 THEN 1 END) AS m25,
+                 SUM(CASE WHEN ((h1 >> 24) & 1) = 0 THEN cents END) AS s25,
+                 COUNT(CASE WHEN ((h1 >> 25) & 1) = 0 THEN 1 END) AS m26,
+                 SUM(CASE WHEN ((h1 >> 25) & 1) = 0 THEN cents END) AS s26,
+                 COUNT(CASE WHEN ((h1 >> 26) & 1) = 0 THEN 1 END) AS m27,
+                 SUM(CASE WHEN ((h1 >> 26) & 1) = 0 THEN cents END) AS s27,
+                 COUNT(CASE WHEN ((h1 >> 27) & 1) = 0 THEN 1 END) AS m28,
+                 SUM(CASE WHEN ((h1 >> 27) & 1) = 0 THEN cents END) AS s28,
+                 COUNT(CASE WHEN ((h1 >> 28) & 1) = 0 THEN 1 END) AS m29,
+                 SUM(CASE WHEN ((h1 >> 28) & 1) = 0 THEN cents END) AS s29,
+                 COUNT(CASE WHEN ((h1 >> 29) & 1) = 0 THEN 1 END) AS m30,
+                 SUM(CASE WHEN ((h1 >> 29) & 1) = 0 THEN cents END) AS s30,
+                 COUNT(CASE WHEN ((h1 >> 30) & 1) = 0 THEN 1 END) AS m31,
+                 SUM(CASE WHEN ((h1 >> 30) & 1) = 0 THEN cents END) AS s31,
+                 COUNT(CASE WHEN ((h1 >> 31) & 1) = 0 THEN 1 END) AS m32,
+                 SUM(CASE WHEN ((h1 >> 31) & 1) = 0 THEN cents END) AS s32,
+                 COUNT(CASE WHEN ((h1 >> 32) & 1) = 0 THEN 1 END) AS m33,
+                 SUM(CASE WHEN ((h1 >> 32) & 1) = 0 THEN cents END) AS s33,
+                 COUNT(CASE WHEN ((h1 >> 33) & 1) = 0 THEN 1 END) AS m34,
+                 SUM(CASE WHEN ((h1 >> 33) & 1) = 0 THEN cents END) AS s34,
+                 COUNT(CASE WHEN ((h1 >> 34) & 1) = 0 THEN 1 END) AS m35,
+                 SUM(CASE WHEN ((h1 >> 34) & 1) = 0 THEN cents END) AS s35,
+                 COUNT(CASE WHEN ((h1 >> 35) & 1) = 0 THEN 1 END) AS m36,
+                 SUM(CASE WHEN ((h1 >> 35) & 1) = 0 THEN cents END) AS s36,
+                 COUNT(CASE WHEN ((h1 >> 36) & 1) = 0 THEN 1 END) AS m37,
+                 SUM(CASE WHEN ((h1 >> 36) & 1) = 0 THEN cents END) AS s37,
+                 COUNT(CASE WHEN ((h1 >> 37) & 1) = 0 THEN 1 END) AS m38,
+                 SUM(CASE WHEN ((h1 >> 37) & 1) = 0 THEN cents END) AS s38,
+                 COUNT(CASE WHEN ((h1 >> 38) & 1) = 0 THEN 1 END) AS m39,
+                 SUM(CASE WHEN ((h1 >> 38) & 1) = 0 THEN cents END) AS s39,
+                 COUNT(CASE WHEN ((h1 >> 39) & 1) = 0 THEN 1 END) AS m40,
+                 SUM(CASE WHEN ((h1 >> 39) & 1) = 0 THEN cents END) AS s40,
+                 COUNT(CASE WHEN ((h1 >> 40) & 1) = 0 THEN 1 END) AS m41,
+                 SUM(CASE WHEN ((h1 >> 40) & 1) = 0 THEN cents END) AS s41,
+                 COUNT(CASE WHEN ((h1 >> 41) & 1) = 0 THEN 1 END) AS m42,
+                 SUM(CASE WHEN ((h1 >> 41) & 1) = 0 THEN cents END) AS s42,
+                 COUNT(CASE WHEN ((h1 >> 42) & 1) = 0 THEN 1 END) AS m43,
+                 SUM(CASE WHEN ((h1 >> 42) & 1) = 0 THEN cents END) AS s43,
+                 COUNT(CASE WHEN ((h1 >> 43) & 1) = 0 THEN 1 END) AS m44,
+                 SUM(CASE WHEN ((h1 >> 43) & 1) = 0 THEN cents END) AS s44,
+                 COUNT(CASE WHEN ((h1 >> 44) & 1) = 0 THEN 1 END) AS m45,
+                 SUM(CASE WHEN ((h1 >> 44) & 1) = 0 THEN cents END) AS s45,
+                 COUNT(CASE WHEN ((h1 >> 45) & 1) = 0 THEN 1 END) AS m46,
+                 SUM(CASE WHEN ((h1 >> 45) & 1) = 0 THEN cents END) AS s46,
+                 COUNT(CASE WHEN ((h1 >> 46) & 1) = 0 THEN 1 END) AS m47,
+                 SUM(CASE WHEN ((h1 >> 46) & 1) = 0 THEN cents END) AS s47,
+                 COUNT(CASE WHEN ((h1 >> 47) & 1) = 0 THEN 1 END) AS m48,
+                 SUM(CASE WHEN ((h1 >> 47) & 1) = 0 THEN cents END) AS s48,
+                 COUNT(CASE WHEN ((h1 >> 48) & 1) = 0 THEN 1 END) AS m49,
+                 SUM(CASE WHEN ((h1 >> 48) & 1) = 0 THEN cents END) AS s49,
+                 COUNT(CASE WHEN ((h1 >> 49) & 1) = 0 THEN 1 END) AS m50,
+                 SUM(CASE WHEN ((h1 >> 49) & 1) = 0 THEN cents END) AS s50,
+                 COUNT(CASE WHEN ((h1 >> 50) & 1) = 0 THEN 1 END) AS m51,
+                 SUM(CASE WHEN ((h1 >> 50) & 1) = 0 THEN cents END) AS s51,
+                 COUNT(CASE WHEN ((h1 >> 51) & 1) = 0 THEN 1 END) AS m52,
+                 SUM(CASE WHEN ((h1 >> 51) & 1) = 0 THEN cents END) AS s52,
+                 COUNT(CASE WHEN ((h1 >> 52) & 1) = 0 THEN 1 END) AS m53,
+                 SUM(CASE WHEN ((h1 >> 52) & 1) = 0 THEN cents END) AS s53,
+                 COUNT(CASE WHEN ((h1 >> 53) & 1) = 0 THEN 1 END) AS m54,
+                 SUM(CASE WHEN ((h1 >> 53) & 1) = 0 THEN cents END) AS s54,
+                 COUNT(CASE WHEN ((h1 >> 54) & 1) = 0 THEN 1 END) AS m55,
+                 SUM(CASE WHEN ((h1 >> 54) & 1) = 0 THEN cents END) AS s55,
+                 COUNT(CASE WHEN ((h1 >> 55) & 1) = 0 THEN 1 END) AS m56,
+                 SUM(CASE WHEN ((h1 >> 55) & 1) = 0 THEN cents END) AS s56,
+                 COUNT(CASE WHEN ((h1 >> 56) & 1) = 0 THEN 1 END) AS m57,
+                 SUM(CASE WHEN ((h1 >> 56) & 1) = 0 THEN cents END) AS s57,
+                 COUNT(CASE WHEN ((h1 >> 57) & 1) = 0 THEN 1 END) AS m58,
+                 SUM(CASE WHEN ((h1 >> 57) & 1) = 0 THEN cents END) AS s58,
+                 COUNT(CASE WHEN ((h1 >> 58) & 1) = 0 THEN 1 END) AS m59,
+                 SUM(CASE WHEN ((h1 >> 58) & 1) = 0 THEN cents END) AS s59,
+                 COUNT(CASE WHEN ((h1 >> 59) & 1) = 0 THEN 1 END) AS m60,
+                 SUM(CASE WHEN ((h1 >> 59) & 1) = 0 THEN cents END) AS s60,
+                 COUNT(CASE WHEN ((h2 >> 0) & 1) = 0 THEN 1 END) AS m61,
+                 SUM(CASE WHEN ((h2 >> 0) & 1) = 0 THEN cents END) AS s61,
+                 COUNT(CASE WHEN ((h2 >> 1) & 1) = 0 THEN 1 END) AS m62,
+                 SUM(CASE WHEN ((h2 >> 1) & 1) = 0 THEN cents END) AS s62,
+                 COUNT(CASE WHEN ((h2 >> 2) & 1) = 0 THEN 1 END) AS m63,
+                 SUM(CASE WHEN ((h2 >> 2) & 1) = 0 THEN cents END) AS s63,
+                 COUNT(CASE WHEN ((h2 >> 3) & 1) = 0 THEN 1 END) AS m64,
+                 SUM(CASE WHEN ((h2 >> 3) & 1) = 0 THEN cents END) AS s64
+                  FROM hh),
+         drawn AS (SELECT u.r.rep AS rep, u.r.m AS m, u.r.s AS s
+                   FROM (SELECT unnest([
+                struct_pack(rep := CAST(1 AS BIGINT), m := m1, s := s1),
+                struct_pack(rep := CAST(2 AS BIGINT), m := m2, s := s2),
+                struct_pack(rep := CAST(3 AS BIGINT), m := m3, s := s3),
+                struct_pack(rep := CAST(4 AS BIGINT), m := m4, s := s4),
+                struct_pack(rep := CAST(5 AS BIGINT), m := m5, s := s5),
+                struct_pack(rep := CAST(6 AS BIGINT), m := m6, s := s6),
+                struct_pack(rep := CAST(7 AS BIGINT), m := m7, s := s7),
+                struct_pack(rep := CAST(8 AS BIGINT), m := m8, s := s8),
+                struct_pack(rep := CAST(9 AS BIGINT), m := m9, s := s9),
+                struct_pack(rep := CAST(10 AS BIGINT), m := m10, s := s10),
+                struct_pack(rep := CAST(11 AS BIGINT), m := m11, s := s11),
+                struct_pack(rep := CAST(12 AS BIGINT), m := m12, s := s12),
+                struct_pack(rep := CAST(13 AS BIGINT), m := m13, s := s13),
+                struct_pack(rep := CAST(14 AS BIGINT), m := m14, s := s14),
+                struct_pack(rep := CAST(15 AS BIGINT), m := m15, s := s15),
+                struct_pack(rep := CAST(16 AS BIGINT), m := m16, s := s16),
+                struct_pack(rep := CAST(17 AS BIGINT), m := m17, s := s17),
+                struct_pack(rep := CAST(18 AS BIGINT), m := m18, s := s18),
+                struct_pack(rep := CAST(19 AS BIGINT), m := m19, s := s19),
+                struct_pack(rep := CAST(20 AS BIGINT), m := m20, s := s20),
+                struct_pack(rep := CAST(21 AS BIGINT), m := m21, s := s21),
+                struct_pack(rep := CAST(22 AS BIGINT), m := m22, s := s22),
+                struct_pack(rep := CAST(23 AS BIGINT), m := m23, s := s23),
+                struct_pack(rep := CAST(24 AS BIGINT), m := m24, s := s24),
+                struct_pack(rep := CAST(25 AS BIGINT), m := m25, s := s25),
+                struct_pack(rep := CAST(26 AS BIGINT), m := m26, s := s26),
+                struct_pack(rep := CAST(27 AS BIGINT), m := m27, s := s27),
+                struct_pack(rep := CAST(28 AS BIGINT), m := m28, s := s28),
+                struct_pack(rep := CAST(29 AS BIGINT), m := m29, s := s29),
+                struct_pack(rep := CAST(30 AS BIGINT), m := m30, s := s30),
+                struct_pack(rep := CAST(31 AS BIGINT), m := m31, s := s31),
+                struct_pack(rep := CAST(32 AS BIGINT), m := m32, s := s32),
+                struct_pack(rep := CAST(33 AS BIGINT), m := m33, s := s33),
+                struct_pack(rep := CAST(34 AS BIGINT), m := m34, s := s34),
+                struct_pack(rep := CAST(35 AS BIGINT), m := m35, s := s35),
+                struct_pack(rep := CAST(36 AS BIGINT), m := m36, s := s36),
+                struct_pack(rep := CAST(37 AS BIGINT), m := m37, s := s37),
+                struct_pack(rep := CAST(38 AS BIGINT), m := m38, s := s38),
+                struct_pack(rep := CAST(39 AS BIGINT), m := m39, s := s39),
+                struct_pack(rep := CAST(40 AS BIGINT), m := m40, s := s40),
+                struct_pack(rep := CAST(41 AS BIGINT), m := m41, s := s41),
+                struct_pack(rep := CAST(42 AS BIGINT), m := m42, s := s42),
+                struct_pack(rep := CAST(43 AS BIGINT), m := m43, s := s43),
+                struct_pack(rep := CAST(44 AS BIGINT), m := m44, s := s44),
+                struct_pack(rep := CAST(45 AS BIGINT), m := m45, s := s45),
+                struct_pack(rep := CAST(46 AS BIGINT), m := m46, s := s46),
+                struct_pack(rep := CAST(47 AS BIGINT), m := m47, s := s47),
+                struct_pack(rep := CAST(48 AS BIGINT), m := m48, s := s48),
+                struct_pack(rep := CAST(49 AS BIGINT), m := m49, s := s49),
+                struct_pack(rep := CAST(50 AS BIGINT), m := m50, s := s50),
+                struct_pack(rep := CAST(51 AS BIGINT), m := m51, s := s51),
+                struct_pack(rep := CAST(52 AS BIGINT), m := m52, s := s52),
+                struct_pack(rep := CAST(53 AS BIGINT), m := m53, s := s53),
+                struct_pack(rep := CAST(54 AS BIGINT), m := m54, s := s54),
+                struct_pack(rep := CAST(55 AS BIGINT), m := m55, s := s55),
+                struct_pack(rep := CAST(56 AS BIGINT), m := m56, s := s56),
+                struct_pack(rep := CAST(57 AS BIGINT), m := m57, s := s57),
+                struct_pack(rep := CAST(58 AS BIGINT), m := m58, s := s58),
+                struct_pack(rep := CAST(59 AS BIGINT), m := m59, s := s59),
+                struct_pack(rep := CAST(60 AS BIGINT), m := m60, s := s60),
+                struct_pack(rep := CAST(61 AS BIGINT), m := m61, s := s61),
+                struct_pack(rep := CAST(62 AS BIGINT), m := m62, s := s62),
+                struct_pack(rep := CAST(63 AS BIGINT), m := m63, s := s63),
+                struct_pack(rep := CAST(64 AS BIGINT), m := m64, s := s64)
+                         ]) AS r FROM wide) u),
          means AS (SELECT rep, m,
                           CAST(ROUND(CAST(s AS DOUBLE)
                                      / (100.0 * CAST(m AS DOUBLE)), 6)
@@ -7771,9 +7971,10 @@ SPECS["q275_bootstrap_ci"] = QuerySpec(
     FROM agg, f
     """,
     "§2.2 statistics: deterministic m-out-of-n bootstrap CI for the "
-    "mean order value — 64 md5-coin half-samples identical on both "
-    "engines, exact cent sums per replicate, CI by exact order "
-    "statistics, SE from DECIMAL-exact replicate-mean moments",
+    "mean order value — 64 coin bits from ONE md5 per order, 128 "
+    "conditional aggregates in a single scan stage (no replicate "
+    "fan-out), exact cent sums, CI by exact order statistics, SE "
+    "from DECIMAL-exact replicate-mean moments",
 )
 
 SPECS["q276_naive_bayes"] = QuerySpec(
