@@ -8358,22 +8358,59 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _daily_count_spine(spark, sf_dir).select("idx", "x")
     a = x.select(F.col("idx").alias("i"), F.col("x").alias("xi"))
     b = x.select(F.col("idx").alias("j"), F.col("x").alias("xj"))
+    # try_divide: the i < j guard makes j - i > 0 on every surviving
+    # row, but constraint inference pushes the bucket expression into
+    # the nested-loop join condition where ANSI division sees i = j
     pairs = a.join(b, F.col("i") < F.col("j")).select(
         "i",
         "j",
-        (
-            (F.col("xj") - F.col("xi")).cast("double")
-            / (F.col("j") - F.col("i")).cast("double")
+        F.try_divide(
+            (F.col("xj") - F.col("xi")).cast("double"),
+            (F.col("j") - F.col("i")).cast("double"),
         ).alias("slope"),
     )
-    w = Window.orderBy("slope", "i", "j")
-    ranked = pairs.withColumn("rn", F.row_number().over(w))
-    cnt = pairs.agg(F.count("*").alias("n_pairs"))
+    # exact median WITHOUT ranking the full pair set: histogram the
+    # slopes into order-aligned buckets (floor is monotone), locate
+    # the bucket(s) holding the two middle global ranks from the
+    # bucket cumulative (a broadcast-size frame), then row_number
+    # ONLY inside those buckets — at 10^4 spine days the pair set is
+    # ~5*10^7 rows and either a global sort (one task) or a full
+    # two-phase rank (two extra shuffles of every pair) is the
+    # bottleneck; this sorts just the median bucket
+    bucketed = pairs.withColumn(
+        "bkt", F.floor(F.col("slope") * 64).cast("long")
+    )
+    hist = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.select(
+        "bkt", "cnt",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("start"),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_pairs"))
     lo = F.floor((F.col("n_pairs") + 1) / F.lit(2.0)).cast("long")
     hi = F.floor(F.col("n_pairs") / F.lit(2.0)).cast("long") + 1
+    targets = (
+        offs.join(F.broadcast(tot), F.lit(True))
+        .filter(
+            ((lo > F.col("start")) & (lo <= F.col("start") + F.col("cnt")))
+            | ((hi > F.col("start")) & (hi <= F.col("start") + F.col("cnt")))
+        )
+        .select("bkt", "start", "n_pairs")
+    )
+    wl = Window.partitionBy("bkt").orderBy("slope", "i", "j")
     med = (
-        ranked.join(F.broadcast(cnt), F.lit(True))
-        .filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        bucketed.join(F.broadcast(targets), "bkt")
+        .withColumn("rn", F.col("start") + F.row_number().over(wl))
+        .filter(
+            (
+                F.col("rn")
+                == F.floor((F.col("n_pairs") + 1) / F.lit(2.0)).cast("long")
+            )
+            | (
+                F.col("rn")
+                == F.floor(F.col("n_pairs") / F.lit(2.0)).cast("long") + 1
+            )
+        )
         .agg(
             F.max("n_pairs").alias("n_pairs"),
             F.round(F.avg("slope"), 6).alias("ts_slope"),
