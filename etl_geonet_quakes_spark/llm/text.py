@@ -1841,3 +1841,68 @@ def heaps_law(spark: SparkSession, sf_dir: str,
         F.round(beta, 6).alias("beta"),
         F.round(F.exp(logk), 6).alias("k_coef"),
     )
+
+
+def jensen_shannon_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence matrix between every
+    source's add-one-smoothed unigram distribution — the symmetric,
+    bounded (≤ ln 2) companion to q209's one-pair KL contributions:
+    the input a mixture designer (q196/q230) or source-clustering
+    step actually wants (KL is asymmetric and infinite on vocabulary
+    gaps; smoothing + JS fixes both).
+
+    Per-token probabilities are exact integer ratios (c+1)/(n+V)
+    over the GLOBAL vocabulary; each pair's divergence folds its
+    token contributions with an ordered left fold over the token-
+    sorted array (the q303 discipline — per-term 6dp rounding on
+    ratio-derived doubles is exactly where engines' decimal ties
+    diverge). Frame: |V|·|S|² contribution rows; at 100 TB cap the
+    vocabulary to the df top-k before pairing (the q211 relief
+    valve) — the fixture's closed vocabulary needs no cap."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    cs = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    vocab = cs.select("w").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    grid = (
+        ns.join(F.broadcast(vocab), F.lit(True))
+        .join(cs, ["source", "w"], "left")
+        .join(F.broadcast(vsize), F.lit(True))
+        .select(
+            "source", "w",
+            ((F.coalesce("c", F.lit(0)) + 1).cast("double")
+             / (F.col("n_tok") + F.col("v")).cast("double")).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "w", F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = (
+        F.col("pa") * F.log(F.col("pa") / m)
+        + F.col("pb") * F.log(F.col("pb") / m)
+    ) / F.lit(2.0)
+    contrib = pairs.select("src_a", "src_b", "w", term.alias("t"))
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("w", "t"))),
+            lambda s: s["t"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        contrib.groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_tokens"), fold.alias("js"))
+        .select(
+            "src_a", "src_b", "n_tokens",
+            F.round("js", 6).alias("js_divergence"),
+            F.round(F.sqrt(F.col("js")), 6).alias("js_distance"),
+        )
+        .orderBy("src_a", "src_b")
+    )

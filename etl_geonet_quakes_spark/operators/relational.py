@@ -10391,3 +10391,66 @@ def ltv_curve(spark: SparkSession, sf_dir: str,
         )
         .orderBy("cohort", "age")
     )
+
+
+def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein (earth-mover) distance between the
+    order-value distributions of BUILDING-segment customers vs the
+    rest — W₁ = ∫|F_a − F_b| dx, the metric that sees DISTRIBUTION
+    SHAPE differences q167's mean test and q221's KS sup-statistic
+    both miss (KS sees the worst point; W₁ integrates the whole
+    discrepancy, in dollars).
+
+    The decisive exactness move: on the merged value axis each
+    segment term is |cumA·N_b − cumB·N_a| · gap — an INTEGER — so
+    the whole integral accumulates as one DECIMAL(38,0) sum and is
+    divided by N_a·N_b exactly once at the end. No float ever
+    crosses an aggregation. One orders⋈customer shuffle + one
+    value-ordered cumulative window (two-phase-rankable at scale);
+    ~6dp output."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    j = o.join(c, "o_custkey")
+    vals = j.groupBy("cents").agg(
+        F.sum("g").alias("na"),
+        F.sum(F.lit(1) - F.col("g")).alias("nb"),
+    )
+    tot = vals.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "cents",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.lead("cents", 1).over(Window.orderBy("cents")).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    seg = cum.join(F.broadcast(tot), F.lit(True)).select(
+        (
+            F.abs(
+                F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")
+            ) * (F.col("nxt") - F.col("cents"))
+        ).cast("decimal(38,0)").alias("term"),
+        "ta",
+        "tb",
+    )
+    return seg.groupBy("ta", "tb").agg(
+        F.sum("term").alias("integral")
+    ).select(
+        F.col("ta").alias("n_building"),
+        F.col("tb").alias("n_rest"),
+        F.round(
+            F.col("integral").cast("double")
+            / (
+                F.col("ta").cast("double") * F.col("tb").cast("double")
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("w1_dollars"),
+    )

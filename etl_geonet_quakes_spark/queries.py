@@ -10194,3 +10194,76 @@ SPECS["q321_ltv_curve"] = QuerySpec(
     "cohorts x age in months, cumulative revenue per head) — exact "
     "DECIMAL cents, integer window cumulatives",
 )
+
+SPECS["q322_jensen_shannon"] = QuerySpec(
+    text.jensen_shannon_matrix,
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+         cs AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok
+                FROM cs GROUP BY 1),
+         vocab AS (SELECT DISTINCT w FROM cs),
+         vs AS (SELECT COUNT(*) AS v FROM vocab),
+         grid AS (SELECT ns.source, vocab.w,
+                         CAST(COALESCE(cs.c, 0) + 1 AS DOUBLE)
+                         / CAST(ns.n_tok + vs.v AS DOUBLE) AS p
+                  FROM ns CROSS JOIN vocab CROSS JOIN vs
+                  LEFT JOIN cs ON cs.source = ns.source
+                              AND cs.w = vocab.w),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.w,
+                          (a.p * ln(a.p / ((a.p + b.p) / 2.0))
+                           + b.p * ln(b.p / ((a.p + b.p) / 2.0)))
+                          / 2.0 AS t
+                   FROM grid a JOIN grid b
+                     ON a.w = b.w AND a.source < b.source)
+    SELECT src_a, src_b, COUNT(*) AS n_tokens,
+           ROUND(list_reduce(list(t ORDER BY w), (a, x) -> a + x), 6)
+               AS js_divergence,
+           ROUND(sqrt(list_reduce(list(t ORDER BY w),
+                                  (a, x) -> a + x)), 6) AS js_distance
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.3 corpus mixture: pairwise Jensen-Shannon divergence matrix "
+    "over smoothed source unigram distributions — symmetric/bounded "
+    "(vs q209's KL), token-ordered left folds, global-vocab add-one "
+    "smoothing",
+)
+
+SPECS["q323_wasserstein_1d"] = QuerySpec(
+    rel.wasserstein_1d,
+    """
+    WITH j AS (SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                          AS cents,
+                      CAST(c.c_mktsegment = 'BUILDING' AS BIGINT) AS g
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         vals AS (SELECT cents,
+                         CAST(SUM(g) AS BIGINT) AS na,
+                         CAST(SUM(1 - g) AS BIGINT) AS nb
+                  FROM j GROUP BY 1),
+         tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                        CAST(SUM(nb) AS BIGINT) AS tb
+                 FROM vals),
+         cum AS (SELECT cents,
+                        CAST(SUM(na) OVER w AS BIGINT) AS ca,
+                        CAST(SUM(nb) OVER w AS BIGINT) AS cb,
+                        lead(cents, 1) OVER (ORDER BY cents) AS nxt
+                 FROM vals
+                 WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW)),
+         seg AS (SELECT CAST(abs(ca * tb - cb * ta)
+                             * (nxt - cents) AS DECIMAL(38,0)) AS term,
+                        ta, tb
+                 FROM cum, tot WHERE nxt IS NOT NULL)
+    SELECT ta AS n_building, tb AS n_rest,
+           ROUND(CAST(SUM(term) AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) / 100.0, 6)
+               AS w1_dollars
+    FROM seg GROUP BY ta, tb
+    """,
+    "§2.2 statistics: exact 1-D Wasserstein distance between "
+    "BUILDING vs rest order-value distributions — every integral "
+    "term is an integer |cumA*Nb - cumB*Na|*gap, one DECIMAL(38,0) "
+    "sum, a single final division",
+)

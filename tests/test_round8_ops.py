@@ -1369,3 +1369,42 @@ def test_ltv_curve_monotone_within_cohort(spark):
         assert ages == sorted(ages)
         ltvs = [r["cum_ltv_per_head"] for r in rows]
         assert all(a <= b + 1e-9 for a, b in zip(ltvs, ltvs[1:]))
+
+
+def test_jensen_shannon_bounds_and_symmetric_frame(spark):
+    import math as m
+    out = text.jensen_shannon_matrix(spark, SF).collect()
+    srcs = {r["src_a"] for r in out} | {r["src_b"] for r in out}
+    n = len(srcs)
+    assert len(out) == n * (n - 1) // 2
+    for r in out:
+        assert 0.0 <= r["js_divergence"] <= m.log(2) + 1e-9
+        # compare squared: sqrt amplifies the 6dp rounding near 0
+        assert abs(r["js_distance"] ** 2 - r["js_divergence"]) < 1e-5
+
+
+def test_wasserstein_brute_force_crosscheck(spark):
+    """W1 equals the brute-force |F_a - F_b| integral on the fixture."""
+    from etl_geonet_quakes_spark.io import load_table
+    r = rel.wasserstein_1d(spark, SF).collect()[0]
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+        )
+        .collect()
+    )
+    a = sorted(x["v"] for x in rows if x["g"] == 1)
+    b = sorted(x["v"] for x in rows if x["g"] == 0)
+    vals = sorted(set(a) | set(b))
+    import bisect
+    integral = 0.0
+    for lo, hi in zip(vals, vals[1:]):
+        fa = bisect.bisect_right(a, lo) / len(a)
+        fb = bisect.bisect_right(b, lo) / len(b)
+        integral += abs(fa - fb) * (hi - lo)
+    assert abs(r["w1_dollars"] - integral / 100.0) < 1e-4
+    assert r["n_building"] == len(a) and r["n_rest"] == len(b)
