@@ -157,6 +157,10 @@ HEADLINE = [
     "q304_logistic_irls",
     "q305_cox_ph",
     "q306_ipf_raking",
+    "q311_ndcg_at_k",
+    "q314_mahalanobis_outliers",
+    "q322_jensen_shannon",
+    "q323_wasserstein_1d",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a
