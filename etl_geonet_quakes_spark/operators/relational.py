@@ -10454,3 +10454,183 @@ def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w1_dollars"),
     )
+
+
+# Abramowitz–Stegun 7.1.26 erf approximation (|err| < 1.5e-7), used
+# for normal tail probabilities. The SAME literals are embedded in
+# the Spark expression and the generated SQL oracle, so the p-values
+# are the identical approximation on both engines — no engine's
+# erf/CDF is in the data path (DuckDB has no erf; Spark's would
+# differ anyway).
+_ERF_A = (0.254829592, -0.284496736, 1.421413741,
+          -1.453152027, 1.061405429)
+_ERF_P = 0.3275911
+_SQRT2 = 1.4142135623730951
+
+
+def _normal_two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value 2·P(Z > |z|) via A-S 7.1.26."""
+    x = F.abs(z) / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = (
+        (
+            (
+                (F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)
+            ) * t + F.lit(a2)
+        ) * t + F.lit(a1)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-(x * x))
+    return F.lit(1.0) - erf
+
+
+def _normal_two_sided_p_sql(z_expr: str) -> str:
+    """The identical A-S expression as SQL text (same literals)."""
+    a1, a2, a3, a4, a5 = _ERF_A
+    x = f"(abs({z_expr}) / {_SQRT2!r})"
+    t = f"(1.0 / (1.0 + {_ERF_P!r} * {x}))"
+    poly = (f"((((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} "
+            f"+ {a2!r}) * {t} + {a1!r}) * {t})")
+    return f"(1.0 - (1.0 - {poly} * exp(-({x} * {x}))))"
+
+
+def fdr_bh(spark: SparkSession, sf_dir: str,
+           q: float = 0.1) -> DataFrame:
+    """Benjamini–Hochberg FDR control over 25 simultaneous
+    per-nation tests of "does this nation's URGENT rate differ from
+    the global rate?" — the multiple-testing correction every
+    metrics pipeline needs once it fans a test across segments
+    (q168's single z-test, run 25×, would false-positive ~1 nation
+    per readout at α = 0.05 by chance alone).
+
+    z-statistics are exact-integer-ratio doubles; p-values come from
+    the shared-literal A-S normal approximation (see
+    ``_normal_two_sided_p`` — identical arithmetic both engines);
+    the BH step-up runs entirely on the bounded 25-row frame
+    (rank window + running max of the passing rank). Corpus-scale
+    work: one orders⋈customer agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("nat")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("k"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nt"), F.sum("k").alias("kt"),
+        F.count("*").alias("m"),
+    )
+    p0 = F.col("kt").cast("double") / F.col("nt").cast("double")
+    z = (
+        F.col("k").cast("double") / F.col("n").cast("double") - p0
+    ) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    scored = (
+        cells.join(F.broadcast(tot), F.lit(True))
+        .select(
+            "nat", "n", "k", "m",
+            F.round(z, 6).alias("z_stat"),
+            F.round(_normal_two_sided_p(z), 6).alias("p_value"),
+        )
+    )
+    wr = Window.orderBy("p_value", "nat")
+    ranked = scored.withColumn("rank", F.row_number().over(wr)).withColumn(
+        "bh_critical",
+        F.round(
+            F.lit(q) * F.col("rank").cast("double")
+            / F.col("m").cast("double"),
+            6,
+        ),
+    )
+    # BH step-up: reject every p whose rank <= the LARGEST passing
+    # rank (running max over the bounded frame, then broadcast back)
+    kmax = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("bh_critical"), F.col("rank")
+            )
+        ).alias("k_star")
+    )
+    return (
+        ranked.join(F.broadcast(kmax), F.lit(True))
+        .select(
+            "nat", "n", "k", "z_stat", "p_value", "rank", "bh_critical",
+            (
+                F.col("rank") <= F.coalesce(F.col("k_star"), F.lit(0))
+            ).cast("long").alias("discovery"),
+        )
+        .orderBy("rank")
+    )
+
+
+def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the q316 experiment design: the minimal
+    detectable effect on the per-user H2-purchase metric at 80%
+    power / 5% two-sided α, given the OBSERVED variance and arm
+    sizes — the "should we even run this test?" calculation that
+    precedes every A/B launch. MDE = (z_{α/2}+z_{β})·√(σ²/n₁+σ²/n₀),
+    with the z quantiles as shared literals (1.959964, 0.841621).
+
+    Variance comes from the exact pooled BIGINT/DECIMAL moments
+    (q316's frame); every output is a fixed-shape double of exact
+    integers, 6dp. One user-keyed agg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    )
+    mid = e.agg(
+        F.date_add(
+            F.min("d"),
+            (F.datediff(F.max("d"), F.min("d")) / 2).cast("int"),
+        ).alias("mid")
+    )
+    per_user = (
+        e.join(F.broadcast(mid), F.lit(True))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("d") >= F.col("mid"))
+                ).cast("long")
+            ).alias("y")
+        )
+        .select(
+            "y",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("arm"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum("arm").alias("n1"),
+    )
+    nd = F.col("n").cast("double")
+    ybar = F.col("sy").cast("double") / nd
+    var = F.col("syy").cast("double") / nd - ybar * ybar
+    n1d = F.col("n1").cast("double")
+    n0d = nd - n1d
+    za, zb = F.lit(1.959964), F.lit(0.841621)
+    mde = (za + zb) * F.sqrt(var / n1d + var / n0d)
+    return mom.select(
+        "n",
+        F.col("n1").alias("n_treated"),
+        F.round(ybar, 6).alias("mean_y"),
+        F.round(var, 6).alias("var_y"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(ybar > 0, mde / ybar), 6
+        ).alias("mde_relative"),
+    )

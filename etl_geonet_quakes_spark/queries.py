@@ -10267,3 +10267,102 @@ SPECS["q323_wasserstein_1d"] = QuerySpec(
     "term is an integer |cumA*Nb - cumB*Na|*gap, one DECIMAL(38,0) "
     "sum, a single final division",
 )
+
+SPECS["q324_fdr_bh"] = QuerySpec(
+    rel.fdr_bh,
+    """
+    WITH o AS (SELECT o_custkey,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         cells AS (SELECT c.c_nationkey AS nat, COUNT(*) AS n,
+                          CAST(SUM(y) AS BIGINT) AS k
+                   FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+                   GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                        CAST(SUM(k) AS BIGINT) AS kt,
+                        COUNT(*) AS m
+                 FROM cells),
+         zs AS (SELECT nat, n, k, m,
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE))
+                       / sqrt(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)
+                              * (1.0 - CAST(kt AS DOUBLE)
+                                       / CAST(nt AS DOUBLE))
+                              / CAST(n AS DOUBLE)) AS z
+                FROM cells, tot),
+         sc AS (SELECT nat, n, k, m,
+                       ROUND(z, 6) AS z_stat,
+                       ROUND((1.0 - (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))) * exp(-((abs(z) / 1.4142135623730951) * (abs(z) / 1.4142135623730951))))), 6) AS p_value
+                FROM zs),
+         ranked AS (SELECT *,
+                           ROW_NUMBER() OVER (ORDER BY p_value, nat)
+                               AS rank
+                    FROM sc),
+         rb AS (SELECT *,
+                       ROUND(0.1 * CAST(rank AS DOUBLE)
+                             / CAST(m AS DOUBLE), 6) AS bh_critical
+                FROM ranked),
+         km AS (SELECT MAX(CASE WHEN p_value <= bh_critical
+                                THEN rank END) AS k_star
+                FROM rb)
+    SELECT nat, n, k, z_stat, p_value, rank, bh_critical,
+           CAST(rank <= COALESCE(k_star, 0) AS BIGINT) AS discovery
+    FROM rb, km ORDER BY rank
+    """,
+    "§2.2 multiple testing: Benjamini-Hochberg FDR over 25 "
+    "per-nation URGENT-rate z-tests — shared-literal A-S normal "
+    "p-values (identical approximation both engines), step-up on "
+    "the bounded frame",
+)
+
+SPECS["q325_power_mde"] = QuerySpec(
+    rel.power_mde,
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d
+               FROM events),
+         mid AS (SELECT MIN(d) + CAST(FLOOR(
+                        date_diff('day', MIN(d), MAX(d)) / 2) AS INT)
+                            AS mid
+                 FROM e),
+         pu AS (SELECT user_id,
+                       CAST(SUM(CAST(event_type = 'purchase'
+                                     AND d >= mid AS BIGINT))
+                            AS BIGINT) AS y
+                FROM e, mid GROUP BY 1),
+         pua AS (SELECT y,
+                        CAST(concat('0x', substring(
+                             md5(CAST(user_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 2 AS arm
+                 FROM pu),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                        CAST(SUM(arm) AS BIGINT) AS n1
+                 FROM pua),
+         mv AS (SELECT n, n1,
+                       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+                       CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS var_y
+                FROM mom)
+    SELECT n, n1 AS n_treated,
+           ROUND(ybar, 6) AS mean_y,
+           ROUND(var_y, 6) AS var_y,
+           ROUND((1.959964 + 0.841621)
+                 * sqrt(var_y / CAST(n1 AS DOUBLE)
+                        + var_y / (CAST(n AS DOUBLE)
+                                   - CAST(n1 AS DOUBLE))), 6)
+               AS mde_abs,
+           ROUND(CASE WHEN ybar > 0 THEN
+                 (1.959964 + 0.841621)
+                 * sqrt(var_y / CAST(n1 AS DOUBLE)
+                        + var_y / (CAST(n AS DOUBLE)
+                                   - CAST(n1 AS DOUBLE))) / ybar
+                 END, 6) AS mde_relative
+    FROM mv
+    """,
+    "§2.2 experimentation: power analysis / minimal detectable "
+    "effect for the q316 design (80% power, 5% two-sided) — shared "
+    "z-quantile literals, exact observed-variance moments",
+)

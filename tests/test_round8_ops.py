@@ -1408,3 +1408,43 @@ def test_wasserstein_brute_force_crosscheck(spark):
         integral += abs(fa - fb) * (hi - lo)
     assert abs(r["w1_dollars"] - integral / 100.0) < 1e-4
     assert r["n_building"] == len(a) and r["n_rest"] == len(b)
+
+
+def test_fdr_bh_structure(spark):
+    import math as m
+    out = rel.fdr_bh(spark, SF01).collect()
+    assert len(out) == 25
+    ps = [r["p_value"] for r in out]
+    assert ps == sorted(ps)  # ordered by rank
+    for r in out:
+        assert 0.0 <= r["p_value"] <= 1.0
+        # A-S approximation sanity at a known point: p(z=0) = 1
+        if abs(r["z_stat"]) < 1e-9:
+            assert abs(r["p_value"] - 1.0) < 1e-5
+    # discoveries form a prefix of the rank order (step-up property)
+    flags = [r["discovery"] for r in out]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_normal_p_approximation_accuracy(spark):
+    """The shared-literal A-S p-values match scipy-free exact values
+    (via math.erfc) within the documented 1.5e-7 erf error."""
+    import math as m
+    df = spark.range(1).select(
+        *[
+            rel._normal_two_sided_p(F.lit(z)).alias(f"p{i}")
+            for i, z in enumerate([0.0, 0.5, 1.0, 1.959964, 3.0])
+        ]
+    )
+    row = df.collect()[0]
+    for i, z in enumerate([0.0, 0.5, 1.0, 1.959964, 3.0]):
+        exact = m.erfc(z / m.sqrt(2))
+        assert abs(row[f"p{i}"] - exact) < 3e-7, (z, row[f"p{i}"], exact)
+
+
+def test_power_mde_scales_with_n(spark):
+    small = rel.power_mde(spark, SF).collect()[0]
+    big = rel.power_mde(spark, SF01).collect()[0]
+    assert big["n"] > small["n"]
+    assert big["mde_abs"] < small["mde_abs"]  # more users, smaller MDE
+    assert small["mde_abs"] > 0
