@@ -10634,3 +10634,180 @@ def power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ybar > 0, mde / ybar), 6
         ).alias("mde_relative"),
     )
+
+
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily clicks vs purchases CONTROLLING
+    for total daily traffic — the confounder-removal form of q266's
+    raw correlation: two series can co-move simply because busy days
+    are busy everywhere; ρ(x,y|z) = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) isolates the funnel coupling from the
+    traffic tide.
+
+    All three pairwise correlations come from ONE pass of exact
+    BIGINT/DECIMAL(38,0) moments over the 0-filled spine (z = total
+    events including other types, so z ≠ x + y identically); the
+    partial is a fixed-shape double of the three r's, 6dp."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = e.groupBy("d").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        F.count("*").alias("z"),
+    )
+    bounds = e.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("d")
+    )
+    sp = (
+        spine.join(daily, "d", "left")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+            F.coalesce("z", F.lit(0)).alias("z"),
+        )
+    )
+    mom = sp.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)")).alias("szz"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast("decimal(38,0)")).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast("decimal(38,0)")).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def corr(spq, sp_, sq_, spp, sqq):
+        num = nd * F.col(spq).cast("double") - F.col(sp_).cast(
+            "double"
+        ) * F.col(sq_).cast("double")
+        va = nd * F.col(spp).cast("double") - F.col(sp_).cast(
+            "double"
+        ) * F.col(sp_).cast("double")
+        vb = nd * F.col(sqq).cast("double") - F.col(sq_).cast(
+            "double"
+        ) * F.col(sq_).cast("double")
+        return num / (F.sqrt(va) * F.sqrt(vb))
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt(
+        (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    )
+    return mom.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(partial, 6).alias("r_xy_given_z"),
+    )
+
+
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand overdispersion diagnostic + negative-binomial
+    method-of-moments fit for daily demand counts — the count-model
+    selection question (Poisson assumes var = mean; retail demand
+    never obeys): dispersion = var/mean, and when var > mean the
+    MoM NB parameters are r = μ²/(σ²−μ), p = μ/σ². Brands with
+    r < 1 are burst-dominated (q207's finding, per brand, with a
+    generative model attached).
+
+    Zero days enter via the full calendar denominator (the q320
+    discipline); all moments exact BIGINT/DECIMAL(38,0); r/p are
+    NULL-guarded fixed-shape doubles when var ≤ mean (Poisson-or-
+    under territory, flagged not faked)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    demand = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), "l_partkey")
+        .groupBy("brand", "d")
+        .agg(F.count("*").alias("q"))
+    )
+    days = o.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("n_days")
+    )
+    mom = (
+        demand.groupBy("brand")
+        .agg(
+            F.sum("q").alias("sq"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+            .alias("sqq"),
+        )
+        .join(F.broadcast(days), F.lit(True))
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("sq").cast("double") / nd
+    var = F.col("sqq").cast("double") / nd - mu * mu
+    return mom.select(
+        "brand",
+        F.round(mu, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mu, 6).alias("dispersion"),
+        F.round(
+            F.when(var > mu, mu * mu / (var - mu)), 6
+        ).alias("nb_r"),
+        F.round(F.when(var > mu, mu / var), 6).alias("nb_p"),
+    ).orderBy("brand")
+
+
+def cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test: does the URGENT rate trend
+    monotonically ACROSS the ordered value deciles? The ordered-
+    categories test q234's chi-square cannot express (chi-square
+    sees any deviation; CA is powered specifically for dose-response
+    trends, with decile index as the score).
+
+    Z² = [Σ k_i(s_i − s̄)]² / [p̄(1−p̄) Σ n_i(s_i − s̄)²] with integer
+    scores s_i = i: both numerator and denominator assemble from
+    exact integer cell sums (the cross-multiplied forms avoid every
+    intermediate ratio); the p-value uses the shared-literal A-S
+    normal tail (q324). One ntile + one 10-cell frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    cells = (
+        o.withColumn("s", F.ntile(10).over(w))
+        .groupBy("s")
+        .agg(F.count("*").alias("n_i"), F.sum("y").alias("k_i"))
+    )
+    mom = cells.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("k_i").alias("k"),
+        F.sum(F.col("n_i") * F.col("s")).alias("sns"),
+        F.sum(F.col("k_i") * F.col("s")).alias("sks"),
+        F.sum(
+            (F.col("n_i") * F.col("s") * F.col("s")).cast("decimal(38,0)")
+        ).alias("snss"),
+    )
+    nd = F.col("n").cast("double")
+    sbar = F.col("sns").cast("double") / nd
+    pbar = F.col("k").cast("double") / nd
+    num = F.col("sks").cast("double") - pbar * F.col("sns").cast("double")
+    den = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (F.col("snss").cast("double") - nd * sbar * sbar)
+    )
+    z = num / F.sqrt(den)
+    return mom.select(
+        "n",
+        F.col("k").alias("n_urgent"),
+        F.round(z, 6).alias("z_trend"),
+        F.round(_normal_two_sided_p(z), 6).alias("p_value"),
+    )

@@ -10366,3 +10366,150 @@ SPECS["q325_power_mde"] = QuerySpec(
     "effect for the q316 design (80% power, 5% two-sided) — shared "
     "z-quantile literals, exact observed-variance moments",
 )
+
+SPECS["q326_partial_correlation"] = QuerySpec(
+    rel.partial_correlation,
+    """
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+         daily AS (SELECT d,
+                          SUM(CAST(event_type = 'click' AS BIGINT)) AS x,
+                          SUM(CAST(event_type = 'purchase' AS BIGINT))
+                              AS y,
+                          COUNT(*) AS z
+                   FROM e GROUP BY d),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM e),
+         spine AS (SELECT (SELECT mind FROM g0)
+                          + CAST(unnest(range(0,
+                                date_diff('day', mind, maxd) + 1))
+                                 AS INT) AS d
+                   FROM g0),
+         sp AS (SELECT COALESCE(x, 0) AS x, COALESCE(y, 0) AS y,
+                       COALESCE(z, 0) AS z
+                FROM spine LEFT JOIN daily USING (d)),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(z) AS BIGINT) AS sz,
+                        SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                        SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                        SUM(CAST(z * z AS DECIMAL(38,0))) AS szz,
+                        SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                        SUM(CAST(x * z AS DECIMAL(38,0))) AS sxz,
+                        SUM(CAST(y * z AS DECIMAL(38,0))) AS syz
+                 FROM sp),
+         r AS (SELECT n,
+                      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))) AS rxy,
+                      (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                                - CAST(sz AS DOUBLE)
+                                  * CAST(sz AS DOUBLE))) AS rxz,
+                      (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                                - CAST(sz AS DOUBLE)
+                                  * CAST(sz AS DOUBLE))) AS ryz
+               FROM mom)
+    SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+           ROUND(ryz, 6) AS r_yz,
+           ROUND((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+               AS r_xy_given_z
+    FROM r
+    """,
+    "§2.2 statistics: partial correlation of daily clicks vs "
+    "purchases controlling for total traffic — one exact moment "
+    "pass, the confounder-removal form of q266",
+)
+
+SPECS["q327_negative_binomial_fit"] = QuerySpec(
+    rel.negative_binomial_fit,
+    """
+    WITH demand AS (SELECT p.p_brand AS brand,
+                           CAST(o.o_orderdate AS DATE) AS d,
+                           COUNT(*) AS q
+                    FROM lineitem li
+                    JOIN orders o ON li.l_orderkey = o.o_orderkey
+                    JOIN part p ON li.l_partkey = p.p_partkey
+                    GROUP BY 1, 2),
+         days AS (SELECT date_diff('day',
+                             MIN(CAST(o_orderdate AS DATE)),
+                             MAX(CAST(o_orderdate AS DATE))) + 1
+                             AS n_days
+                  FROM orders),
+         mom AS (SELECT brand, CAST(SUM(q) AS BIGINT) AS sq,
+                        SUM(CAST(q * q AS DECIMAL(38,0))) AS sqq
+                 FROM demand GROUP BY 1),
+         mv AS (SELECT brand,
+                       CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+                       CAST(sqq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE))
+                           AS var
+                FROM mom, days)
+    SELECT brand,
+           ROUND(mu, 6) AS mean_daily,
+           ROUND(var, 6) AS var_daily,
+           ROUND(var / mu, 6) AS dispersion,
+           ROUND(CASE WHEN var > mu THEN mu * mu / (var - mu) END, 6)
+               AS nb_r,
+           ROUND(CASE WHEN var > mu THEN mu / var END, 6) AS nb_p
+    FROM mv ORDER BY brand
+    """,
+    "§2.2 count models: per-brand overdispersion + negative-"
+    "binomial method-of-moments fit of daily demand — zero-day-"
+    "correct calendar denominator, NULL-guarded Poisson territory",
+)
+
+SPECS["q328_cochran_armitage"] = QuerySpec(
+    rel.cochran_armitage,
+    """
+    WITH o AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y
+               FROM orders),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey)
+                          AS s
+               FROM o),
+         cells AS (SELECT s, COUNT(*) AS n_i,
+                          CAST(SUM(y) AS BIGINT) AS k_i
+                   FROM b GROUP BY 1),
+         mom AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                        CAST(SUM(k_i) AS BIGINT) AS k,
+                        CAST(SUM(n_i * s) AS BIGINT) AS sns,
+                        CAST(SUM(k_i * s) AS BIGINT) AS sks,
+                        SUM(CAST(n_i * s * s AS DECIMAL(38,0))) AS snss
+                 FROM cells),
+         zz AS (SELECT n, k,
+                       (CAST(sks AS DOUBLE)
+                        - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                          * CAST(sns AS DOUBLE))
+                       / sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                              * (1.0 - CAST(k AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                              * (CAST(snss AS DOUBLE)
+                                 - CAST(n AS DOUBLE)
+                                   * (CAST(sns AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                                   * (CAST(sns AS DOUBLE)
+                                      / CAST(n AS DOUBLE)))) AS z
+                FROM mom)
+    SELECT n, k AS n_urgent,
+           ROUND(z, 6) AS z_trend,
+           ROUND((1.0 - (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))) * exp(-((abs(z) / 1.4142135623730951) * (abs(z) / 1.4142135623730951))))), 6) AS p_value
+    FROM zz
+    """,
+    "§2.2 statistics: Cochran-Armitage trend test of URGENT rate "
+    "across ordered value deciles — exact integer cell sums in "
+    "cross-multiplied form, shared-literal A-S p-value",
+)

@@ -1448,3 +1448,35 @@ def test_power_mde_scales_with_n(spark):
     assert big["n"] > small["n"]
     assert big["mde_abs"] < small["mde_abs"]  # more users, smaller MDE
     assert small["mde_abs"] > 0
+
+
+def test_partial_correlation_attenuates_raw(spark):
+    r = rel.partial_correlation(spark, SF).collect()[0]
+    for c in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
+        assert -1.0 <= r[c] <= 1.0
+    # the controlled correlation must differ from the raw one when
+    # both series load on traffic (non-trivial control)
+    assert r["r_xz"] != 0 and r["r_yz"] != 0
+
+
+def test_negative_binomial_identities(spark):
+    out = rel.negative_binomial_fit(spark, SF).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r["dispersion"] > 0
+        if r["nb_r"] is not None:
+            # MoM identities: mean = r(1-p)/p within rounding
+            assert r["nb_p"] is not None and 0 < r["nb_p"] < 1
+            implied = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
+            assert abs(implied - r["mean_daily"]) < 1e-3
+        else:
+            assert r["dispersion"] <= 1.0 + 1e-9
+
+
+def test_cochran_armitage_null_on_uniform_priorities(spark):
+    """TPC-H priorities are value-independent: the trend must be
+    statistically unremarkable (|z| modest, p not tiny)."""
+    r = rel.cochran_armitage(spark, SF01).collect()[0]
+    assert 0.0 <= r["p_value"] <= 1.0
+    assert abs(r["z_trend"]) < 4.0
+    assert r["n_urgent"] < r["n"]
