@@ -10811,3 +10811,242 @@ def cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_trend"),
         F.round(_normal_two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily order series by the variance-time
+    plot: aggregate the series into blocks of m ∈ {1,2,4,8,16} days,
+    compute the variance of block MEANS, and fit ln var(m) = c +
+    (2H−2)·ln m — the long-memory diagnostic (H ≈ 0.5 short memory;
+    H → 1 persistent trends; H < 0.5 mean-reverting) that tells a
+    capacity planner whether daily load fluctuations average out.
+
+    Per m, block sums are exact integers over complete blocks and
+    var(m) assembles from Σb, Σb² (BIGINT / DECIMAL(38,0)) — the
+    variance of means uses the m² scaling analytically, so nothing
+    floats until the five (ln m, ln var) points, folded in m order.
+    One per-day shuffle; five bounded block aggregations."""
+    x = _daily_count_spine(spark, sf_dir).select("idx", "x")
+    pts = None
+    for m in (1, 2, 4, 8, 16):
+        blocks = (
+            x.groupBy(F.floor(F.col("idx") / m).alias("blk"))
+            .agg(F.count("*").alias("c"), F.sum("x").alias("b"))
+            .filter(F.col("c") == m)
+        )
+        mom = blocks.agg(
+            F.count("*").alias("k"),
+            F.sum("b").alias("sb"),
+            F.sum((F.col("b") * F.col("b")).cast("decimal(38,0)"))
+            .alias("sbb"),
+        ).select(F.lit(m).alias("m"), "k", "sb", "sbb")
+        pts = mom if pts is None else pts.unionAll(mom)
+    kd = F.col("k").cast("double")
+    md = F.col("m").cast("double")
+    mean_b = F.col("sb").cast("double") / kd
+    var_mean = (
+        F.col("sbb").cast("double") / kd - mean_b * mean_b
+    ) / (md * md)
+    lx = F.log(md)
+    ly = F.log(var_mean)
+    fold_pts = pts.agg(
+        F.count("*").alias("npts"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("m"), lx.alias("lx"), ly.alias("ly")))
+        ).alias("pl"),
+    )
+
+    def fsum(term):
+        return F.aggregate(
+            F.transform("pl", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    nd = F.col("npts").cast("double")
+    sx = fsum(lambda s: s["lx"])
+    sy = fsum(lambda s: s["ly"])
+    sxy = fsum(lambda s: s["lx"] * s["ly"])
+    sxx = fsum(lambda s: s["lx"] * s["lx"])
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return fold_pts.select(
+        F.col("npts").alias("n_block_sizes"),
+        F.round(slope, 6).alias("vt_slope"),
+        F.round(F.lit(1.0) + slope / F.lit(2.0), 6).alias("hurst_h"),
+    )
+
+
+# cos/sin of 2*pi*s/7 for s = 0..6 as shared literals (q311 style):
+# computed once in Python, embedded verbatim on both engines.
+_W7_COS = [math.cos(2.0 * math.pi * s / 7.0) for s in range(7)]
+_W7_SIN = [math.sin(2.0 * math.pi * s / 7.0) for s in range(7)]
+
+
+def weekly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram ordinate at the weekly frequency for the daily
+    order series — the spectral confirmation of q267/q308's
+    seasonality: C = Σ xₜcos(2πt/7), S = Σ xₜsin(2πt/7), and the
+    share of total variance the f = 1/7 line explains,
+    2(C² + S²)/(n·SS). A share near zero kills the "weekly
+    seasonality" hypothesis without fitting anything.
+
+    Because the weights only depend on t mod 7, C and S are 7-term
+    folds of exact per-slot integer sums against SHARED cos/sin
+    literals — no engine's trig is in the data path; SS = nΣx²−(Σx)²
+    is exact DECIMAL. One per-day shuffle, then a 7-row frame."""
+    x = _daily_count_spine(spark, sf_dir).withColumn(
+        "s", F.col("idx") % 7
+    )
+    slots = x.groupBy("s").agg(F.sum("x").alias("xs"))
+    tot = x.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    cos_arr = F.array(*[F.lit(c) for c in _W7_COS])
+    sin_arr = F.array(*[F.lit(c) for c in _W7_SIN])
+    one = slots.agg(
+        F.sort_array(F.collect_list(F.struct("s", "xs"))).alias("sl")
+    ).join(F.broadcast(tot), F.lit(True))
+
+    def fsum(arr):
+        return F.aggregate(
+            F.transform(
+                "sl",
+                lambda r: r["xs"].cast("double")
+                * F.element_at(arr, r["s"].cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+
+    c = fsum(cos_arr)
+    s = fsum(sin_arr)
+    nd = F.col("n").cast("double")
+    ss = F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    )
+    share = F.lit(2.0) * (c * c + s * s) / (nd * ss)
+    return one.select(
+        "n",
+        F.round(c, 6).alias("cos_sum"),
+        F.round(s, 6).alias("sin_sum"),
+        F.round(F.lit(2.0) * F.sqrt(c * c + s * s) / nd, 6)
+        .alias("weekly_amplitude"),
+        F.round(share, 6).alias("weekly_variance_share"),
+    )
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily order
+    series dichotomized at the EXACT mean (n·xₜ > Σx is an integer
+    comparison — no interpolated median to disagree on; equal-to-
+    mean days count as "below", documented): too FEW runs means
+    clustering/trend, too many means oscillation — the randomness
+    gate q255's autocorrelation complements.
+
+    The run count is a lag-compare sum over the idx-ordered spine
+    (exact integers); μ_R and σ_R are the closed-form two-sample
+    formulas; the p-value is the shared-literal A-S normal tail.
+    One per-day shuffle + one sequential window."""
+    sp = _daily_count_spine(spark, sf_dir).select("idx", "x")
+    tot = sp.agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+    lab = sp.join(F.broadcast(tot), F.lit(True)).select(
+        "idx",
+        (F.col("x") * F.col("n") > F.col("sx")).cast("long").alias("a"),
+    )
+    w = Window.orderBy("idx")
+    runs = lab.select(
+        "a",
+        (
+            F.coalesce(
+                (F.col("a") != F.lag("a", 1).over(w)).cast("long"),
+                F.lit(1),
+            )
+        ).alias("new_run"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("n_above"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = nd - n1
+    mu = F.lit(2.0) * n1 * n2 / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nd)
+    ) / (nd * nd * (nd - F.lit(1.0)))
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return runs.select(
+        "n", "n_above", "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided_p(z), 6).alias("p_value"),
+    )
+
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily order counts: each
+    H2 day is paired with the H1 day exactly half-a-span earlier,
+    testing a level shift without q167's normality assumption — the
+    ordinal paired test the suite lacked (q296's McNemar is its
+    binary sibling; q224's Mann–Whitney is the UNPAIRED rank test).
+
+    Zero differences drop (Wilcoxon convention); |d| midranks come
+    from the doubled-rank histogram identity (q281's discipline —
+    exact BIGINT, no per-row float); W⁺ folds as Σ positive-d
+    doubled midranks / 2 exactly; the tie-corrected normal
+    approximation uses Σ(t³−t) as DECIMAL and the shared-literal
+    A-S p-value. Everything after the one per-day shuffle is
+    bounded by distinct |d| values."""
+    sp = _daily_count_spine(spark, sf_dir).select("idx", "x")
+    half = sp.agg(
+        (F.floor((F.max("idx") + 1) / F.lit(2.0))).cast("long").alias("h")
+    )
+    a = sp.join(F.broadcast(half), F.lit(True))
+    pairs = (
+        a.filter(F.col("idx") < F.col("h"))
+        .select(F.col("idx").alias("i"), F.col("x").alias("x1"), "h")
+        .join(
+            a.filter(F.col("idx") >= F.col("h")).select(
+                (F.col("idx") - F.col("h")).alias("i"),
+                F.col("x").alias("x2"),
+            ),
+            "i",
+        )
+        .select((F.col("x2") - F.col("x1")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(F.abs("d").alias("ad"), (F.col("d") > 0).cast("long").alias("pos"))
+    )
+    hist = pairs.groupBy("ad").agg(
+        F.count("*").alias("t"), F.sum("pos").alias("t_pos")
+    )
+    wv = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "ad", "t", "t_pos",
+        (F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+         + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t").alias("n_pairs"),
+        F.sum(F.col("t_pos") * F.col("r2")).alias("w2_pos"),
+        F.sum(
+            (
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("decimal(38,0)")
+        ).alias("tie3"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    wplus = F.col("w2_pos").cast("double") / F.lit(2.0)
+    mu = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var = (
+        nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+        / F.lit(24.0)
+        - F.col("tie3").cast("double") / F.lit(48.0)
+    )
+    z = (wplus - mu) / F.sqrt(var)
+    return agg.select(
+        "n_pairs",
+        F.round(wplus, 6).alias("w_plus"),
+        F.round(mu, 6).alias("expected_w"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided_p(z), 6).alias("p_value"),
+    )

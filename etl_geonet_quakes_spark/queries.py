@@ -10513,3 +10513,256 @@ SPECS["q328_cochran_armitage"] = QuerySpec(
     "across ordered value deciles — exact integer cell sums in "
     "cross-multiplied form, shared-literal A-S p-value",
 )
+
+SPECS["q329_hurst_exponent"] = QuerySpec(
+    rel.hurst_exponent,
+    """
+    WITH x0 AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM x0),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM x0) bb USING (idx)),
+         p1 AS (SELECT 1 AS m, COUNT(*) AS k,
+                        CAST(SUM(b) AS BIGINT) AS sb,
+                        SUM(CAST(b * b AS DECIMAL(38,0))) AS sbb
+                 FROM (SELECT FLOOR(idx / 1) AS blk, COUNT(*) AS c,
+                              CAST(SUM(x) AS BIGINT) AS b
+                       FROM x GROUP BY 1)
+                 WHERE c = 1),
+         p2 AS (SELECT 2 AS m, COUNT(*) AS k,
+                        CAST(SUM(b) AS BIGINT) AS sb,
+                        SUM(CAST(b * b AS DECIMAL(38,0))) AS sbb
+                 FROM (SELECT FLOOR(idx / 2) AS blk, COUNT(*) AS c,
+                              CAST(SUM(x) AS BIGINT) AS b
+                       FROM x GROUP BY 1)
+                 WHERE c = 2),
+         p4 AS (SELECT 4 AS m, COUNT(*) AS k,
+                        CAST(SUM(b) AS BIGINT) AS sb,
+                        SUM(CAST(b * b AS DECIMAL(38,0))) AS sbb
+                 FROM (SELECT FLOOR(idx / 4) AS blk, COUNT(*) AS c,
+                              CAST(SUM(x) AS BIGINT) AS b
+                       FROM x GROUP BY 1)
+                 WHERE c = 4),
+         p8 AS (SELECT 8 AS m, COUNT(*) AS k,
+                        CAST(SUM(b) AS BIGINT) AS sb,
+                        SUM(CAST(b * b AS DECIMAL(38,0))) AS sbb
+                 FROM (SELECT FLOOR(idx / 8) AS blk, COUNT(*) AS c,
+                              CAST(SUM(x) AS BIGINT) AS b
+                       FROM x GROUP BY 1)
+                 WHERE c = 8),
+         p16 AS (SELECT 16 AS m, COUNT(*) AS k,
+                        CAST(SUM(b) AS BIGINT) AS sb,
+                        SUM(CAST(b * b AS DECIMAL(38,0))) AS sbb
+                 FROM (SELECT FLOOR(idx / 16) AS blk, COUNT(*) AS c,
+                              CAST(SUM(x) AS BIGINT) AS b
+                       FROM x GROUP BY 1)
+                 WHERE c = 16),
+         pts AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p8
+                 UNION ALL SELECT * FROM p16),
+         pl AS (SELECT COUNT(*) AS npts,
+                       list(struct_pack(m := m,
+                           lx := ln(CAST(m AS DOUBLE)),
+                           ly := ln((CAST(sbb AS DOUBLE)
+                                     / CAST(k AS DOUBLE)
+                                     - (CAST(sb AS DOUBLE)
+                                        / CAST(k AS DOUBLE))
+                                       * (CAST(sb AS DOUBLE)
+                                          / CAST(k AS DOUBLE)))
+                                    / (CAST(m AS DOUBLE)
+                                       * CAST(m AS DOUBLE))))
+                            ORDER BY m) AS pl
+                FROM pts),
+         fits AS (SELECT npts,
+                     list_reduce(list_transform(pl, s -> s.lx),
+                                 (a, t) -> a + t) AS sx,
+                     list_reduce(list_transform(pl, s -> s.ly),
+                                 (a, t) -> a + t) AS sy,
+                     list_reduce(list_transform(pl, s -> s.lx * s.ly),
+                                 (a, t) -> a + t) AS sxy,
+                     list_reduce(list_transform(pl, s -> s.lx * s.lx),
+                                 (a, t) -> a + t) AS sxx
+                  FROM pl)
+    SELECT npts AS n_block_sizes,
+           ROUND((CAST(npts AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(npts AS DOUBLE) * sxx - sx * sx), 6)
+               AS vt_slope,
+           ROUND(1.0 + (CAST(npts AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(npts AS DOUBLE) * sxx - sx * sx)
+                       / 2.0, 6) AS hurst_h
+    FROM fits
+    """,
+    "§2.2 time series: Hurst exponent via the variance-time plot "
+    "(block sizes 1..16) — exact block moments, bounded log-log "
+    "fold, the long-memory diagnostic",
+)
+
+SPECS["q330_weekly_spectrum"] = QuerySpec(
+    rel.weekly_spectrum,
+    """
+    WITH x0 AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM x0),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM x0) bb USING (idx)),
+         xs AS (SELECT idx % 7 AS s, x FROM x),
+         slots AS (SELECT s, CAST(SUM(x) AS BIGINT) AS xs
+                   FROM xs GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                        SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+                 FROM x),
+         one AS (SELECT n, sx, sxx,
+                        list(struct_pack(s := s, xs := xs)
+                             ORDER BY s, xs) AS sl
+                 FROM slots, tot GROUP BY n, sx, sxx),
+         cs AS (SELECT n, sx, sxx,
+                    list_reduce(list_transform(sl,
+                        r -> CAST(r.xs AS DOUBLE)
+                             * ([1.0, 0.6234898018587336, -0.22252093395631434, -0.900968867902419, -0.9009688679024191, -0.2225209339563146, 0.6234898018587334])[r.s + 1]),
+                        (a, t) -> a + t) AS c,
+                    list_reduce(list_transform(sl,
+                        r -> CAST(r.xs AS DOUBLE)
+                             * ([0.0, 0.7818314824680298, 0.9749279121818236, 0.43388373911755823, -0.433883739117558, -0.9749279121818236, -0.7818314824680299])[r.s + 1]),
+                        (a, t) -> a + t) AS s
+                FROM one)
+    SELECT n,
+           ROUND(c, 6) AS cos_sum,
+           ROUND(s, 6) AS sin_sum,
+           ROUND(2.0 * sqrt(c * c + s * s) / CAST(n AS DOUBLE), 6)
+               AS weekly_amplitude,
+           ROUND(2.0 * (c * c + s * s)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                         / CAST(n AS DOUBLE))), 6)
+               AS weekly_variance_share
+    FROM cs
+    """,
+    "§2.2 time series: periodogram ordinate at the weekly frequency "
+    "— per-slot integer sums folded against SHARED cos/sin literals "
+    "(no engine trig in the data path), exact DECIMAL total SS",
+)
+
+SPECS["q331_runs_test"] = QuerySpec(
+    rel.runs_test,
+    """
+    WITH x0 AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM x0),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM x0) bb USING (idx)),
+         tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+                 FROM x),
+         lab AS (SELECT idx, CAST(x * n > sx AS BIGINT) AS a
+                 FROM x, tot),
+         rr AS (SELECT a, COALESCE(CAST(a <> lag(a, 1)
+                            OVER (ORDER BY idx) AS BIGINT), 1)
+                           AS new_run
+                FROM lab),
+         agg AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(a) AS BIGINT) AS n_above,
+                        CAST(SUM(new_run) AS BIGINT) AS n_runs
+                 FROM rr),
+         zz AS (SELECT n, n_above, n_runs,
+                       2.0 * CAST(n_above AS DOUBLE)
+                       * (CAST(n AS DOUBLE) - CAST(n_above AS DOUBLE))
+                       / CAST(n AS DOUBLE) + 1.0 AS mu,
+                       (CAST(n_runs AS DOUBLE)
+                        - (2.0 * CAST(n_above AS DOUBLE)
+                           * (CAST(n AS DOUBLE)
+                              - CAST(n_above AS DOUBLE))
+                           / CAST(n AS DOUBLE) + 1.0))
+                       / sqrt((2.0 * CAST(n_above AS DOUBLE)
+                               * (CAST(n AS DOUBLE)
+                                  - CAST(n_above AS DOUBLE))
+                               * (2.0 * CAST(n_above AS DOUBLE)
+                                  * (CAST(n AS DOUBLE)
+                                     - CAST(n_above AS DOUBLE))
+                                  - CAST(n AS DOUBLE)))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0))) AS z
+                FROM agg)
+    SELECT n, n_above, n_runs,
+           ROUND(mu, 6) AS expected_runs,
+           ROUND(z, 6) AS z_stat,
+           ROUND((1.0 - (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))) * exp(-((abs(z) / 1.4142135623730951) * (abs(z) / 1.4142135623730951))))), 6) AS p_value
+    FROM zz
+    """,
+    "§2.2 statistics: Wald-Wolfowitz runs test at the exact-mean "
+    "dichotomy (integer comparison, no interpolated median) — "
+    "closed-form moments, shared-literal p-value",
+)
+
+SPECS["q332_wilcoxon_signed_rank"] = QuerySpec(
+    rel.wilcoxon_signed_rank,
+    """
+    WITH x0 AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM x0),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM x0) bb USING (idx)),
+         half AS (SELECT CAST(FLOOR((MAX(idx) + 1) / 2.0) AS BIGINT)
+                             AS h
+                  FROM x),
+         pairs AS (SELECT abs(b.x - a.x) AS ad,
+                          CAST(b.x - a.x > 0 AS BIGINT) AS pos
+                   FROM x a JOIN half ON a.idx < h
+                   JOIN x b ON b.idx = a.idx + h
+                   WHERE b.x - a.x <> 0),
+         hist AS (SELECT ad, COUNT(*) AS t,
+                         CAST(SUM(pos) AS BIGINT) AS t_pos
+                  FROM pairs GROUP BY 1),
+         ranked AS (SELECT ad, t, t_pos,
+                           2 * COALESCE(SUM(t) OVER (ORDER BY ad
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               1 PRECEDING), 0) + t + 1 AS r2
+                    FROM hist),
+         agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+                        CAST(SUM(t_pos * r2) AS BIGINT) AS w2_pos,
+                        SUM(CAST(t * t * t - t AS DECIMAL(38,0)))
+                            AS tie3
+                 FROM ranked),
+         zz AS (SELECT n_pairs,
+                       CAST(w2_pos AS DOUBLE) / 2.0 AS wplus,
+                       CAST(n_pairs AS DOUBLE)
+                       * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0 AS mu,
+                       (CAST(w2_pos AS DOUBLE) / 2.0
+                        - CAST(n_pairs AS DOUBLE)
+                          * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0)
+                       / sqrt(CAST(n_pairs AS DOUBLE)
+                              * (CAST(n_pairs AS DOUBLE) + 1.0)
+                              * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0)
+                              / 24.0
+                              - CAST(tie3 AS DOUBLE) / 48.0) AS z
+                FROM agg)
+    SELECT n_pairs,
+           ROUND(wplus, 6) AS w_plus,
+           ROUND(mu, 6) AS expected_w,
+           ROUND(z, 6) AS z_stat,
+           ROUND((1.0 - (1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -1.453152027) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 1.421413741) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + -0.284496736) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951))) + 0.254829592) * (1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)))) * exp(-((abs(z) / 1.4142135623730951) * (abs(z) / 1.4142135623730951))))), 6) AS p_value
+    FROM zz
+    """,
+    "§2.2 statistics: Wilcoxon signed-rank on H1/H2-paired daily "
+    "counts — doubled-midrank histogram identity, tie-corrected "
+    "normal approximation, shared-literal p-value",
+)

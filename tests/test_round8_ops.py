@@ -1480,3 +1480,32 @@ def test_cochran_armitage_null_on_uniform_priorities(spark):
     assert 0.0 <= r["p_value"] <= 1.0
     assert abs(r["z_trend"]) < 4.0
     assert r["n_urgent"] < r["n"]
+
+
+def test_hurst_in_range(spark):
+    r = rel.hurst_exponent(spark, SF).collect()[0]
+    assert r["n_block_sizes"] == 5
+    # iid-ish counts: H near 0.5; allow the fixture wide latitude
+    assert 0.0 < r["hurst_h"] < 1.2
+
+
+def test_weekly_spectrum_share_bounds(spark):
+    r = rel.weekly_spectrum(spark, SF).collect()[0]
+    assert 0.0 <= r["weekly_variance_share"] <= 1.0 + 1e-9
+    assert r["weekly_amplitude"] >= 0
+
+
+def test_runs_test_counts_consistent(spark):
+    r = rel.runs_test(spark, SF).collect()[0]
+    assert 1 <= r["n_runs"] <= r["n"]
+    assert 0 < r["n_above"] < r["n"]
+    assert 0.0 <= r["p_value"] <= 1.0
+
+
+def test_wilcoxon_no_shift_on_uniform_orders(spark):
+    """TPC-H orders are date-uniform: the H1/H2 paired shift must be
+    unremarkable (p not tiny), and W+ must sit within its support."""
+    r = rel.wilcoxon_signed_rank(spark, SF01).collect()[0]
+    n = r["n_pairs"]
+    assert 0 <= r["w_plus"] <= n * (n + 1) / 2
+    assert r["p_value"] > 1e-4
