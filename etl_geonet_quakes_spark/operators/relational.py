@@ -11050,3 +11050,50 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         F.round(_normal_two_sided_p(z), 6).alias("p_value"),
     )
+
+
+def ljung_box(spark: SparkSession, sf_dir: str,
+              max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau test on the daily order series: is there
+    ANY autocorrelation in lags 1..7? Q = n(n+2)·Σ r_k²/(n−k) — the
+    whiteness gate every fitted forecaster's residuals must pass,
+    and the joint version of q309's per-lag ACF (seven individually
+    small r's can be jointly damning).
+
+    Each r_k is the exact integer ratio Σu·u₊ₖ/Σu² (q309's scaled-
+    residual trick, DECIMAL(38,0) products); Q assembles over the
+    bounded 7-lag frame as a fixed left-to-right sum of single-
+    expression terms; the χ²(7) 95% critical value 14.067140 is a
+    shared literal — the verdict column is an exact comparison."""
+    x = _daily_count_spine(spark, sf_dir)
+    tot = x.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    w = Window.orderBy("idx")
+    cols = [
+        (F.col("n") * F.lead("x", k).over(w) - F.col("s")).alias(f"u{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    u = x.join(F.broadcast(tot), F.lit(True)).select(
+        (F.col("n") * F.col("x") - F.col("s")).alias("u"), "n", *cols
+    )
+    aggs = [
+        F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)")).alias("d0")
+    ] + [
+        F.sum((F.col("u") * F.col(f"u{k}")).cast("decimal(38,0)"))
+        .alias(f"d{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    m = u.groupBy("n").agg(*aggs)
+    nd = F.col("n").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, max_lag + 1):
+        rk = F.col(f"d{k}").cast("double") / F.col("d0").cast("double")
+        q = q + rk * rk / (nd - F.lit(float(k)))
+    q = nd * (nd + F.lit(2.0)) * q
+    crit = F.lit(14.067140)
+    return m.select(
+        "n",
+        F.lit(max_lag).alias("lags"),
+        F.round(q, 6).alias("q_stat"),
+        crit.alias("chi2_crit_95"),
+        (q > crit).cast("long").alias("reject_whiteness"),
+    )

@@ -10766,3 +10766,59 @@ SPECS["q332_wilcoxon_signed_rank"] = QuerySpec(
     "counts — doubled-midrank histogram identity, tie-corrected "
     "normal approximation, shared-literal p-value",
 )
+
+SPECS["q333_ljung_box"] = QuerySpec(
+    rel.ljung_box,
+    """
+    WITH x0 AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+               FROM orders GROUP BY 1),
+         g0 AS (SELECT MIN(d) AS mind, MAX(d) AS maxd FROM x0),
+         spine AS (SELECT unnest(range(0,
+                       date_diff('day', mind, maxd) + 1)) AS idx
+                   FROM g0),
+         x AS (SELECT idx, COALESCE(c, 0) AS x
+               FROM spine LEFT JOIN
+                    (SELECT date_diff('day', (SELECT mind FROM g0), d)
+                            AS idx, c FROM x0) bb USING (idx)),
+         tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+                 FROM x),
+         u AS (SELECT n * x - s AS u, n,
+                      n * lead(x, 1) OVER (ORDER BY idx) - s AS u1,
+                      n * lead(x, 2) OVER (ORDER BY idx) - s AS u2,
+                      n * lead(x, 3) OVER (ORDER BY idx) - s AS u3,
+                      n * lead(x, 4) OVER (ORDER BY idx) - s AS u4,
+                      n * lead(x, 5) OVER (ORDER BY idx) - s AS u5,
+                      n * lead(x, 6) OVER (ORDER BY idx) - s AS u6,
+                      n * lead(x, 7) OVER (ORDER BY idx) - s AS u7
+               FROM x, tot),
+         m AS (SELECT n,
+                        SUM(CAST(u * u AS DECIMAL(38,0))) AS d0,
+                        SUM(CAST(u * u1 AS DECIMAL(38,0))) AS d1,
+                        SUM(CAST(u * u2 AS DECIMAL(38,0))) AS d2,
+                        SUM(CAST(u * u3 AS DECIMAL(38,0))) AS d3,
+                        SUM(CAST(u * u4 AS DECIMAL(38,0))) AS d4,
+                        SUM(CAST(u * u5 AS DECIMAL(38,0))) AS d5,
+                        SUM(CAST(u * u6 AS DECIMAL(38,0))) AS d6,
+                        SUM(CAST(u * u7 AS DECIMAL(38,0))) AS d7
+               FROM u GROUP BY n),
+         qq AS (SELECT n,
+                       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                       * (0.0
+                 + (CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+                 + (CAST(d2 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d2 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 2.0)
+                 + (CAST(d3 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d3 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 3.0)
+                 + (CAST(d4 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d4 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 4.0)
+                 + (CAST(d5 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d5 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 5.0)
+                 + (CAST(d6 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d6 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 6.0)
+                 + (CAST(d7 AS DOUBLE) / CAST(d0 AS DOUBLE)) * (CAST(d7 AS DOUBLE) / CAST(d0 AS DOUBLE)) / (CAST(n AS DOUBLE) - 7.0)) AS q
+                FROM m)
+    SELECT n, 7 AS lags,
+           ROUND(q, 6) AS q_stat,
+           CAST(14.06714 AS DOUBLE) AS chi2_crit_95,
+           CAST(q > 14.06714 AS BIGINT) AS reject_whiteness
+    FROM qq
+    """,
+    "§2.2 time series: Ljung-Box portmanteau whiteness test over "
+    "lags 1-7 — exact scaled-residual ACF ratios, fixed-order Q "
+    "fold, shared chi-square critical literal",
+)

