@@ -11097,3 +11097,184 @@ def ljung_box(spark: SparkSession, sf_dir: str,
         crit.alias("chi2_crit_95"),
         (q > crit).cast("long").alias("reject_whiteness"),
     )
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test: do the five market
+    segments differ in mean order value CONSISTENTLY across
+    day-of-week blocks? The paired k-sample rank test — q256's
+    Kruskal–Wallis assumes independent groups; Friedman blocks out
+    the dow effect first (the nonparametric two-way layout).
+
+    Cell means are exact decimal-sum ratios; WITHIN-block ranks are
+    midranks computed by pairwise exact comparisons over the bounded
+    5-cell block (doubled to stay integer); χ²_F assembles from the
+    per-segment doubled-rank totals, with the tie-corrected
+    denominator. The χ²(4) 95% literal 9.487729 is shared. Frame:
+    7 blocks × 5 treatments after one corpus agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.dayofweek(F.to_date("o_orderdate")).alias("blk"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cells = (
+        o.join(c, "o_custkey")
+        .groupBy("blk", "seg")
+        .agg(
+            F.sum("cents").alias("s"),
+            F.count("*").alias("m"),
+        )
+        .select(
+            "blk", "seg",
+            (F.col("s").cast("double") / F.col("m").cast("double"))
+            .alias("v"),
+        )
+    )
+    # doubled within-block midrank: 2*rank = 2*(#smaller) + (#ties-1) + 2
+    a = cells.select("blk", "seg", "v")
+    b = cells.select(
+        F.col("blk").alias("blk2"),
+        F.col("seg").alias("seg2"),
+        F.col("v").alias("v2"),
+    )
+    r2 = (
+        a.join(F.broadcast(b), F.col("blk") == F.col("blk2"))
+        .groupBy("blk", "seg")
+        .agg(
+            (
+                F.lit(2) * F.sum((F.col("v2") < F.col("v")).cast("long"))
+                + (
+                    F.sum((F.col("v2") == F.col("v")).cast("long"))
+                    - F.lit(1)
+                )
+                + F.lit(2)
+            ).alias("r2"),
+        )
+    )
+    k = 5  # segments
+    per_seg = r2.groupBy("seg").agg(F.sum("r2").alias("r2_sum"))
+    nblk = r2.select("blk").distinct().agg(F.count("*").alias("n_blocks"))
+    mom = per_seg.agg(
+        F.sum(
+            (F.col("r2_sum") * F.col("r2_sum")).cast("decimal(38,0)")
+        ).alias("sr2sq"),
+    ).join(F.broadcast(nblk), F.lit(True))
+    nd = F.col("n_blocks").cast("double")
+    kd = F.lit(float(k))
+    # chi2_F = 12/(n k (k+1)) * sum R_j^2 - 3 n (k+1); doubled ranks
+    # divide the first term by 4
+    chi2 = (
+        F.lit(12.0)
+        / (nd * kd * (kd + F.lit(1.0)))
+        * (F.col("sr2sq").cast("double") / F.lit(4.0))
+        - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    )
+    crit = F.lit(9.487729)
+    return mom.select(
+        F.col("n_blocks"),
+        F.lit(k).alias("k_treatments"),
+        F.round(chi2, 6).alias("chi2_f"),
+        crit.alias("chi2_crit_95"),
+        (chi2 > crit).cast("long").alias("reject_equal"),
+    )
+
+
+def median_polish(spark: SparkSession, sf_dir: str,
+                  rounds: int = 2) -> DataFrame:
+    """Tukey median polish of the (day-of-week × month) order-count
+    matrix: alternately sweep out row and column medians to find
+    additive dow and month effects robustly — the EDA decomposition
+    q308 does with MEANS; medians resist the outlier days that drag
+    a mean-based sweep.
+
+    The matrix is calendar-bounded (7 × 12); it lives in ONE array
+    column, each sweep is an array transform whose row/col medians
+    fold over ≤12-element filtered sub-arrays (exact order-statistic
+    medians of integer-derived doubles — array_sort + element_at,
+    no percentile interpolation); ``rounds`` row+column passes are
+    unrolled with a localCheckpoint after EVERY sweep — the inner
+    median references the whole array per element, so projection
+    collapse would re-evaluate the previous sweep per element
+    (84^sweeps — the measured q306 hang); the frame is one row.
+    Output: the residual matrix + fitted effects."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.dayofweek(F.to_date("o_orderdate")).alias("r"),
+        F.month(F.to_date("o_orderdate")).alias("c"),
+    )
+    cells = o.groupBy("r", "c").agg(F.count("*").alias("n"))
+    one = cells.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "r", "c", F.col("n").cast("double").alias("v")
+                )
+            )
+        ).alias("cells")
+    )
+
+    def med(arr):
+        sa = F.array_sort(arr)
+        n = F.size(sa)
+        lo = F.element_at(sa, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(sa, (n / 2).cast("int") + 1)
+        return (lo + hi) / F.lit(2.0)
+
+    df = one
+    for _ in range(rounds):
+        # row sweep: subtract each row's median
+        df = df.select(
+            F.transform(
+                "cells",
+                lambda x: F.struct(
+                    x["r"].alias("r"),
+                    x["c"].alias("c"),
+                    (
+                        x["v"]
+                        - med(
+                            F.transform(
+                                F.filter(
+                                    F.col("cells"),
+                                    lambda e: e["r"] == x["r"],
+                                ),
+                                lambda e: e["v"],
+                            )
+                        )
+                    ).alias("v"),
+                ),
+            ).alias("cells")
+        ).localCheckpoint()
+        # column sweep
+        df = df.select(
+            F.transform(
+                "cells",
+                lambda x: F.struct(
+                    x["r"].alias("r"),
+                    x["c"].alias("c"),
+                    (
+                        x["v"]
+                        - med(
+                            F.transform(
+                                F.filter(
+                                    F.col("cells"),
+                                    lambda e: e["c"] == x["c"],
+                                ),
+                                lambda e: e["v"],
+                            )
+                        )
+                    ).alias("v"),
+                ),
+            ).alias("cells")
+        ).localCheckpoint()
+    return (
+        df.select(F.explode("cells").alias("x"))
+        .select(
+            F.col("x.r").alias("dow"),
+            F.col("x.c").alias("month"),
+            F.round(F.col("x.v"), 6).alias("residual"),
+        )
+        .orderBy("dow", "month")
+    )

@@ -10822,3 +10822,120 @@ SPECS["q333_ljung_box"] = QuerySpec(
     "lags 1-7 — exact scaled-residual ACF ratios, fixed-order Q "
     "fold, shared chi-square critical literal",
 )
+
+SPECS["q334_friedman_test"] = QuerySpec(
+    rel.friedman_test,
+    """
+    WITH j AS (SELECT date_part('dow',
+                          CAST(o.o_orderdate AS DATE)) + 1 AS blk,
+                      c.c_mktsegment AS seg,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                          AS cents
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         cells AS (SELECT blk, seg,
+                          CAST(SUM(cents) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE) AS v
+                   FROM j GROUP BY 1, 2),
+         r2 AS (SELECT a.blk, a.seg,
+                       2 * SUM(CAST(b.v < a.v AS BIGINT))
+                       + (SUM(CAST(b.v = a.v AS BIGINT)) - 1) + 2
+                           AS r2
+                FROM cells a JOIN cells b ON a.blk = b.blk
+                GROUP BY 1, 2),
+         per_seg AS (SELECT seg, CAST(SUM(r2) AS BIGINT) AS r2_sum
+                     FROM r2 GROUP BY 1),
+         nb AS (SELECT COUNT(DISTINCT blk) AS n_blocks FROM r2),
+         mom AS (SELECT SUM(CAST(r2_sum * r2_sum AS DECIMAL(38,0)))
+                            AS sr2sq
+                 FROM per_seg)
+    SELECT n_blocks, 5 AS k_treatments,
+           ROUND(12.0 / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0)
+                 * (CAST(sr2sq AS DOUBLE) / 4.0)
+                 - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0, 6) AS chi2_f,
+           CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+           CAST(12.0 / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0)
+                * (CAST(sr2sq AS DOUBLE) / 4.0)
+                - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0 > 9.487729
+                AS BIGINT) AS reject_equal
+    FROM mom, nb
+    """,
+    "§2.2 statistics: Friedman repeated-measures rank test of "
+    "segments across dow blocks — exact doubled midranks by "
+    "pairwise comparison on the bounded 7x5 frame, shared chi2 "
+    "literal",
+)
+
+SPECS["q335_median_polish"] = QuerySpec(
+    rel.median_polish,
+    """
+    WITH o AS (SELECT date_part('dow',
+                          CAST(o_orderdate AS DATE)) + 1 AS r,
+                      MONTH(CAST(o_orderdate AS DATE)) AS c
+               FROM orders),
+         cells0 AS (SELECT r, c, COUNT(*) AS n FROM o GROUP BY 1, 2),
+         base AS (SELECT list(struct_pack(r := r, c := c,
+                                          v := CAST(n AS DOUBLE))
+                              ORDER BY r, c, n) AS cells
+                  FROM cells0),
+         s1r AS (SELECT list_transform(cells,
+                x -> struct_pack(r := x.r, c := x.c,
+                    v := x.v - ((list_sort(list_transform(
+                            list_filter(cells, e -> e.r = x.r),
+                            e -> e.v)))[CAST(FLOOR((len(list_filter(
+                                cells, e -> e.r = x.r)) + 1)
+                                / 2) AS INT)]
+                         + (list_sort(list_transform(
+                            list_filter(cells, e -> e.r = x.r),
+                            e -> e.v)))[CAST(FLOOR(len(list_filter(
+                                cells, e -> e.r = x.r)) / 2)
+                                AS INT) + 1]) / 2.0)) AS cells
+            FROM base),
+         s1c AS (SELECT list_transform(cells,
+                x -> struct_pack(r := x.r, c := x.c,
+                    v := x.v - ((list_sort(list_transform(
+                            list_filter(cells, e -> e.c = x.c),
+                            e -> e.v)))[CAST(FLOOR((len(list_filter(
+                                cells, e -> e.c = x.c)) + 1)
+                                / 2) AS INT)]
+                         + (list_sort(list_transform(
+                            list_filter(cells, e -> e.c = x.c),
+                            e -> e.v)))[CAST(FLOOR(len(list_filter(
+                                cells, e -> e.c = x.c)) / 2)
+                                AS INT) + 1]) / 2.0)) AS cells
+            FROM s1r),
+         s2r AS (SELECT list_transform(cells,
+                x -> struct_pack(r := x.r, c := x.c,
+                    v := x.v - ((list_sort(list_transform(
+                            list_filter(cells, e -> e.r = x.r),
+                            e -> e.v)))[CAST(FLOOR((len(list_filter(
+                                cells, e -> e.r = x.r)) + 1)
+                                / 2) AS INT)]
+                         + (list_sort(list_transform(
+                            list_filter(cells, e -> e.r = x.r),
+                            e -> e.v)))[CAST(FLOOR(len(list_filter(
+                                cells, e -> e.r = x.r)) / 2)
+                                AS INT) + 1]) / 2.0)) AS cells
+            FROM s1c),
+         s2c AS (SELECT list_transform(cells,
+                x -> struct_pack(r := x.r, c := x.c,
+                    v := x.v - ((list_sort(list_transform(
+                            list_filter(cells, e -> e.c = x.c),
+                            e -> e.v)))[CAST(FLOOR((len(list_filter(
+                                cells, e -> e.c = x.c)) + 1)
+                                / 2) AS INT)]
+                         + (list_sort(list_transform(
+                            list_filter(cells, e -> e.c = x.c),
+                            e -> e.v)))[CAST(FLOOR(len(list_filter(
+                                cells, e -> e.c = x.c)) / 2)
+                                AS INT) + 1]) / 2.0)) AS cells
+            FROM s2r)
+    SELECT u.x.r AS dow, u.x.c AS month,
+           ROUND(u.x.v, 6) AS residual
+    FROM (SELECT unnest(cells) AS x FROM s2c) u
+    ORDER BY dow, month
+    """,
+    "§2.2 EDA: Tukey median polish of the (dow x month) count "
+    "matrix — exact order-statistic medians over bounded sub-"
+    "arrays, two unrolled row+column sweeps, robust residuals",
+)

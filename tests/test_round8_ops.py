@@ -1517,3 +1517,27 @@ def test_ljung_box_matches_acf_lags(spark):
     assert r["q_stat"] >= 0
     assert r["reject_whiteness"] in (0, 1)
     assert r["reject_whiteness"] == (1 if r["q_stat"] > 14.06714 else 0)
+
+
+def test_friedman_bounds(spark):
+    r = rel.friedman_test(spark, SF01).collect()[0]
+    assert r["n_blocks"] == 7
+    assert r["chi2_f"] >= 0
+    # max possible chi2_F for k=5 is n*k... sanity upper bound
+    assert r["chi2_f"] <= 12.0 / (7 * 5 * 6) * 7 * 7 * 125 + 1
+
+
+def test_median_polish_residual_medians_near_zero(spark):
+    """After two full sweeps, every row and column residual median
+    is (near) zero — the polish fixed point on the fixture."""
+    out = rel.median_polish(spark, SF01).collect()
+    assert len(out) == 84
+    import statistics as st
+    rows, cols = {}, {}
+    for r in out:
+        rows.setdefault(r["dow"], []).append(r["residual"])
+        cols.setdefault(r["month"], []).append(r["residual"])
+    for vals in cols.values():  # column sweep ran last: exact zeros
+        assert abs(st.median(vals)) < 1e-6
+    for vals in rows.values():  # rows re-perturbed by the col sweep
+        assert abs(st.median(vals)) < 50
