@@ -11482,3 +11482,173 @@ def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_95"),
         (t > crit).cast("long").alias("reject_equal_variance"),
     )
+
+
+def cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test between BUILDING-segment and
+    other customers' order values — the squared-integral EDF test
+    completing the distribution-comparison triptych: q221's KS sees
+    the WORST point, q323's W₁ integrates the signed gap in dollars,
+    CvM integrates the SQUARED gap (sensitive to spread-out shape
+    differences KS misses and W₁ under-weights).
+
+    The rank form: T = U/(n·m·(n+m)) − (4nm−1)/(6(n+m)) with
+    U = n·Σ_a(r_a−a)² + m·Σ_b(r_b−b)² over within-group orderings
+    (pooled doubled midranks, the q281 discipline). Each tie-block's
+    Σ(K−2j)² has a closed cubic form summed as DECIMAL(38,0); the
+    cubic's /3 term rides through a double — exact below 2⁵³ per
+    block (every SF this repo ships), and beyond that both engines
+    still compute IDENTICAL doubles, so cross-engine parity is
+    unconditional while absolute precision degrades gracefully.
+    One value-histogram shuffle, windows over distinct values."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    vals = (
+        o.join(c, "o_custkey")
+        .groupBy("cents")
+        .agg(
+            F.sum("g").alias("ta"),
+            F.sum(F.lit(1) - F.col("g")).alias("tb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "cents", "ta", "tb",
+        F.coalesce(F.sum("ta").over(w), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum("tb").over(w), F.lit(0)).alias("cb"),
+    )
+    # doubled pooled midrank of this value's block minus doubled
+    # within-group positions: for the j-th group-a member of the
+    # block (j = 1..ta), r − i = (pooled before + within offset) −
+    # (group before + j); summing squares over the block has the
+    # closed form ta·d² + ... with d = (cb − 0) for group a etc.:
+    # Σ_{j=1..t}(d + (t+1)/2-ish) — use the doubled form directly.
+    # doubled (r − i) for group a's j-th member in this block:
+    #   2r = 2(ca+cb) + (ta+tb+1)  (midrank, doubled)
+    #   2i = 2(ca + j) - 1 ... within-group rank doubled = 2(ca+j)-1
+    # => 2(r−i) = 2cb + (ta+tb) + 1 − 2j  for j = 1..ta
+    # Σ_j (2(r−i))² = Σ_j (K − 2j)² with K = 2cb + ta + tb + 1,
+    # an exact integer polynomial in (K, ta).
+    def block_sq(kcol, t):
+        # sum_{j=1..t} (K - 2j)^2 = t*K^2 - 2K*t(t+1) + 4*t(t+1)(2t+1)/6
+        return (
+            t * kcol * kcol
+            - 2 * kcol * t * (t + 1)
+            + 2 * t * (t + 1) * (2 * t + 1) / 3
+        )
+
+    ka = 2 * F.col("cb") + F.col("ta") + F.col("tb") + 1
+    kb = 2 * F.col("ca") + F.col("ta") + F.col("tb") + 1
+    sums = cum.agg(
+        F.sum("ta").alias("n"),
+        F.sum("tb").alias("m"),
+        F.sum(block_sq(ka, F.col("ta")).cast("decimal(38,0)")).alias("ua4"),
+        F.sum(block_sq(kb, F.col("tb")).cast("decimal(38,0)")).alias("ub4"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    u = (
+        nd * F.col("ua4").cast("double") / F.lit(4.0)
+        + md * F.col("ub4").cast("double") / F.lit(4.0)
+    )
+    t_stat = u / (nd * md * (nd + md)) - (
+        F.lit(4.0) * nd * md - F.lit(1.0)
+    ) / (F.lit(6.0) * (nd + md))
+    crit = F.lit(0.461)  # asymptotic 95% point of the CvM limit law
+    return sums.select(
+        F.col("n").alias("n_building"),
+        F.col("m").alias("n_rest"),
+        F.round(t_stat, 6).alias("cvm_t"),
+        crit.alias("crit_95"),
+        (t_stat > crit).cast("long").alias("reject_same_dist"),
+    )
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five market segments: classify
+    every order as above/at-or-below the POOLED median value, then
+    chi-square the 5×2 table — the bluntest, most assumption-free
+    k-sample location test (the robust sanity check on q336's
+    ANOVA verdict; ties at the median count "below", documented).
+
+    The pooled median is the exact lower-middle order statistic
+    located in the value histogram's cumulative (no interpolation);
+    cell counts are exact integers; the chi-square folds the 10
+    bounded cells; χ²(4) 95% literal shared. Two value shuffles
+    (histogram + per-segment counts)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    j = o.join(c, "o_custkey")
+    hist = j.groupBy("cents").agg(F.count("*").alias("t"))
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(F.sum("t").alias("n"))
+    med = (
+        hist.withColumn("cumt", F.sum("t").over(wv))
+        .join(F.broadcast(tot), F.lit(True))
+        .filter(
+            F.col("cumt") >= F.floor((F.col("n") + 1) / F.lit(2.0))
+        )
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    cells = (
+        j.join(F.broadcast(med), F.lit(True))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(
+                (F.col("cents") > F.col("median_cents")).cast("long")
+            ).alias("above_g"),
+        )
+    )
+    one = cells.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("above_g").alias("above"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(F.struct("seg", "n_g", "above_g"))
+        ).alias("gl"),
+    )
+    nd = F.col("n").cast("double")
+    p_above = F.col("above").cast("double") / nd
+    chi2 = F.aggregate(
+        F.transform(
+            "gl",
+            lambda g: (
+                (g["above_g"].cast("double")
+                 - g["n_g"].cast("double") * p_above)
+                * (g["above_g"].cast("double")
+                   - g["n_g"].cast("double") * p_above)
+                / (g["n_g"].cast("double") * p_above)
+                + (
+                    (g["n_g"] - g["above_g"]).cast("double")
+                    - g["n_g"].cast("double") * (F.lit(1.0) - p_above)
+                )
+                * (
+                    (g["n_g"] - g["above_g"]).cast("double")
+                    - g["n_g"].cast("double") * (F.lit(1.0) - p_above)
+                )
+                / (g["n_g"].cast("double") * (F.lit(1.0) - p_above))
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    crit = F.lit(9.487729)
+    return one.select(
+        "n", "k", "above",
+        F.round(chi2, 6).alias("chi2_stat"),
+        crit.alias("chi2_crit_95"),
+        (chi2 > crit).cast("long").alias("reject_equal_medians"),
+    )

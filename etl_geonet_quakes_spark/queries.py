@@ -11103,3 +11103,126 @@ SPECS["q338_bartlett_test"] = QuerySpec(
     "segments — exact moment variances, ordered ln folds, the "
     "parametric sibling of q261's Brown-Forsythe",
 )
+
+SPECS["q339_cramer_von_mises"] = QuerySpec(
+    rel.cramer_von_mises,
+    """
+    WITH j AS (SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                          AS cents,
+                      CAST(c.c_mktsegment = 'BUILDING' AS BIGINT) AS g
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         vals AS (SELECT cents,
+                         CAST(SUM(g) AS BIGINT) AS ta,
+                         CAST(SUM(1 - g) AS BIGINT) AS tb
+                  FROM j GROUP BY 1),
+         cum AS (SELECT cents, ta, tb,
+                        COALESCE(CAST(SUM(ta) OVER w AS BIGINT), 0)
+                            AS ca,
+                        COALESCE(CAST(SUM(tb) OVER w AS BIGINT), 0)
+                            AS cb
+                 FROM vals
+                 WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING)),
+         sums AS (SELECT CAST(SUM(ta) AS BIGINT) AS n,
+                         CAST(SUM(tb) AS BIGINT) AS m,
+                         SUM(CAST(ta * (2 * cb + ta + tb + 1)
+                                     * (2 * cb + ta + tb + 1)
+                                  - 2 * (2 * cb + ta + tb + 1) * ta
+                                      * (ta + 1)
+                                  + 2 * ta * (ta + 1) * (2 * ta + 1)
+                                      / 3 AS DECIMAL(38,0))) AS ua4,
+                         SUM(CAST(tb * (2 * ca + ta + tb + 1)
+                                     * (2 * ca + ta + tb + 1)
+                                  - 2 * (2 * ca + ta + tb + 1) * tb
+                                      * (tb + 1)
+                                  + 2 * tb * (tb + 1) * (2 * tb + 1)
+                                      / 3 AS DECIMAL(38,0))) AS ub4
+                  FROM cum),
+         tt AS (SELECT n, m,
+                       (CAST(n AS DOUBLE) * CAST(ua4 AS DOUBLE) / 4.0
+                        + CAST(m AS DOUBLE) * CAST(ub4 AS DOUBLE)
+                          / 4.0)
+                       / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))
+                       - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                          - 1.0)
+                         / (6.0 * (CAST(n AS DOUBLE)
+                                   + CAST(m AS DOUBLE))) AS t_stat
+                FROM sums)
+    SELECT n AS n_building, m AS n_rest,
+           ROUND(t_stat, 6) AS cvm_t,
+           CAST(0.461 AS DOUBLE) AS crit_95,
+           CAST(t_stat > 0.461 AS BIGINT) AS reject_same_dist
+    FROM tt
+    """,
+    "§2.2 statistics: two-sample Cramer-von Mises between BUILDING "
+    "and rest order-value distributions — closed cubic tie-block "
+    "sums as DECIMAL, the squared-integral member of the KS/W1 "
+    "EDF-test triptych",
+)
+
+SPECS["q340_mood_median_test"] = QuerySpec(
+    rel.mood_median_test,
+    """
+    WITH j AS (SELECT c.c_mktsegment AS seg,
+                      CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                          AS cents
+               FROM orders o JOIN customer c
+                 ON o.o_custkey = c.c_custkey),
+         hist AS (SELECT cents, COUNT(*) AS t FROM j GROUP BY 1),
+         tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM hist),
+         med AS (SELECT MIN(cents) AS median_cents
+                 FROM (SELECT cents, SUM(t) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              CURRENT ROW) AS cumt
+                       FROM hist), tot
+                 WHERE cumt >= FLOOR((n + 1) / 2.0)),
+         cells AS (SELECT seg, COUNT(*) AS n_g,
+                          CAST(SUM(CAST(cents > median_cents
+                                        AS BIGINT)) AS BIGINT)
+                              AS above_g
+                   FROM j, med GROUP BY 1),
+         one AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                        CAST(SUM(above_g) AS BIGINT) AS above,
+                        COUNT(*) AS k,
+                        list(struct_pack(seg := seg, n_g := n_g,
+                                         above_g := above_g)
+                             ORDER BY seg) AS gl
+                 FROM cells),
+         z AS (SELECT n, k, above,
+                      list_reduce(list_transform(gl,
+                          g -> (CAST(g.above_g AS DOUBLE)
+                                - CAST(g.n_g AS DOUBLE)
+                                  * (CAST(above AS DOUBLE)
+                                     / CAST(n AS DOUBLE)))
+                               * (CAST(g.above_g AS DOUBLE)
+                                  - CAST(g.n_g AS DOUBLE)
+                                    * (CAST(above AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                               / (CAST(g.n_g AS DOUBLE)
+                                  * (CAST(above AS DOUBLE)
+                                     / CAST(n AS DOUBLE)))
+                               + (CAST(g.n_g - g.above_g AS DOUBLE)
+                                  - CAST(g.n_g AS DOUBLE)
+                                    * (1.0 - CAST(above AS DOUBLE)
+                                             / CAST(n AS DOUBLE)))
+                                 * (CAST(g.n_g - g.above_g AS DOUBLE)
+                                    - CAST(g.n_g AS DOUBLE)
+                                      * (1.0 - CAST(above AS DOUBLE)
+                                               / CAST(n AS DOUBLE)))
+                                 / (CAST(g.n_g AS DOUBLE)
+                                    * (1.0 - CAST(above AS DOUBLE)
+                                             / CAST(n AS DOUBLE)))),
+                          (a, t) -> a + t) AS chi2
+               FROM one)
+    SELECT n, k, above,
+           ROUND(chi2, 6) AS chi2_stat,
+           CAST(9.487729 AS DOUBLE) AS chi2_crit_95,
+           CAST(chi2 > 9.487729 AS BIGINT) AS reject_equal_medians
+    FROM z
+    """,
+    "§2.2 statistics: Mood's median test across segments — exact "
+    "order-statistic pooled median from the value histogram, "
+    "integer cells, bounded chi-square fold",
+)

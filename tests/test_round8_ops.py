@@ -1570,3 +1570,47 @@ def test_bartlett_agrees_with_brown_forsythe_direction(spark):
     b = rel.bartlett_test(spark, SF01).collect()[0]
     assert b["bartlett_t"] >= 0
     assert b["reject_equal_variance"] in (0, 1)
+
+
+def test_cvm_brute_force_crosscheck(spark):
+    """T matches the direct EDF-integral computation on the fixture."""
+    from etl_geonet_quakes_spark.io import load_table
+    r = rel.cramer_von_mises(spark, SF).collect()[0]
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+        )
+        .collect()
+    )
+    a = sorted(x["v"] for x in rows if x["g"] == 1)
+    b = sorted(x["v"] for x in rows if x["g"] == 0)
+    n, m = len(a), len(b)
+    # rank-form brute force (midranks in the pooled sample)
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    from collections import defaultdict
+    first = {}
+    cnt = defaultdict(int)
+    for i, (v, _) in enumerate(pooled, 1):
+        cnt[v] += 1
+        first.setdefault(v, i)
+    mid = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    ra = [mid[v] for v in a]
+    rb = [mid[v] for v in b]
+    u = n * sum((r - (i + 1)) ** 2 for i, r in enumerate(ra)) + m * sum(
+        (r - (i + 1)) ** 2 for i, r in enumerate(rb)
+    )
+    expect = u / (n * m * (n + m)) - (4 * n * m - 1) / (6.0 * (n + m))
+    assert abs(r["cvm_t"] - expect) < 1e-5
+    assert r["n_building"] == n and r["n_rest"] == m
+
+
+def test_mood_median_cells_balance(spark):
+    r = rel.mood_median_test(spark, SF01).collect()[0]
+    assert r["k"] == 5
+    # above-median count is just under half (ties go below)
+    assert 0.4 * r["n"] < r["above"] <= 0.5 * r["n"] + 1
+    assert r["chi2_stat"] >= 0
