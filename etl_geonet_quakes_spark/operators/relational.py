@@ -11652,3 +11652,112 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_95"),
         (chi2 > crit).cast("long").alias("reject_equal_medians"),
     )
+
+
+def ks_uniform_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov–Smirnov test of order dates against the
+    UNIFORM distribution over the corpus span — "is load flat across
+    the calendar?" — the one-sample EDF sibling of q221's two-sample
+    KS (and the proper test behind eyeballing q308's trend panel).
+    D compares the empirical CDF at each distinct date against the
+    uniform CDF at both step edges (the one-sample KS needs D⁺ and
+    D⁻; checking only one side under-reports D).
+
+    Every CDF value is an exact integer ratio (cum/n vs
+    offset/span); the max of identical doubles is deterministic.
+    K_α = 1.358/√n (95%, shared literal) gives the verdict. One
+    date-histogram shuffle + one window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    hist = o.groupBy("d").agg(F.count("*").alias("t"))
+    bounds = o.agg(
+        F.min("d").alias("mind"), F.max("d").alias("maxd"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cumt", F.sum("t").over(w))
+        .join(F.broadcast(bounds), F.lit(True))
+        .select(
+            "d", "t", "cumt", "n",
+            (F.datediff("maxd", "mind") + 1).alias("span"),
+            (F.datediff("d", "mind") + 1).alias("off"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    f_emp_hi = F.col("cumt").cast("double") / nd
+    f_emp_lo = (F.col("cumt") - F.col("t")).cast("double") / nd
+    f_unif = F.col("off").cast("double") / F.col("span").cast("double")
+    gaps = cum.select(
+        "n",
+        F.greatest(
+            F.abs(f_emp_hi - f_unif), F.abs(f_unif - f_emp_lo)
+        ).alias("gap"),
+    )
+    agg = gaps.groupBy("n").agg(F.max("gap").alias("d_stat"))
+    crit = F.lit(1.358) / F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "n",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round(crit, 6).alias("d_crit_95"),
+        (F.col("d_stat") > crit).cast("long").alias("reject_uniform"),
+    )
+
+
+def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of order values: JB =
+    n/6·(S² + K²/4) from exact skewness and excess kurtosis — the
+    distributional gate before any z/t-based readout (q167/q336
+    assume approximate normality; TPC-H values are anything but —
+    the test should fire, and its S/K columns SAY WHY).
+
+    All four raw moments are exact BIGINT/DECIMAL(38,0) sums
+    (cents⁴ at corpus scale peaks ~10³³, inside DECIMAL(38)); the
+    central-moment assembly is a fixed-shape double expression of
+    those exact sums; χ²(2) 95% literal 5.991465 shared."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    mom = o.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(
+            (F.col("v").cast("decimal(38,0)") * F.col("v") * F.col("v"))
+            .cast("decimal(38,0)")
+        ).alias("s3"),
+        F.sum(
+            (
+                F.col("v").cast("decimal(38,0)")
+                * F.col("v")
+                * F.col("v")
+                * F.col("v")
+            ).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    mu2 = r2 - m1 * m1
+    mu3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    mu4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    skew = mu3 / (mu2 * F.sqrt(mu2))
+    exk = mu4 / (mu2 * mu2) - F.lit(3.0)
+    jb = nd / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    crit = F.lit(5.991465)
+    return mom.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        crit.alias("chi2_crit_95"),
+        (jb > crit).cast("long").alias("reject_normality"),
+    )

@@ -11226,3 +11226,87 @@ SPECS["q340_mood_median_test"] = QuerySpec(
     "order-statistic pooled median from the value histogram, "
     "integer cells, bounded chi-square fold",
 )
+
+SPECS["q341_ks_uniform_dates"] = QuerySpec(
+    rel.ks_uniform_dates,
+    """
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+         hist AS (SELECT d, COUNT(*) AS t FROM o GROUP BY 1),
+         bounds AS (SELECT MIN(d) AS mind, MAX(d) AS maxd,
+                           COUNT(*) AS n
+                    FROM o),
+         cum AS (SELECT d, t,
+                        CAST(SUM(t) OVER (ORDER BY d ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS cumt,
+                        n,
+                        date_diff('day', mind, maxd) + 1 AS span,
+                        date_diff('day', mind, d) + 1 AS off
+                 FROM hist, bounds),
+         gaps AS (SELECT n,
+                         greatest(
+                             abs(CAST(cumt AS DOUBLE)
+                                 / CAST(n AS DOUBLE)
+                                 - CAST(off AS DOUBLE)
+                                   / CAST(span AS DOUBLE)),
+                             abs(CAST(off AS DOUBLE)
+                                 / CAST(span AS DOUBLE)
+                                 - CAST(cumt - t AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) AS gap
+                  FROM cum)
+    SELECT n,
+           ROUND(MAX(gap), 6) AS d_stat,
+           ROUND(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS d_crit_95,
+           CAST(MAX(gap) > 1.358 / sqrt(CAST(n AS DOUBLE)) AS BIGINT)
+               AS reject_uniform
+    FROM gaps GROUP BY n
+    """,
+    "§2.2 statistics: one-sample KS of order dates vs the uniform "
+    "calendar — exact CDF ratios at both step edges, shared "
+    "critical-constant literal",
+)
+
+SPECS["q342_jarque_bera"] = QuerySpec(
+    rel.jarque_bera,
+    """
+    WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(v) AS BIGINT) AS s1,
+                        SUM(CAST(v * v AS DECIMAL(38,0))) AS s2,
+                        SUM(CAST(CAST(v AS DECIMAL(38,0)) * v * v
+                                 AS DECIMAL(38,0))) AS s3,
+                        SUM(CAST(CAST(v AS DECIMAL(38,0)) * v * v * v
+                                 AS DECIMAL(38,0))) AS s4
+                 FROM o),
+         mv AS (SELECT n,
+                       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                       CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                       CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                FROM mom),
+         cm AS (SELECT n,
+                       r2 - m1 * m1 AS mu2,
+                       r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS mu3,
+                       r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                       - 3.0 * m1 * m1 * m1 * m1 AS mu4
+                FROM mv),
+         sk AS (SELECT n,
+                       mu3 / (mu2 * sqrt(mu2)) AS skew,
+                       mu4 / (mu2 * mu2) - 3.0 AS exk
+                FROM cm)
+    SELECT n,
+           ROUND(skew, 6) AS skewness,
+           ROUND(exk, 6) AS excess_kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6.0
+                 * (skew * skew + exk * exk / 4.0), 6) AS jb_stat,
+           CAST(5.991465 AS DOUBLE) AS chi2_crit_95,
+           CAST(CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + exk * exk / 4.0) > 5.991465
+                AS BIGINT) AS reject_normality
+    FROM sk
+    """,
+    "§2.2 statistics: Jarque-Bera normality test of order values — "
+    "exact raw moments to the 4th power in DECIMAL(38,0), "
+    "closed-form central-moment assembly, shared chi2 literal",
+)

@@ -1614,3 +1614,20 @@ def test_mood_median_cells_balance(spark):
     # above-median count is just under half (ties go below)
     assert 0.4 * r["n"] < r["above"] <= 0.5 * r["n"] + 1
     assert r["chi2_stat"] >= 0
+
+
+def test_ks_uniform_dates_bounds(spark):
+    r = rel.ks_uniform_dates(spark, SF01).collect()[0]
+    assert 0.0 <= r["d_stat"] <= 1.0
+    # TPC-H dates are uniform by construction: no rejection expected
+    assert r["reject_uniform"] == 0
+
+
+def test_jarque_bera_fires_on_tpch_values(spark):
+    """Order values are a sum-of-uniforms-ish but visibly non-normal
+    (bounded support, right skew) at fixture n — JB should reject
+    while |skew| stays modest."""
+    r = rel.jarque_bera(spark, SF01).collect()[0]
+    assert r["jb_stat"] >= 0
+    assert abs(r["skewness"]) < 2
+    assert -3 <= r["excess_kurtosis"] < 10
