@@ -181,3 +181,44 @@ def test_run_pipeline_and_schema_api(spark):
     assert js["type"] == "struct"
     with pytest.raises(ValueError):
         describe_schema("nope")
+
+
+def test_validation_is_in_pass_no_preflight_job(spark):
+    """Round-9 contract (verdict item 6): building the pipeline plans
+    zero jobs — boundary validation rides the main scan via an in-pass
+    assert_true, not a .limit(1).count() pre-flight."""
+    resp = read_geojson(spark, FIXTURE, GEONET_RESPONSE_SCHEMA)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = run_pipeline(resp, KEEP_ALL)
+    assert len(tracker.getJobIdsForGroup() or []) - before == 0
+    assert out.count() == 8  # happy path unchanged
+
+
+@pytest.mark.parametrize(
+    "path,value",
+    [
+        (("properties", "mmi"), None),  # would be silently dropped by mmi>=k
+        (("properties", "locality"), None),  # silently absorbed by concat_ws
+        (("geometry", "coordinates"), [174.1]),  # short coords -> index error
+    ],
+)
+def test_null_required_field_raises_in_pass(spark, tmp_path, path, value):
+    """The fail-loud boundary still fails loudly — now mid-scan at
+    action time (SparkRuntimeException with the boundary message and
+    the offending publicID), no silent absorption by downstream
+    null-rejecting predicates."""
+    import json
+
+    with open(FIXTURE) as f:
+        data = json.load(f)
+    node = data["features"][0]
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        json.dump(data, f)
+    bad = read_geojson(spark, p, GEONET_RESPONSE_SCHEMA)
+    with pytest.raises(Exception, match="boundary validation"):
+        run_pipeline(bad, KEEP_ALL).count()

@@ -38,8 +38,8 @@ EAGER = {
     "q93_dedup_keep_canonical": "reuses the CC loop",
     "q40_dedup_ngram_jaccard": "bounded vocab probe runs at build time",
     "q38_dedup_minhash_lsh": "",
-    "q02_quake_pipeline": "boundary validation count",
-    "q03_quake_parity": "boundary validation count",
+# round 9: q02/q03's boundary-validation pre-flight count was folded
+# into the main pass (in-scan assert_true) — no eager note anymore.
     "q115_graph_triangles": (
         "oriented edge list checkpointed at build. BNLJ intended: "
         "single-row aggregates crossed. DEGREE-ORIENTED wedge join "
