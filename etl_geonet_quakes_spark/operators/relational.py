@@ -305,11 +305,32 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB answer to
     COUNT(DISTINCT) when exactness isn't required (no oracle: sketch
-    internals are engine-specific; driver records rows-only)."""
+    internals are engine-specific; driver records rows-only).
+
+    Round-9 sharpened contract (verdict item 7): the query itself
+    carries the audit — ``exact_parts`` (COUNT(DISTINCT), the value
+    q51 hash-checks cross-engine) and ``rel_err`` side-by-side with
+    the sketch, so the rows-only record still shows per-group error,
+    and ``test_approx_count_distinct_within_rsd_bounds`` asserts the
+    documented bound (|approx−exact| ≤ max(5·rsd·exact, 2)) on the
+    query's OWN output columns. The exact aggregate makes this an
+    audit query by design; the production pattern at 100 TB is the
+    sketch alone (one pass, mergeable partials, no distinct expand)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                6,
+            ),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -130,15 +130,15 @@ def test_approx_count_distinct_within_rsd_bounds(spark, sf_dir):
     tiny absolute slack for small groups, where HLL++'s sparse mode is
     effectively exact. Exact counts themselves are hash-checked
     cross-engine via q51, so this transitively anchors q54 to the
-    oracle-verified surface."""
+    oracle-verified surface. Round-9: the exact count and rel_err are
+    now PINNED COLUMNS of q54 itself, so the bound is asserted on the
+    query's own output — and exact_parts is independently recomputed
+    here so the query can't self-certify."""
     from etl_geonet_quakes_spark.operators.relational import agg_approx_distinct
 
     from etl_geonet_quakes_spark.io import load_table
 
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in agg_approx_distinct(spark, sf_dir).collect()
-    }
+    rows = {r["l_returnflag"]: r for r in agg_approx_distinct(spark, sf_dir).collect()}
     exact = {
         r["l_returnflag"]: r["exact_parts"]
         for r in load_table(spark, sf_dir, "lineitem")
@@ -146,10 +146,13 @@ def test_approx_count_distinct_within_rsd_bounds(spark, sf_dir):
         .agg(F.count_distinct("l_partkey").alias("exact_parts"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        a, e = r["approx_parts"], exact[flag]
+        # the query's own exact column must equal the independent one
+        assert r["exact_parts"] == e, (flag, r["exact_parts"], e)
         assert abs(a - e) <= max(5 * 0.01 * e, 2), (flag, a, e)
+        assert r["rel_err"] == round(abs(a - e) / e, 6), (flag, r["rel_err"])
 
 
 def test_bloom_filter_never_false_negative(spark, sf_dir):
