@@ -83,3 +83,60 @@ def test_kprefix_filter_is_exact_complete(spark):
         capped = fn(spark, sf, min_matches=dedup.PREFIX_MIN_MATCHES)
         assert base.exceptAll(capped).count() == 0
         assert capped.exceptAll(base).count() == 0
+
+
+# (sf_dir, expected graph_volume_metrics) — measured 2026-08-15 via
+# tools/scale_curve.py; pins the graph suite's join/shuffle volumes
+# (q115 oriented wedges, q122 per-round contribution rows, q222
+# frontier growth, q244 peel histogram, q285/q201 un-oriented wedge
+# volume) so a silent regression in pair generation, orientation, or
+# any loop body fails here before a driver run. Within-clique pair
+# growth sf0.01→sf0.1 is quadratic BY DATA (bigger boilerplate
+# cliques), so the guard for q115 is the Chiba–Nishizeki E^1.5
+# orientation bound, not linearity.
+GRAPH_EXPECT = [
+    (
+        "/root/testdata/sf0.01",
+        {
+            "n_pairs": 1506,
+            "n_vertices": 307,
+            "pagerank_round_rows": 3012,
+            "tri_wedge_rows": 4502,
+            "linkpred_wedge_rows": 16462,
+            "labelprop_labeled_r1": 212,
+            "labelprop_labeled_r2": 40,
+            "kcore_removed_r1": 11,
+            "kcore_removed_r2": 0,
+            "kcore_removed_r3": 0,
+            "kcore_removed_r4": 0,
+        },
+    ),
+    (
+        "/root/testdata/sf0.1",
+        {
+            "n_pairs": 147839,
+            "n_vertices": 3324,
+            "pagerank_round_rows": 295678,
+            "tri_wedge_rows": 4644318,
+            "linkpred_wedge_rows": 16739111,
+            "labelprop_labeled_r1": 2604,
+            "labelprop_labeled_r2": 228,
+            "kcore_removed_r1": 163,
+            "kcore_removed_r2": 5,
+            "kcore_removed_r3": 0,
+            "kcore_removed_r4": 0,
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("sf_dir,expect", GRAPH_EXPECT)
+def test_graph_volume_metrics_pinned(spark, sf_dir, expect):
+    got = dedup.graph_volume_metrics(spark, sf_dir)
+    assert got == expect
+    # orientation safety certificate: oriented wedge rows ≤ E^1.5
+    assert got["tri_wedge_rows"] <= (2 * got["n_pairs"]) ** 1.5
+    # fixtures converge by round 3 ⇒ the fixed 4th peel is a no-op,
+    # which is what makes q244's fixed-round contract equal the
+    # exact k-core on these corpora
+    assert got["kcore_removed_r4"] == 0

@@ -75,6 +75,10 @@ def main() -> None:
         rec["cand_containment"] = dedup.containment_candidates(
             spark, sf_dir
         ).count()
+        # graph-suite join/shuffle volumes (round-9, verdict item 4):
+        # edge counts + per-round row volumes for q115/q122/q222/q244/
+        # q285 — the graph family's equivalent of the candidate pins
+        rec["graph"] = dedup.graph_volume_metrics(spark, sf_dir)
         rows.append(rec)
 
     print("| sf | docs | q38 s | q38 rows | q38 cand | q39 s | q45 s "
@@ -93,6 +97,25 @@ def main() -> None:
             f"| {r['cand_containment_k1']} "
             f"| {r['cand_containment']} |"
         )
+    print("\n| sf | pairs | verts | pr round rows | tri wedges "
+          "| linkpred wedges | lp r1/r2 | kcore r1..r4 |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        g = r["graph"]
+        print(
+            f"| {r['sf']} | {g['n_pairs']} | {g['n_vertices']} "
+            f"| {g['pagerank_round_rows']} | {g['tri_wedge_rows']} "
+            f"| {g['linkpred_wedge_rows']} "
+            f"| {g['labelprop_labeled_r1']}/{g['labelprop_labeled_r2']} "
+            f"| {g['kcore_removed_r1']}/{g['kcore_removed_r2']}"
+            f"/{g['kcore_removed_r3']}/{g['kcore_removed_r4']} |"
+        )
+        # the orientation's safety certificate: oriented wedges must
+        # stay under the Chiba–Nishizeki E^1.5 bound
+        bound = (2 * g["n_pairs"]) ** 1.5
+        if g["tri_wedge_rows"] > bound:
+            print(f"  <-- ORIENTATION BROKEN: wedges {g['tri_wedge_rows']} "
+                  f"> E^1.5 = {bound:.0f}")
     # growth factors between adjacent scales
     for lo, hi in zip(rows, rows[1:]):
         dr = hi["n_docs"] / lo["n_docs"]
