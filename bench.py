@@ -171,17 +171,18 @@ HEADLINE = [
 N_RUNS = 3
 
 
-def main() -> None:
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
-    spark = get_spark("etl-geonet-quakes-spark-bench")
-
+def _warm(spark, sf_dir: str) -> None:
+    """Session warm-up shared by bench.py and tools/bench_full.py:
+    JVM classloading, parquet footer caches, the Python/Arrow daemon,
+    and collation codegen — so none of it is billed to the first
+    timed query."""
     # warm the session (JVM classloading, parquet footer/file-listing
     # caches, codegen compilation) by scanning every input table once —
     # none of these scans is a timed query; results are not cached
     from etl_geonet_quakes_spark.io import TABLES, load_table
 
     for t in TABLES:
-        load_table(spark, SF_DIR, t).count()
+        load_table(spark, sf_dir, t).count()
 
     # also warm the Python-worker/Arrow path: daemon startup costs
     # ~2 s and would otherwise be billed to whichever pandas-UDF
@@ -192,7 +193,7 @@ def main() -> None:
     from pyspark.sql.functions import pandas_udf as _pudf
 
     @_pudf("double")
-    def _warm(v):
+    def _ident(v):
         return v
 
     # aggregate OVER the UDF output so Catalyst cannot prune it: a bare
@@ -200,7 +201,7 @@ def main() -> None:
     # column, planning no ArrowEvalPython node and starting no Python
     # daemon — the warm-up was a silent no-op and the first pandas-UDF
     # query still paid the ~2 s cold start (round-4 advisor finding)
-    warm_plan = spark.range(1024).agg(_F.sum(_warm(_F.col("id").cast("double"))))
+    warm_plan = spark.range(1024).agg(_F.sum(_ident(_F.col("id").cast("double"))))
     assert "ArrowEvalPython" in warm_plan._jdf.queryExecution().executedPlan().toString(), (
         "pandas-UDF warm-up was optimized away — Python daemon not warmed"
     )
@@ -213,6 +214,12 @@ def main() -> None:
         "SELECT lower(CAST(c COLLATE UTF8_LCASE AS STRING)), COUNT(*) "
         "FROM VALUES ('A'),('a') AS t(c) GROUP BY c COLLATE UTF8_LCASE"
     ).collect()
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("etl-geonet-quakes-spark-bench")
+    _warm(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
