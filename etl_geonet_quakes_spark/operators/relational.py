@@ -11782,3 +11782,353 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_95"),
         (jb > crit).cast("long").alias("reject_normality"),
     )
+
+
+# --------------------------------------------------------------------
+# Round-9 additions: survival comparison, categorical-distance and
+# agreement statistics, forecast backtesting, GLM counts
+# --------------------------------------------------------------------
+
+
+def _survival_risk_table_2g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group life table for the q343 log-rank test: the q257
+    time-to-repeat-order frame (``_survival_risk_table``) split by a
+    binary customer stratum (BUILDING segment vs the rest). At each
+    POOLED event time t: group-1 at-risk/events (n1, d1) and pooled
+    at-risk/events (n, d). Same scale posture as q257 — one custkey
+    shuffle for first/second order (plus a broadcast of the 150k-row
+    customer segment column pruned to two values), then everything is
+    calendar-bounded (≤ 10⁴ distinct durations)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
+    )
+    end = o.agg(F.max("d").alias("corpus_end"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("d").alias("first_d"),
+            F.get(F.sort_array(F.collect_list("d")), 1).alias("second_d"),
+        )
+        .join(seg, "o_custkey")
+    )
+    dur = per_cust.join(F.broadcast(end), F.lit(True)).select(
+        F.when(
+            F.col("second_d").isNotNull(), F.datediff("second_d", "first_d")
+        )
+        .otherwise(F.datediff("corpus_end", "first_d"))
+        .cast("long")
+        .alias("dur"),
+        F.col("second_d").isNotNull().cast("int").alias("event"),
+        "g1",
+    )
+    # per-duration histograms, pooled and group-1
+    hist = dur.groupBy("dur").agg(
+        F.count("*").alias("cnt"),
+        F.sum("g1").alias("cnt1"),
+        F.sum(F.col("event")).alias("ev"),
+        F.sum(F.col("event") * F.col("g1")).alias("ev1"),
+    )
+    tot = dur.agg(
+        F.count("*").alias("n_all"), F.sum("g1").alias("n1_all")
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = hist.select(
+        "dur",
+        "ev",
+        "ev1",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+        F.coalesce(F.sum("cnt1").over(w), F.lit(0)).alias("before1"),
+    )
+    return (
+        at_risk.filter(F.col("ev") > 0)
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            F.col("dur").alias("t_days"),
+            F.col("ev").alias("d_all"),
+            F.col("ev1").alias("d1"),
+            (F.col("n_all") - F.col("before")).alias("n_all_risk"),
+            (F.col("n1_all") - F.col("before1")).alias("n1_risk"),
+        )
+    )
+
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test: does the BUILDING segment's
+    time-to-repeat-order survival differ from everyone else's? — the
+    hypothesis-test completion of the survival family (q257
+    Kaplan–Meier estimates curves, q299 Nelson–Aalen hazards, q305
+    Cox models covariates; this one TESTS the two-curve null).
+
+    At each pooled event time, expected group-1 events under the
+    null are E1 = d·n1/n and the hypergeometric variance is
+    V = d·(n1/n)·(1−n1/n)·(n−d)/(n−1); the statistic
+    (Σ(d1−E1))²/ΣV is χ²(1), compared against the 3.841459 95%
+    literal (shared with q234's family). Sums fold per-time doubles
+    of exact integers — fixed shape, engine-identical; the
+    event-time frame is calendar-bounded (≤ 10⁴ rows), so every
+    stage after the custkey shuffle is scale-free."""
+    kt = _survival_risk_table_2g(spark, sf_dir)
+    n = F.col("n_all_risk").cast("double")
+    n1 = F.col("n1_risk").cast("double")
+    d = F.col("d_all").cast("double")
+    e1 = d * n1 / n
+    v = F.when(
+        F.col("n_all_risk") > 1,
+        d * (n1 / n) * (F.lit(1.0) - n1 / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    # per-time doubles are identical in both engines (fixed-shape
+    # expressions of exact integers); rounding them to 12dp and
+    # summing as DECIMAL makes the SUM associative (the q299
+    # Nelson–Aalen convention), so the statistic is engine-exact
+    agg = kt.agg(
+        F.count("*").alias("n_event_times"),
+        F.sum("d1").alias("observed_g1"),
+        F.sum(F.round(e1, 12).cast("decimal(28,12)")).alias("expected_g1"),
+        F.sum(F.round(v, 12).cast("decimal(28,12)")).alias("var_sum"),
+    )
+    ome = (
+        F.col("observed_g1").cast("double")
+        - F.col("expected_g1").cast("double")
+    )
+    stat = ome * ome / F.col("var_sum").cast("double")
+    return agg.select(
+        "n_event_times",
+        "observed_g1",
+        F.round(F.col("expected_g1").cast("double"), 6).alias("expected_g1"),
+        F.round(stat, 6).alias("logrank_chi2"),
+        F.lit(3.841459).alias("chi2_crit_95"),
+        (stat > F.lit(3.841459)).cast("long").alias("reject_equal_survival"),
+    )
+
+
+def gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood-ratio) of independence between document
+    source and lang — the information-theoretic twin of q234's
+    Pearson chi-square on the same contingency frame: G = 2·Σ
+    obs·ln(obs/exp), equivalently 2N·MI(source; lang) in nats.
+    Zero cells contribute 0 (the x·ln x → 0 limit), where Pearson
+    would still count their expected mass — the classical reason G
+    is preferred on sparse tables.
+
+    Same scale shape as q234: one (source, lang) hash agg, then a
+    broadcast-size cell frame; dof = (r−1)(c−1); shared χ² literal
+    only in the report column (no quantile functions in either
+    engine's data path)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_obs"))
+    row_t = cells.groupBy("source").agg(F.sum("n_obs").alias("row_n"))
+    col_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("col_n"))
+    n = cells.agg(F.sum("n_obs").alias("n_total"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    scored = (
+        cells.join(F.broadcast(row_t), "source")
+        .join(F.broadcast(col_t), "lang")
+        .join(F.broadcast(n))
+        .withColumn(
+            "contrib",
+            F.lit(2.0)
+            * F.col("n_obs").cast("double")
+            * F.log(F.col("n_obs").cast("double") / expected),
+        )
+    )
+    return scored.groupBy().agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_obs").alias("n_total"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1)
+        ).alias("dof"),
+        F.round(F.sum("contrib"), 6).alias("g_stat"),
+    )
+
+
+def hellinger_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Hellinger distance and total-variation distance
+    between the source's language distribution and the GLOBAL
+    language distribution — the bounded-metric members of the
+    distribution-drift family (q183 PSI and q209 KL are unbounded
+    and asymmetric; H ∈ [0,1] and TV ∈ [0,1] are metrics, so
+    per-source values are comparable with each other).
+
+    H = √(1 − Σᵢ √(pᵢ·qᵢ)), TV = ½·Σᵢ|pᵢ − qᵢ| over the full
+    source×lang grid (a broadcast cross of two bounded dimension
+    frames, so a lang missing from a source contributes p=0 — both
+    metrics are finite there, unlike KL). One (source, lang) hash
+    agg is the only full-data work."""
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n_obs"))
+    src_t = cells.groupBy("source").agg(F.sum("n_obs").alias("src_n"))
+    lang_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("lang_n"))
+    n = cells.agg(F.sum("n_obs").alias("n_total"))
+    grid = src_t.crossJoin(F.broadcast(lang_t)).join(
+        F.broadcast(n)
+    )  # bounded: |sources| × |langs|
+    full = grid.join(cells, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        (
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+            / F.col("src_n").cast("double")
+        ).alias("p"),
+        (F.col("lang_n").cast("double") / F.col("n_total").cast("double")).alias(
+            "q"
+        ),
+    )
+    return (
+        full.groupBy("source")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.lit(1.0) - F.sum(F.sqrt(F.col("p") * F.col("q"))),
+                    )
+                ),
+                6,
+            ).alias("hellinger"),
+            F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / F.lit(2.0), 6).alias(
+                "total_variation"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest of daily order revenue with
+    the standard scale-free error metrics: the last 28 calendar days
+    are the holdout, the forecast for day t is the actual of day
+    t−7, MASE divides the holdout MAE by the TRAIN-period seasonal-
+    naive MAE (Hyndman & Koehler 2006 — the denominator makes 1.0 the
+    'no better than naive' line), and sMAPE is the symmetric
+    percentage error. The q254/q263/q270 forecasting family gets its
+    evaluation harness.
+
+    Revenue sums are exact decimals per day; the series frame is
+    calendar-bounded (≤ 10⁴ rows at any corpus size), so the lag
+    window, the split and both error folds are scale-free after the
+    one date-keyed agg."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    daily = o.groupBy("d").agg(F.sum("v").alias("rev"))
+    w = Window.orderBy("d")
+    # absolute errors stay DECIMAL end-to-end (daily revenue sums are
+    # exact decimals; |y−ŷ| of decimals is a decimal), so the error
+    # sums are associative and engine-exact; only the bounded 28-term
+    # sMAPE fold is a double sum (per-day ratios are identical
+    # doubles, round-6 after the fold absorbs the ≤28-term order)
+    lagged = daily.select(
+        "d",
+        F.col("rev").alias("y"),
+        F.lag("rev", 7).over(w).alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    split = daily.agg(
+        F.date_sub(F.max("d"), 28).alias("cutoff")
+    )
+    j = lagged.join(F.broadcast(split), F.lit(True))
+    err = F.abs(F.col("y") - F.col("yhat"))
+    agg = j.agg(
+        F.sum(F.when(F.col("d") <= F.col("cutoff"), err)).alias("train_ae"),
+        F.count(F.when(F.col("d") <= F.col("cutoff"), F.lit(1))).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("d") > F.col("cutoff"), err)).alias("test_ae"),
+        F.count(F.when(F.col("d") > F.col("cutoff"), F.lit(1))).alias(
+            "n_test"
+        ),
+        F.sum(
+            F.when(
+                F.col("d") > F.col("cutoff"),
+                F.lit(2.0)
+                * err.cast("double")
+                / (
+                    F.abs(F.col("y")).cast("double")
+                    + F.abs(F.col("yhat")).cast("double")
+                ),
+            )
+        ).alias("smape_sum"),
+    )
+    train_mae = F.col("train_ae").cast("double") / F.col("n_train").cast(
+        "double"
+    )
+    test_mae = F.col("test_ae").cast("double") / F.col("n_test").cast("double")
+    mase = test_mae / train_mae
+    return agg.select(
+        "n_train",
+        "n_test",
+        F.round(train_mae, 6).alias("train_mae"),
+        F.round(test_mae, 6).alias("test_mae"),
+        F.round(mase, 6).alias("mase"),
+        F.round(
+            F.col("smape_sum") / F.col("n_test").cast("double"), 6
+        ).alias("smape"),
+        (mase < F.lit(1.0)).cast("long").alias("beats_naive"),
+    )
+
+
+def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over orders-as-subjects rated by their first
+    three lineitems' return flags — the MULTI-rater generalization
+    completing the agreement family (q295 Cohen's kappa is exactly
+    two raters): m=3 ratings per subject into categories {A, N, R},
+    P̄ = mean per-subject agreement Σⱼnᵢⱼ(nᵢⱼ−1)/(m(m−1)), P̄ₑ =
+    Σⱼp̄ⱼ², κ = (P̄−P̄ₑ)/(1−P̄ₑ).
+
+    Subjects are orders with ≥3 items; the 'first three' are by
+    linenumber — deterministic, and keeping m constant is what the
+    Fleiss formula requires. One orderkey-grouped agg builds the
+    per-subject category counts as fixed three-way sums (no
+    explode); category shares fold in category order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    first3 = li.filter(F.col("l_linenumber") <= 3)
+    subj = (
+        first3.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("m"),
+            F.sum((F.col("l_returnflag") == "A").cast("long")).alias("n_a"),
+            F.sum((F.col("l_returnflag") == "N").cast("long")).alias("n_n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_r"),
+        )
+        .filter(F.col("m") == 3)
+    )
+    # per-subject agreement numerators stay BIGINT (Σⱼnᵢⱼ(nᵢⱼ−1) ∈
+    # {0,2,6}); the division by m(m−1)·n happens once on the exact sum
+    pa_num = (
+        F.col("n_a") * (F.col("n_a") - 1)
+        + F.col("n_n") * (F.col("n_n") - 1)
+        + F.col("n_r") * (F.col("n_r") - 1)
+    )
+    agg = subj.agg(
+        F.count("*").alias("n_subjects"),
+        F.sum(pa_num).alias("pa_num"),
+        F.sum("n_a").alias("s_a"),
+        F.sum("n_n").alias("s_n"),
+        F.sum("n_r").alias("s_r"),
+    )
+    tot = (F.col("s_a") + F.col("s_n") + F.col("s_r")).cast("double")
+    pe = (
+        (F.col("s_a").cast("double") / tot) * (F.col("s_a").cast("double") / tot)
+        + (F.col("s_n").cast("double") / tot) * (F.col("s_n").cast("double") / tot)
+        + (F.col("s_r").cast("double") / tot) * (F.col("s_r").cast("double") / tot)
+    )
+    pbar = F.col("pa_num").cast("double") / (
+        F.lit(6.0) * F.col("n_subjects").cast("double")
+    )
+    return agg.select(
+        "n_subjects",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((pbar - pe) / (F.lit(1.0) - pe), 6).alias("fleiss_kappa"),
+    )

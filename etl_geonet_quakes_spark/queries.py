@@ -11310,3 +11310,224 @@ SPECS["q342_jarque_bera"] = QuerySpec(
     "exact raw moments to the 4th power in DECIMAL(38,0), "
     "closed-form central-moment assembly, shared chi2 literal",
 )
+
+SPECS["q343_logrank_test"] = QuerySpec(
+    rel.logrank_test,
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         seg AS (SELECT c_custkey,
+                        CAST(c_mktsegment = 'BUILDING' AS INT) AS g1
+                 FROM customer),
+         endd AS (SELECT MAX(d) AS corpus_end FROM o),
+         pc AS (SELECT o_custkey, MIN(d) AS first_d,
+                       (list_sort(list(d)))[2] AS second_d
+                FROM o GROUP BY 1),
+         pcg AS (SELECT pc.*, seg.g1 FROM pc
+                 JOIN seg ON o_custkey = c_custkey),
+         dur AS (SELECT CASE WHEN second_d IS NOT NULL
+                             THEN date_diff('day', first_d, second_d)
+                             ELSE date_diff('day', first_d, corpus_end)
+                        END AS dur,
+                        CAST(second_d IS NOT NULL AS INT) AS event, g1
+                 FROM pcg, endd),
+         hist AS (SELECT dur, COUNT(*) AS cnt, SUM(g1) AS cnt1,
+                         SUM(event) AS ev, SUM(event * g1) AS ev1
+                  FROM dur GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS n_all, SUM(g1) AS n1_all FROM dur),
+         ar AS (SELECT dur, ev, ev1,
+                       COALESCE(SUM(cnt) OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS before,
+                       COALESCE(SUM(cnt1) OVER (ORDER BY dur
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS before1
+                FROM hist),
+         kt AS (SELECT dur AS t_days, ev AS d_all, ev1 AS d1,
+                       n_all - before AS n_all_risk,
+                       n1_all - before1 AS n1_risk
+                FROM ar, tot WHERE ev > 0),
+         terms AS (SELECT d1,
+                          CAST(ROUND(CAST(d_all AS DOUBLE)
+                                     * CAST(n1_risk AS DOUBLE)
+                                     / CAST(n_all_risk AS DOUBLE), 12)
+                               AS DECIMAL(28,12)) AS e1,
+                          CAST(ROUND(CASE WHEN n_all_risk > 1 THEN
+                              CAST(d_all AS DOUBLE)
+                              * (CAST(n1_risk AS DOUBLE)
+                                 / CAST(n_all_risk AS DOUBLE))
+                              * (1.0 - CAST(n1_risk AS DOUBLE)
+                                       / CAST(n_all_risk AS DOUBLE))
+                              * (CAST(n_all_risk AS DOUBLE)
+                                 - CAST(d_all AS DOUBLE))
+                              / (CAST(n_all_risk AS DOUBLE) - 1.0)
+                              ELSE 0.0 END, 12) AS DECIMAL(28,12)) AS v
+                   FROM kt),
+         s AS (SELECT COUNT(*) AS n_event_times,
+                      CAST(SUM(d1) AS BIGINT) AS observed_g1,
+                      SUM(e1) AS e_sum, SUM(v) AS v_sum
+               FROM terms)
+    SELECT n_event_times, observed_g1,
+           ROUND(CAST(e_sum AS DOUBLE), 6) AS expected_g1,
+           ROUND((CAST(observed_g1 AS DOUBLE) - CAST(e_sum AS DOUBLE))
+                 * (CAST(observed_g1 AS DOUBLE) - CAST(e_sum AS DOUBLE))
+                 / CAST(v_sum AS DOUBLE), 6) AS logrank_chi2,
+           CAST(3.841459 AS DOUBLE) AS chi2_crit_95,
+           CAST((CAST(observed_g1 AS DOUBLE) - CAST(e_sum AS DOUBLE))
+                * (CAST(observed_g1 AS DOUBLE) - CAST(e_sum AS DOUBLE))
+                / CAST(v_sum AS DOUBLE) > 3.841459 AS BIGINT)
+               AS reject_equal_survival
+    FROM s
+    """,
+    "§2.2 statistics: two-sample log-rank test of BUILDING-segment "
+    "vs other customers' time-to-repeat-order survival — "
+    "hypergeometric E/V per pooled event time, 12dp-decimal "
+    "associative sums, shared chi2 literal",
+)
+
+SPECS["q344_gtest_independence"] = QuerySpec(
+    rel.gtest_independence,
+    """
+    WITH cells AS (SELECT source, lang, COUNT(*) AS n_obs
+                   FROM documents GROUP BY 1, 2),
+         rt AS (SELECT source, SUM(n_obs) AS row_n FROM cells GROUP BY 1),
+         ct AS (SELECT lang, SUM(n_obs) AS col_n FROM cells GROUP BY 1),
+         nt AS (SELECT SUM(n_obs) AS n_total FROM cells),
+         scored AS (SELECT cells.*, row_n, col_n, n_total,
+                           2.0 * CAST(n_obs AS DOUBLE)
+                           * ln(CAST(n_obs AS DOUBLE)
+                                / (CAST(row_n AS DOUBLE)
+                                   * CAST(col_n AS DOUBLE)
+                                   / CAST(n_total AS DOUBLE))) AS contrib
+                    FROM cells JOIN rt USING (source)
+                               JOIN ct USING (lang), nt)
+    SELECT COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_obs) AS BIGINT) AS n_total,
+           (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
+               AS dof,
+           ROUND(SUM(contrib), 6) AS g_stat
+    FROM scored
+    """,
+    "§2.2 statistics: G-test (log-likelihood ratio) of source x lang "
+    "independence — the information-theoretic twin of q234 on the "
+    "same contingency frame; zero cells contribute zero",
+)
+
+SPECS["q345_hellinger_tv"] = QuerySpec(
+    rel.hellinger_tv_distance,
+    """
+    WITH cells AS (SELECT source, lang, COUNT(*) AS n_obs
+                   FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, SUM(n_obs) AS src_n FROM cells GROUP BY 1),
+         lt AS (SELECT lang, SUM(n_obs) AS lang_n FROM cells GROUP BY 1),
+         nt AS (SELECT SUM(n_obs) AS n_total FROM cells),
+         grid AS (SELECT source, src_n, lang, lang_n, n_total
+                  FROM st CROSS JOIN lt CROSS JOIN nt),
+         fullg AS (SELECT g.source, g.lang,
+                          CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                          / CAST(g.src_n AS DOUBLE) AS p,
+                          CAST(g.lang_n AS DOUBLE)
+                          / CAST(g.n_total AS DOUBLE) AS q
+                   FROM grid g LEFT JOIN cells c
+                     ON g.source = c.source AND g.lang = c.lang)
+    SELECT source,
+           ROUND(sqrt(greatest(0.0, 1.0 - SUM(sqrt(p * q)))), 6)
+               AS hellinger,
+           ROUND(SUM(abs(p - q)) / 2.0, 6) AS total_variation
+    FROM fullg GROUP BY source ORDER BY source
+    """,
+    "§2.2 statistics: per-source Hellinger and total-variation "
+    "distance of language mix vs the global distribution — the "
+    "bounded-metric members of the drift family, finite on zero "
+    "cells where KL is not",
+)
+
+SPECS["q346_mase_backtest"] = QuerySpec(
+    rel.mase_backtest,
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          CAST(SUM(CAST(o_totalprice
+                                        AS DECIMAL(18,2)))
+                               AS DECIMAL(18,2)) AS rev
+                   FROM orders GROUP BY 1),
+         lagged AS (SELECT d, rev AS y,
+                           lag(rev, 7) OVER (ORDER BY d) AS yhat
+                    FROM daily),
+         lf AS (SELECT * FROM lagged WHERE yhat IS NOT NULL),
+         cut AS (SELECT MAX(d) - INTERVAL 28 DAY AS cutoff FROM daily),
+         agg AS (SELECT
+                     SUM(CASE WHEN d <= cutoff THEN abs(y - yhat) END)
+                         AS train_ae,
+                     COUNT(CASE WHEN d <= cutoff THEN 1 END) AS n_train,
+                     SUM(CASE WHEN d > cutoff THEN abs(y - yhat) END)
+                         AS test_ae,
+                     COUNT(CASE WHEN d > cutoff THEN 1 END) AS n_test,
+                     SUM(CASE WHEN d > cutoff THEN
+                         2.0 * CAST(abs(y - yhat) AS DOUBLE)
+                         / (CAST(abs(y) AS DOUBLE)
+                            + CAST(abs(yhat) AS DOUBLE)) END) AS smape_sum
+                 FROM lf, cut)
+    SELECT n_train, n_test,
+           ROUND(CAST(train_ae AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
+               AS train_mae,
+           ROUND(CAST(test_ae AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+               AS test_mae,
+           ROUND((CAST(test_ae AS DOUBLE) / CAST(n_test AS DOUBLE))
+                 / (CAST(train_ae AS DOUBLE) / CAST(n_train AS DOUBLE)),
+                 6) AS mase,
+           ROUND(smape_sum / CAST(n_test AS DOUBLE), 6) AS smape,
+           CAST((CAST(test_ae AS DOUBLE) / CAST(n_test AS DOUBLE))
+                / (CAST(train_ae AS DOUBLE) / CAST(n_train AS DOUBLE))
+                < 1.0 AS BIGINT) AS beats_naive
+    FROM agg
+    """,
+    "§2.2 statistics: seasonal-naive backtest of daily revenue with "
+    "MASE and sMAPE over a 28-day holdout — exact decimal error "
+    "sums, the forecasting family's evaluation harness",
+)
+
+SPECS["q347_fleiss_kappa"] = QuerySpec(
+    rel.fleiss_kappa,
+    """
+    WITH f3 AS (SELECT l_orderkey, l_returnflag FROM lineitem
+                WHERE l_linenumber <= 3),
+         subj AS (SELECT l_orderkey, COUNT(*) AS m,
+                         SUM(CAST(l_returnflag = 'A' AS BIGINT)) AS n_a,
+                         SUM(CAST(l_returnflag = 'N' AS BIGINT)) AS n_n,
+                         SUM(CAST(l_returnflag = 'R' AS BIGINT)) AS n_r
+                  FROM f3 GROUP BY 1),
+         s3 AS (SELECT * FROM subj WHERE m = 3),
+         agg AS (SELECT COUNT(*) AS n_subjects,
+                        CAST(SUM(n_a * (n_a - 1) + n_n * (n_n - 1)
+                                 + n_r * (n_r - 1)) AS BIGINT) AS pa_num,
+                        CAST(SUM(n_a) AS BIGINT) AS s_a,
+                        CAST(SUM(n_n) AS BIGINT) AS s_n,
+                        CAST(SUM(n_r) AS BIGINT) AS s_r
+                 FROM s3),
+         v AS (SELECT n_subjects,
+                      CAST(pa_num AS DOUBLE)
+                      / (6.0 * CAST(n_subjects AS DOUBLE)) AS pbar,
+                      (CAST(s_a AS DOUBLE)
+                       / CAST(s_a + s_n + s_r AS DOUBLE))
+                      * (CAST(s_a AS DOUBLE)
+                         / CAST(s_a + s_n + s_r AS DOUBLE))
+                      + (CAST(s_n AS DOUBLE)
+                         / CAST(s_a + s_n + s_r AS DOUBLE))
+                        * (CAST(s_n AS DOUBLE)
+                           / CAST(s_a + s_n + s_r AS DOUBLE))
+                      + (CAST(s_r AS DOUBLE)
+                         / CAST(s_a + s_n + s_r AS DOUBLE))
+                        * (CAST(s_r AS DOUBLE)
+                           / CAST(s_a + s_n + s_r AS DOUBLE)) AS pe
+               FROM agg)
+    SELECT n_subjects,
+           ROUND(pbar, 6) AS p_bar,
+           ROUND(pe, 6) AS p_expected,
+           ROUND((pbar - pe) / (1.0 - pe), 6) AS fleiss_kappa
+    FROM v
+    """,
+    "§2.2 statistics: Fleiss' kappa over orders rated by their first "
+    "three lineitems' return flags — multi-rater agreement with "
+    "exact integer agreement numerators; completes q295's family",
+)
