@@ -1027,3 +1027,98 @@ def rrf_hybrid_fusion(
         )
         .orderBy("rnk")
     )
+
+
+def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the embedding corpus
+    under its ``label`` clustering: per vector, a = distance to own
+    label's centroid, b = min distance to any OTHER label's centroid,
+    s = (b−a)/max(a,b) — the clustering-quality audit for the k-means
+    family (q102/q118 fit centroids, q223 tracks their drift; this
+    scores how separable the clustering actually is). Simplified
+    silhouette is the scale-honest variant: the classic one is
+    all-pairs within/between clusters (corpus² — unshippable), the
+    centroid form is one pass, and they rank clusterings identically
+    in practice (Hruschka et al.).
+
+    Exactness: centroids use the q223 per-dimension decimal-sum
+    discipline; per-vector distances fold ascending over zip_with
+    (bit-reproducible); the min-over-other-labels breaks ties by
+    (distance, label); per-vector s rounds 6dp FIRST and sums as
+    DECIMAL(18,6), so the per-label mean is associative and
+    engine-exact. Distributed shape: one posexplode agg for
+    centroids (64·|labels| groups), one broadcast of the |labels|
+    centroid structs, one map-side distance pass, one label agg —
+    corpus touched twice, nothing collects."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("label", "pos").agg(
+        F.sum(
+            F.round(F.col("x").cast("double"), 6).cast("decimal(28,6)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("string").cast("double") / F.col("n"))
+                        .alias("m"),
+                    )
+                )
+            ),
+            lambda st: st.m,
+        ).alias("c"),
+    )
+    allc = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("cl"), "c"))
+        ).alias("cs")
+    )
+
+    def dist(vec, cent):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    cent,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    scored = e.join(F.broadcast(allc), F.lit(True)).select(
+        "label",
+        F.transform(
+            "cs",
+            lambda c: F.struct(
+                dist(F.col("embedding"), c["c"]).alias("d"),
+                c["cl"].alias("cl"),
+            ),
+        ).alias("ds"),
+    )
+    a = F.element_at(
+        F.filter("ds", lambda d: d["cl"] == F.col("label")), 1
+    )["d"]
+    b = F.array_min(F.filter("ds", lambda d: d["cl"] != F.col("label")))["d"]
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.select("label", F.round(s, 6).cast("decimal(18,6)").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum("s").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_silhouette"),
+            F.sum((F.col("s") < 0).cast("long")).alias("n_negative"),
+        )
+        .orderBy("label")
+    )

@@ -1906,3 +1906,61 @@ def jensen_shannon_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report — the tokenizer-budget
+    numbers a training-data pipeline reads before committing a vocab:
+    fertility (BPE-style subword pieces per whitespace word — the
+    standard 'how much does this language pay' metric), bytes per
+    piece, and the piece-length mix (share of single-char pieces, a
+    fragmentation smell).
+
+    Pieces are the q28 pre-tokenizer classes extended with a greedy
+    4-char cap ([a-z0-9]{1,4} in the RE2∩Java subset — a fixed-vocab
+    BPE's worst-case split is length-capped, and the cap is what
+    makes fertility > 1 measurable without a trained merge table);
+    whitespace words are the q22 convention. One scan, two
+    regexp_extract_all per row, one lang-keyed agg — all counts exact
+    BIGINTs, ratios assembled from the sums (nothing per-row is
+    floating point). Reference capability: corpus statistics over the
+    decoded text surface (task.ts:187-193 scope) at training scale."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]{1,4}"), 0)
+    words = F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)
+    per_doc = d.select(
+        "lang",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(pieces, F.length),
+            F.lit(0).cast("long"),
+            lambda a, t: a + t.cast("long"),
+        ).alias("piece_chars"),
+        F.size(F.filter(pieces, lambda p: F.length(p) == 1))
+        .cast("long")
+        .alias("n_single"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pieces").alias("pieces"),
+        F.sum("n_words").alias("words"),
+        F.sum("piece_chars").alias("chars"),
+        F.sum("n_single").alias("singles"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "pieces",
+        "words",
+        F.round(
+            F.col("pieces").cast("double") / F.col("words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("chars").cast("double") / F.col("pieces").cast("double"), 6
+        ).alias("chars_per_piece"),
+        F.round(
+            F.col("singles").cast("double") / F.col("pieces").cast("double"),
+            6,
+        ).alias("single_char_share"),
+    ).orderBy("lang")

@@ -12132,3 +12132,172 @@ def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((pbar - pe) / (F.lit(1.0) - pe), 6).alias("fleiss_kappa"),
     )
+
+
+def poisson_irls(spark: SparkSession, sf_dir: str,
+                 n_bins: int = 10, iters: int = 3) -> DataFrame:
+    """Poisson regression of per-order lineitem COUNT on the
+    standardized order-value decile, fit by ``iters`` unrolled
+    Newton/IRLS steps — the count-GLM completing q304's binomial and
+    q327's (moment-fit) negative-binomial: same binning trick, same
+    bounded sufficient-statistics frame, canonical log link.
+
+    Cells are (bin, y) with y ∈ 1..7 (TPC-H lineitem multiplicity),
+    ≤ 70 cells at any corpus size; per step the IRLS weights are
+    w = μ = exp(b0+b1x), so Σw, Σwx, Σwx², Σ(y−μ), Σ(y−μ)x fold as
+    ordered left folds and Newton solves the 2×2 closed-form. The
+    fit report is the mean in-model DEVIANCE 2·Σ[y·ln(y/μ)−(y−μ)]/n
+    (the ln y! constant cancels in deviance — no factorial in either
+    engine's data path). The only corpus-scale work is the lineitem
+    count agg, the decile ntile and the cell agg."""
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("y"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .join(counts, "o_orderkey")
+    )
+    wb = Window.orderBy("cents", "o_orderkey")
+    cells = (
+        o.withColumn("bin", F.ntile(n_bins).over(wb))
+        .groupBy("bin", "y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mom = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("bin") * F.col("cnt")).alias("sb"),
+        F.sum(F.col("bin") * F.col("bin") * F.col("cnt")).alias("sbb"),
+    )
+    one = cells.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "y", "cnt"))).alias("cl")
+    ).join(F.broadcast(mom), F.lit(True))
+    mean = F.col("sb").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("sbb").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    df = one.select(
+        "n",
+        F.transform(
+            "cl",
+            lambda c: F.struct(
+                ((c["bin"].cast("double") - mean) / sd).alias("x"),
+                c["y"].cast("double").alias("yv"),
+                c["cnt"].cast("double").alias("cnt"),
+            ),
+        ).alias("cells"),
+        F.lit(0.0).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+
+    def mu(c):
+        return F.exp(F.col("b0") + F.col("b1") * c["x"])
+
+    def fold(term):
+        return F.aggregate(
+            F.transform("cells", term), F.lit(0.0), lambda a, t: a + t
+        )
+
+    for _ in range(iters):
+        df = df.select(
+            "n", "cells", "b0", "b1",
+            fold(lambda c: c["cnt"] * mu(c)).alias("sw"),
+            fold(lambda c: c["cnt"] * mu(c) * c["x"]).alias("swx"),
+            fold(lambda c: c["cnt"] * mu(c) * c["x"] * c["x"]).alias("swxx"),
+            fold(lambda c: c["cnt"] * (c["yv"] - mu(c))).alias("sr"),
+            fold(lambda c: c["cnt"] * (c["yv"] - mu(c)) * c["x"]).alias("srx"),
+        )
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        df = df.select(
+            "n", "cells",
+            (
+                F.col("b0")
+                + (F.col("sr") * F.col("swxx") - F.col("srx") * F.col("swx"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("sw") * F.col("srx") - F.col("swx") * F.col("sr"))
+                / det
+            ).alias("b1"),
+        )
+    dev = F.lit(2.0) * fold(
+        lambda c: c["cnt"]
+        * (c["yv"] * F.log(c["yv"] / mu(c)) - (c["yv"] - mu(c)))
+    )
+    return df.select(
+        "n",
+        F.lit(iters).alias("iters"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round(F.exp("b1"), 6).alias("rate_ratio_per_sd"),
+        F.round(dev / F.col("n").cast("double"), 6).alias("avg_deviance"),
+    )
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str,
+                        window_days: int = 7) -> DataFrame:
+    """Shapley-value channel attribution of purchase revenue under
+    the counting coalition game: each purchase's journey is the SET
+    of distinct channels touched in the preceding window, the game's
+    value v(S) = revenue of journeys whose channel set ⊆ S, and the
+    Shapley value collapses to the closed form φ_ch = Σ_{journeys
+    J ∋ ch} value(J)/|channels(J)| (for v(S) = Σ_{T⊆S} c_T every
+    permutation marginal is c_T split over T's members — the
+    standard exact shortcut, Zhao et al. 2018 §3). The economically
+    meaningful difference from q210's linear model: q210 splits over
+    touch EVENTS (a channel spamming impressions inflates its
+    credit); Shapley over the distinct-channel SET is
+    frequency-immune — a channel earns per journey it appears in.
+
+    Exactness is q210's integer protocol: millicent shares by exact
+    floor division, remainder reported, no floats. Shape: the q210
+    per-user time-range join, then one distinct-channel agg per
+    purchase and one channel agg — the set dedup is the only extra
+    stage."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win_us = window_days * 86400 * 1_000_000
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("us").alias("p_us"),
+        F.col("event_id").alias("p_eid"),
+        F.col("cents").alias("p_cents"),
+    )
+    t = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "us"
+    )
+    touched = p.join(
+        t,
+        (F.col("p_uid") == F.col("user_id"))
+        & (F.col("us") < F.col("p_us"))
+        & (F.col("us") >= F.col("p_us") - F.lit(win_us)),
+    ).select("p_eid", "p_cents", "event_type").distinct()
+    w = Window.partitionBy("p_eid")
+    shared = touched.withColumn(
+        "n_channels", F.count("*").over(w)
+    ).withColumn(
+        "share_mc",
+        F.expr(
+            "(p_cents * 1000 - pmod(p_cents * 1000, n_channels))"
+            " DIV n_channels"
+        ),
+    )
+    return (
+        shared.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_journeys"),
+            F.sum("share_mc").alias("shapley_millicents"),
+        )
+        .orderBy(F.desc("shapley_millicents"), "channel")
+    )

@@ -11531,3 +11531,272 @@ SPECS["q347_fleiss_kappa"] = QuerySpec(
     "three lineitems' return flags — multi-rater agreement with "
     "exact integer agreement numerators; completes q295's family",
 )
+
+# q348's Poisson oracle: the q304 unrolled-Newton pattern with
+# w = mu = exp(b0 + b1 x); deviance drops the ln y! constant.
+_POIS_MU = "exp(b0 + b1 * c.x)"
+
+
+def _pois_step(k: int) -> str:
+    prev = "i0" if k == 1 else f"i{k - 1}"
+    red = "list_reduce(list_transform(cells, c -> {t}), (a, t) -> a + t)"
+    return f"""
+         s{k} AS (SELECT b0, b1,
+                  {red.format(t=f"c.cnt * {_POIS_MU}")} AS sw,
+                  {red.format(t=f"c.cnt * {_POIS_MU} * c.x")} AS swx,
+                  {red.format(t=f"c.cnt * {_POIS_MU} * c.x * c.x")} AS swxx,
+                  {red.format(t=f"c.cnt * (c.yv - {_POIS_MU})")} AS sr,
+                  {red.format(t=f"c.cnt * (c.yv - {_POIS_MU}) * c.x")} AS srx
+                  FROM prep, {prev}),
+         i{k} AS (SELECT
+                  b0 + (sr * swxx - srx * swx)
+                       / (sw * swxx - swx * swx) AS b0,
+                  b1 + (sw * srx - swx * sr)
+                       / (sw * swxx - swx * swx) AS b1
+                  FROM s{k})"""
+
+
+_POIS_SQL = (
+    """
+    WITH cnts AS (SELECT l_orderkey AS o_orderkey, COUNT(*) AS y
+                  FROM lineitem GROUP BY 1),
+         o AS (SELECT orders.o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      y
+               FROM orders JOIN cnts USING (o_orderkey)),
+         b AS (SELECT *, NTILE(10) OVER (ORDER BY cents, o_orderkey)
+                          AS bin
+               FROM o),
+         cells AS (SELECT bin, y, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         mom AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                        CAST(SUM(bin * cnt) AS BIGINT) AS sb,
+                        CAST(SUM(bin * bin * cnt) AS BIGINT) AS sbb
+                 FROM cells),
+         cl AS (SELECT list(struct_pack(bin := bin, y := y, cnt := cnt)
+                            ORDER BY bin, y) AS cl
+                FROM cells),
+         prep AS (SELECT n,
+                         list_transform(cl, c -> struct_pack(
+                             x := (CAST(c.bin AS DOUBLE)
+                                   - CAST(sb AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / sqrt(CAST(sbb AS DOUBLE)
+                                         / CAST(n AS DOUBLE)
+                                         - (CAST(sb AS DOUBLE)
+                                            / CAST(n AS DOUBLE))
+                                           * (CAST(sb AS DOUBLE)
+                                              / CAST(n AS DOUBLE))),
+                             yv := CAST(c.y AS DOUBLE),
+                             cnt := CAST(c.cnt AS DOUBLE))) AS cells
+                  FROM cl, mom),
+         i0 AS (SELECT 0.0 AS b0, 0.0 AS b1),"""
+    + ",".join(_pois_step(k) for k in (1, 2, 3))
+    + f"""
+    SELECT n, 3 AS iters,
+           ROUND(b0, 6) AS b0,
+           ROUND(b1, 6) AS b1,
+           ROUND(exp(b1), 6) AS rate_ratio_per_sd,
+           ROUND(2.0 * list_reduce(list_transform(cells,
+                     c -> c.cnt * (c.yv * ln(c.yv / ({_POIS_MU}))
+                                   - (c.yv - ({_POIS_MU})))),
+                     (a, t) -> a + t)
+                 / CAST(n AS DOUBLE), 6) AS avg_deviance
+    FROM prep, i3
+    """
+)
+
+SPECS["q348_poisson_irls"] = QuerySpec(
+    rel.poisson_irls,
+    _POIS_SQL,
+    "§2.2 iterative ML: Poisson regression (lineitem count ~ "
+    "standardized value decile) by 3 unrolled Newton/IRLS steps over "
+    "the bounded (bin, y) frame — canonical log link, mean deviance "
+    "report; completes the GLM family (q304 binomial, q327 negbin)",
+)
+
+SPECS["q349_tokenizer_fertility"] = QuerySpec(
+    text.tokenizer_fertility,
+    """
+    WITH pd AS (SELECT lang,
+                       len(regexp_extract_all(text, '[a-z0-9]{1,4}'))
+                           AS n_pieces,
+                       len(regexp_extract_all(text, '[a-z0-9]+'))
+                           AS n_words,
+                       list_reduce(list_transform(
+                           regexp_extract_all(text, '[a-z0-9]{1,4}'),
+                           p -> CAST(len(p) AS BIGINT)),
+                           (a, t) -> a + t) AS piece_chars,
+                       len(list_filter(
+                           regexp_extract_all(text, '[a-z0-9]{1,4}'),
+                           p -> len(p) = 1)) AS n_single
+                FROM documents),
+         agg AS (SELECT lang, COUNT(*) AS n_docs,
+                        CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+                        CAST(SUM(n_words) AS BIGINT) AS words,
+                        CAST(SUM(piece_chars) AS BIGINT) AS chars,
+                        CAST(SUM(n_single) AS BIGINT) AS singles
+                 FROM pd GROUP BY lang)
+    SELECT lang, n_docs, pieces, words,
+           ROUND(CAST(pieces AS DOUBLE) / CAST(words AS DOUBLE), 6)
+               AS fertility,
+           ROUND(CAST(chars AS DOUBLE) / CAST(pieces AS DOUBLE), 6)
+               AS chars_per_piece,
+           ROUND(CAST(singles AS DOUBLE) / CAST(pieces AS DOUBLE), 6)
+               AS single_char_share
+    FROM agg ORDER BY lang
+    """,
+    "LLM corpus prep: per-language tokenizer fertility (length-capped "
+    "pre-tokenizer pieces per word, bytes per piece, single-char "
+    "share) — the vocab-budget report; exact integer sums",
+)
+
+SPECS["q350_harmonic_closeness"] = QuerySpec(
+    dedup.harmonic_closeness,
+    """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source,
+                 list_distinct(string_split(text, ' ')) AS tk
+          FROM documents),
+    e AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+          FROM d a JOIN d b
+            ON a.source = b.source AND a.doc_id < b.doc_id
+           AND least(len(a.tk), len(b.tk))
+               >= 0.8 * greatest(len(a.tk), len(b.tk))
+          WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.8),
+    ee AS (SELECT ea, eb FROM e UNION ALL SELECT eb, ea FROM e),
+    r(s, v, dh) AS (
+        SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT r.s, ee.eb, r.dh + 1 FROM r JOIN ee ON r.v = ee.ea
+        WHERE r.dh < 4),
+    md AS (SELECT s, v, MIN(dh) AS dist FROM r GROUP BY s, v)
+    SELECT v AS doc_id,
+           COUNT(*) AS n_pivots_reached,
+           ROUND(SUM(1.0 / CAST(dist AS DOUBLE)), 6)
+               AS harmonic_closeness
+    FROM md WHERE dist > 0 GROUP BY v ORDER BY doc_id
+    """,
+    "§2.3 graph: pivot-sampled harmonic closeness centrality over "
+    "the near-dup graph (Eppstein-Wang shape, bounded hops) — "
+    "per-pivot multi-source BFS, |S|-linear state, completes the "
+    "centrality ladder (q122 flow, q115/q212 density, this distance)",
+)
+
+SPECS["q351_silhouette_simplified"] = QuerySpec(
+    similarity.silhouette_simplified,
+    """
+    -- centroids via the q223 decimal discipline; per-vector s rounds
+    -- 6dp -> DECIMAL(18,6) so per-label means are associative.
+    WITH x AS (SELECT label, j.j,
+                      CAST(ROUND(CAST(embedding[j.j] AS DOUBLE), 6)
+                           AS DECIMAL(28,6)) AS val
+               FROM embeddings,
+                    (SELECT unnest(range(1, 65)) AS j) j),
+         pd AS (SELECT label, j, SUM(val) AS s, COUNT(*) AS n
+                FROM x GROUP BY 1, 2),
+         cents AS (SELECT label AS cl,
+                          list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n
+                               ORDER BY j) AS c
+                   FROM pd GROUP BY 1),
+         allc AS (SELECT list(struct_pack(cl := cl, c := c)
+                              ORDER BY cl) AS cs
+                  FROM cents),
+         ds AS (SELECT e.label,
+                       list_transform(cs, ct -> struct_pack(
+                           d := sqrt(list_reduce(list_transform(
+                                   range(1, 65),
+                                   k -> (CAST(e.embedding[k] AS DOUBLE)
+                                         - ct.c[k])
+                                        * (CAST(e.embedding[k] AS DOUBLE)
+                                           - ct.c[k])),
+                                   (a, b) -> a + b)),
+                           cl := ct.cl)) AS dl
+                FROM embeddings e, allc),
+         ab AS (SELECT label,
+                       list_filter(dl, t -> t.cl = label)[1].d AS a,
+                       list_min(list_transform(
+                           list_filter(dl, t -> t.cl <> label),
+                           t -> t.d)) AS b
+                FROM ds),
+         sv AS (SELECT label,
+                       CAST(ROUND(CASE WHEN greatest(a, b) > 0
+                                       THEN (b - a) / greatest(a, b)
+                                       ELSE 0.0 END, 6)
+                            AS DECIMAL(18,6)) AS s
+                FROM ab)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_silhouette,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM sv GROUP BY label ORDER BY label
+    """,
+    "§2.3 similarity: simplified (centroid-based) silhouette of the "
+    "embedding corpus under its label clustering — the one-pass "
+    "scale-honest variant of the all-pairs silhouette; scores the "
+    "k-means family's separability",
+)
+
+SPECS["q352_shapley_attribution"] = QuerySpec(
+    rel.shapley_attribution,
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      epoch_us(ts) AS us, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events),
+         p AS (SELECT user_id AS p_uid, us AS p_us,
+                      event_id AS p_eid, cents AS p_cents
+               FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_type, us FROM e
+               WHERE event_type <> 'purchase'),
+         touched AS (SELECT DISTINCT p_eid, p_cents, event_type
+                     FROM p JOIN t
+                       ON p_uid = user_id
+                      AND t.us < p_us
+                      AND t.us >= p_us - CAST(7 AS BIGINT) * 86400 * 1000000),
+         shared AS (SELECT p_eid, p_cents, event_type,
+                           COUNT(*) OVER (PARTITION BY p_eid)
+                               AS n_channels
+                    FROM touched)
+    SELECT event_type AS channel,
+           COUNT(*) AS n_journeys,
+           CAST(SUM((p_cents * 1000
+                     - (p_cents * 1000) % n_channels)
+                    // n_channels) AS BIGINT) AS shapley_millicents
+    FROM shared GROUP BY 1
+    ORDER BY shapley_millicents DESC, channel
+    """,
+    "§2.2 attribution: Shapley-value channel attribution under the "
+    "counting coalition game (closed form: each journey's revenue "
+    "splits over its DISTINCT channel set) — frequency-immune where "
+    "q210's linear split is not; exact integer millicents",
+)
+
+SPECS["q353_fuzzy_join_deletion"] = QuerySpec(
+    dedup.fuzzy_join_deletion,
+    """
+    WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+         v AS (SELECT id, name,
+                      unnest(list_distinct(list_append(
+                          list_transform(range(1, len(name) + 1),
+                              i -> substr(name, 1, i - 1)
+                                   || substr(name, i + 1)),
+                          name))) AS v
+               FROM c),
+         cand AS (SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+                                  b.id AS id_b, b.name AS name_b
+                  FROM v a JOIN v b
+                    ON a.v = b.v AND a.id < b.id)
+    SELECT id_a, name_a, id_b, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+    "§2.3 similarity: edit-distance-1 self-join on customer names "
+    "via FastSS deletion-neighborhood blocking — complete candidate "
+    "generation (shared variant is necessary for lev<=1), exact "
+    "levenshtein verify; typo-tolerant record linkage",
+)
