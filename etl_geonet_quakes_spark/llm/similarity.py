@@ -1122,3 +1122,84 @@ def silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based Dunn index of the label clustering — the
+    single-number separability certificate pairing with q351's
+    per-label silhouette: D = (min inter-centroid distance) /
+    (2 · max mean distance-to-own-centroid). Higher = tighter,
+    better-separated clusters; the centroid form (Bezdek & Pal's
+    ν-variants) replaces the classic all-pairs min/max diameters
+    with one-pass statistics, same scale honesty as q351.
+
+    Centroids follow the q223 decimal discipline; the |labels|²
+    inter-centroid min is a broadcast self-join of a bounded frame;
+    per-vector distances fold ascending (bit-reproducible), rounded
+    6dp and averaged via DECIMAL sums. Output one row: both Dunn
+    ingredients and the index."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).groupBy("label", "pos").agg(
+        F.sum(
+            F.round(F.col("x").cast("double"), 6).cast("decimal(28,6)")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cents = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (F.col("s").cast("string").cast("double") / F.col("n"))
+                        .alias("m"),
+                    )
+                )
+            ),
+            lambda st: st.m,
+        ).alias("c"),
+    )
+
+    def dist(vec, cent, cast_left=False):
+        left = (lambda a: a.cast("double")) if cast_left else (lambda a: a)
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    vec, cent, lambda a, b: (left(a) - b) * (left(a) - b)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    ca, cb = cents.alias("ca"), cents.alias("cb")
+    inter = (
+        ca.join(F.broadcast(cb), F.col("ca.label") < F.col("cb.label"))
+        .select(dist(F.col("ca.c"), F.col("cb.c")).alias("d"))
+        .agg(F.min("d").alias("min_inter"))
+    )
+    intra = (
+        e.join(F.broadcast(cents), "label")
+        .select(
+            "label",
+            F.round(dist(F.col("embedding"), F.col("c"), cast_left=True), 6)
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+        .groupBy("label")
+        .agg(
+            (F.sum("d").cast("double") / F.count("*").cast("double")).alias(
+                "mean_d"
+            )
+        )
+        .agg(F.max("mean_d").alias("max_intra"))
+    )
+    return inter.join(F.broadcast(intra), F.lit(True)).select(
+        F.round("min_inter", 6).alias("min_inter_centroid"),
+        F.round("max_intra", 6).alias("max_mean_intra"),
+        F.round(
+            F.col("min_inter") / (F.lit(2.0) * F.col("max_intra")), 6
+        ).alias("dunn_index"),
+    )

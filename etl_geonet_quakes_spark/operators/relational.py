@@ -12301,3 +12301,106 @@ def shapley_attribution(spark: SparkSession, sf_dir: str,
         )
         .orderBy(F.desc("shapley_millicents"), "channel")
     )
+
+
+def band_join_balances(spark: SparkSession, sf_dir: str,
+                       delta_cents: int = 5000) -> DataFrame:
+    """ε-band numeric self-join: supplier pairs whose account
+    balances differ by at most ``delta_cents`` — the generic band
+    join completing the non-equi join family (q49 as-of picks the
+    NEAREST one row, q228 Allen needs intervals, q142 needs 2-D
+    cells; a plain |a−b| ≤ ε over scalars had no entry).
+
+    Scale shape is grid blocking in 1-D: bucket = value DIV ε, and a
+    qualifying pair's buckets can differ by at most 1, so candidates
+    come from TWO equi-joins (same bucket; a's bucket = b's bucket −
+    1) — never a cartesian, never a range-condition nested loop. The
+    adjacent-bucket join deliberately keys LOW→HIGH only (a.bucket+1
+    = b.bucket) so each cross-bucket pair arises once; the exact
+    |Δ| ≤ ε predicate then filters inside each candidate bucket
+    pair. Candidates are Σ bucket_freq² — bounded by value-density,
+    the same honesty argument as q38's bands. Balances are exact
+    integer cents end-to-end."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"(cents - pmod(cents, {delta_cents})) DIV {delta_cents}"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    same = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    adj = a.join(
+        b,
+        (F.col("a.bucket") + 1 == F.col("b.bucket"))
+        & (F.col("a.id") != F.col("b.id")),
+    )
+    cand = same.unionAll(adj).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_lo"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_hi"),
+        F.abs(F.col("a.cents") - F.col("b.cents")).alias("gap_cents"),
+    )
+    return (
+        cand.filter(F.col("gap_cents") <= delta_cents)
+        .distinct()
+        .orderBy("id_lo", "id_hi")
+    )
+
+
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event sequences encoded as a
+    character string (time-ordered, one char per event type) and
+    matched against row-pattern regexes — the browse-to-buy funnel
+    ``v[vc]*p`` (a view, any browsing, then purchase) and the
+    frustration pattern ``ee+p`` (repeated errors immediately before
+    a purchase). SQL-standard engines expose this as MATCH_RECOGNIZE;
+    Spark has no physical operator for it, but encode-then-regexp is
+    the exact equivalent for per-partition patterns and runs as one
+    ordered collect_list + one regexp scan per user — embarrassingly
+    parallel after the user-keyed shuffle, no state machine, no UDF.
+
+    Ordering ties (same-microsecond events) break by event_id, so the
+    encoded string — and therefore every match count — is
+    deterministic. Patterns stay in the RE2∩Java subset (q28
+    convention). Output: per-pattern user counts and total
+    non-overlapping match counts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        # one char per type: click/error/purchase/signup/view
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "ch"))),
+                lambda s: s["ch"],
+            ),
+        ).alias("s")
+    )
+    pats = [
+        ("browse_to_buy", "v[vc]*p"),
+        ("errors_then_buy", "ee+p"),
+    ]
+    out = None
+    for name, pat in pats:
+        hits = seq.select(
+            F.lit(name).alias("pattern"),
+            (F.size(F.regexp_extract_all("s", F.lit(pat), 0)) > 0)
+            .cast("long")
+            .alias("matched"),
+            F.size(F.regexp_extract_all("s", F.lit(pat), 0))
+            .cast("long")
+            .alias("n_matches"),
+        ).groupBy("pattern").agg(
+            F.sum("matched").alias("n_users_matched"),
+            F.sum("n_matches").alias("total_matches"),
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out.orderBy("pattern")

@@ -11800,3 +11800,108 @@ SPECS["q353_fuzzy_join_deletion"] = QuerySpec(
     "generation (shared variant is necessary for lev<=1), exact "
     "levenshtein verify; typo-tolerant record linkage",
 )
+
+SPECS["q354_band_join"] = QuerySpec(
+    rel.band_join_balances,
+    """
+    WITH s AS (SELECT s_suppkey AS id,
+                      CAST(ROUND(s_acctbal * 100) AS BIGINT) AS cents
+               FROM supplier),
+         sb AS (SELECT id, cents,
+                       (cents - cents % 5000) // 5000 AS bucket
+                FROM s),
+         same AS (SELECT a.id AS ia, b.id AS ib,
+                         abs(a.cents - b.cents) AS gap
+                  FROM sb a JOIN sb b
+                    ON a.bucket = b.bucket AND a.id < b.id),
+         adj AS (SELECT a.id AS ia, b.id AS ib,
+                        abs(a.cents - b.cents) AS gap
+                 FROM sb a JOIN sb b
+                   ON a.bucket + 1 = b.bucket AND a.id <> b.id),
+         cand AS (SELECT least(ia, ib) AS id_lo,
+                         greatest(ia, ib) AS id_hi,
+                         gap AS gap_cents
+                  FROM (SELECT * FROM same UNION ALL SELECT * FROM adj))
+    SELECT DISTINCT id_lo, id_hi, gap_cents
+    FROM cand WHERE gap_cents <= 5000
+    ORDER BY id_lo, id_hi
+    """,
+    "§2.2 joins: generic epsilon-band numeric self-join (|bal_a - "
+    "bal_b| <= 50.00) via 1-D grid blocking — same-bucket plus "
+    "adjacent-bucket equi-joins, never a range nested loop; exact "
+    "integer cents",
+)
+
+SPECS["q355_sequence_pattern"] = QuerySpec(
+    rel.sequence_pattern_match,
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                      substr(event_type, 1, 1) AS ch
+               FROM events),
+         seq AS (SELECT user_id,
+                        list_reduce(list_transform(
+                            list_sort(list(struct_pack(us := us,
+                                event_id := event_id, ch := ch))),
+                            t -> t.ch), (a, b) -> a || b) AS s
+                 FROM e GROUP BY user_id),
+         m AS (SELECT 'browse_to_buy' AS pattern,
+                      len(regexp_extract_all(s, 'v[vc]*p')) AS n
+               FROM seq
+               UNION ALL
+               SELECT 'errors_then_buy' AS pattern,
+                      len(regexp_extract_all(s, 'ee+p')) AS n
+               FROM seq)
+    SELECT pattern,
+           CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_matched,
+           CAST(SUM(n) AS BIGINT) AS total_matches
+    FROM m GROUP BY pattern ORDER BY pattern
+    """,
+    "§2.2 sequences: MATCH_RECOGNIZE-lite row-pattern matching — "
+    "per-user time-ordered event strings scanned by regex (funnel "
+    "v[vc]*p, frustration ee+p); encode-then-regexp, no state "
+    "machine, deterministic tie order",
+)
+
+SPECS["q356_dunn_index"] = QuerySpec(
+    similarity.dunn_index,
+    """
+    WITH x AS (SELECT label, j.j,
+                      CAST(ROUND(CAST(embedding[j.j] AS DOUBLE), 6)
+                           AS DECIMAL(28,6)) AS val
+               FROM embeddings,
+                    (SELECT unnest(range(1, 65)) AS j) j),
+         pd AS (SELECT label, j, SUM(val) AS s, COUNT(*) AS n
+                FROM x GROUP BY 1, 2),
+         cents AS (SELECT label,
+                          list(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n
+                               ORDER BY j) AS c
+                   FROM pd GROUP BY 1),
+         inter AS (SELECT MIN(sqrt(list_reduce(list_transform(
+                       range(1, 65),
+                       k -> (a.c[k] - b.c[k]) * (a.c[k] - b.c[k])),
+                       (x, y) -> x + y))) AS min_inter
+                   FROM cents a JOIN cents b ON a.label < b.label),
+         dv AS (SELECT e.label,
+                       CAST(ROUND(sqrt(list_reduce(list_transform(
+                           range(1, 65),
+                           k -> (CAST(e.embedding[k] AS DOUBLE) - c.c[k])
+                                * (CAST(e.embedding[k] AS DOUBLE)
+                                   - c.c[k])),
+                           (x, y) -> x + y)), 6) AS DECIMAL(18,6)) AS d
+                FROM embeddings e JOIN cents c USING (label)),
+         intra AS (SELECT MAX(md) AS max_intra FROM
+                       (SELECT label,
+                               CAST(SUM(d) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE) AS md
+                        FROM dv GROUP BY label))
+    SELECT ROUND(min_inter, 6) AS min_inter_centroid,
+           ROUND(max_intra, 6) AS max_mean_intra,
+           ROUND(min_inter / (2.0 * max_intra), 6) AS dunn_index
+    FROM inter, intra
+    """,
+    "§2.3 similarity: centroid-based Dunn index of the label "
+    "clustering — min inter-centroid over 2x max mean intra-cluster "
+    "distance; the one-number separability certificate beside "
+    "q351's per-label silhouette",
+)
