@@ -12404,3 +12404,276 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionAll(hits)
     return out.orderBy("pattern")
+
+
+def markov_chain_power(spark: SparkSession, sf_dir: str,
+                       steps: int = 3) -> DataFrame:
+    """n-step Markov forecast over the q106 transition matrix: start
+    from the observed initial-event distribution (each user's FIRST
+    event) and push it through the row-normalized transition matrix
+    ``steps`` times — 'where will users be k events from their
+    entry', the chain-powering analysis q106's one-step matrix
+    doesn't answer. Absorbing mass (rows whose state never appears
+    as a from_type) is carried unchanged — the standard substochastic
+    completion.
+
+    Distributed shape: the matrix and the state vector are BOUNDED
+    frames (|event types|² and |event types|); each step is one
+    broadcast equi-join + one to-state sum — the q122 loop pattern on
+    a constant-size frame, corpus touched only to build the matrix
+    and the initial vector. Per-step probabilities round 6dp then
+    sum as DECIMAL(18,6) (associative), so the vector is engine-
+    exact at every step — float drift cannot compound (the q122
+    rounding convention)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tw = Window.partitionBy("from_type")
+    tm = trans.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
+    )
+    n_users = e.select("user_id").distinct().count()
+    state = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.round(
+                F.count("*").cast("double") / F.lit(float(n_users)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("prob")
+        )
+    )
+    for _ in range(steps):
+        moved = (
+            state.join(
+                F.broadcast(tm), state.state == tm.from_type, "left"
+            )
+            .select(
+                F.coalesce("to_type", "state").alias("state"),
+                F.round(
+                    F.col("prob").cast("double")
+                    * F.coalesce("p", F.lit(1.0)),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("prob"),
+            )
+            .groupBy("state")
+            .agg(F.sum("prob").cast("decimal(18,6)").alias("prob"))
+        )
+        state = moved
+    return state.select(
+        "state", F.col("prob").cast("double").alias("prob")
+    ).orderBy("state")
+
+
+def stump_boosting(spark: SparkSession, sf_dir: str,
+                   n_bins: int = 16) -> DataFrame:
+    """Two rounds of gradient boosting with depth-1 regression stumps
+    (squared loss, learning rate 1): predict order value from the
+    quantity-decile... — concretely, fit the BEST single split on the
+    binned discount feature minimizing SSE of lineitem revenue, then
+    fit a second stump on the residuals; report both splits and the
+    variance explained. The exact split search every tree ensemble
+    repeats a million times, expressed once as a dataflow — prefix
+    sums over the bounded bin frame give every candidate split's SSE
+    in closed form (SSE_total − n_L·mean_L² − n_R·mean_R²), argmin by
+    (gain desc, split asc) is deterministic.
+
+    Scale shape: one bin agg over the corpus (revenue exact cents),
+    then everything lives on the ≤n_bins frame: prefix sums via one
+    tiny window, argmin via one ordered limit, round-2 residual
+    moments recomputed from the SAME bin frame (a stump's prediction
+    is constant per side, so residual sums per bin are closed-form —
+    the corpus is NOT re-read). Doubles appear only in fixed-shape
+    expressions of exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    # discount is 0..10 in TPC-H — already a bounded integer bin
+    bins = li.groupBy("disc").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    wp = Window.orderBy("disc").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "disc",
+        F.sum("n").over(wp).alias("nl"),
+        F.sum("s").over(wp).alias("sl"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"), F.sum("ss").alias("sst")
+    )
+    cand = pre.join(F.broadcast(tot), F.lit(True)).filter(
+        F.col("nl") < F.col("nt")
+    )
+    nl = F.col("nl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    sl = F.col("sl").cast("double")
+    sr = (F.col("st") - F.col("sl")).cast("double")
+    gain = sl * sl / nl + sr * sr / nr - (
+        F.col("st").cast("double") * F.col("st").cast("double")
+        / F.col("nt").cast("double")
+    )
+    best1 = (
+        cand.select(
+            "disc", "nl", "sl", "nt", "st", "sst",
+            F.round(gain, 6).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), F.asc("disc"))
+        .limit(1)
+    )
+    # round 2: residuals are y − mean_side; per-bin residual moments
+    # are closed-form from (n, s) and the side means, so candidate
+    # split gains for the residual target come from the same frame
+    b1 = best1.select(
+        F.col("disc").alias("split1"),
+        (F.col("sl") / F.col("nl").cast("double")).alias("ml"),
+        (
+            (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("nt") - F.col("nl")).cast("double")
+        ).alias("mr"),
+        "gain",
+        "nt", "st", "sst",
+    )
+    binres = bins.join(F.broadcast(b1), F.lit(True)).select(
+        "disc", "n", "split1", "ml", "mr", "gain", "nt", "sst", "st",
+        (
+            F.col("s").cast("double")
+            - F.col("n").cast("double")
+            * F.when(F.col("disc") <= F.col("split1"), F.col("ml")).otherwise(
+                F.col("mr")
+            )
+        ).alias("rs"),
+    )
+    wp2 = Window.orderBy("disc").rowsBetween(Window.unboundedPreceding, 0)
+    pre2 = binres.select(
+        "disc", "split1", "gain", "nt", "sst", "st", "ml", "mr",
+        F.sum("n").over(wp2).alias("nl"),
+        F.sum("rs").over(wp2).alias("rsl"),
+        F.sum("rs").over(
+            Window.orderBy("disc").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("rst"),
+        F.sum("n").over(
+            Window.orderBy("disc").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt2"),
+    )
+    nl2 = F.col("nl").cast("double")
+    nr2 = (F.col("nt2") - F.col("nl")).cast("double")
+    rsl = F.col("rsl")
+    rsr = F.col("rst") - F.col("rsl")
+    gain2 = rsl * rsl / nl2 + rsr * rsr / nr2 - (
+        F.col("rst") * F.col("rst") / F.col("nt2").cast("double")
+    )
+    best2 = (
+        pre2.filter(F.col("nl") < F.col("nt2"))
+        .select(
+            "split1", "gain", "nt", "sst", "st",
+            F.col("disc").alias("split2"),
+            F.round(gain2, 6).alias("gain2"),
+        )
+        .orderBy(F.desc("gain2"), F.asc("split2"))
+        .limit(1)
+    )
+    ntd = F.col("nt").cast("double")
+    sse_tot = F.col("sst").cast("double") - (
+        F.col("st").cast("double") * F.col("st").cast("double") / ntd
+    )
+    return best2.select(
+        F.col("split1").cast("long").alias("split1_disc"),
+        F.col("gain").alias("gain1"),
+        F.col("split2").cast("long").alias("split2_disc"),
+        F.col("gain2"),
+        F.round(
+            (F.col("gain") + F.col("gain2")) / sse_tot, 6
+        ).alias("var_explained"),
+    )
+
+
+def sax_symbolize(spark: SparkSession, sf_dir: str,
+                  seg_days: int = 7) -> DataFrame:
+    """SAX symbolization of the daily-revenue series (Lin/Keogh's
+    Symbolic Aggregate approXimation): z-normalize the series, reduce
+    each ``seg_days`` run to its mean (PAA), then map each mean to a
+    4-letter alphabet by the N(0,1) quartile breakpoints ±0.6745 and
+    0 (shared literals — the SAX lookup table, no quantile function
+    in the data path) — the time-series REPRESENTATION operator that
+    feeds motif discovery and symbolic matching, complementing the
+    family's models (q263/q270), tests (q236/q271/q302) and spectra
+    (q330).
+
+    Exactness: daily sums are exact decimal cents; the global mean
+    and sd come from exact Σ, Σ² moments (q342 discipline); per-
+    segment PAA is (segment decimal sum / n − mean)/sd — fixed-shape
+    doubles of exact decimals; symbols are literal-breakpoint
+    comparisons. Segment ids come from a date row_number — the
+    calendar-bounded frame (≤ 10⁴ days) makes every post-agg stage
+    scale-free."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(
+        F.sum("cents").alias("rev"),
+    )
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s1"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("s2"),
+    )
+    w = Window.orderBy("d")
+    seg = daily.select(
+        "d",
+        "rev",
+        ((F.row_number().over(w) - 1) / F.lit(seg_days))
+        .cast("long")
+        .alias("seg_id"),
+    )
+    per_seg = seg.groupBy("seg_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("rev").alias("seg_rev"),
+        F.min("d").alias("seg_start"),
+    )
+    j = per_seg.join(F.broadcast(mom), F.lit(True))
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    paa = (
+        F.col("seg_rev").cast("double") / F.col("n_days").cast("double")
+        - mean
+    ) / F.sqrt(var)
+    sym = (
+        F.when(paa < F.lit(-0.6745), F.lit("a"))
+        .when(paa < F.lit(0.0), F.lit("b"))
+        .when(paa < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return j.select(
+        "seg_id",
+        "seg_start",
+        "n_days",
+        F.round(paa, 6).alias("paa_z"),
+        sym.alias("symbol"),
+    ).orderBy("seg_id")

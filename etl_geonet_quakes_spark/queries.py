@@ -11905,3 +11905,163 @@ SPECS["q356_dunn_index"] = QuerySpec(
     "distance; the one-number separability certificate beside "
     "q351's per-label silhouette",
 )
+
+# q357's Markov oracle: steps unrolled as CTE layers; per-step probs
+# round 6dp -> DECIMAL(18,6) so vector sums are associative.
+_MKV_STEP = """s{k} AS (SELECT COALESCE(t.to_type, s.state) AS state,
+                     CAST(SUM(CAST(ROUND(CAST(s.prob AS DOUBLE)
+                              * COALESCE(t.p, 1.0), 6)
+                              AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS prob
+              FROM s{p} s LEFT JOIN tm t ON s.state = t.from_type
+              GROUP BY 1)"""
+
+_MKV_SQL = (
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, ts FROM events),
+         seq AS (SELECT user_id, event_type,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS to_type
+                 FROM e),
+         tr AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tm AS (SELECT from_type, to_type,
+                       CAST(n AS DOUBLE)
+                       / SUM(n) OVER (PARTITION BY from_type) AS p
+                FROM tr),
+         nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e),
+         s0 AS (SELECT event_type AS state,
+                       CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+                            / CAST(n_users AS DOUBLE), 6)
+                            AS DECIMAL(18,6)) AS prob
+                FROM seq, nu WHERE rn = 1 GROUP BY 1, n_users),"""
+    + ",".join(
+        _MKV_STEP.format(k=k, p=k - 1 if k > 1 else 0) for k in (1, 2, 3)
+    )
+    + """
+    SELECT state, CAST(prob AS DOUBLE) AS prob FROM s3 ORDER BY state
+    """
+)
+
+SPECS["q357_markov_power"] = QuerySpec(
+    rel.markov_chain_power,
+    _MKV_SQL,
+    "§2.2 sequences: 3-step Markov chain powering of the q106 "
+    "transition matrix from the observed entry distribution — "
+    "bounded-frame loop, 6dp-decimal vector so drift cannot "
+    "compound; substochastic rows carry mass unchanged",
+)
+
+SPECS["q358_stump_boosting"] = QuerySpec(
+    rel.stump_boosting,
+    """
+    WITH li AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem),
+         bins AS (SELECT disc, COUNT(*) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s,
+                         SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+                  FROM li GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                        CAST(SUM(s) AS BIGINT) AS st,
+                        SUM(ss) AS sst
+                 FROM bins),
+         pre AS (SELECT disc,
+                        SUM(n) OVER (ORDER BY disc) AS nl,
+                        SUM(s) OVER (ORDER BY disc) AS sl
+                 FROM bins),
+         cand AS (SELECT disc, nl, sl, nt, st, sst,
+                         ROUND(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                                   / CAST(nl AS DOUBLE)
+                               + CAST(st - sl AS DOUBLE)
+                                 * CAST(st - sl AS DOUBLE)
+                                 / CAST(nt - nl AS DOUBLE)
+                               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                                 / CAST(nt AS DOUBLE), 6) AS gain
+                  FROM pre, tot WHERE nl < nt),
+         b1 AS (SELECT disc AS split1,
+                       CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS ml,
+                       CAST(st - sl AS DOUBLE)
+                       / CAST(nt - nl AS DOUBLE) AS mr,
+                       gain, nt, st, sst
+                FROM cand ORDER BY gain DESC, disc ASC LIMIT 1),
+         br AS (SELECT bins.disc, bins.n, split1, gain, nt, sst, st,
+                       ml, mr,
+                       CAST(bins.s AS DOUBLE)
+                       - CAST(bins.n AS DOUBLE)
+                         * (CASE WHEN bins.disc <= split1
+                                 THEN ml ELSE mr END) AS rs
+                FROM bins, b1),
+         pre2 AS (SELECT disc, split1, gain, nt, sst, st, ml, mr,
+                         SUM(n) OVER (ORDER BY disc) AS nl,
+                         SUM(rs) OVER (ORDER BY disc) AS rsl,
+                         SUM(rs) OVER () AS rst,
+                         SUM(n) OVER () AS nt2
+                  FROM br),
+         b2 AS (SELECT split1, gain, nt, sst, st,
+                       disc AS split2,
+                       ROUND(rsl * rsl / CAST(nl AS DOUBLE)
+                             + (rst - rsl) * (rst - rsl)
+                               / CAST(nt2 - nl AS DOUBLE)
+                             - rst * rst / CAST(nt2 AS DOUBLE), 6)
+                           AS gain2
+                FROM pre2 WHERE nl < nt2
+                ORDER BY gain2 DESC, split2 ASC LIMIT 1)
+    SELECT CAST(split1 AS BIGINT) AS split1_disc,
+           gain AS gain1,
+           CAST(split2 AS BIGINT) AS split2_disc,
+           gain2,
+           ROUND((gain + gain2)
+                 / (CAST(sst AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                      / CAST(nt AS DOUBLE)), 6) AS var_explained
+    FROM b2
+    """,
+    "§2.2 iterative ML: two rounds of depth-1 stump boosting on "
+    "lineitem revenue ~ discount — exact closed-form SSE split "
+    "search over the bounded bin frame via prefix sums, residual "
+    "moments recomputed from the same frame (corpus read once)",
+)
+
+SPECS["q359_sax_symbols"] = QuerySpec(
+    rel.sax_symbolize,
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(rev) AS BIGINT) AS s1,
+                        SUM(CAST(rev AS DECIMAL(38,0)) * rev) AS s2
+                 FROM daily),
+         seg AS (SELECT d, rev,
+                        CAST((ROW_NUMBER() OVER (ORDER BY d) - 1) // 7
+                             AS BIGINT) AS seg_id
+                 FROM daily),
+         ps AS (SELECT seg_id, COUNT(*) AS n_days,
+                       CAST(SUM(rev) AS BIGINT) AS seg_rev,
+                       MIN(d) AS seg_start
+                FROM seg GROUP BY 1),
+         v AS (SELECT seg_id, seg_start, n_days,
+                      (CAST(seg_rev AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(s1 AS DOUBLE)
+                                  / CAST(n AS DOUBLE))) AS paa
+               FROM ps, mom)
+    SELECT seg_id, seg_start, n_days,
+           ROUND(paa, 6) AS paa_z,
+           CASE WHEN paa < -0.6745 THEN 'a'
+                WHEN paa < 0.0 THEN 'b'
+                WHEN paa < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM v ORDER BY seg_id
+    """,
+    "§2.2 time series: SAX symbolization of daily revenue — exact "
+    "decimal moments for the z-normalization, 7-day PAA means, "
+    "N(0,1) quartile breakpoint literals; the representation "
+    "operator feeding motif/symbolic matching",
+)
