@@ -161,6 +161,15 @@ HEADLINE = [
     "q314_mahalanobis_outliers",
     "q322_jensen_shannon",
     "q323_wasserstein_1d",
+    # round-9 additions — wall-time visibility for the new families
+    "q343_logrank_test",
+    "q346_mase_backtest",
+    "q348_poisson_irls",
+    "q350_harmonic_closeness",
+    "q351_silhouette_simplified",
+    "q353_fuzzy_join_deletion",
+    "q357_markov_power",
+    "q358_stump_boosting",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

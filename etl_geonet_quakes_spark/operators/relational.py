@@ -12677,3 +12677,218 @@ def sax_symbolize(spark: SparkSession, sf_dir: str,
         F.round(paa, 6).alias("paa_z"),
         sym.alias("symbol"),
     ).orderBy("seg_id")
+
+
+def weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the time-to-repeat-order EVENT durations by
+    median-rank regression: the classic reliability-engineering
+    linearization ln(−ln(1−F)) = β·ln t − β·ln η, with Bernard's
+    median-rank plotting positions F_i = (i−0.3)/(n+0.4) at each
+    distinct duration (i = cumulative events through t) — the
+    PARAMETRIC member of the survival family (q257/q299 estimate
+    nonparametric curves, q305 regresses on covariates, q343 tests;
+    this one names the distribution: β < 1 = early-repeat hazard
+    falling, β > 1 = rising).
+
+    Exactness: ranks and event counts are exact integers from the
+    life table; the (x, y) points are fixed-shape doubles of those
+    integers; the five OLS sums round 12dp → DECIMAL(28,12) before
+    summing (the q343 associativity convention, frame ≤ 10⁴ rows).
+    β, η and R² are closed-form from the exact sums. Same-day
+    repeats (t = 0) are excluded — ln 0 — and counted in the
+    report."""
+    kt = _survival_risk_table(spark, sf_dir)
+    w = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = kt.select(
+        "t_days",
+        "d_events",
+        F.sum("d_events").over(w).alias("i_cum"),
+    )
+    tot = kt.agg(
+        F.sum("d_events").alias("n_ev"),
+        F.sum(F.when(F.col("t_days") <= 0, F.col("d_events")).otherwise(0))
+        .alias("n_zero"),
+    )
+    pts = ranked.filter(F.col("t_days") > 0).join(F.broadcast(tot)).select(
+        F.log(F.col("t_days").cast("double")).alias("x"),
+        F.log(
+            -F.log(
+                F.lit(1.0)
+                - (F.col("i_cum").cast("double") - F.lit(0.3))
+                / (F.col("n_ev").cast("double") + F.lit(0.4))
+            )
+        ).alias("y"),
+    )
+
+    def d12(c):
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum(d12(F.col("x"))).alias("sx"),
+        F.sum(d12(F.col("y"))).alias("sy"),
+        F.sum(d12(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d12(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d12(F.col("y") * F.col("y"))).alias("syy"),
+    ).join(F.broadcast(tot))
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    beta = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    intercept = (sy - beta * sx) / kd
+    r2 = (
+        (kd * sxy - sx * sy)
+        * (kd * sxy - sx * sy)
+        / ((kd * sxx - sx * sx) * (kd * syy - sy * sy))
+    )
+    return s.select(
+        F.col("n_ev").alias("n_events"),
+        F.col("n_zero").alias("n_same_day_excluded"),
+        F.col("k").alias("n_points"),
+        F.round(beta, 6).alias("weibull_shape"),
+        F.round(F.exp(-intercept / beta), 6).alias("weibull_scale_days"),
+        F.round(r2, 6).alias("r_squared"),
+    )
+
+
+def newsvendor_stock(spark: SparkSession, sf_dir: str,
+                     critical_ratio: float = 0.8) -> DataFrame:
+    """Newsvendor optimal stocking level per region: the profit-
+    maximizing stock for perishable demand is the ``critical_ratio``
+    quantile of the demand distribution (cu/(cu+co) = 0.8 here) —
+    the inventory-economics member of the ops family (q320 safety
+    stock assumes normal demand; the newsvendor quantile is
+    distribution-free). Demand = daily order counts per region.
+
+    One orders⋈customer⋈nation join (dims broadcast), one
+    (region, day) count agg — the only corpus-scale work; the daily
+    frame is calendar-bounded, the exact interpolated percentile is
+    the q113/q35 cross-engine parity surface, and the stockout share
+    is an exact integer comparison against the chosen stock."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    daily = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+        .groupBy("r_name", "d")
+        .agg(F.count("*").alias("demand"))
+    )
+    q = daily.groupBy("r_name").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum("demand").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_demand"),
+        F.percentile("demand", F.lit(critical_ratio)).alias("q_raw"),
+    )
+    stock = F.ceil(F.col("q_raw")).cast("long")
+    over = daily.join(q.select("r_name", "q_raw"), "r_name").groupBy(
+        "r_name"
+    ).agg(
+        F.sum(
+            (F.col("demand") > F.ceil(F.col("q_raw"))).cast("long")
+        ).alias("n_stockout_days")
+    )
+    return (
+        q.join(over, "r_name")
+        .select(
+            F.col("r_name").alias("region"),
+            "n_days",
+            "mean_demand",
+            stock.alias("stock_level"),
+            "n_stockout_days",
+            F.round(
+                F.col("n_stockout_days").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("stockout_share"),
+        )
+        .orderBy("region")
+    )
+
+
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix: every part is graded
+    A/B/C by cumulative revenue share (80% / 95% fences on the
+    descending-revenue prefix) and X/Y/Z by demand variability
+    (monthly-quantity coefficient of variation, 0.5 / 1.0 fences);
+    the report is the 3×3 class matrix with part counts and revenue
+    shares — the standard warehouse segmentation joining q192's
+    Pareto cut (one global number) into a per-item grading.
+
+    Scale shape: the cumulative share uses the fused two-phase
+    rank+cumsum (q192's machinery — one local window inside value
+    buckets, one broadcast offsets frame; never a single-task global
+    window). CV moments are exact integers per (part, month); class
+    fences are literals; every share is integer cents over integer
+    cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.date_trunc("month", F.to_date("l_shipdate")).alias("mon"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    per_mon = li.groupBy("l_partkey", "mon").agg(F.sum("qty").alias("mq"))
+    cv = per_mon.groupBy("l_partkey").agg(
+        F.count("*").alias("k"),
+        F.sum("mq").alias("s1"),
+        F.sum(F.col("mq") * F.col("mq")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k").cast("double")
+    sd = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.col("s2").cast("double") / F.col("k").cast("double")
+            - mean * mean,
+        )
+    )
+    xyz = cv.select(
+        "l_partkey",
+        F.when(sd / mean < 0.5, F.lit("X"))
+        .when(sd / mean < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+    )
+    ranked = per_part.withColumn("neg", -F.col("rev")).withColumn(
+        "bkt", F.expr("neg DIV 100000")
+    )
+    cum, bkt_totals = two_phase_rank_and_cumsum(
+        ranked, "bkt", ["neg", "l_partkey"], "rev", "rnk", "cum"
+    )
+    totals = bkt_totals.agg(F.sum("bkt_sum").alias("total_rev"))
+    abc = cum.join(F.broadcast(totals)).select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("cum") * 100 <= 80 * F.col("total_rev"), F.lit("A"))
+        .when(F.col("cum") * 100 <= 95 * F.col("total_rev"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .join(F.broadcast(totals))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.first("total_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc", "xyz")
+    )

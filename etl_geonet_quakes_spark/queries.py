@@ -12065,3 +12065,158 @@ SPECS["q359_sax_symbols"] = QuerySpec(
     "N(0,1) quartile breakpoint literals; the representation "
     "operator feeding motif/symbolic matching",
 )
+
+SPECS["q360_weibull_fit"] = QuerySpec(
+    rel.weibull_fit,
+    """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+         endd AS (SELECT MAX(d) AS corpus_end FROM o),
+         pc AS (SELECT o_custkey, MIN(d) AS first_d,
+                       (list_sort(list(d)))[2] AS second_d
+                FROM o GROUP BY 1),
+         dur AS (SELECT CASE WHEN second_d IS NOT NULL
+                             THEN date_diff('day', first_d, second_d)
+                             ELSE date_diff('day', first_d, corpus_end)
+                        END AS dur,
+                        CAST(second_d IS NOT NULL AS INT) AS event
+                 FROM pc, endd),
+         ev AS (SELECT dur AS t_days, COUNT(*) AS d_events
+                FROM dur WHERE event = 1 GROUP BY 1),
+         rk AS (SELECT t_days, d_events,
+                       SUM(d_events) OVER (ORDER BY t_days) AS i_cum
+                FROM ev),
+         tot AS (SELECT CAST(SUM(d_events) AS BIGINT) AS n_ev,
+                        CAST(SUM(CASE WHEN t_days <= 0 THEN d_events
+                                      ELSE 0 END) AS BIGINT) AS n_zero
+                 FROM ev),
+         pts AS (SELECT ln(CAST(t_days AS DOUBLE)) AS x,
+                        ln(-ln(1.0 - (CAST(i_cum AS DOUBLE) - 0.3)
+                                     / (CAST(n_ev AS DOUBLE) + 0.4))) AS y
+                 FROM rk, tot WHERE t_days > 0),
+         s AS (SELECT COUNT(*) AS k,
+                      SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS sx,
+                      SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS sy,
+                      SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS sxx,
+                      SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+                      SUM(CAST(ROUND(y * y, 12) AS DECIMAL(28,12))) AS syy
+               FROM pts),
+         f AS (SELECT k, n_ev, n_zero,
+                      (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+                      CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                      CAST(sxx AS DOUBLE) AS sxxd,
+                      CAST(sxy AS DOUBLE) AS sxyd,
+                      CAST(syy AS DOUBLE) AS syyd
+               FROM s, tot)
+    SELECT n_ev AS n_events,
+           n_zero AS n_same_day_excluded,
+           k AS n_points,
+           ROUND(beta, 6) AS weibull_shape,
+           ROUND(exp(-((syd - beta * sxd) / CAST(k AS DOUBLE)) / beta), 6)
+               AS weibull_scale_days,
+           ROUND((CAST(k AS DOUBLE) * sxyd - sxd * syd)
+                 * (CAST(k AS DOUBLE) * sxyd - sxd * syd)
+                 / ((CAST(k AS DOUBLE) * sxxd - sxd * sxd)
+                    * (CAST(k AS DOUBLE) * syyd - syd * syd)), 6)
+               AS r_squared
+    FROM f
+    """,
+    "§2.2 survival: Weibull shape/scale fit of time-to-repeat-order "
+    "events by Bernard median-rank regression — exact integer ranks, "
+    "12dp-decimal OLS sums, closed-form beta/eta/R2; the parametric "
+    "member of the survival family",
+)
+
+SPECS["q361_newsvendor_stock"] = QuerySpec(
+    rel.newsvendor_stock,
+    """
+    WITH daily AS (SELECT r_name, CAST(o_orderdate AS DATE) AS d,
+                          COUNT(*) AS demand
+                   FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   GROUP BY 1, 2),
+         q AS (SELECT r_name, COUNT(*) AS n_days,
+                      ROUND(CAST(SUM(demand) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE), 6) AS mean_demand,
+                      quantile_cont(demand, 0.8) AS q_raw
+               FROM daily GROUP BY 1),
+         so AS (SELECT daily.r_name,
+                       CAST(SUM(CASE WHEN demand > CEIL(q_raw)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_stockout_days
+                FROM daily JOIN q USING (r_name) GROUP BY 1)
+    SELECT q.r_name AS region, n_days, mean_demand,
+           CAST(CEIL(q_raw) AS BIGINT) AS stock_level,
+           n_stockout_days,
+           ROUND(CAST(n_stockout_days AS DOUBLE)
+                 / CAST(n_days AS DOUBLE), 6) AS stockout_share
+    FROM q JOIN so ON q.r_name = so.r_name
+    ORDER BY region
+    """,
+    "§2.2 ops analytics: newsvendor optimal stock per region — the "
+    "critical-ratio (0.8) quantile of daily demand, distribution-"
+    "free; exact interpolated percentile (q113 parity surface), "
+    "integer stockout counts",
+)
+
+SPECS["q362_abc_xyz"] = QuerySpec(
+    rel.abc_xyz_matrix,
+    """
+    WITH li AS (SELECT l_partkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       date_trunc('month', CAST(l_shipdate AS DATE))
+                           AS mon
+                FROM lineitem),
+         pp AS (SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS rev
+                FROM li GROUP BY 1),
+         pm AS (SELECT l_partkey, mon, CAST(SUM(qty) AS BIGINT) AS mq
+                FROM li GROUP BY 1, 2),
+         cv AS (SELECT l_partkey, COUNT(*) AS k,
+                       CAST(SUM(mq) AS BIGINT) AS s1,
+                       CAST(SUM(mq * mq) AS BIGINT) AS s2
+                FROM pm GROUP BY 1),
+         xyz AS (SELECT l_partkey,
+                        CASE WHEN sqrt(greatest(0.0,
+                                 CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                                 - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                                   * (CAST(s1 AS DOUBLE)
+                                      / CAST(k AS DOUBLE))))
+                                 / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                                 < 0.5 THEN 'X'
+                             WHEN sqrt(greatest(0.0,
+                                 CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                                 - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                                   * (CAST(s1 AS DOUBLE)
+                                      / CAST(k AS DOUBLE))))
+                                 / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                                 < 1.0 THEN 'Y'
+                             ELSE 'Z' END AS xyz
+                 FROM cv),
+         tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS total_rev FROM pp),
+         abc AS (SELECT l_partkey, rev,
+                        CASE WHEN SUM(rev) OVER (ORDER BY rev DESC,
+                                 l_partkey) * 100 <= 80 * total_rev
+                             THEN 'A'
+                             WHEN SUM(rev) OVER (ORDER BY rev DESC,
+                                 l_partkey) * 100 <= 95 * total_rev
+                             THEN 'B'
+                             ELSE 'C' END AS abc
+                 FROM pp, tot)
+    SELECT abc, xyz, COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(MAX(total_rev) AS DOUBLE), 6) AS revenue_share
+    FROM abc JOIN xyz USING (l_partkey), tot
+    GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+    "§2.2 ops analytics: ABC/XYZ inventory matrix — cumulative "
+    "revenue-share grades via the fused two-phase rank+cumsum "
+    "(q192 machinery, no single-task global window) x monthly-CV "
+    "variability grades; exact integer cents and literal fences",
+)

@@ -40,6 +40,11 @@ EAGER = {
     "q38_dedup_minhash_lsh": "",
 # round 9: q02/q03's boundary-validation pre-flight count was folded
 # into the main pass (in-scan assert_true) — no eager note anymore.
+    "q350_harmonic_closeness": (
+        "pair cache builds at first use; per-pivot BFS loop is lazy "
+        "(plan is the final round)"
+    ),
+    "q357_markov_power": "n_users distinct-count runs at build time",
     "q115_graph_triangles": (
         "oriented edge list checkpointed at build. BNLJ intended: "
         "single-row aggregates crossed. DEGREE-ORIENTED wedge join "
