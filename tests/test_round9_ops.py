@@ -157,7 +157,7 @@ def test_shapley_attribution_conserves_revenue(spark):
                    FROM read_parquet('{SF}/events.parquet')),
              p AS (SELECT user_id AS uid, us, event_id AS eid, cents
                    FROM e WHERE event_type = 'purchase'),
-             touched AS (SELECT DISTINCT eid, cents
+             touched AS (SELECT DISTINCT eid, p.cents
                          FROM p JOIN e
                            ON p.uid = e.user_id
                           AND e.event_type <> 'purchase'
