@@ -12892,3 +12892,187 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str,
+                    min_acctbal: float = 7500.0) -> DataFrame:
+    """Measured-vs-theoretical false-positive rate of the q99 bloom
+    filter — the missing member of the sketch-audit family (q216
+    prices MinHash error, q259 count-min overestimate, q219 JL
+    distortion, q54 HLL; the bloom's FP rate was asserted by formula
+    but never measured). Probes are customer keys that were NOT
+    inserted (acctbal ≤ threshold — keys are unique, so these are
+    certified non-members); every pass is a false positive by
+    construction. Theory column: (1 − (1−1/m)^{kn})^k with the
+    filter's m=16384, k=4 and the measured n — one fixed-shape
+    double expression, identical in both engines.
+
+    Same build shape as q99 (dimension keys → ONE broadcast bit-set
+    row); the probe side is a second broadcast-crossJoin column-
+    algebra filter — nothing shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    inserted = c.filter(F.col("c_acctbal") > min_acctbal)
+    probes = c.filter(F.col("c_acctbal") <= min_acctbal)
+    pos = inserted.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("c_custkey").cast("string")))
+        ).alias("p")
+    )
+    pos_set = pos.agg(F.collect_set("p").alias("ps"))
+    n_words = BLOOM_M // 64
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.aggregate(
+            F.filter(F.col("ps"), lambda p: F.shiftright(p, 6) == w),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc.bitwiseOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63))
+                )
+            ),
+        ),
+    )
+    bits = pos_set.select(words.alias("bits"))
+    probe_pos = _bloom_positions(F.col("c_custkey").cast("string"))
+    passes = probe_pos[0].isNotNull()
+    for p in probe_pos:
+        word = F.element_at(F.col("bits"), F.shiftright(p, 6) + 1)
+        passes = passes & (
+            F.call_function(
+                "shiftright", word, p.bitwiseAND(F.lit(63))
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+    counts = (
+        probes.crossJoin(F.broadcast(bits))
+        .select(passes.cast("long").alias("fp"))
+        .agg(F.count("*").alias("n_probes"), F.sum("fp").alias("n_false_pos"))
+    )
+    n_ins = inserted.agg(F.count("*").alias("n_inserted"))
+    j = counts.join(F.broadcast(n_ins))
+    kn = F.lit(float(BLOOM_K)) * F.col("n_inserted").cast("double")
+    theory = F.pow(
+        F.lit(1.0) - F.pow(F.lit(1.0 - 1.0 / BLOOM_M), kn), F.lit(float(BLOOM_K))
+    )
+    return j.select(
+        "n_inserted",
+        "n_probes",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.col("n_probes").cast("double"),
+            6,
+        ).alias("fpr_measured"),
+        F.round(theory, 6).alias("fpr_theory"),
+    )
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per region:
+    HHI = Σ (supplier revenue share)² over each region's suppliers,
+    with the DOJ fence literals (0.15 / 0.25) grading the market —
+    the antitrust-standard concentration number beside q232's Gini
+    (inequality) and q192's Pareto cut (top-heavy share).
+
+    Revenue is exact integer cents per supplier from one
+    suppkey-keyed agg; shares divide two exact longs; the Σ share²
+    fold rounds each term 12dp → DECIMAL(28,12) (the q343
+    associativity convention) so the per-region sum is engine-exact.
+    Dims broadcast; the lineitem agg is the only corpus-scale work."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("rev"))
+        .join(F.broadcast(s), "l_suppkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+    )
+    reg_tot = per_supp.groupBy("r_name").agg(F.sum("rev").alias("tot"))
+    share2 = (
+        F.col("rev").cast("double") / F.col("tot").cast("double")
+    ) * (F.col("rev").cast("double") / F.col("tot").cast("double"))
+    hhi = (
+        per_supp.join(F.broadcast(reg_tot), "r_name")
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.round(share2, 12).cast("decimal(28,12)")).alias("h"),
+        )
+    )
+    hd = F.col("h").cast("double")
+    return hhi.select(
+        F.col("r_name").alias("region"),
+        "n_suppliers",
+        F.round(hd, 6).alias("hhi"),
+        F.when(hd < 0.15, F.lit("unconcentrated"))
+        .when(hd < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("concentrated"))
+        .alias("doj_class"),
+    ).orderBy("region")
+
+
+def price_index_fisher(spark: SparkSession, sf_dir: str,
+                       base_year: int = 1996) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices between two
+    adjacent years over the matched part basket — the classical
+    index-number decomposition of revenue change into price vs
+    quantity (the economics complement to q283's additive
+    price-volume-mix bridge).
+
+    Per part-year: quantity and revenue as exact integer sums; unit
+    price = revenue/quantity (one double division of exact longs).
+    Indices fold Σ p·q terms rounded 6dp → DECIMAL(28,6)
+    (associative); only parts present in BOTH years enter (the
+    matched-basket requirement). L = Σp₁q₀/Σp₀q₀ weights by the
+    base basket, P by the current, Fisher = √(L·P)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year(F.to_date("l_shipdate")).alias("yr"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    ).filter(F.col("yr").isin(base_year, base_year + 1))
+    py = li.groupBy("l_partkey", "yr").agg(
+        F.sum("qty").alias("q"), F.sum("cents").alias("c")
+    )
+    b = py.filter(F.col("yr") == base_year).select(
+        "l_partkey",
+        F.col("q").alias("q0"),
+        (F.col("c").cast("double") / F.col("q").cast("double")).alias("p0"),
+    )
+    t = py.filter(F.col("yr") == base_year + 1).select(
+        "l_partkey",
+        F.col("q").alias("q1"),
+        (F.col("c").cast("double") / F.col("q").cast("double")).alias("p1"),
+    )
+    m = b.join(t, "l_partkey")
+
+    def d6(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    agg = m.agg(
+        F.count("*").alias("n_parts_matched"),
+        F.sum(d6(F.col("p1") * F.col("q0"))).alias("l_num"),
+        F.sum(d6(F.col("p0") * F.col("q0"))).alias("l_den"),
+        F.sum(d6(F.col("p1") * F.col("q1"))).alias("p_num"),
+        F.sum(d6(F.col("p0") * F.col("q1"))).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "n_parts_matched",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

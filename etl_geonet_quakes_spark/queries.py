@@ -12220,3 +12220,130 @@ SPECS["q362_abc_xyz"] = QuerySpec(
     "(q192 machinery, no single-task global window) x monthly-CV "
     "variability grades; exact integer cents and literal fences",
 )
+
+SPECS["q363_bloom_fpr_audit"] = QuerySpec(
+    rel.bloom_fpr_audit,
+    """
+    WITH ins AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0),
+         prb AS (SELECT c_custkey FROM customer WHERE c_acctbal <= 7500.0),
+         pos AS (SELECT DISTINCT
+                     CAST(concat('0x', substring(md5(concat(
+                          CAST(i AS VARCHAR), ':',
+                          CAST(c_custkey AS VARCHAR))), 1, 15))
+                          AS BIGINT) % 16384 AS p
+                 FROM ins CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         bits AS (SELECT list(p ORDER BY p) AS bits FROM pos),
+         hit AS (SELECT CAST(
+                     list_contains(b.bits,
+                       CAST(concat('0x', substring(md5(concat('0:',
+                            CAST(c_custkey AS VARCHAR))), 1, 15))
+                            AS BIGINT) % 16384)
+                     AND list_contains(b.bits,
+                       CAST(concat('0x', substring(md5(concat('1:',
+                            CAST(c_custkey AS VARCHAR))), 1, 15))
+                            AS BIGINT) % 16384)
+                     AND list_contains(b.bits,
+                       CAST(concat('0x', substring(md5(concat('2:',
+                            CAST(c_custkey AS VARCHAR))), 1, 15))
+                            AS BIGINT) % 16384)
+                     AND list_contains(b.bits,
+                       CAST(concat('0x', substring(md5(concat('3:',
+                            CAST(c_custkey AS VARCHAR))), 1, 15))
+                            AS BIGINT) % 16384) AS BIGINT) AS fp
+                 FROM prb CROSS JOIN bits b),
+         ni AS (SELECT COUNT(*) AS n_inserted FROM ins),
+         agg AS (SELECT COUNT(*) AS n_probes,
+                        CAST(SUM(fp) AS BIGINT) AS n_false_pos
+                 FROM hit)
+    SELECT n_inserted, n_probes, n_false_pos,
+           ROUND(CAST(n_false_pos AS DOUBLE)
+                 / CAST(n_probes AS DOUBLE), 6) AS fpr_measured,
+           ROUND(pow(1.0 - pow(1.0 - 1.0 / 16384,
+                               4.0 * CAST(n_inserted AS DOUBLE)), 4.0),
+                 6) AS fpr_theory
+    FROM agg, ni
+    """,
+    "§2.2 sketches: measured vs theoretical bloom false-positive "
+    "rate — certified non-member probes (keys below the build "
+    "threshold), theory column (1-(1-1/m)^(kn))^k; completes the "
+    "sketch-audit family",
+)
+
+SPECS["q364_hhi_concentration"] = QuerySpec(
+    rel.hhi_concentration,
+    """
+    WITH ps AS (SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS rev
+                FROM lineitem GROUP BY 1),
+         j AS (SELECT r_name, rev FROM ps
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey),
+         rt AS (SELECT r_name, CAST(SUM(rev) AS BIGINT) AS tot
+                FROM j GROUP BY 1),
+         h AS (SELECT j.r_name, COUNT(*) AS n_suppliers,
+                      SUM(CAST(ROUND((CAST(rev AS DOUBLE)
+                                      / CAST(tot AS DOUBLE))
+                                     * (CAST(rev AS DOUBLE)
+                                        / CAST(tot AS DOUBLE)), 12)
+                               AS DECIMAL(28,12))) AS hh
+               FROM j JOIN rt USING (r_name) GROUP BY 1)
+    SELECT r_name AS region, n_suppliers,
+           ROUND(CAST(hh AS DOUBLE), 6) AS hhi,
+           CASE WHEN CAST(hh AS DOUBLE) < 0.15 THEN 'unconcentrated'
+                WHEN CAST(hh AS DOUBLE) < 0.25 THEN 'moderate'
+                ELSE 'concentrated' END AS doj_class
+    FROM h ORDER BY region
+    """,
+    "§2.2 economics: Herfindahl-Hirschman supplier concentration per "
+    "region with DOJ fence grading — exact cent shares, 12dp-decimal "
+    "associative share-squared sums",
+)
+
+SPECS["q365_price_index"] = QuerySpec(
+    rel.price_index_fisher,
+    """
+    WITH li AS (SELECT l_partkey,
+                       year(CAST(l_shipdate AS DATE)) AS yr,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem
+                WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)),
+         py AS (SELECT l_partkey, yr,
+                       CAST(SUM(qty) AS BIGINT) AS q,
+                       CAST(SUM(cents) AS BIGINT) AS c
+                FROM li GROUP BY 1, 2),
+         b AS (SELECT l_partkey, q AS q0,
+                      CAST(c AS DOUBLE) / CAST(q AS DOUBLE) AS p0
+               FROM py WHERE yr = 1996),
+         t AS (SELECT l_partkey, q AS q1,
+                      CAST(c AS DOUBLE) / CAST(q AS DOUBLE) AS p1
+               FROM py WHERE yr = 1997),
+         m AS (SELECT * FROM b JOIN t USING (l_partkey)),
+         agg AS (SELECT COUNT(*) AS n_parts_matched,
+                        SUM(CAST(ROUND(p1 * q0, 6) AS DECIMAL(28,6)))
+                            AS l_num,
+                        SUM(CAST(ROUND(p0 * q0, 6) AS DECIMAL(28,6)))
+                            AS l_den,
+                        SUM(CAST(ROUND(p1 * q1, 6) AS DECIMAL(28,6)))
+                            AS p_num,
+                        SUM(CAST(ROUND(p0 * q1, 6) AS DECIMAL(28,6)))
+                            AS p_den
+                 FROM m)
+    SELECT n_parts_matched,
+           ROUND(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6)
+               AS laspeyres,
+           ROUND(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6)
+               AS paasche,
+           ROUND(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                      * (CAST(p_num AS DOUBLE)
+                         / CAST(p_den AS DOUBLE))), 6) AS fisher
+    FROM agg
+    """,
+    "§2.2 economics: Laspeyres/Paasche/Fisher price indices over the "
+    "matched 1996-1997 part basket — exact per-part-year integer "
+    "sums, 6dp-decimal associative index numerators; the index-number "
+    "complement to q283's additive bridge",
+)
