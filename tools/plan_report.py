@@ -45,6 +45,9 @@ EAGER = {
         "(plan is the final round)"
     ),
     "q357_markov_power": "n_users distinct-count runs at build time",
+    "q257_kaplan_meier": "life table checkpointed at first use (shared _SURV_CACHE)",
+    "q299_nelson_aalen": "reuses the checkpointed life table",
+    "q360_weibull_fit": "reuses the checkpointed life table",
     "q115_graph_triangles": (
         "oriented edge list checkpointed at build. BNLJ intended: "
         "single-row aggregates crossed. DEGREE-ORIENTED wedge join "
