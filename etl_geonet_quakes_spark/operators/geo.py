@@ -222,3 +222,78 @@ def spatial_join(spark: SparkSession, sf_dir: str,
         )
         .orderBy("suppkey", "custkey")
     )
+
+
+def getis_ord_hotspots(spark: SparkSession, sf_dir: str,
+                       cell_deg: float = 0.5, top_n: int = 15) -> DataFrame:
+    """Getis–Ord G*ᵢ hot-spot statistic over the customer point grid:
+    for each occupied cell, the z-scored 3×3-neighborhood
+    concentration of customer counts — the SPATIAL-STATISTICS member
+    of the geo kit (q138 buckets, q142 joins; this one asks 'where is
+    density significantly above random'). Convention: the statistic
+    is taken over OCCUPIED cells (the fixture's hashed-uniform points
+    occupy virtually the whole grid; absent cells carry no weight and
+    are excluded from n_i — documented, mirrored in the oracle).
+
+    G*ᵢ = (Σ_{j∈N(i)} x_j − x̄·nᵢ) / (S·√((N·nᵢ − nᵢ²)/(N−1))) with
+    x = cell count, N(i) the 3×3 block including self. Everything
+    folds from exact integers: cell counts, neighborhood sums and
+    occupied-neighbor counts are longs (one 9× bounded explode +
+    equi-join on the bounded cell frame — the q142 blocking pattern,
+    never a distance join); x̄ and S come from exact Σx, Σx²; each
+    z is one fixed-shape double expression, compared to the 1.959964
+    two-sided 95% literal. Top-``top_n`` by (z desc, cell) — fully
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer").select(
+        _pseudo_coord(F.col("c_custkey"), 2654435761, -47.0, 13.0).alias("lat"),
+        _pseudo_coord(F.col("c_custkey"), 2246822519, 166.0, 13.0).alias("lon"),
+    )
+    cells = c.groupBy(
+        F.floor(F.col("lat") / cell_deg).cast("long").alias("cx"),
+        F.floor(F.col("lon") / cell_deg).cast("long").alias("cy"),
+    ).agg(F.count("*").alias("x"))
+    tot = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # 9x bounded fan-out: each occupied cell contributes its count to
+    # its 3x3 block, then an equi-join back onto the occupied frame
+    off = F.explode(
+        F.expr(
+            "array(-1,0,1)"
+        )
+    )
+    contrib = (
+        cells.select("cx", "cy", "x", off.alias("dx"))
+        .select("cx", "cy", "x", "dx", off.alias("dy"))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "x",
+        )
+    )
+    nbr = contrib.groupBy("cx", "cy").agg(
+        F.sum("x").alias("nb_sum"), F.count("*").alias("nb_cnt")
+    )
+    j = cells.join(nbr, ["cx", "cy"]).join(F.broadcast(tot))
+    nd = F.col("n_cells").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    s = F.sqrt(F.col("sxx").cast("double") / nd - xbar * xbar)
+    ni = F.col("nb_cnt").cast("double")
+    z = (F.col("nb_sum").cast("double") - xbar * ni) / (
+        s * F.sqrt((nd * ni - ni * ni) / (nd - F.lit(1.0)))
+    )
+    return (
+        j.select(
+            "cx",
+            "cy",
+            "x",
+            F.col("nb_sum").alias("neighborhood_count"),
+            F.col("nb_cnt").alias("n_neighbors"),
+            F.round(z, 6).alias("g_star_z"),
+            (F.abs(z) > F.lit(1.959964)).cast("long").alias("significant_95"),
+        )
+        .orderBy(F.desc("g_star_z"), "cx", "cy")
+        .limit(top_n)
+    )

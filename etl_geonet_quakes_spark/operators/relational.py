@@ -13102,3 +13102,119 @@ def price_index_fisher(spark: SparkSession, sf_dir: str,
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+def consistent_hash_audit(spark: SparkSession, sf_dir: str,
+                          n_nodes: int = 8, n_vnodes: int = 16) -> DataFrame:
+    """Consistent-hashing ring audit: assign every order key to one of
+    ``n_nodes`` shards via a ``n_vnodes``-virtual-node md5 ring
+    (successor rule with wraparound), then measure (a) the per-node
+    load balance the vnode count actually buys and (b) the movement
+    rate when one node joins — the two numbers that justify
+    consistent hashing over mod-N (which moves (N−1)/N of all keys).
+    The shard-placement primitive behind every distributed KV /
+    shuffle service, expressed as a dataflow audit.
+
+    Ring positions and key hashes use the engine's one cross-engine
+    hash family (md5 60-bit, the q99/bloom convention). The ring is
+    a BOUNDED sorted array (n·v and n·v+v positions) broadcast as
+    one row; each key's successor lookup is one array fold — no
+    join, no shuffle beyond the final per-node agg. Exact integer
+    counts; movement theory column = v/(n·v+v) share literal-shaped
+    from the measured total."""
+    ring_rows = []
+    for node in range(n_nodes + 1):
+        for v in range(n_vnodes):
+            ring_rows.append((node, v))
+    ring_df = spark.createDataFrame(ring_rows, "node int, vn int").select(
+        "node",
+        "vn",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("node:"),
+                        F.col("node").cast("string"),
+                        F.lit(":vnode:"),
+                        F.col("vn").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    base = ring_df.filter(F.col("node") < n_nodes)
+    ring_base = base.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "node"))).alias("ring")
+    )
+    ring_plus = ring_df.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "node"))).alias("ring2")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+    def owner(ring_col):
+        # the ring array is pre-sorted; filter preserves order, so the
+        # first surviving element IS the successor — no per-row sort
+        succ = F.filter(ring_col, lambda r: r["pos"] >= F.col("h"))
+        return F.when(
+            F.size(succ) > 0, F.element_at(succ, 1)["node"]
+        ).otherwise(F.element_at(ring_col, 1)["node"])
+
+    assigned = (
+        o.join(F.broadcast(ring_base))
+        .join(F.broadcast(ring_plus))
+        .select(
+            owner(F.col("ring")).alias("node_before"),
+            owner(F.col("ring2")).alias("node_after"),
+        )
+    )
+    per_node = assigned.groupBy(F.col("node_before").alias("node")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(
+            (F.col("node_before") != F.col("node_after")).cast("long")
+        ).alias("n_moved"),
+    )
+    tot = per_node.agg(
+        F.sum("n_keys").alias("n_total"),
+        F.sum("n_moved").alias("moved_total"),
+        F.max("n_keys").alias("mx"),
+        F.min("n_keys").alias("mn"),
+    )
+    return (
+        per_node.join(F.broadcast(tot))
+        .select(
+            "node",
+            "n_keys",
+            F.round(
+                F.col("n_keys").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("load_share"),
+            "n_moved",
+            F.round(
+                F.col("moved_total").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("moved_share_total"),
+            F.round(
+                F.col("mx").cast("double") / F.col("mn").cast("double"), 6
+            ).alias("imbalance_ratio"),
+            F.round(
+                F.lit(float(n_vnodes)) / F.lit(float((n_nodes + 1) * n_vnodes)),
+                6,
+            ).alias("moved_share_theory"),
+        )
+        .orderBy("node")
+    )

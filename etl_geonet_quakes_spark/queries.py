@@ -12347,3 +12347,113 @@ SPECS["q365_price_index"] = QuerySpec(
     "sums, 6dp-decimal associative index numerators; the index-number "
     "complement to q283's additive bridge",
 )
+
+SPECS["q366_getis_ord_hotspots"] = QuerySpec(
+    geo.getis_ord_hotspots,
+    """
+    WITH pts AS (SELECT
+                     -47.0 + 13.0 * (((c_custkey * 2654435761)
+                                      % 4294967296) / 4294967296.0)
+                         AS lat,
+                     166.0 + 13.0 * (((c_custkey * 2246822519)
+                                      % 4294967296) / 4294967296.0)
+                         AS lon
+                 FROM customer),
+         cells AS (SELECT CAST(FLOOR(lat / 0.5) AS BIGINT) AS cx,
+                          CAST(FLOOR(lon / 0.5) AS BIGINT) AS cy,
+                          COUNT(*) AS x
+                   FROM pts GROUP BY 1, 2),
+         tot AS (SELECT COUNT(*) AS n_cells,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx
+                 FROM cells),
+         contrib AS (SELECT cx + dx.d AS cx, cy + dy.d AS cy, x
+                     FROM cells,
+                          (SELECT unnest([-1, 0, 1]) AS d) dx,
+                          (SELECT unnest([-1, 0, 1]) AS d) dy),
+         nbr AS (SELECT cx, cy, CAST(SUM(x) AS BIGINT) AS nb_sum,
+                        COUNT(*) AS nb_cnt
+                 FROM contrib GROUP BY 1, 2),
+         z AS (SELECT cells.cx, cells.cy, x, nb_sum, nb_cnt,
+                      (CAST(nb_sum AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                         * CAST(nb_cnt AS DOUBLE))
+                      / (sqrt(CAST(sxx AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                              - (CAST(sx AS DOUBLE)
+                                 / CAST(n_cells AS DOUBLE))
+                                * (CAST(sx AS DOUBLE)
+                                   / CAST(n_cells AS DOUBLE)))
+                         * sqrt((CAST(n_cells AS DOUBLE)
+                                 * CAST(nb_cnt AS DOUBLE)
+                                 - CAST(nb_cnt AS DOUBLE)
+                                   * CAST(nb_cnt AS DOUBLE))
+                                / (CAST(n_cells AS DOUBLE) - 1.0)))
+                          AS gz
+               FROM cells JOIN nbr USING (cx, cy), tot)
+    SELECT cx, cy, x,
+           nb_sum AS neighborhood_count,
+           nb_cnt AS n_neighbors,
+           ROUND(gz, 6) AS g_star_z,
+           CAST(abs(gz) > 1.959964 AS BIGINT) AS significant_95
+    FROM z ORDER BY g_star_z DESC, cx, cy LIMIT 15
+    """,
+    "§2.2 spatial statistics: Getis-Ord G* hot-spot z-scores over "
+    "the customer point grid — 3x3 neighborhood sums via the q142 "
+    "bounded 9x explode, exact integer moments, shared normal "
+    "literal; top-15 deterministic",
+)
+
+SPECS["q367_consistent_hash"] = QuerySpec(
+    rel.consistent_hash_audit,
+    """
+    WITH nodes AS (SELECT unnest(range(0, 9)) AS node),
+         vns AS (SELECT unnest(range(0, 16)) AS vn),
+         ringp AS (SELECT node, vn,
+                          CAST(concat('0x', substring(md5(concat(
+                               'node:', CAST(node AS VARCHAR),
+                               ':vnode:', CAST(vn AS VARCHAR))), 1, 15))
+                               AS BIGINT) AS pos
+                   FROM nodes, vns),
+         rb AS (SELECT list(struct_pack(pos := pos, node := node)
+                            ORDER BY pos, node) AS ring
+                FROM ringp WHERE node < 8),
+         rp AS (SELECT list(struct_pack(pos := pos, node := node)
+                            ORDER BY pos, node) AS ring2
+                FROM ringp),
+         keys AS (SELECT CAST(concat('0x', substring(md5(
+                      CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                      AS h
+                  FROM orders),
+         asg AS (SELECT
+                     COALESCE(list_filter(ring,
+                         r -> r.pos >= h)[1].node, ring[1].node)
+                         AS node_before,
+                     COALESCE(list_filter(ring2,
+                         r -> r.pos >= h)[1].node, ring2[1].node)
+                         AS node_after
+                 FROM keys, rb, rp),
+         pn AS (SELECT node_before AS node, COUNT(*) AS n_keys,
+                       CAST(SUM(CASE WHEN node_before <> node_after
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_moved
+                FROM asg GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_keys) AS BIGINT) AS n_total,
+                        CAST(SUM(n_moved) AS BIGINT) AS moved_total,
+                        MAX(n_keys) AS mx, MIN(n_keys) AS mn
+                 FROM pn)
+    SELECT CAST(node AS INT) AS node, n_keys,
+           ROUND(CAST(n_keys AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS load_share,
+           n_moved,
+           ROUND(CAST(moved_total AS DOUBLE)
+                 / CAST(n_total AS DOUBLE), 6) AS moved_share_total,
+           ROUND(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+               AS imbalance_ratio,
+           ROUND(16.0 / 144.0, 6) AS moved_share_theory
+    FROM pn, tot ORDER BY node
+    """,
+    "§2.2 distributed-systems primitives: consistent-hashing ring "
+    "audit — md5 vnode ring, successor assignment as one bounded "
+    "array fold per key (no join), measured load balance and "
+    "one-node-join movement rate vs the v/(nv+v) theory share",
+)
