@@ -13218,3 +13218,179 @@ def consistent_hash_audit(spark: SparkSession, sf_dir: str,
         )
         .orderBy("node")
     )
+
+
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str,
+                        levels: int = 8) -> DataFrame:
+    """Haar wavelet decomposition of the daily-revenue series (first
+    2^levels days): per level, the detail-coefficient energy and its
+    share — 'at which time scale does revenue vary', the multi-
+    resolution member of the time-series representation family (q359
+    SAX is per-segment symbols, q330 the global spectrum; wavelets
+    localize energy in scale AND time, and the energy-by-level report
+    is the standard first read).
+
+    Exactness: the series is exact integer cents; each Haar step is
+    pairwise (sum, difference)/2 — halving is exact in doubles for
+    integer-derived values, so every coefficient is an exactly-
+    representable double; per-level energies round 12dp → DECIMAL
+    (the q343 convention) before the bounded sum. The frame is ≤ 256
+    rows after the daily agg (calendar-bounded) — the loop unrolls
+    ``levels`` groupBy-halving passes on a tiny frame, mirrored as
+    CTE layers in the oracle."""
+    n = 2 ** levels
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("rev"))
+    w = Window.orderBy("d")
+    series = (
+        daily.select(
+            (F.row_number().over(w) - 1).alias("i"),
+            F.col("rev").cast("double").alias("x"),
+        )
+        .filter(F.col("i") < n)
+    )
+    approx = series
+    out = None
+    for lvl in range(1, levels + 1):
+        paired = approx.groupBy((F.col("i") / 2).cast("long").alias("i")).agg(
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("x")).otherwise(F.lit(0.0))
+            ).alias("even"),
+            F.sum(
+                F.when(F.col("i") % 2 == 1, F.col("x")).otherwise(F.lit(0.0))
+            ).alias("odd"),
+            F.count("*").alias("cnt"),
+        ).filter(F.col("cnt") == 2)
+        detail = paired.select(
+            ((F.col("even") - F.col("odd")) / F.lit(2.0)).alias("c")
+        )
+        # terms are scaled to MILLIONS of dollars² (cents²/1e14)
+        # BEFORE the 12dp round: the per-level totals then carry ~10
+        # significant digits at the final 6dp round, comfortably
+        # inside double's ulp — at raw cents² the level-1 total
+        # needed 16 digits and the engines' decimal→double casts
+        # disagreed by one ulp (measured at sf0.01)
+        energy = detail.agg(
+            F.lit(lvl).alias("level"),
+            F.count("*").alias("n_coeffs"),
+            F.sum(
+                F.round(F.col("c") * F.col("c") / F.lit(1e14), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("energy"),
+        )
+        out = energy if out is None else out.unionAll(energy)
+        approx = paired.select(
+            "i", ((F.col("even") + F.col("odd")) / F.lit(2.0)).alias("x")
+        )
+    tot = out.agg(F.sum("energy").alias("e_tot"))
+    return (
+        out.join(F.broadcast(tot))
+        .select(
+            "level",
+            "n_coeffs",
+            F.round(F.col("energy").cast("double"), 6).alias(
+                "energy_mdollars2"
+            ),
+            F.round(
+                F.col("energy").cast("double") / F.col("e_tot").cast("double"),
+                6,
+            ).alias("energy_share"),
+        )
+        .orderBy("level")
+    )
+
+
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of WEEKLY MAXIMUM daily revenue by
+    the method of moments (β̂ = s·√6/π, μ̂ = x̄ − γ·β̂ with the
+    Euler–Mascheroni literal), plus the 52-week return level
+    μ − β·ln(−ln(1−1/52)) — extreme-value theory enters the family:
+    q320 stocks for the mean, q361 for a quantile; EVT answers 'how
+    bad is the worst week a year brings'.
+
+    Block maxima are exact integer cents (MAX of exact sums); mean
+    and sd come from exact Σ, Σ² (q342 discipline); every constant
+    (√6/π, γ, the return-period double-log) is a shared literal or a
+    fixed-shape double both engines compute identically. The weekly
+    frame is calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("rev"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("d")).alias("wk")
+    ).agg(F.max("rev").alias("mx"))
+    mom = weekly.agg(
+        F.count("*").alias("n_weeks"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("s2"),
+    )
+    nd = F.col("n_weeks").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    sd = F.sqrt(F.col("s2").cast("double") / nd - mean * mean)
+    euler = F.lit(0.5772156649015329)
+    beta = sd * F.lit(math.sqrt(6.0) / math.pi)
+    mu = mean - euler * beta
+    ret52 = mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / 52.0)))
+    return mom.select(
+        "n_weeks",
+        F.round(mean / F.lit(100.0), 6).alias("mean_weekly_max_dollars"),
+        F.round(mu / F.lit(100.0), 6).alias("gumbel_mu_dollars"),
+        F.round(beta / F.lit(100.0), 6).alias("gumbel_beta_dollars"),
+        F.round(ret52 / F.lit(100.0), 6).alias("return_level_52w_dollars"),
+    )
+
+
+def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regularized simple regression of order value on the
+    per-order lineitem count, reported along a three-point shrinkage
+    path λ ∈ {0, 10³, 10⁵} — the regularization checkbox for the
+    regression family (q129 OLS, q289 robust, q304/q348 GLM): slope
+    b₁(λ) = Sxy/(Sxx + λ), intercept keeps (x̄, ȳ) on the line, and
+    the path makes the shrinkage visible (λ=0 IS the OLS check).
+
+    All moments are exact integers/decimals from one pass (Σx, Σy,
+    Σxy, Σx² with y in cents, x the small lineitem count); each λ row
+    is a fixed-shape double expression over them — the three-row
+    output is a literal unrolling, no iteration, no extra scans."""
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("x"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+        .join(counts, "o_orderkey")
+    )
+    mom = o.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    ybar = F.col("sy").cast("double") / nd
+    sxy_c = F.col("sxy").cast("double") - nd * xbar * ybar
+    sxx_c = F.col("sxx").cast("double") - nd * xbar * xbar
+    out = None
+    for lam in (0.0, 1e3, 1e5):
+        b1 = sxy_c / (sxx_c + F.lit(lam))
+        row = mom.select(
+            F.lit(lam).alias("lam"),
+            F.col("n"),
+            F.round(b1, 6).alias("slope_cents_per_item"),
+            F.round(ybar - b1 * xbar, 6).alias("intercept_cents"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("lam")

@@ -12457,3 +12457,124 @@ SPECS["q367_consistent_hash"] = QuerySpec(
     "array fold per key (no join), measured load balance and "
     "one-node-join movement rate vs the v/(nv+v) theory share",
 )
+
+# q368's Haar oracle: levels unrolled as CTE layers; halving of
+# integer-derived doubles is exact, energies 12dp-decimal summed.
+_HAAR_LVL = """p{k} AS (SELECT i // 2 AS i,
+                    SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0.0 END) AS even,
+                    SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0.0 END) AS odd,
+                    COUNT(*) AS cnt
+             FROM a{p} GROUP BY 1 HAVING COUNT(*) = 2),
+    e{k} AS (SELECT {k} AS level, COUNT(*) AS n_coeffs,
+                    SUM(CAST(ROUND(((even - odd) / 2.0)
+                                   * ((even - odd) / 2.0) / 1e14, 12)
+                             AS DECIMAL(38,12))) AS energy
+             FROM p{k}),
+    a{k} AS (SELECT i, (even + odd) / 2.0 AS x FROM p{k})"""
+
+_HAAR_SQL = (
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+         a0 AS (SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
+                       CAST(rev AS DOUBLE) AS x
+                FROM daily QUALIFY i < 256),"""
+    + ",".join(_HAAR_LVL.format(k=k, p=k - 1) for k in range(1, 9))
+    + """,
+    allE AS ("""
+    + " UNION ALL ".join(f"SELECT * FROM e{k}" for k in range(1, 9))
+    + """),
+    tot AS (SELECT SUM(energy) AS e_tot FROM allE)
+    SELECT level, n_coeffs,
+           ROUND(CAST(energy AS DOUBLE), 6) AS energy_mdollars2,
+           ROUND(CAST(energy AS DOUBLE) / CAST(e_tot AS DOUBLE), 6)
+               AS energy_share
+    FROM allE, tot ORDER BY level
+    """
+)
+
+SPECS["q368_haar_energy"] = QuerySpec(
+    rel.haar_wavelet_energy,
+    _HAAR_SQL,
+    "§2.2 time series: Haar wavelet energy by level over the first "
+    "256 revenue days — exact pairwise halving, 12dp-decimal "
+    "energies; the multi-resolution companion to SAX (q359) and the "
+    "periodogram (q330)",
+)
+
+SPECS["q369_gumbel_maxima"] = QuerySpec(
+    rel.gumbel_block_maxima,
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+         weekly AS (SELECT date_trunc('week', d) AS wk,
+                           CAST(MAX(rev) AS BIGINT) AS mx
+                    FROM daily GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n_weeks,
+                        CAST(SUM(mx) AS BIGINT) AS s1,
+                        SUM(CAST(mx AS DECIMAL(38,0)) * mx) AS s2
+                 FROM weekly),
+         v AS (SELECT n_weeks,
+                      CAST(s1 AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mean,
+                      sqrt(CAST(s2 AS DOUBLE) / CAST(n_weeks AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE)
+                                / CAST(n_weeks AS DOUBLE)))
+                      * (sqrt(6.0) / pi()) AS beta
+               FROM mom)
+    SELECT n_weeks,
+           ROUND(mean / 100.0, 6) AS mean_weekly_max_dollars,
+           ROUND((mean - 0.5772156649015329 * beta) / 100.0, 6)
+               AS gumbel_mu_dollars,
+           ROUND(beta / 100.0, 6) AS gumbel_beta_dollars,
+           ROUND(((mean - 0.5772156649015329 * beta)
+                  - beta * ln(-ln(1.0 - 1.0 / 52.0))) / 100.0, 6)
+               AS return_level_52w_dollars
+    FROM v
+    """,
+    "§2.2 statistics: Gumbel extreme-value fit of weekly-maximum "
+    "daily revenue by method of moments, with the 52-week return "
+    "level — exact block maxima and moments, shared Euler/sqrt6/pi "
+    "literals; EVT enters the family",
+)
+
+SPECS["q370_ridge_path"] = QuerySpec(
+    rel.ridge_regression_path,
+    """
+    WITH cnts AS (SELECT l_orderkey AS o_orderkey, COUNT(*) AS x
+                  FROM lineitem GROUP BY 1),
+         o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y, x
+               FROM orders JOIN cnts USING (o_orderkey)),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(y) AS BIGINT) AS sy,
+                        CAST(SUM(x * y) AS BIGINT) AS sxy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx
+                 FROM o),
+         lam AS (SELECT unnest([0.0, 1e3, 1e5]) AS lam),
+         v AS (SELECT lam, n,
+                      (CAST(sxy AS DOUBLE)
+                       - CAST(n AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                      / ((CAST(sxx AS DOUBLE)
+                          - CAST(n AS DOUBLE)
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                         + lam) AS b1,
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+                      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+               FROM mom, lam)
+    SELECT lam, n,
+           ROUND(b1, 6) AS slope_cents_per_item,
+           ROUND(ybar - b1 * xbar, 6) AS intercept_cents
+    FROM v ORDER BY lam
+    """,
+    "§2.2 regression: ridge shrinkage path (lambda 0/1e3/1e5) of "
+    "order value on lineitem count — exact one-pass moments, "
+    "closed-form slope per lambda; lambda=0 doubles as the OLS check",
+)
