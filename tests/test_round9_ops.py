@@ -206,3 +206,28 @@ def test_mase_backtest_consistency(spark):
     )
     assert 0.0 <= r["smape"] <= 2.0
     assert r["beats_naive"] == int(r["mase"] < 1.0)
+
+
+def test_haar_energy_structure(spark):
+    rows = rel.haar_wavelet_energy(spark, SF).collect()
+    assert [r["level"] for r in rows] == list(range(1, 9))
+    # dyadic halving: level k has 256 / 2^k detail coefficients
+    assert all(r["n_coeffs"] == 256 >> r["level"] for r in rows)
+    assert all(r["energy_mdollars2"] >= 0 for r in rows)
+    assert sum(r["energy_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_gumbel_fit_orderings(spark):
+    r = rel.gumbel_block_maxima(spark, SF).collect()[0]
+    assert r["gumbel_beta_dollars"] > 0
+    # mode mu sits below the mean (Gumbel mean = mu + gamma*beta)
+    assert r["gumbel_mu_dollars"] < r["mean_weekly_max_dollars"]
+    # a 52-week return level is far in the right tail
+    assert r["return_level_52w_dollars"] > r["mean_weekly_max_dollars"]
+
+
+def test_ridge_path_shrinks_monotonically(spark):
+    rows = rel.ridge_regression_path(spark, SF).collect()
+    slopes = [r["slope_cents_per_item"] for r in rows]  # lam ascending
+    assert abs(slopes[0]) >= abs(slopes[1]) >= abs(slopes[2])
+    assert abs(slopes[2]) < abs(slopes[0])  # 1e5 actually shrinks
