@@ -59,6 +59,22 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session with the engine's standard config."""
+    # Export the package's parent onto PYTHONPATH BEFORE the JVM
+    # launches: addPyFile covers executor task workers, but the
+    # driver-side Python workers that PLAN Python data sources /
+    # analyze UDTFs are spawned by the JVM with the JVM's inherited
+    # environment — from a foreign cwd they otherwise fail to
+    # unpickle-by-reference with ModuleNotFoundError (caught by the
+    # round-9 foreign-cwd smoke on the q187 streaming source; a
+    # pytest run from /root/repo masks it because cwd is importable).
+    # No-op when the JVM already exists — then cwd/addPyFile were
+    # already sufficient for that session's lifetime.
+    parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cur = os.environ.get("PYTHONPATH", "")
+    if parent not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            parent + (os.pathsep + cur if cur else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
