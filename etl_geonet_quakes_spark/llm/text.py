@@ -1948,7 +1948,11 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("piece_chars").alias("chars"),
         F.sum("n_single").alias("singles"),
     )
-    return agg.select(
+    # languages whose docs contain no [a-z0-9] tokens have words == 0
+    # (and hence pieces == 0): fertility is undefined there, so the
+    # group is excluded rather than emitted as NaN/div-by-zero — the
+    # oracle applies the same WHERE words > 0 (round-10 advisor fix)
+    return agg.filter(F.col("words") > 0).select(
         "lang",
         "n_docs",
         "pieces",

@@ -12282,7 +12282,10 @@ def shapley_attribution(spark: SparkSession, sf_dir: str,
     frequency-immune — a channel earns per journey it appears in.
 
     Exactness is q210's integer protocol: millicent shares by exact
-    floor division, remainder reported, no floats. Shape: the q210
+    floor division, no floats. The floor drops ≤ (n_channels−1)
+    millicents per journey — NOT emitted as a column; conservation is
+    bounded externally in tests (Σ shares ≤ Σ revenue, gap < n·k
+    millicents). Shape: the q210
     per-user time-range join, then one distinct-channel agg per
     purchase and one channel agg — the set dedup is the only extra
     stage."""
@@ -12533,10 +12536,14 @@ def stump_boosting(spark: SparkSession, sf_dir: str,
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     # discount is 0..10 in TPC-H — already a bounded integer bin
+    # ss must be decimal: sum(cents^2) reaches ~2.2e19 at sf0.1,
+    # past int64 max (9.22e18) — a long sum silently wraps with ANSI
+    # off and poisons sse_tot/var_explained (round-10 advisor fix;
+    # mirrors the oracle's DECIMAL(38,0) and the q359/q369 convention)
     bins = li.groupBy("disc").agg(
         F.count("*").alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("ss"),
     )
     wp = Window.orderBy("disc").rowsBetween(Window.unboundedPreceding, 0)
     pre = bins.select(

@@ -11643,7 +11643,7 @@ SPECS["q349_tokenizer_fertility"] = QuerySpec(
                AS chars_per_piece,
            ROUND(CAST(singles AS DOUBLE) / CAST(pieces AS DOUBLE), 6)
                AS single_char_share
-    FROM agg ORDER BY lang
+    FROM agg WHERE words > 0 ORDER BY lang
     """,
     "LLM corpus prep: per-language tokenizer fertility (length-capped "
     "pre-tokenizer pieces per word, bytes per piece, single-char "

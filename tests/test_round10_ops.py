@@ -1,0 +1,82 @@
+"""Round-10 regression tests for the advisor findings:
+
+1. q358 stump_boosting summed squared cents as BIGINT; at sf0.1 the
+   true sum (~2.22e19) exceeds int64 max (9.22e18) and silently wraps
+   with ANSI off, poisoning sse_tot/var_explained. The fix casts to
+   decimal(38,0) (mirroring the oracle). The test here runs AT sf0.1 —
+   first proving the fixture really is in the overflow regime, then
+   bounding var_explained — so a revert to the long sum fails loudly.
+
+2. q349 tokenizer_fertility divided pieces/words with no zero guard; a
+   lang group with no [a-z0-9] tokens yielded NaN / div-by-zero. The
+   fix excludes words == 0 groups on both engines.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geonet_quakes_spark.io import load_table
+from etl_geonet_quakes_spark.llm import text
+from etl_geonet_quakes_spark.operators import relational as rel
+
+SF01 = "/root/testdata/sf0.1"
+INT64_MAX = (1 << 63) - 1
+
+
+@pytest.mark.skipif(not os.path.isdir(SF01), reason="sf0.1 fixture absent")
+def test_stump_boosting_sum_of_squares_is_overflow_safe(spark):
+    """At sf0.1 Σ cents² > int64 max: the decimal(38,0) accumulator is
+    load-bearing, not belt-and-braces. A long accumulator wraps to a
+    (possibly negative) garbage total and var_explained goes wrong at
+    exactly the committed bench scale while sf0.001/sf0.01 parity
+    stays green — which is how it escaped until round 10."""
+    li = load_table(spark, SF01, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    ss = li.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("ss")
+    ).first()["ss"]
+    assert int(ss) > INT64_MAX, (
+        "fixture no longer exercises the int64-overflow regime; "
+        "move this test to a larger SF"
+    )
+
+    row = rel.stump_boosting(spark, SF01).first()
+    # gains are SSE reductions: strictly positive for any non-constant
+    # target; var_explained = (gain1+gain2)/SSE_tot must land in (0, 1]
+    assert row["gain1"] > 0 and row["gain2"] > 0
+    assert 0.0 < row["var_explained"] <= 1.0
+    for v in (row["gain1"], row["gain2"], row["var_explained"]):
+        assert math.isfinite(v)
+
+
+def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
+    """A language whose documents contain no [a-z0-9] tokens has
+    words == 0; its fertility is undefined and the group must be
+    EXCLUDED (matching the oracle's WHERE words > 0), not emitted as
+    NaN / null / div-by-zero."""
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "zz", "hello world one two", 0.5),
+            (2, "web", "zz", "four score and seven", 0.5),
+            # '!!!' and '???' contain no [a-z0-9]: words == 0 for lang qq
+            (3, "web", "qq", "!!! ??? --- ...", 0.5),
+        ],
+        "doc_id long, source string, lang string, text string, quality double",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["lang"]: r for r in text.tokenizer_fertility(spark, sf_dir).collect()}
+    assert "qq" not in rows, "zero-word group must be excluded, not NaN"
+    assert "zz" in rows
+    z = rows["zz"]
+    assert z["words"] == 8 and z["fertility"] >= 1.0
+    assert all(
+        math.isfinite(z[c])
+        for c in ("fertility", "chars_per_piece", "single_char_share")
+    )

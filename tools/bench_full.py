@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _env_stamp, _warm  # noqa: E402
+from bench import _env_stamp, _warm, parse_sf  # noqa: E402
 from etl_geonet_quakes_spark.queries import SPECS  # noqa: E402
 from etl_geonet_quakes_spark.session import get_spark  # noqa: E402
 
@@ -62,7 +62,9 @@ def main() -> None:
         "errors": errors,
         "n_queries": len(SPECS),
         "sweep_sec": round(time.perf_counter() - t_sweep, 3),
-        "sf": float(SF_DIR.rsplit("sf", 1)[1]),
+        # guarded parse (shared with bench.py): an SF_DIR without a
+        # parseable 'sf' suffix must not throw away the completed sweep
+        "sf": parse_sf(SF_DIR),
         "env": _env_stamp(spark),
     }
     with open(out_path, "w") as f:
