@@ -194,13 +194,16 @@ def run_dedup_stream(
         inner(batch_df, epoch_id)
         epochs.append(epoch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", f"{state_dir}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", f"{state_dir}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return epochs
 
 

@@ -17,9 +17,41 @@ from __future__ import annotations
 
 import glob
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# State partition count for fixture replays. A stateful streaming
+# query fixes its state-store partition count to
+# spark.sql.shuffle.partitions AT QUERY START, and every micro-batch
+# then pays a per-partition-per-store commit (a stream-stream join
+# carries FOUR stores per partition: left/right x keyToNumValues/
+# keyWithIndexToValue). Measured on q273 at sf0.1 (round-10 audit,
+# SCALE.md): 32 partitions -> 6 batches x 128 store commits = 424 s
+# of summed commit time, 31.2 s wall; 8 partitions -> 8.0 s wall
+# (3.9x) with identical results. RocksDB was ~20% WORSE than the
+# HDFS provider at this state size (per-batch version uploads
+# dominate). At 100 TB the same sizing rule applies in reverse:
+# partitions ∝ state volume — the constant here is the fixture-scale
+# instance of that rule, not a magic number.
+REPLAY_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def replay_partitions(spark, n: int = REPLAY_SHUFFLE_PARTITIONS):
+    """Temporarily size spark.sql.shuffle.partitions for a replay
+    stream start; always restores the session value. Result-identical
+    by construction: hash partitioning and watermark advancement are
+    partition-count-independent, only the state-store commit fan-out
+    changes (verified: q04-q09, q10/q75, q151, q187, q197, q214,
+    q273 oracle hashes unchanged at 8 vs 32)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def write_micro_batch_feed(

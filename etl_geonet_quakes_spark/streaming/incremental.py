@@ -103,13 +103,16 @@ def run_versioned_merge_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
-    q = (
-        stream.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", os.path.join(base, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(base, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     committed = _committed_epochs(state_dir)
     assert committed, "stream processed no batches"
     return spark.read.schema(state_schema).parquet(

@@ -54,13 +54,16 @@ def run_quake_stream(
         inner(out, epoch_id)
         epochs.append(epoch_id)
 
-    q = (
-        features.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", f"{state_dir}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
+    with replay_partitions(spark):
+        q = (
+            features.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", f"{state_dir}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return epochs
 
 
@@ -122,17 +125,20 @@ def stream_quakes_via_source(
         if batch_df.take(1):
             done_epochs.append(epoch_id)
 
+    from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
     stream = spark.readStream.format("geonet").option("path", snapdir).load()
-    q = (
-        stream.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", os.path.join(base, "_ckpt"))
-        .trigger(processingTime="50 milliseconds")
-        .start()
-    )
-    deadline = time.time() + timeout_s
-    while time.time() < deadline and len(done_epochs) < n_snapshots:
-        time.sleep(0.2)
-    q.stop()
-    q.awaitTermination()
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(base, "_ckpt"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and len(done_epochs) < n_snapshots:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
     assert len(done_epochs) >= n_snapshots, done_epochs
     return spark.read.parquet(out_dir)

@@ -54,16 +54,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(result: DataFrame, mode: str) -> str:
     """Drive a streaming DataFrame to completion into a memory sink;
-    returns the (unique) table name."""
+    returns the (unique) table name. Starts under replay-sized state
+    partitioning (feed.replay_partitions — the round-10 audit's 3.9×
+    state-commit win); the session value is restored afterwards."""
+    from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_partitions(result.sparkSession):
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return name
 
 
@@ -430,14 +435,17 @@ def stream_late_data_accounting(
                 ).write.mode("append").parquet(out_dir)
             )
 
-        q = (
-            agg.writeStream.outputMode("append")
-            .foreachBatch(sink)
-            .option("checkpointLocation", os.path.join(base, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from etl_geonet_quakes_spark.streaming.feed import replay_partitions
+
+        with replay_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", os.path.join(base, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     run_once()
     os.rename(os.path.join(feed_all, "b1.parquet"),
