@@ -1415,6 +1415,138 @@ def string_distance_volume_metrics(spark: SparkSession, sf_dir: str,
     }
 
 
+def passjoin_edit_pairs(spark: SparkSession, sf_dir: str,
+                        max_dist: int = 2) -> DataFrame:
+    """PassJoin pigeonhole-segment edit-distance self-join over the
+    DISTINCT part-name tier — the general-k signature scheme the q88
+    dedup-then-expand docstring points to for high-cardinality
+    columns (q353's FastSS deletion neighborhoods stop paying at
+    k > 2: neighborhood size is C(L, k)·Σ; segments stay k+1 rows
+    per string at ANY k).
+
+    Theorem (Li, Deng & Feng, PassJoin, VLDB 2011 §3): partition s
+    into k+1 contiguous segments; any t with ed(s, t) ≤ k contains at
+    least one segment VERBATIM — k edits can touch at most k of the
+    k+1 segments — and a surviving segment's position in t is within
+    k of its home position in s. So candidates come from an EQUI-join
+    on (segment index, partner length, substring): an index side
+    (each string's k+1 segments) against a probe side (each string's
+    substrings of the partner-segment length at the ±k viable
+    positions). Never an all-pairs comparison; the lev kernel runs on
+    candidates only. The ±k position window here is the loose
+    complete bound (the paper's multi-match-aware window is a strict
+    subset — fewer candidates, same answer; completeness is what the
+    brute-force test pins).
+
+    Contract: unordered distinct-name pairs (name_a < name_b) with
+    ed ≤ k among names of length ≥ k+1 (shorter strings would carry
+    empty segments, for which the pigeonhole argument degenerates;
+    the length filter is mirrored in the oracle and is vacuous on
+    this fixture — every p_name has length ≥ 7).
+
+    Scale shape: probe fan-out is (k+1)·(2k+1)² keys per distinct
+    string — constant per string; candidates are Σ over (i, L, seg)
+    buckets of |probe|·|index|, bounded by segment selectivity, the
+    same honesty argument as q38's bands with the chunking escape
+    hatch for hot segments. Everything before the verify is exact
+    string algebra; the verify is the same levenshtein kernel the
+    oracle runs."""
+    cand = _passjoin_candidates(spark, sf_dir, max_dist)
+    return (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("a_name", "b_name").cast("long")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("a_name").alias("name_a"),
+            F.col("b_name").alias("name_b"),
+            "edit_dist",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+def _passjoin_candidates(spark: SparkSession, sf_dir: str,
+                         max_dist: int) -> DataFrame:
+    """Candidate tier of passjoin_edit_pairs: distinct (a_name <
+    b_name) pairs sharing a (segment index, partner length, segment)
+    key. Split out so tests/scale curves pin the candidate volume —
+    the quantity the signature exists to bound — independently of
+    the verify."""
+    m = max_dist + 1
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .filter(F.length("name") >= m)
+        .withColumn("L", F.length("name").cast("int"))
+    )
+
+    def seg_geom(i: Column, length: Column) -> tuple[Column, Column]:
+        """(start0, seg_len) of segment i under the fixed convention:
+        first (m − r) segments of length ⌊L/m⌋, last r of ⌊L/m⌋+1,
+        r = L mod m. Both sides compute the identical arithmetic."""
+        base = F.floor(length / m).cast("int")
+        r = (length % m).cast("int")
+        seg_len = base + F.when(i >= m - r, F.lit(1)).otherwise(F.lit(0))
+        start0 = i * base + F.greatest(F.lit(0), i - (m - r))
+        return start0.cast("int"), seg_len.cast("int")
+
+    i = F.col("i")
+    idx_start, idx_len = seg_geom(i, F.col("L"))
+    idx = names.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+    ).select(
+        F.col("name").alias("b_name"),
+        F.col("L").alias("b_len"),
+        "i",
+        F.substring(F.col("name"), idx_start + 1, idx_len).alias("seg"),
+    )
+
+    probe = names.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+    ).withColumn(
+        "b_len",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(m), F.col("L") - max_dist),
+                F.col("L") + max_dist,
+            )
+        ),
+    )
+    p_start, p_len = seg_geom(i, F.col("b_len"))
+    lo = F.greatest(F.lit(0), p_start - max_dist)
+    hi = F.least(F.col("L") - p_len, p_start + max_dist)
+    probe = (
+        probe.withColumn("slen", p_len)
+        .withColumn(
+            "s",
+            F.explode(
+                # sequence(lo, hi) with hi < lo would descend; an empty
+                # window (partner segment longer than the whole probe
+                # string) must yield no keys, not garbage positions
+                F.when(hi >= lo, F.sequence(lo, hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .select(
+            F.col("name").alias("a_name"),
+            "i",
+            F.col("b_len").cast("int").alias("b_len"),
+            F.substring(F.col("name"), F.col("s") + 1, F.col("slen")).alias(
+                "seg"
+            ),
+        )
+    )
+    return (
+        probe.join(idx, ["i", "b_len", "seg"])
+        .filter(F.col("a_name") < F.col("b_name"))
+        .select("a_name", "b_name")
+        .distinct()
+    )
+
+
 def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic kit: +days, +month (end-of-month clamped the
     same way by both engines), last_day."""
@@ -7799,6 +7931,171 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
         )
         .orderBy("item1", "item2", "item3")
     )
+
+
+def apriori_volume_metrics(spark: SparkSession, sf_dir: str,
+                           rel_support: float = 0.01) -> dict:
+    """Candidate-volume instrumentation for apriori_triples (round-10
+    verdict item 6: the heavy candidate generators get pinned growth
+    curves like the graph suite's). Mirrors the query's stages and
+    returns the volumes that decide its 100× posture:
+
+    - ``n_baskets`` — corpus-side input (linear in orders),
+    - ``pair_rows`` — the exploded 2-subset stream Σ C(|basket|, 2);
+      bounded by baskets × C(max_basket_size, 2), NOT corpus² —
+      basket size is capped by order width (TPC-H: ≤ 7 lineitems),
+    - ``l2_size`` / ``l2_items`` — surviving frequent pairs and the
+      distinct items in them; l2_size ≤ C(25, 2) = 300 because the
+      item domain is the fixed brand set,
+    - ``cand_triples`` — candidates AFTER the apriori prune; the
+      broadcast table the counting scan verifies — bounded by
+      C(l2_items, 3) independent of corpus size.
+
+    All values are counts of the SAME dataflow apriori_triples runs
+    (stages re-derived; the query itself is untouched)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.select("oid").distinct().count()
+    ba = baskets.groupBy("oid").agg(
+        F.array_sort(F.collect_list("item")).alias("items")
+    )
+    pair_rows = int(
+        ba.select(
+            (F.size("items") * (F.size("items") - 1) / 2).cast("long").alias("c")
+        )
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    pairs = ba.select(
+        "oid",
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("items"),
+                        lambda x: F.transform(
+                            F.col("items"),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                ),
+                lambda s: s["a"] < s["b"],
+            )
+        ).alias("pr"),
+    ).select("oid", "pr.a", "pr.b")
+    import math as _math
+
+    thresh = _math.ceil(rel_support * n_baskets)
+    l2 = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("sup2"))
+        .filter(F.col("sup2") >= thresh)
+    )
+    l2_size = l2.count()
+    l2_items = (
+        l2.select(F.col("a").alias("i"))
+        .unionAll(l2.select(F.col("b").alias("i")))
+        .distinct()
+        .count()
+    )
+    l2x = l2.select(F.col("a").alias("c1"), F.col("b").alias("c2"))
+    l2y = l2.select(F.col("a").alias("c1"), F.col("b").alias("c3"))
+    cand_triples = (
+        l2x.join(l2y, "c1")
+        .filter(F.col("c2") < F.col("c3"))
+        .join(
+            l2.select(F.col("a").alias("c2"), F.col("b").alias("c3")),
+            ["c2", "c3"],
+        )
+        .count()
+    )
+    return {
+        "n_baskets": n_baskets,
+        "pair_rows": pair_rows,
+        "l2_size": l2_size,
+        "l2_items": l2_items,
+        "cand_triples": cand_triples,
+    }
+
+
+def linkpred_volume_metrics(spark: SparkSession, sf_dir: str,
+                            min_cooccur: int = 2,
+                            n_buckets: int = 64) -> dict:
+    """Sampled-negative volume instrumentation for link_prediction_auc
+    (round-10 verdict item 6). Returns:
+
+    - ``n_nodes`` / ``n_edges`` — graph size,
+    - ``neg_candidate_pairs`` — same-md5-bucket pairs BEFORE the
+      real-edge anti-join: Σ_b C(|bucket|, 2), the quantity the
+      bucket equi-join pays; for balanced md5 buckets this is
+      ≈ n²/(2B), and B ∝ n keeps the sample linear at 100 TB,
+    - ``n_negs`` — labeled negatives after the anti-join,
+    - ``balance_ratio`` — neg_candidate_pairs / (n²/(2B)): how far
+      the hash buckets sit from perfect balance (≈1 when balanced;
+      the certificate that no hot bucket re-introduces a quadratic).
+
+    Stages re-derived from the query's dataflow; the query itself is
+    untouched."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    copairs = (
+        li.alias("x")
+        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_orderkey").alias("oid"),
+            F.col("x.l_partkey").alias("u"),
+            F.col("y.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        copairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_cooccur)
+        .select("u", "v")
+    )
+    n_edges = edges.count()
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = adj.select(F.col("u").alias("n")).distinct()
+    n_nodes = nodes.count()
+    nb = nodes.select(
+        "n",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("n").cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    neg_candidate_pairs = int(
+        nb.groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+        .first()[0]
+    )
+    n_negs = (
+        nb.alias("n1")
+        .join(nb.select(F.col("n").alias("m"), "b").alias("n2"), "b")
+        .filter(F.col("n") < F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .join(edges, ["u", "v"], "left_anti")
+        .count()
+    )
+    balanced = n_nodes * n_nodes / (2.0 * n_buckets)
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "neg_candidate_pairs": neg_candidate_pairs,
+        "n_negs": n_negs,
+        "balance_ratio": round(neg_candidate_pairs / balanced, 3),
+    }
 
 
 def zonemap_skip_audit(spark: SparkSession, sf_dir: str,

@@ -12578,3 +12578,24 @@ SPECS["q370_ridge_path"] = QuerySpec(
     "order value on lineitem count — exact one-pass moments, "
     "closed-form slope per lambda; lambda=0 doubles as the OLS check",
 )
+
+# ---- round-10 additions (append-only; the driver's q01–q50 window is
+# pinned by test_registry_window.py) --------------------------------
+
+SPECS["q371_passjoin_edit_pairs"] = QuerySpec(
+    rel.passjoin_edit_pairs,
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part
+                   WHERE len(p_name) >= 3)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY name_a, name_b
+    """,
+    "§2.3 fuzzy matching: PassJoin pigeonhole-segment edit-distance "
+    "self-join (general-k signature blocking over the distinct tier; "
+    "candidates from an (idx, partner-len, segment) equi-join, lev "
+    "verify on candidates only) — the scale path q88's docstring "
+    "defers to for high-cardinality columns at k > 2",
+)

@@ -24,8 +24,69 @@ from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.llm import text
 from etl_geonet_quakes_spark.operators import relational as rel
 
+SF = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.1"
 INT64_MAX = (1 << 63) - 1
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein, independent of both engines."""
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_passjoin_is_complete_and_sound(spark):
+    """The pigeonhole-segment join must find EXACTLY the unordered
+    distinct-name pairs with lev ≤ 2 — completeness is the PassJoin
+    theorem (k edits touch ≤ k of the k+1 segments), soundness is the
+    verify filter. Brute-forced against a pure-Python kernel so a
+    blocking bug can't hide behind an engine agreeing with itself."""
+    names = [
+        r["p_name"]
+        for r in load_table(spark, SF, "part").select("p_name").distinct().collect()
+    ]
+    expected = sorted(
+        (a, b, _lev(a, b))
+        for ia, a in enumerate(names)
+        for b in names[ia + 1:]
+        if _lev(a, b) <= 2
+    )
+    expected = [(min(a, b), max(a, b), d) for a, b, d in expected]
+    expected.sort()
+    got = sorted(
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in rel.passjoin_edit_pairs(spark, SF, max_dist=2).collect()
+    )
+    assert got == expected
+    assert len(got) > 0, "fixture produced no lev<=2 pairs; test is vacuous"
+
+
+def test_passjoin_candidates_below_all_pairs(spark):
+    """The segment equi-join must generate strictly fewer CANDIDATE
+    pairs (pre-verify) than the D(D−1)/2 all-pairs plan it replaces —
+    the whole point of the signature. Measured on the candidate tier
+    itself (rel._passjoin_candidates), not the verified result."""
+    from pyspark.sql import functions as F
+
+    d = (
+        load_table(spark, SF, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .count()
+    )
+    n_cand = rel._passjoin_candidates(spark, SF, max_dist=2).count()
+    n_result = rel.passjoin_edit_pairs(spark, SF, max_dist=2).count()
+    assert n_result <= n_cand < d * (d - 1) // 2
 
 
 @pytest.mark.skipif(not os.path.isdir(SF01), reason="sf0.1 fixture absent")

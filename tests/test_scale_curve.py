@@ -179,6 +179,72 @@ def test_string_distance_volumes_pinned(spark, sf_dir, expect):
     assert got["qualifying_ordered_pairs"] <= got["n_distinct"] ** 2
 
 
+# Round-10 verdict item 6: candidate volumes for the remaining heavy
+# candidate generators, measured 2026-08-15, pinned with a growth
+# certificate each — the q180/q88 lesson made regression-proof.
+#
+# q278 apriori: pair_rows grows LINEARLY with baskets (≈ 6.6 pairs/
+# basket at both SFs — basket width is order width, capped by TPC-H
+# at 7 lineitems), and the candidate-triple tier SATURATES at the
+# brand-domain bound C(25,3) = 2300, corpus-independent: the
+# counting scan verifies a broadcast constant no matter the corpus.
+# q285: negative candidates are Σ_b C(|bucket|,2) ≈ n²/(2·64) with
+# md5-balanced buckets (ratio ≈ 1.0 pinned) — n² by CONSTRUCTION
+# (the negative sample), tamed by B ∝ n at scale; the pin keeps the
+# balance honest so no hot bucket re-introduces a quadratic.
+# q38/q39: banded/pigeonhole candidates at sf0.1 (sf0.001/0.01
+# already pinned above for q38) — candidates track near-dup clique
+# structure (~1.8-2.0k) against 12.5M all-pairs.
+VOLUME_EXPECT = [
+    (
+        "/root/testdata/sf0.01",
+        {"n_baskets": 14743, "pair_rows": 97604, "l2_size": 300,
+         "l2_items": 25, "cand_triples": 2300},
+        {"n_nodes": 1880, "n_edges": 3445, "neg_candidate_pairs": 27332,
+         "n_negs": 27286, "balance_ratio": 0.99},
+        {"minhash_candidates": 37, "simhash_candidates": 38},
+    ),
+    (
+        "/root/testdata/sf0.1",
+        {"n_baskets": 147236, "pair_rows": 984487, "l2_size": 300,
+         "l2_items": 25, "cand_triples": 2300},
+        {"n_nodes": 5922, "n_edges": 3573, "neg_candidate_pairs": 274125,
+         "n_negs": 274067, "balance_ratio": 1.001},
+        {"minhash_candidates": 1806, "simhash_candidates": 1950},
+    ),
+]
+
+
+@pytest.mark.parametrize("sf_dir,apriori,linkpred,lsh", VOLUME_EXPECT)
+def test_candidate_generator_volumes_pinned(spark, sf_dir, apriori,
+                                            linkpred, lsh):
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    got_a = rel.apriori_volume_metrics(spark, sf_dir)
+    assert got_a == apriori
+    # growth certificates: candidate triples bounded by the item
+    # domain (C(l2_items, 3)), never by the corpus; pair explosion is
+    # linear in baskets (bounded basket width)
+    li = got_a["l2_items"]
+    assert got_a["cand_triples"] <= li * (li - 1) * (li - 2) // 6
+    assert got_a["pair_rows"] < 8 * got_a["n_baskets"]
+
+    got_l = rel.linkpred_volume_metrics(spark, sf_dir)
+    assert got_l == linkpred
+    # md5 balance certificate: within 5% of the perfect n²/(2B) line
+    assert 0.95 <= got_l["balance_ratio"] <= 1.05
+
+    got_h = dedup.lsh_volume_metrics(spark, sf_dir)
+    assert got_h == lsh
+    # blocked candidates stay orders of magnitude under all-pairs
+    from etl_geonet_quakes_spark.io import load_table as _lt
+
+    n_docs = _lt(spark, sf_dir, "documents").count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert got_h["minhash_candidates"] < all_pairs / 100
+    assert got_h["simhash_candidates"] < all_pairs / 100
+
+
 @pytest.mark.parametrize("sf_dir,expect", GRAPH_EXPECT)
 def test_graph_volume_metrics_pinned(spark, sf_dir, expect):
     got = dedup.graph_volume_metrics(spark, sf_dir)

@@ -1,0 +1,138 @@
+"""Full-registry Spark-vs-DuckDB oracle parity at an arbitrary scale
+factor — round-10 verdict item 5: parity was proven at sf0.001 (test
+suite) and sf0.01 (driver gate) only, and the q358 int64 overflow +
+the round-9 Haar ulp issue show scale-dependent divergence is real.
+This sweeps EVERY oracled query at the bench scale (default sf0.1)
+and writes one JSON artifact; mismatching queries get their first
+diverging rows recorded instead of aborting the sweep.
+
+    python tools/parity_sweep.py                    # sf0.1 -> PARITY_sf0.1.json
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/parity_sweep.py OUT.json
+
+Comparison is the test_oracle_parity contract verbatim: sort columns
+by name, canonicalize cells (NaN sentinel, ISO dates, numpy→python),
+sort rows by repr, require equal column names, counts, and values.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from etl_geonet_quakes_spark.io import TABLES  # noqa: E402
+from etl_geonet_quakes_spark.queries import SPECS  # noqa: E402
+from etl_geonet_quakes_spark.session import get_spark  # noqa: E402
+from tests.test_oracle_parity import _normalize  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else (
+        f"PARITY_sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}.json"
+    )
+    spark = get_spark("parity-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    n_ok = n_bad = n_rows_only = n_err = 0
+    t_sweep = time.perf_counter()
+    for name, spec in SPECS.items():
+        t0 = time.perf_counter()
+        try:
+            sdf = spec.fn(spark, SF_DIR)
+            if not spec.oracle:
+                n = sdf.count()
+                results[name] = {"status": "rows_only", "spark_rows": n}
+                n_rows_only += 1
+                continue
+            s_named, s_data = _normalize(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
+            )
+            res = con.sql(spec.oracle)
+            d_named, d_data = _normalize(list(res.columns), res.fetchall())
+            entry: dict = {
+                "spark_rows": len(s_data),
+                "oracle_rows": len(d_data),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+            if s_named != d_named:
+                entry["status"] = "schema_mismatch"
+                entry["spark_cols"], entry["oracle_cols"] = s_named, d_named
+            elif len(s_data) != len(d_data):
+                entry["status"] = "rowcount_mismatch"
+            else:
+                diffs = [
+                    {"i": i, "spark": repr(a)[:200], "oracle": repr(b)[:200]}
+                    for i, (a, b) in enumerate(zip(s_data, d_data))
+                    if a != b
+                ]
+                if diffs:
+                    entry["status"] = "value_mismatch"
+                    entry["n_diff_rows"] = len(diffs)
+                    entry["first_diffs"] = diffs[:3]
+                else:
+                    entry["status"] = "match"
+            results[name] = entry
+            if entry["status"] == "match":
+                n_ok += 1
+            else:
+                n_bad += 1
+        except Exception as exc:  # record loudly, keep sweeping
+            results[name] = {
+                "status": "error",
+                "err": f"{type(exc).__name__}: {exc}"[:300],
+            }
+            n_err += 1
+        print(
+            f"# {name}: {results[name]['status']}"
+            f" ({len(results)}/{len(SPECS)})",
+            file=sys.stderr,
+        )
+
+    artifact = {
+        "metric": "oracle_parity_sweep",
+        "sf_dir": SF_DIR,
+        "n_match": n_ok,
+        "n_mismatch": n_bad,
+        "n_error": n_err,
+        "n_rows_only": n_rows_only,
+        "n_total": len(SPECS),
+        "sweep_sec": round(time.perf_counter() - t_sweep, 3),
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        f.write(json.dumps(artifact) + "\n")
+    print(
+        json.dumps(
+            {
+                k: artifact[k]
+                for k in (
+                    "metric", "sf_dir", "n_match", "n_mismatch",
+                    "n_error", "n_rows_only", "n_total", "sweep_sec",
+                )
+            }
+        )
+    )
+    if n_bad or n_err:
+        bad = {
+            k: v["status"] for k, v in results.items()
+            if v["status"] not in ("match", "rows_only")
+        }
+        print(f"NON-MATCHES: {json.dumps(bad)}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
