@@ -908,3 +908,64 @@ def chunk_dedup_rebuild(
         )
         .orderBy("doc_id")
     )
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str,
+                        n_bins: int = 10,
+                        n_epochs: int = 3) -> DataFrame:
+    """Progressive curriculum schedule: rank documents by a
+    deterministic difficulty proxy (length in chars, doc_id
+    tie-break), cut into ``n_bins`` difficulty deciles by EXACT rank
+    arithmetic, and expand the classic easy-first schedule — epoch e
+    of ``n_epochs`` trains on the easiest ceil((e/n_epochs)·n_bins)
+    deciles — emitting per-(epoch, decile) doc counts and exact char
+    budgets: the table a training run's data loader is configured
+    from (Bengio et al. 2009 curriculum shape, made a dataflow).
+
+    Determinism contract: deciles come from floor(n_bins·(rank−1)/N)
+    over row_number ordered by (n_chars, doc_id) — never ntile, whose
+    remainder placement is engine-defined (the q50 lesson); with the
+    unique doc_id tie-break both engines assign every doc the same
+    decile. All outputs are exact integers.
+
+    Scale shape: the global row_number here is a window over the
+    (n_chars, doc_id) sort — at 100 TB this swaps for the q94
+    two-phase rank drop-in (same contract, bucketed); the epoch
+    expansion is a ≤ n_bins·n_epochs-row broadcast join against the
+    decile aggregate, never against docs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n_total = d.count()
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        # exact integer arithmetic (DIV), never floor(double): the
+        # engines must agree on every boundary document
+        "decile",
+        F.expr(f"({n_bins} * (rn - 1)) DIV {n_total}").cast("long"),
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    epochs = spark.range(1, n_epochs + 1).select(
+        F.col("id").alias("epoch"),
+        # ceil(e·n_bins/n_epochs) = (e·n_bins + n_epochs − 1) DIV n_epochs
+        F.expr(f"(id * {n_bins} + {n_epochs - 1}) DIV {n_epochs}")
+        .cast("long")
+        .alias("max_bin"),
+    )
+    return (
+        per_bin.join(
+            F.broadcast(epochs), per_bin.decile < F.col("max_bin")
+        )
+        .select(
+            "epoch",
+            "decile",
+            "n_docs",
+            "chars",
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("epoch", "decile")
+    )

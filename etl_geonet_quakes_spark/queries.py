@@ -12599,3 +12599,157 @@ SPECS["q371_passjoin_edit_pairs"] = QuerySpec(
     "verify on candidates only) — the scale path q88's docstring "
     "defers to for high-cardinality columns at k > 2",
 )
+
+SPECS["q372_volume_shipping"] = QuerySpec(
+    rel.tpch_q7_volume_shipping,
+    """
+    WITH n AS (SELECT n_nationkey, n_name FROM nation
+               WHERE n_name IN ('NATION_13', 'NATION_19')),
+         s AS (SELECT s_suppkey, n_name AS supp_nation
+               FROM supplier JOIN n ON s_nationkey = n_nationkey),
+         c AS (SELECT c_custkey, n_name AS cust_nation
+               FROM customer JOIN n ON c_nationkey = n_nationkey)
+    SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4))))
+                     AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN s ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN c ON o_custkey = c_custkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND supp_nation <> cust_nation
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "§2.2 joins: TPC-H Q7 (bilateral volume shipping) — two-nation "
+    "broadcast pruning of both dimension paths before the fact "
+    "joins, pushed ship-year scan predicate, exact-decimal revenue",
+)
+
+SPECS["q373_returned_items"] = QuerySpec(
+    rel.tpch_q10_returned_items,
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4))))
+                     AS VARCHAR) AS DOUBLE) AS lost_revenue,
+           COUNT(*) AS n_returned_items,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS acctbal
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+    """,
+    "§2.2 joins: TPC-H Q10 (returned-item reporting) — returnflag "
+    "pushed into the lineitem scan, quarter into the orders scan, "
+    "deterministic top-20 by (revenue desc, custkey)",
+)
+
+SPECS["q374_promo_revenue"] = QuerySpec(
+    rel.tpch_q14_promo_revenue,
+    """
+    WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       l_partkey,
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(8,4))
+                          - CAST(l_discount AS DECIMAL(8,4))) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'),
+         agg AS (SELECT ship_month,
+                        SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                 ELSE CAST(0 AS DECIMAL(24,6)) END)
+                            AS promo_rev,
+                        SUM(rev) AS total_rev,
+                        COUNT(*) AS n_lineitems
+                 FROM li JOIN part ON l_partkey = p_partkey
+                 GROUP BY 1)
+    SELECT ship_month, n_lineitems,
+           CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE), 6)
+               AS promo_pct
+    FROM agg ORDER BY ship_month
+    """,
+    "§2.2 aggregation: TPC-H Q14 (promotion effect) by ship month — "
+    "conditional aggregation over one joined pass, part collapsed to "
+    "(key, is_promo) before the broadcast, exact-decimal sums with "
+    "one final double division",
+)
+
+SPECS["q375_curriculum_schedule"] = QuerySpec(
+    corpus.curriculum_schedule,
+    """
+    WITH d AS (SELECT doc_id, n_chars FROM documents),
+         t AS (SELECT COUNT(*) AS n FROM d),
+         r AS (SELECT doc_id, n_chars,
+                      (10 * (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                             - 1)) // n AS decile
+               FROM d, t),
+         pb AS (SELECT decile, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS chars,
+                       MIN(n_chars) AS min_chars,
+                       MAX(n_chars) AS max_chars
+                FROM r GROUP BY 1),
+         ep AS (SELECT CAST(e AS BIGINT) AS epoch,
+                       (e * 10 + 2) // 3 AS max_bin
+                FROM (SELECT unnest([1, 2, 3]) AS e))
+    SELECT epoch, decile, n_docs, chars, min_chars, max_chars
+    FROM pb JOIN ep ON decile < max_bin
+    ORDER BY epoch, decile
+    """,
+    "LLM corpus prep: progressive curriculum schedule — exact-rank "
+    "difficulty deciles (length proxy, doc_id tie-break, integer DIV "
+    "never ntile), epoch e trains the easiest ceil(e·10/3) deciles; "
+    "per-(epoch, decile) doc and char budgets, all exact integers",
+)
+
+SPECS["q376_ks_two_sample"] = QuerySpec(
+    rel.ks_two_sample,
+    """
+    WITH j AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                      CASE WHEN c_mktsegment = 'BUILDING'
+                           THEN 1 ELSE 0 END AS g
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+         vals AS (SELECT cents,
+                         CAST(SUM(g) AS BIGINT) AS na,
+                         CAST(SUM(1 - g) AS BIGINT) AS nb
+                  FROM j GROUP BY 1),
+         tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                        CAST(SUM(nb) AS BIGINT) AS tb
+                 FROM vals),
+         cum AS (SELECT cents,
+                        SUM(na) OVER (ORDER BY cents) AS ca,
+                        SUM(nb) OVER (ORDER BY cents) AS cb
+                 FROM vals),
+         gaps AS (SELECT ta, tb, abs(ca * tb - cb * ta) AS num
+                  FROM cum, tot),
+         top AS (SELECT ta, tb, MAX(num) AS d_num FROM gaps GROUP BY 1, 2)
+    SELECT ta AS n_segment, tb AS n_rest,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_d,
+           ROUND(sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                      / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+                 * (CAST(d_num AS DOUBLE)
+                    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))), 6)
+               AS ks_scaled
+    FROM top
+    """,
+    "§2.2 statistics: two-sample Kolmogorov-Smirnov over order values "
+    "(BUILDING segment vs rest) — max ECDF gap as an exact integer "
+    "rational |ca·tb − cb·ta|, one final double division; completes "
+    "the drift suite (PSI/JS/Wasserstein/Hellinger/TV) with the "
+    "distribution-free statistic",
+)

@@ -116,6 +116,65 @@ def test_stump_boosting_sum_of_squares_is_overflow_safe(spark):
         assert math.isfinite(v)
 
 
+def test_tpch_q7_flows_are_bilateral_and_windowed(spark):
+    rows = rel.tpch_q7_volume_shipping(spark, SF).collect()
+    assert rows, "no bilateral flows in fixture"
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    # both directions exist and no self-flows survive the filter
+    assert all(a != b for a, b in pairs)
+    assert {p[::-1] for p in pairs} == pairs
+    assert {r["l_year"] for r in rows} <= {1996, 1997}
+    assert all(r["revenue"] > 0 and r["n_lineitems"] > 0 for r in rows)
+
+
+def test_tpch_q10_topk_is_ordered_and_bounded(spark):
+    rows = rel.tpch_q10_returned_items(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["lost_revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["n_returned_items"] > 0 for r in rows)
+
+
+def test_tpch_q14_promo_share_bounds(spark):
+    rows = rel.tpch_q14_promo_revenue(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["promo_pct"] <= 100.0
+        assert 0.0 <= r["promo_revenue"] <= r["total_revenue"]
+        # share recomputes from the emitted exact components
+        assert abs(
+            r["promo_pct"] - round(100.0 * r["promo_revenue"] / r["total_revenue"], 6)
+        ) < 1e-9
+
+
+def test_curriculum_schedule_conserves_and_grows(spark):
+    from etl_geonet_quakes_spark.llm import corpus
+
+    rows = corpus.curriculum_schedule(spark, SF).collect()
+    n_docs_total = load_table(spark, SF, "documents").count()
+    by_epoch: dict[int, set[int]] = {}
+    docs_by_epoch: dict[int, int] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["decile"])
+        docs_by_epoch[r["epoch"]] = docs_by_epoch.get(r["epoch"], 0) + r["n_docs"]
+    # progressive coverage: ceil(e*10/3) = 4, 7, 10 deciles
+    assert {e: len(b) for e, b in by_epoch.items()} == {1: 4, 2: 7, 3: 10}
+    assert by_epoch[1] < by_epoch[2] < by_epoch[3]
+    # final epoch sees the whole corpus exactly once
+    assert docs_by_epoch[3] == n_docs_total
+    # deciles are the easiest-first prefix
+    assert by_epoch[3] == set(range(10))
+    assert by_epoch[1] == set(range(4))
+
+
+def test_ks_two_sample_bounds(spark):
+    row = rel.ks_two_sample(spark, SF).first()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert row["n_segment"] + row["n_rest"] == n_orders
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["ks_scaled"] >= 0.0
+
+
 def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
     """A language whose documents contain no [a-z0-9] tokens has
     words == 0; its fertility is undefined and the group must be
