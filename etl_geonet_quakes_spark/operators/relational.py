@@ -14007,3 +14007,153 @@ def ks_two_sample(spark: SparkSession, sf_dir: str,
             "ks_scaled"
         ),
     )
+
+
+def interval_union_length(spark: SparkSession, sf_dir: str,
+                          window_min: int = 30) -> DataFrame:
+    """Per-user union length of overlapping activity intervals — each
+    event opens a [ts, ts + ``window_min`` min) interval; the answer
+    is how much wall-clock the UNION covers (the dedup of time the
+    naive sum double-counts). The classic merge-overlapping-intervals
+    operator, absent from the registry's interval family (q112 builds
+    disjoint SCD2 validity, q228 classifies Allen relations, q105
+    rolls fixed windows; none computes a union measure).
+
+    Exactness: all arithmetic in integer MICROSECONDS. Island
+    detection is the gaps-and-islands scheme (q139): an interval
+    starts a new island iff its start exceeds the running max of all
+    PRIOR ends (strict prefix max — lag-less, ties merge: a touching
+    interval [e, e+w) extends an island ending at e because the
+    comparison is >, matching half-open semantics). Island id = a
+    running count of starts; union = Σ islands (max end − min start).
+
+    Scale shape: both windows are PARTITIONED BY user — no global
+    window ever sees raw events; per-user interval counts are
+    activity-bounded. The final per-user rollup is one hash agg."""
+    w_us = window_min * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(w_us)).alias("e_us"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prior_max_end = F.max("e_us").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "new_island",
+        F.when(
+            prior_max_end.isNull() | (F.col("s_us") > prior_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("i_start"),
+        F.max("e_us").alias("i_end"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("union_us"),
+            F.max(F.col("i_end") - F.col("i_start")).alias(
+                "longest_island_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-quality screen auditors run before trusting a money column:
+    the observed share of leading digits 1..9 against the Benford
+    expectation log10(1 + 1/d), with the chi-square distance. A
+    synthetic or tampered column jumps off the curve; TPC-H's uniform
+    price generator SHOULD fail the test — the audit's job is to
+    report the divergence exactly, and the pinned fixture result is
+    exactly that documented failure.
+
+    Exactness: digit extraction on exact cents (first char of the
+    BIGINT string — no float log); counts are integers; expected
+    shares and the chi-square are fixed-shape double expressions of
+    (count, n, d) — both engines evaluate bit-identically."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    d = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    j = counts.join(F.broadcast(tot), F.lit(True))
+    digit_d = F.col("digit").cast("double")
+    expected_p = F.log10(F.lit(1.0) + F.lit(1.0) / digit_d)
+    n_tot_d = F.col("n_total").cast("double")
+    obs_p = F.col("n_obs").cast("double") / n_tot_d
+    exp_n = expected_p * n_tot_d
+    return (
+        j.select(
+            "digit",
+            "n_obs",
+            F.round(obs_p, 6).alias("observed_share"),
+            F.round(expected_p, 6).alias("benford_share"),
+            F.round(
+                (F.col("n_obs").cast("double") - exp_n)
+                * (F.col("n_obs").cast("double") - exp_n)
+                / exp_n,
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information decomposition of the documents (lang,
+    source) contingency table — the feature-selection number next to
+    q234's chi-square and q322's JS divergence: how many bits knowing
+    the source tells you about the language. One row per cell with
+    its pointwise MI and its (signed) contribution p_xy·PMI; the
+    table's MI is EXACTLY the sum of the contribution column, so the
+    aggregate is auditable from the emitted rows (no hidden total).
+
+    Exactness: cell counts and both marginals are exact BIGINTs from
+    ONE scan (marginals re-aggregated from cells, never a second
+    pass); PMI = log2(n·n_xy/(n_x·n_y)) evaluates the log on an
+    exact integer ratio — a fixed-shape double expression both
+    engines round identically.
+
+    Scale shape: |langs|×|sources| cells — a tiny frame after one
+    hash agg, broadcast-joined to its own two marginal rollups."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .join(F.broadcast(tot), F.lit(True))
+    )
+    n_d = F.col("n").cast("double")
+    p_xy = F.col("n_xy").cast("double") / n_d
+    ratio = (F.col("n") * F.col("n_xy")).cast("double") / (
+        (F.col("n_x") * F.col("n_y")).cast("double")
+    )
+    return j.select(
+        "lang",
+        "source",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round(F.log2(ratio), 6).alias("pmi_bits"),
+        F.round(p_xy * F.log2(ratio), 6).alias("mi_contribution"),
+    ).orderBy("lang", "source")

@@ -12753,3 +12753,109 @@ SPECS["q376_ks_two_sample"] = QuerySpec(
     "the drift suite (PSI/JS/Wasserstein/Hellinger/TV) with the "
     "distribution-free statistic",
 )
+
+SPECS["q377_interval_union"] = QuerySpec(
+    rel.interval_union_length,
+    f"""
+    WITH e AS (SELECT user_id, event_id,
+                      epoch_us({_TS}) AS s_us,
+                      epoch_us({_TS}) + 1800000000 AS e_us
+               FROM events),
+         m AS (SELECT user_id, event_id, s_us, e_us,
+                      CASE WHEN MAX(e_us) OVER (
+                               PARTITION BY user_id
+                               ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) IS NULL
+                             OR s_us > MAX(e_us) OVER (
+                               PARTITION BY user_id
+                               ORDER BY s_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                           THEN 1 ELSE 0 END AS new_island
+               FROM e),
+         i AS (SELECT user_id, s_us, e_us,
+                      SUM(new_island) OVER (
+                          PARTITION BY user_id
+                          ORDER BY s_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+               FROM m),
+         isl AS (SELECT user_id, island,
+                        MIN(s_us) AS i_start, MAX(e_us) AS i_end,
+                        COUNT(*) AS n_events
+                 FROM i GROUP BY 1, 2)
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS union_us,
+           CAST(MAX(i_end - i_start) AS BIGINT) AS longest_island_us
+    FROM isl GROUP BY 1 ORDER BY user_id
+    """,
+    "§2.2 intervals: per-user UNION length of overlapping 30-min "
+    "activity intervals — gaps-and-islands via strict prefix max, "
+    "exact integer microseconds, user-partitioned windows only; the "
+    "merge-overlapping-intervals operator completing the interval "
+    "family (q112 SCD2 build, q228 Allen, q105 fixed windows)",
+)
+
+SPECS["q378_benford_audit"] = QuerySpec(
+    rel.benford_audit,
+    """
+    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders
+               WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+         d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+                           AS BIGINT) AS digit
+               FROM c),
+         counts AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS observed_share,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+               AS benford_share,
+           ROUND((CAST(n_obs AS DOUBLE)
+                  - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                    * CAST(n_total AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE)
+                    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                      * CAST(n_total AS DOUBLE))
+                 / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                    * CAST(n_total AS DOUBLE)), 6) AS chi2_term
+    FROM counts, tot ORDER BY digit
+    """,
+    "§2.2 statistics: Benford first-digit audit of order totals — "
+    "digit from the exact-cents BIGINT string (no float log in the "
+    "extraction), integer counts, chi-square terms as fixed-shape "
+    "double expressions; the data-quality screen for money columns",
+)
+
+SPECS["q379_mutual_information"] = QuerySpec(
+    rel.mutual_information,
+    """
+    WITH cells AS (SELECT lang, source, COUNT(*) AS n_xy
+                   FROM documents GROUP BY 1, 2),
+         mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x
+                FROM cells GROUP BY 1),
+         my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT cells.lang, cells.source, n_xy, n_x, n_y,
+           ROUND(log2(CAST(n * n_xy AS DOUBLE)
+                      / CAST(n_x * n_y AS DOUBLE)), 6) AS pmi_bits,
+           ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * log2(CAST(n * n_xy AS DOUBLE)
+                        / CAST(n_x * n_y AS DOUBLE)), 6)
+               AS mi_contribution
+    FROM cells
+    JOIN mx ON cells.lang = mx.lang
+    JOIN my ON cells.source = my.source
+    CROSS JOIN tot
+    ORDER BY cells.lang, cells.source
+    """,
+    "§2.2 statistics: pointwise mutual information decomposition of "
+    "the (lang, source) contingency table — exact integer counts and "
+    "marginals from one scan, PMI on an exact integer ratio, table "
+    "MI = sum of the emitted contribution column (auditable total)",
+)

@@ -175,6 +175,43 @@ def test_ks_two_sample_bounds(spark):
     assert row["ks_scaled"] >= 0.0
 
 
+def test_interval_union_bounds(spark):
+    """Union length is sandwiched: every island spans at least one
+    window (30 min) and the union can never exceed the naive
+    double-counting sum n_events x window."""
+    w_us = 30 * 60 * 1_000_000
+    rows = rel.interval_union_length(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_islands"] <= r["n_events"]
+        assert r["longest_island_us"] >= w_us
+        assert r["union_us"] >= r["longest_island_us"]
+        assert r["union_us"] <= r["n_events"] * w_us
+        # islands are maximal: union >= n_islands * window
+        assert r["union_us"] >= r["n_islands"] * w_us
+
+
+def test_benford_shares_form_distributions(spark):
+    rows = rel.benford_audit(spark, SF).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    # Benford expectation over 1..9 sums to 1 exactly (telescoping)
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_mutual_information_is_nonnegative_and_consistent(spark):
+    rows = rel.mutual_information(spark, SF).collect()
+    assert rows
+    mi = sum(r["mi_contribution"] for r in rows)
+    assert mi >= -1e-9, "MI of a full contingency table is nonnegative"
+    n = sum(r["n_xy"] for r in rows)
+    # marginals emitted per cell reconcile with the cell counts
+    for lang in {r["lang"] for r in rows}:
+        cells = [r for r in rows if r["lang"] == lang]
+        assert all(c["n_x"] == sum(x["n_xy"] for x in cells) for c in cells)
+    assert n == load_table(spark, SF, "documents").count()
+
+
 def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
     """A language whose documents contain no [a-z0-9] tokens has
     words == 0; its fertility is undefined and the group must be
