@@ -14157,3 +14157,78 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log2(ratio), 6).alias("pmi_bits"),
         F.round(p_xy * F.log2(ratio), 6).alias("mi_contribution"),
     ).orderBy("lang", "source")
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str,
+                      max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily order-revenue series at
+    calendar lags 1..``max_lag`` — the seasonality screen a forecast
+    pipeline runs before q346's MASE backtest commits to a model (a
+    weekly cycle shows as a spike at lag 7). Pairs exist only where
+    BOTH calendar days exist (calendar-lag contract; gaps drop
+    pairs, documented rather than imputed — q145 is the gap-filler).
+
+    Exactness (the q358/q376 discipline): the series is exact daily
+    cents (decimal-summed, bridged to BIGINT); every moment is an
+    exact integer — S1 = Σx, S2 = Σx² and the lag cross-moments
+    Cℓ = Σ x_t·x_{t+ℓ} accumulate in DECIMAL(38,0) (products of
+    ~1e9-cent days overflow int64 exactly as q358's did) — and the
+    ACF r_ℓ = (Cℓ − x̄(H+T) + nℓ·x̄²) / (S2 − n·x̄²) is ONE
+    fixed-shape double expression of those integers per lag. No
+    double is ever summed across rows.
+
+    Scale shape: one pushed-down scan → per-day hash agg (the
+    distinct-domain frame, ~2.5k rows at any SF) → lag join on
+    date_add over that domain only → ≤max_lag-row result."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    ).localCheckpoint()
+    mom = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    out = None
+    a, b = daily.alias("a"), daily.alias("b")
+    for lag in range(1, max_lag + 1):
+        cross = a.join(
+            b, F.date_add(F.col("a.day"), lag) == F.col("b.day")
+        ).agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.col("a.cents").cast("decimal(38,0)") * F.col("b.cents")
+            ).alias("c_l"),
+            F.sum(F.col("a.cents")).alias("head_sum"),
+            F.sum(F.col("b.cents")).alias("tail_sum"),
+        )
+        row = cross.join(F.broadcast(mom), F.lit(True)).select(
+            F.lit(lag).alias("lag"),
+            "n_pairs",
+            F.round(
+                (
+                    F.col("c_l").cast("double")
+                    - (F.col("s1").cast("double") / F.col("n").cast("double"))
+                    * (F.col("head_sum") + F.col("tail_sum")).cast("double")
+                    + F.col("n_pairs").cast("double")
+                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
+                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
+                )
+                / (
+                    F.col("s2").cast("double")
+                    - F.col("n").cast("double")
+                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
+                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
+                ),
+                6,
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("lag")

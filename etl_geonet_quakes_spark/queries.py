@@ -12859,3 +12859,112 @@ SPECS["q379_mutual_information"] = QuerySpec(
     "marginals from one scan, PMI on an exact integer ratio, table "
     "MI = sum of the emitted contribution column (auditable total)",
 )
+
+SPECS["q380_rrf_rank_fusion"] = QuerySpec(
+    text.rrf_rank_fusion,
+    """
+    -- reciprocal-rank fusion of the q101 BM25 ranking with a raw
+    -- term-frequency retriever; ranks over ROUNDED-6dp scores
+    -- (absorbs the libm ln() ulp spread q101 documents), doc_id
+    -- tie-break; fused = sum of 1/(60+rank) over retrieving lists.
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM tok WHERE token IN ('spark', 'hash', 'join', 'window')
+      GROUP BY doc_id, dl, token
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+           GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             ) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    topa AS (SELECT doc_id, round(score, 6) AS score FROM scored
+             ORDER BY score DESC, doc_id ASC LIMIT 20),
+    ra AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS rank_bm25
+           FROM topa),
+    tfb AS (SELECT doc_id, COUNT(*) AS tf FROM tok
+            WHERE token IN ('spark', 'hash', 'join', 'window')
+            GROUP BY doc_id),
+    topb AS (SELECT doc_id, tf FROM tfb
+             ORDER BY tf DESC, doc_id ASC LIMIT 20),
+    rb AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC)
+                      AS rank_tf
+           FROM topb),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             rank_bm25, rank_tf,
+             COALESCE(1.0 / (60 + rank_bm25), 0.0)
+             + COALESCE(1.0 / (60 + rank_tf), 0.0) AS rrf
+      FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+    ),
+    topk AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10)
+    SELECT doc_id, rank_bm25, rank_tf, round(rrf, 6) AS rrf_score
+    FROM topk ORDER BY rrf_score DESC, doc_id ASC
+    """,
+    "§2.3 text retrieval: reciprocal-rank fusion of BM25 and raw "
+    "term-frequency rankings — scale-free exact rank arithmetic over "
+    "rounded scores with unique tie-breaks, full-outer join of two "
+    "top-m lists, fixed-shape double fusion; the hybrid-search "
+    "combiner completing the q101/q114/q269 retrieval family",
+)
+
+SPECS["q381_daily_revenue_acf"] = QuerySpec(
+    rel.daily_revenue_acf,
+    """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+         mom AS (SELECT COUNT(*) AS n,
+                        CAST(SUM(cents) AS BIGINT) AS s1,
+                        SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+                 FROM daily),
+         lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+         cross_m AS (SELECT lag,
+                            COUNT(*) AS n_pairs,
+                            SUM(CAST(a.cents AS DECIMAL(38,0)) * b.cents)
+                                AS c_l,
+                            CAST(SUM(a.cents) AS BIGINT) AS head_sum,
+                            CAST(SUM(b.cents) AS BIGINT) AS tail_sum
+                     FROM lags, daily a
+                     JOIN daily b ON a.day + CAST(lag AS INTEGER) = b.day
+                     GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           ROUND((CAST(c_l AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(head_sum + tail_sum AS DOUBLE)
+                  + CAST(n_pairs AS DOUBLE)
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(s2 AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               AS acf
+    FROM cross_m, mom ORDER BY lag
+    """,
+    "§2.2 time series: calendar-lag autocorrelation of daily revenue "
+    "(lags 1-7) — exact integer moments (decimal(38,0) cross-moments, "
+    "the q358 overflow discipline), one fixed-shape double expression "
+    "per lag, lag join over the day domain only; the seasonality "
+    "screen ahead of the q346 backtest",
+)

@@ -212,6 +212,32 @@ def test_mutual_information_is_nonnegative_and_consistent(spark):
     assert n == load_table(spark, SF, "documents").count()
 
 
+def test_rrf_fusion_bounds_and_rank_sanity(spark):
+    from etl_geonet_quakes_spark.llm import text
+
+    rows = text.rrf_rank_fusion(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["rank_bm25"] is None or 1 <= r["rank_bm25"] <= 20
+        assert r["rank_tf"] is None or 1 <= r["rank_tf"] <= 20
+        assert r["rank_bm25"] is not None or r["rank_tf"] is not None
+        # max possible fused score: 1/(60+1) from each of two lists
+        assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 1e-9
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_acf_is_correlation_bounded(spark):
+    rows = rel.daily_revenue_acf(spark, SF).collect()
+    assert [r["lag"] for r in rows] == list(range(1, 8))
+    for r in rows:
+        # Cauchy-Schwarz-ish sanity: truncated-series ACF can poke
+        # slightly past 1 only through the shared-denominator form;
+        # with n_pairs < n it stays within [-1, 1] up to rounding
+        assert -1.000001 <= r["acf"] <= 1.000001
+        assert r["n_pairs"] > 0
+
+
 def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
     """A language whose documents contain no [a-z0-9] tokens has
     words == 0; its fertility is undefined and the group must be
