@@ -1968,71 +1968,3 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("single_char_share"),
     ).orderBy("lang")
-
-
-def rrf_rank_fusion(spark: SparkSession, sf_dir: str,
-                    query: str = "spark hash join window",
-                    m: int = 20, k: int = 10, c: int = 60) -> DataFrame:
-    """Reciprocal-rank fusion of two retrievers for one query — the
-    standard way hybrid search combines rankers with incomparable
-    score scales (Cormack/Clarke/Buettcher 2009): fused(d) =
-    Σ_lists 1/(c + rank_d), summed over the lists that retrieved d
-    in their top ``m``. Lists here: the q101 BM25 ranking and a raw
-    term-frequency retriever (Σ tf of query terms) — scale-free rank
-    arithmetic is exactly what makes the fusion portable, and what
-    makes it exactly oracle-able.
-
-    Determinism contract: ranks are row_number over (ROUNDED-6dp
-    score desc, doc_id) — the rounding absorbs the ~1-ulp libm ln()
-    spread the q101 oracle documents, and the unique doc_id
-    tie-break pins every boundary; the tf ranking is exact-integer.
-    The fused score is a fixed-shape double sum of at most two
-    1/(c+rank) terms of exact integers.
-
-    Scale shape: both rankings derive from the SAME pre-filtered
-    (doc, term) explode→agg pass the q101 docstring describes; the
-    fusion is a full-outer join of two ≤m-row lists — driver-free,
-    broadcast-trivial."""
-    from pyspark.sql import Window
-
-    terms = query.split()
-    a = bm25_topk(spark, sf_dir, query=query, k=m)
-    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    ra = a.select("doc_id", F.row_number().over(wa).alias("rank_bm25"))
-    d = load_table(spark, sf_dir, "documents")
-    tfb = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token").isin(terms))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    wb = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
-    rb = (
-        tfb.orderBy(F.desc("tf"), F.asc("doc_id"))
-        .limit(m)
-        .select("doc_id", F.row_number().over(wb).alias("rank_tf"))
-    )
-    fused = ra.join(rb, "doc_id", "full_outer").select(
-        "doc_id",
-        "rank_bm25",
-        "rank_tf",
-        (
-            F.coalesce(
-                F.lit(1.0) / (F.lit(c) + F.col("rank_bm25")).cast("double"),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(c) + F.col("rank_tf")).cast("double"),
-                F.lit(0.0),
-            )
-        ).alias("_rrf"),
-    )
-    return (
-        fused.orderBy(F.desc("_rrf"), F.asc("doc_id"))
-        .limit(k)
-        .select(
-            "doc_id", "rank_bm25", "rank_tf",
-            F.round("_rrf", 6).alias("rrf_score"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    )

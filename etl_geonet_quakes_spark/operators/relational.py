@@ -13788,227 +13788,6 @@ def ridge_regression_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- round-10 additions ---------------------------------------------
 
 
-def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str,
-                            nation_a: str = "NATION_13",
-                            nation_b: str = "NATION_19") -> DataFrame:
-    """TPC-H Q7 (volume shipping) on the fixture schema: bilateral
-    trade revenue between two nations by ship year — supplier in one
-    nation, ordering customer in the other, both directions, shipped
-    1996–1997. Completes the TPC-H flagship set next to Q1 (q01),
-    Q3 (q245), Q5 (q144), Q8 (q250), Q9 (q251). Reference analog:
-    none (task.ts has no joins); this is §2.2 engine surface.
-
-    Shape, in the q144 discipline: the two-nation filter prunes the
-    25-row nation table FIRST and broadcasts it into supplier and
-    customer (both become ~2/25 of themselves before any fact is
-    touched); the ship-year predicate is pushed into the lineitem
-    parquet scan; the two fact joins (lineitem⋈orders on orderkey,
-    then ⋈customer on custkey) are natural-key shuffles AQE can
-    re-plan; the cross-pair (supp ≠ cust nation) rides as a residual
-    on the final broadcast-joined row, touching no extra data.
-    Revenue is exact decimal (q01 policy, string-bridged)."""
-    n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin(nation_a, nation_b)
-    ).select("n_nationkey", "n_name")
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1998-01-01")
-    ).select(
-        "l_orderkey",
-        "l_suppkey",
-        F.year("l_shipdate").cast("long").alias("l_year"),
-        (
-            F.col("l_extendedprice").cast(D_MONEY)
-            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
-        ).alias("rev"),
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(
-            F.sum("rev").cast("string").cast("double").alias("revenue"),
-            F.count("*").alias("n_lineitems"),
-        )
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-def tpch_q10_returned_items(spark: SparkSession, sf_dir: str,
-                            date_from: str = "1996-10-01",
-                            date_to: str = "1997-01-01",
-                            top_k: int = 20) -> DataFrame:
-    """TPC-H Q10 (returned-item reporting): the ``top_k`` customers
-    by revenue LOST to returns — lineitems flagged 'R' on orders
-    placed in one quarter, rolled up per customer with their nation.
-    §2.2 engine surface (reference has no joins).
-
-    Shape: the quarter predicate is pushed into the orders scan and
-    the returnflag predicate into the lineitem scan BEFORE their
-    join; customer and nation join after the fact tables have already
-    collapsed to per-order rows; nation broadcasts. Top-k is an
-    orderBy+limit with the customer key breaking ties (the q66
-    determinism rule). Revenue exact decimal, string-bridged."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= date_from) & (F.col("o_orderdate") < date_to)
-    ).select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    ).select(
-        "l_orderkey",
-        (
-            F.col("l_extendedprice").cast(D_MONEY)
-            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
-        ).alias("rev"),
-    )
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
-    )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.sum("rev").cast("string").cast("double").alias("lost_revenue"),
-            F.count("*").alias("n_returned_items"),
-            F.max(F.col("c_acctbal").cast(D_MONEY)).cast("double").alias(
-                "acctbal"
-            ),
-        )
-        .orderBy(F.desc("lost_revenue"), "c_custkey")
-        .limit(top_k)
-    )
-
-
-def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str,
-                           year: str = "1996") -> DataFrame:
-    """TPC-H Q14 (promotion effect) by ship month: the share of
-    monthly revenue carried by parts of type 'PROMO'. §2.2 engine
-    surface; the classic conditional-aggregation-over-a-join shape.
-
-    Shape: the year predicate is pushed into the lineitem scan; part
-    collapses to (key, is_promo) before broadcasting into the fact
-    scan — the join carries one boolean, not the part payload. Both
-    sums are exact decimal over the SAME rows (a single pass,
-    conditional aggregation, no second join); the final share is one
-    double division of string-bridged exact sums — the q01
-    reproducibility policy end-to-end."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= f"{year}-01-01")
-        & (F.col("l_shipdate") < f"{int(year) + 1}-01-01")
-    ).select(
-        "l_partkey",
-        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
-        (
-            F.col("l_extendedprice").cast(D_MONEY)
-            * (F.lit(1).cast(D_RATE) - F.col("l_discount").cast(D_RATE))
-        ).alias("rev"),
-    )
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
-    )
-    agg = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("ship_month")
-        .agg(
-            F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(
-                F.lit(0).cast("decimal(24,6)")
-            )).alias("promo_rev"),
-            F.sum("rev").alias("total_rev"),
-            F.count("*").alias("n_lineitems"),
-        )
-    )
-    promo_d = F.col("promo_rev").cast("string").cast("double")
-    total_d = F.col("total_rev").cast("string").cast("double")
-    return agg.select(
-        "ship_month",
-        "n_lineitems",
-        promo_d.alias("promo_revenue"),
-        total_d.alias("total_revenue"),
-        F.round(F.lit(100.0) * promo_d / total_d, 6).alias("promo_pct"),
-    ).orderBy("ship_month")
-
-
-def ks_two_sample(spark: SparkSession, sf_dir: str,
-                  segment: str = "BUILDING") -> DataFrame:
-    """Two-sample Kolmogorov–Smirnov test: does the order-value
-    distribution of one customer segment differ from everyone
-    else's? Completes the drift/divergence suite (PSI q183, JS q322,
-    Wasserstein q323, Hellinger/TV q345-family) with the max-ECDF-gap
-    statistic — the one with a distribution-free critical value, so
-    it yields an accept/reject, not just a magnitude.
-
-    Exactness: D is computed as a RATIONAL — max over the pooled
-    value domain of |ca·tb − cb·ta| with the division by ta·tb
-    deferred to one final double op — so the max is taken over exact
-    integers and both engines agree bit-for-bit. The scaled statistic
-    sqrt(ta·tb/(ta+tb))·D is a fixed-shape double expression of those
-    integers (q358 discipline).
-
-    Scale shape (the q323 convention): one fact scan → per-CENTS-value
-    counts (the distinct domain, orders of magnitude below row count)
-    → ordered window over that domain only → one global max-agg.
-    At 100 TB the domain window swaps for the q94 two-phase cumsum
-    drop-in; never a window over raw rows."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"),
-        (F.col("c_mktsegment") == segment).cast("long").alias("g"),
-    )
-    vals = (
-        o.join(c, "o_custkey")
-        .groupBy("cents")
-        .agg(
-            F.sum("g").alias("na"),
-            F.sum(F.lit(1) - F.col("g")).alias("nb"),
-        )
-    )
-    tot = vals.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.select(
-        "cents",
-        F.sum("na").over(w).alias("ca"),
-        F.sum("nb").over(w).alias("cb"),
-    )
-    gaps = cum.join(F.broadcast(tot), F.lit(True)).select(
-        "ta",
-        "tb",
-        F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias(
-            "num"
-        ),
-    )
-    top = gaps.groupBy("ta", "tb").agg(F.max("num").alias("d_num"))
-    ta_d = F.col("ta").cast("double")
-    tb_d = F.col("tb").cast("double")
-    d = F.col("d_num").cast("double") / (ta_d * tb_d)
-    return top.select(
-        F.col("ta").alias("n_segment"),
-        F.col("tb").alias("n_rest"),
-        F.round(d, 6).alias("ks_d"),
-        F.round(F.sqrt(ta_d * tb_d / (ta_d + tb_d)) * d, 6).alias(
-            "ks_scaled"
-        ),
-    )
-
-
 def interval_union_length(spark: SparkSession, sf_dir: str,
                           window_min: int = 30) -> DataFrame:
     """Per-user union length of overlapping activity intervals — each
@@ -14069,53 +13848,6 @@ def interval_union_length(spark: SparkSession, sf_dir: str,
     )
 
 
-def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit of order totals — the
-    data-quality screen auditors run before trusting a money column:
-    the observed share of leading digits 1..9 against the Benford
-    expectation log10(1 + 1/d), with the chi-square distance. A
-    synthetic or tampered column jumps off the curve; TPC-H's uniform
-    price generator SHOULD fail the test — the audit's job is to
-    report the divergence exactly, and the pinned fixture result is
-    exactly that documented failure.
-
-    Exactness: digit extraction on exact cents (first char of the
-    BIGINT string — no float log); counts are integers; expected
-    shares and the chi-square are fixed-shape double expressions of
-    (count, n, d) — both engines evaluate bit-identically."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    ).filter(F.col("cents") > 0)
-    d = o.select(
-        F.substring(F.col("cents").cast("string"), 1, 1)
-        .cast("long")
-        .alias("digit")
-    )
-    counts = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
-    tot = counts.agg(F.sum("n_obs").alias("n_total"))
-    j = counts.join(F.broadcast(tot), F.lit(True))
-    digit_d = F.col("digit").cast("double")
-    expected_p = F.log10(F.lit(1.0) + F.lit(1.0) / digit_d)
-    n_tot_d = F.col("n_total").cast("double")
-    obs_p = F.col("n_obs").cast("double") / n_tot_d
-    exp_n = expected_p * n_tot_d
-    return (
-        j.select(
-            "digit",
-            "n_obs",
-            F.round(obs_p, 6).alias("observed_share"),
-            F.round(expected_p, 6).alias("benford_share"),
-            F.round(
-                (F.col("n_obs").cast("double") - exp_n)
-                * (F.col("n_obs").cast("double") - exp_n)
-                / exp_n,
-                6,
-            ).alias("chi2_term"),
-        )
-        .orderBy("digit")
-    )
-
-
 def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-information decomposition of the documents (lang,
     source) contingency table — the feature-selection number next to
@@ -14159,76 +13891,3 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "source")
 
 
-def daily_revenue_acf(spark: SparkSession, sf_dir: str,
-                      max_lag: int = 7) -> DataFrame:
-    """Autocorrelation function of the daily order-revenue series at
-    calendar lags 1..``max_lag`` — the seasonality screen a forecast
-    pipeline runs before q346's MASE backtest commits to a model (a
-    weekly cycle shows as a spike at lag 7). Pairs exist only where
-    BOTH calendar days exist (calendar-lag contract; gaps drop
-    pairs, documented rather than imputed — q145 is the gap-filler).
-
-    Exactness (the q358/q376 discipline): the series is exact daily
-    cents (decimal-summed, bridged to BIGINT); every moment is an
-    exact integer — S1 = Σx, S2 = Σx² and the lag cross-moments
-    Cℓ = Σ x_t·x_{t+ℓ} accumulate in DECIMAL(38,0) (products of
-    ~1e9-cent days overflow int64 exactly as q358's did) — and the
-    ACF r_ℓ = (Cℓ − x̄(H+T) + nℓ·x̄²) / (S2 − n·x̄²) is ONE
-    fixed-shape double expression of those integers per lag. No
-    double is ever summed across rows.
-
-    Scale shape: one pushed-down scan → per-day hash agg (the
-    distinct-domain frame, ~2.5k rows at any SF) → lag join on
-    date_add over that domain only → ≤max_lag-row result."""
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-                "cents"
-            )
-        )
-    ).localCheckpoint()
-    mom = daily.agg(
-        F.count("*").alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
-            "s2"
-        ),
-    )
-    out = None
-    a, b = daily.alias("a"), daily.alias("b")
-    for lag in range(1, max_lag + 1):
-        cross = a.join(
-            b, F.date_add(F.col("a.day"), lag) == F.col("b.day")
-        ).agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(
-                F.col("a.cents").cast("decimal(38,0)") * F.col("b.cents")
-            ).alias("c_l"),
-            F.sum(F.col("a.cents")).alias("head_sum"),
-            F.sum(F.col("b.cents")).alias("tail_sum"),
-        )
-        row = cross.join(F.broadcast(mom), F.lit(True)).select(
-            F.lit(lag).alias("lag"),
-            "n_pairs",
-            F.round(
-                (
-                    F.col("c_l").cast("double")
-                    - (F.col("s1").cast("double") / F.col("n").cast("double"))
-                    * (F.col("head_sum") + F.col("tail_sum")).cast("double")
-                    + F.col("n_pairs").cast("double")
-                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
-                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
-                )
-                / (
-                    F.col("s2").cast("double")
-                    - F.col("n").cast("double")
-                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
-                    * (F.col("s1").cast("double") / F.col("n").cast("double"))
-                ),
-                6,
-            ).alias("acf"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("lag")

@@ -12604,95 +12604,6 @@ SPECS["q371_passjoin_edit_pairs"] = QuerySpec(
     "defers to for high-cardinality columns at k > 2",
 )
 
-SPECS["q372_volume_shipping"] = QuerySpec(
-    rel.tpch_q7_volume_shipping,
-    """
-    WITH n AS (SELECT n_nationkey, n_name FROM nation
-               WHERE n_name IN ('NATION_13', 'NATION_19')),
-         s AS (SELECT s_suppkey, n_name AS supp_nation
-               FROM supplier JOIN n ON s_nationkey = n_nationkey),
-         c AS (SELECT c_custkey, n_name AS cust_nation
-               FROM customer JOIN n ON c_nationkey = n_nationkey)
-    SELECT supp_nation, cust_nation,
-           CAST(year(l_shipdate) AS BIGINT) AS l_year,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (CAST(1 AS DECIMAL(8,4))
-                            - CAST(l_discount AS DECIMAL(8,4))))
-                     AS VARCHAR) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_lineitems
-    FROM lineitem
-    JOIN s ON l_suppkey = s_suppkey
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN c ON o_custkey = c_custkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-      AND supp_nation <> cust_nation
-    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    "§2.2 joins: TPC-H Q7 (bilateral volume shipping) — two-nation "
-    "broadcast pruning of both dimension paths before the fact "
-    "joins, pushed ship-year scan predicate, exact-decimal revenue",
-)
-
-SPECS["q373_returned_items"] = QuerySpec(
-    rel.tpch_q10_returned_items,
-    """
-    SELECT c_custkey, c_name, n_name,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                         * (CAST(1 AS DECIMAL(8,4))
-                            - CAST(l_discount AS DECIMAL(8,4))))
-                     AS VARCHAR) AS DOUBLE) AS lost_revenue,
-           COUNT(*) AS n_returned_items,
-           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-               AS acctbal
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1996-10-01'
-      AND o_orderdate <  TIMESTAMP '1997-01-01'
-    GROUP BY 1, 2, 3
-    ORDER BY lost_revenue DESC, c_custkey LIMIT 20
-    """,
-    "§2.2 joins: TPC-H Q10 (returned-item reporting) — returnflag "
-    "pushed into the lineitem scan, quarter into the orders scan, "
-    "deterministic top-20 by (revenue desc, custkey)",
-)
-
-SPECS["q374_promo_revenue"] = QuerySpec(
-    rel.tpch_q14_promo_revenue,
-    """
-    WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-                       l_partkey,
-                       CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(8,4))
-                          - CAST(l_discount AS DECIMAL(8,4))) AS rev
-                FROM lineitem
-                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                  AND l_shipdate <  TIMESTAMP '1997-01-01'),
-         agg AS (SELECT ship_month,
-                        SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                 ELSE CAST(0 AS DECIMAL(24,6)) END)
-                            AS promo_rev,
-                        SUM(rev) AS total_rev,
-                        COUNT(*) AS n_lineitems
-                 FROM li JOIN part ON l_partkey = p_partkey
-                 GROUP BY 1)
-    SELECT ship_month, n_lineitems,
-           CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE) AS promo_revenue,
-           CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue,
-           ROUND(100.0 * CAST(CAST(promo_rev AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(total_rev AS VARCHAR) AS DOUBLE), 6)
-               AS promo_pct
-    FROM agg ORDER BY ship_month
-    """,
-    "§2.2 aggregation: TPC-H Q14 (promotion effect) by ship month — "
-    "conditional aggregation over one joined pass, part collapsed to "
-    "(key, is_promo) before the broadcast, exact-decimal sums with "
-    "one final double division",
-)
-
 SPECS["q375_curriculum_schedule"] = QuerySpec(
     corpus.curriculum_schedule,
     """
@@ -12718,44 +12629,6 @@ SPECS["q375_curriculum_schedule"] = QuerySpec(
     "difficulty deciles (length proxy, doc_id tie-break, integer DIV "
     "never ntile), epoch e trains the easiest ceil(e·10/3) deciles; "
     "per-(epoch, decile) doc and char budgets, all exact integers",
-)
-
-SPECS["q376_ks_two_sample"] = QuerySpec(
-    rel.ks_two_sample,
-    """
-    WITH j AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-                      CASE WHEN c_mktsegment = 'BUILDING'
-                           THEN 1 ELSE 0 END AS g
-               FROM orders JOIN customer ON o_custkey = c_custkey),
-         vals AS (SELECT cents,
-                         CAST(SUM(g) AS BIGINT) AS na,
-                         CAST(SUM(1 - g) AS BIGINT) AS nb
-                  FROM j GROUP BY 1),
-         tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
-                        CAST(SUM(nb) AS BIGINT) AS tb
-                 FROM vals),
-         cum AS (SELECT cents,
-                        SUM(na) OVER (ORDER BY cents) AS ca,
-                        SUM(nb) OVER (ORDER BY cents) AS cb
-                 FROM vals),
-         gaps AS (SELECT ta, tb, abs(ca * tb - cb * ta) AS num
-                  FROM cum, tot),
-         top AS (SELECT ta, tb, MAX(num) AS d_num FROM gaps GROUP BY 1, 2)
-    SELECT ta AS n_segment, tb AS n_rest,
-           ROUND(CAST(d_num AS DOUBLE)
-                 / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_d,
-           ROUND(sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
-                      / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
-                 * (CAST(d_num AS DOUBLE)
-                    / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))), 6)
-               AS ks_scaled
-    FROM top
-    """,
-    "§2.2 statistics: two-sample Kolmogorov-Smirnov over order values "
-    "(BUILDING segment vs rest) — max ECDF gap as an exact integer "
-    "rational |ca·tb − cb·ta|, one final double division; completes "
-    "the drift suite (PSI/JS/Wasserstein/Hellinger/TV) with the "
-    "distribution-free statistic",
 )
 
 SPECS["q377_interval_union"] = QuerySpec(
@@ -12803,38 +12676,6 @@ SPECS["q377_interval_union"] = QuerySpec(
     "family (q112 SCD2 build, q228 Allen, q105 fixed windows)",
 )
 
-SPECS["q378_benford_audit"] = QuerySpec(
-    rel.benford_audit,
-    """
-    WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-               FROM orders
-               WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
-         d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
-                           AS BIGINT) AS digit
-               FROM c),
-         counts AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
-         tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts)
-    SELECT digit, n_obs,
-           ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
-               AS observed_share,
-           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
-               AS benford_share,
-           ROUND((CAST(n_obs AS DOUBLE)
-                  - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
-                    * CAST(n_total AS DOUBLE))
-                 * (CAST(n_obs AS DOUBLE)
-                    - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
-                      * CAST(n_total AS DOUBLE))
-                 / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
-                    * CAST(n_total AS DOUBLE)), 6) AS chi2_term
-    FROM counts, tot ORDER BY digit
-    """,
-    "§2.2 statistics: Benford first-digit audit of order totals — "
-    "digit from the exact-cents BIGINT string (no float log in the "
-    "extraction), integer counts, chi-square terms as fixed-shape "
-    "double expressions; the data-quality screen for money columns",
-)
-
 SPECS["q379_mutual_information"] = QuerySpec(
     rel.mutual_information,
     """
@@ -12864,111 +12705,3 @@ SPECS["q379_mutual_information"] = QuerySpec(
     "MI = sum of the emitted contribution column (auditable total)",
 )
 
-SPECS["q380_rrf_rank_fusion"] = QuerySpec(
-    text.rrf_rank_fusion,
-    """
-    -- reciprocal-rank fusion of the q101 BM25 ranking with a raw
-    -- term-frequency retriever; ranks over ROUNDED-6dp scores
-    -- (absorbs the libm ln() ulp spread q101 documents), doc_id
-    -- tie-break; fused = sum of 1/(60+rank) over retrieving lists.
-    WITH tok AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-             unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, dl, token, COUNT(*) AS tf
-      FROM tok WHERE token IN ('spark', 'hash', 'join', 'window')
-      GROUP BY doc_id, dl, token
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             AVG(len(string_split(text, ' '))) AS avgdl
-      FROM documents
-    ),
-    df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
-           GROUP BY token),
-    scored AS (
-      SELECT tf.doc_id,
-             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-                 * (tf.tf * 2.2
-                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
-             ) AS score
-      FROM tf JOIN df USING (token) CROSS JOIN stats s
-      GROUP BY tf.doc_id
-    ),
-    topa AS (SELECT doc_id, round(score, 6) AS score FROM scored
-             ORDER BY score DESC, doc_id ASC LIMIT 20),
-    ra AS (SELECT doc_id,
-                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
-                      AS rank_bm25
-           FROM topa),
-    tfb AS (SELECT doc_id, COUNT(*) AS tf FROM tok
-            WHERE token IN ('spark', 'hash', 'join', 'window')
-            GROUP BY doc_id),
-    topb AS (SELECT doc_id, tf FROM tfb
-             ORDER BY tf DESC, doc_id ASC LIMIT 20),
-    rb AS (SELECT doc_id,
-                  ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC)
-                      AS rank_tf
-           FROM topb),
-    fused AS (
-      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
-             rank_bm25, rank_tf,
-             COALESCE(1.0 / (60 + rank_bm25), 0.0)
-             + COALESCE(1.0 / (60 + rank_tf), 0.0) AS rrf
-      FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
-    ),
-    topk AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10)
-    SELECT doc_id, rank_bm25, rank_tf, round(rrf, 6) AS rrf_score
-    FROM topk ORDER BY rrf_score DESC, doc_id ASC
-    """,
-    "§2.3 text retrieval: reciprocal-rank fusion of BM25 and raw "
-    "term-frequency rankings — scale-free exact rank arithmetic over "
-    "rounded scores with unique tie-breaks, full-outer join of two "
-    "top-m lists, fixed-shape double fusion; the hybrid-search "
-    "combiner completing the q101/q114/q269 retrieval family",
-)
-
-SPECS["q381_daily_revenue_acf"] = QuerySpec(
-    rel.daily_revenue_acf,
-    """
-    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                          CAST(SUM(CAST(ROUND(o_totalprice * 100)
-                                        AS BIGINT)) AS BIGINT) AS cents
-                   FROM orders GROUP BY 1),
-         mom AS (SELECT COUNT(*) AS n,
-                        CAST(SUM(cents) AS BIGINT) AS s1,
-                        SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
-                 FROM daily),
-         lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
-         cross_m AS (SELECT lag,
-                            COUNT(*) AS n_pairs,
-                            SUM(CAST(a.cents AS DECIMAL(38,0)) * b.cents)
-                                AS c_l,
-                            CAST(SUM(a.cents) AS BIGINT) AS head_sum,
-                            CAST(SUM(b.cents) AS BIGINT) AS tail_sum
-                     FROM lags, daily a
-                     JOIN daily b ON a.day + CAST(lag AS INTEGER) = b.day
-                     GROUP BY lag)
-    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
-           ROUND((CAST(c_l AS DOUBLE)
-                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                    * CAST(head_sum + tail_sum AS DOUBLE)
-                  + CAST(n_pairs AS DOUBLE)
-                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / (CAST(s2 AS DOUBLE)
-                    - CAST(n AS DOUBLE)
-                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
-               AS acf
-    FROM cross_m, mom ORDER BY lag
-    """,
-    "§2.2 time series: calendar-lag autocorrelation of daily revenue "
-    "(lags 1-7) — exact integer moments (decimal(38,0) cross-moments, "
-    "the q358 overflow discipline), one fixed-shape double expression "
-    "per lag, lag join over the day domain only; the seasonality "
-    "screen ahead of the q346 backtest",
-)

@@ -116,37 +116,6 @@ def test_stump_boosting_sum_of_squares_is_overflow_safe(spark):
         assert math.isfinite(v)
 
 
-def test_tpch_q7_flows_are_bilateral_and_windowed(spark):
-    rows = rel.tpch_q7_volume_shipping(spark, SF).collect()
-    assert rows, "no bilateral flows in fixture"
-    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
-    # both directions exist and no self-flows survive the filter
-    assert all(a != b for a, b in pairs)
-    assert {p[::-1] for p in pairs} == pairs
-    assert {r["l_year"] for r in rows} <= {1996, 1997}
-    assert all(r["revenue"] > 0 and r["n_lineitems"] > 0 for r in rows)
-
-
-def test_tpch_q10_topk_is_ordered_and_bounded(spark):
-    rows = rel.tpch_q10_returned_items(spark, SF).collect()
-    assert 0 < len(rows) <= 20
-    revs = [r["lost_revenue"] for r in rows]
-    assert revs == sorted(revs, reverse=True)
-    assert all(r["n_returned_items"] > 0 for r in rows)
-
-
-def test_tpch_q14_promo_share_bounds(spark):
-    rows = rel.tpch_q14_promo_revenue(spark, SF).collect()
-    assert rows
-    for r in rows:
-        assert 0.0 <= r["promo_pct"] <= 100.0
-        assert 0.0 <= r["promo_revenue"] <= r["total_revenue"]
-        # share recomputes from the emitted exact components
-        assert abs(
-            r["promo_pct"] - round(100.0 * r["promo_revenue"] / r["total_revenue"], 6)
-        ) < 1e-9
-
-
 def test_curriculum_schedule_conserves_and_grows(spark):
     from etl_geonet_quakes_spark.llm import corpus
 
@@ -167,14 +136,6 @@ def test_curriculum_schedule_conserves_and_grows(spark):
     assert by_epoch[1] == set(range(4))
 
 
-def test_ks_two_sample_bounds(spark):
-    row = rel.ks_two_sample(spark, SF).first()
-    n_orders = load_table(spark, SF, "orders").count()
-    assert row["n_segment"] + row["n_rest"] == n_orders
-    assert 0.0 <= row["ks_d"] <= 1.0
-    assert row["ks_scaled"] >= 0.0
-
-
 def test_interval_union_bounds(spark):
     """Union length is sandwiched: every island spans at least one
     window (30 min) and the union can never exceed the naive
@@ -191,14 +152,6 @@ def test_interval_union_bounds(spark):
         assert r["union_us"] >= r["n_islands"] * w_us
 
 
-def test_benford_shares_form_distributions(spark):
-    rows = rel.benford_audit(spark, SF).collect()
-    assert {r["digit"] for r in rows} <= set(range(1, 10))
-    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
-    # Benford expectation over 1..9 sums to 1 exactly (telescoping)
-    assert all(r["chi2_term"] >= 0 for r in rows)
-
-
 def test_mutual_information_is_nonnegative_and_consistent(spark):
     rows = rel.mutual_information(spark, SF).collect()
     assert rows
@@ -210,32 +163,6 @@ def test_mutual_information_is_nonnegative_and_consistent(spark):
         cells = [r for r in rows if r["lang"] == lang]
         assert all(c["n_x"] == sum(x["n_xy"] for x in cells) for c in cells)
     assert n == load_table(spark, SF, "documents").count()
-
-
-def test_rrf_fusion_bounds_and_rank_sanity(spark):
-    from etl_geonet_quakes_spark.llm import text
-
-    rows = text.rrf_rank_fusion(spark, SF).collect()
-    assert 0 < len(rows) <= 10
-    for r in rows:
-        assert r["rank_bm25"] is None or 1 <= r["rank_bm25"] <= 20
-        assert r["rank_tf"] is None or 1 <= r["rank_tf"] <= 20
-        assert r["rank_bm25"] is not None or r["rank_tf"] is not None
-        # max possible fused score: 1/(60+1) from each of two lists
-        assert 0.0 < r["rrf_score"] <= 2.0 / 61.0 + 1e-9
-    scores = [r["rrf_score"] for r in rows]
-    assert scores == sorted(scores, reverse=True)
-
-
-def test_acf_is_correlation_bounded(spark):
-    rows = rel.daily_revenue_acf(spark, SF).collect()
-    assert [r["lag"] for r in rows] == list(range(1, 8))
-    for r in rows:
-        # Cauchy-Schwarz-ish sanity: truncated-series ACF can poke
-        # slightly past 1 only through the shared-denominator form;
-        # with n_pairs < n it stays within [-1, 1] up to rounding
-        assert -1.000001 <= r["acf"] <= 1.000001
-        assert r["n_pairs"] > 0
 
 
 def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
