@@ -13891,3 +13891,78 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "source")
 
 
+
+
+def frequent_subsequences(spark: SparkSession, sf_dir: str,
+                          max_steps: int = 12,
+                          min_users: int = 3) -> DataFrame:
+    """Sequential-pattern mining (PrefixSpan's counting semantics,
+    lengths 2 and 3): event-type subsequences WITH GAPS ALLOWED —
+    'signup … later click … later purchase' counts the user no
+    matter what happens in between — supported by ≥ ``min_users``
+    distinct users. Completes the behavioral trio: q106's transition
+    matrix is one hop, q128's paths are CONTIGUOUS prefixes, q278's
+    apriori is order-free sets; gapped order-sensitive patterns are
+    the remaining quadrant (and the one funnel analysis actually
+    wants — reference capability: event-stream analytics over the
+    task.ts:142 polling feed's accumulated history).
+
+    Determinism/exactness: per-user ordering by (ts, event_id) —
+    unique tie-break; support counts DISTINCT users per pattern
+    (set semantics, a user contributes once however many times the
+    pattern recurs); everything is exact integers.
+
+    Scale shape: each user contributes only their FIRST ``max_steps``
+    events (the q128 truncation convention — per-user candidate
+    volume is C(max_steps, 3), a constant; the knob, not the corpus,
+    bounds the explode). Position joins are user-keyed equi-joins;
+    the pattern agg is a hash agg over a ≤|types|³ domain (125 here).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_steps)
+        .select("user_id", "event_type", "rn")
+        .localCheckpoint()
+    )
+    a = e.select("user_id", F.col("event_type").alias("t1"),
+                 F.col("rn").alias("r1"))
+    b = e.select("user_id", F.col("event_type").alias("t2"),
+                 F.col("rn").alias("r2"))
+    c = e.select("user_id", F.col("event_type").alias("t3"),
+                 F.col("rn").alias("r3"))
+    p2 = (
+        a.join(b, "user_id")
+        .filter(F.col("r1") < F.col("r2"))
+        .select("user_id", "t1", "t2")
+        .distinct()
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+        .select(
+            F.lit(2).alias("length"),
+            F.concat_ws(">", "t1", "t2").alias("pattern"),
+            "n_users",
+        )
+    )
+    p3 = (
+        a.join(b, "user_id")
+        .filter(F.col("r1") < F.col("r2"))
+        .join(c, "user_id")
+        .filter(F.col("r2") < F.col("r3"))
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
+        .groupBy("t1", "t2", "t3")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= min_users)
+        .select(
+            F.lit(3).alias("length"),
+            F.concat_ws(">", "t1", "t2", "t3").alias("pattern"),
+            "n_users",
+        )
+    )
+    return p2.unionAll(p3).orderBy(
+        "length", F.desc("n_users"), "pattern"
+    )

@@ -12705,3 +12705,42 @@ SPECS["q379_mutual_information"] = QuerySpec(
     "MI = sum of the emitted contribution column (auditable total)",
 )
 
+SPECS["q380_frequent_subsequences"] = QuerySpec(
+    rel.frequent_subsequences,
+    f"""
+    WITH r AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY {_TS}, event_id) AS rn
+               FROM events),
+         e AS (SELECT user_id, event_type, rn FROM r WHERE rn <= 12),
+         d2 AS (SELECT DISTINCT a.user_id,
+                       a.event_type AS t1, b.event_type AS t2
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id AND a.rn < b.rn),
+         p2 AS (SELECT 2 AS length, t1 || '>' || t2 AS pattern,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM d2 GROUP BY t1, t2
+                HAVING COUNT(DISTINCT user_id) >= 3),
+         d3 AS (SELECT DISTINCT a.user_id,
+                       a.event_type AS t1, b.event_type AS t2,
+                       c.event_type AS t3
+                FROM e a
+                JOIN e b ON a.user_id = b.user_id AND a.rn < b.rn
+                JOIN e c ON b.user_id = c.user_id AND b.rn < c.rn),
+         p3 AS (SELECT 3 AS length,
+                       t1 || '>' || t2 || '>' || t3 AS pattern,
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+                FROM d3 GROUP BY t1, t2, t3
+                HAVING COUNT(DISTINCT user_id) >= 3)
+    SELECT CAST(length AS INTEGER) AS length, pattern, n_users
+    FROM (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+    ORDER BY length, n_users DESC, pattern
+    """,
+    "§2.2 product analytics: gapped sequential-pattern mining "
+    "(PrefixSpan counting semantics, lengths 2-3) over per-user "
+    "event streams — distinct-user support, first-12-events "
+    "truncation bounds candidates at C(12,3) per user; completes "
+    "q106 one-hop / q128 contiguous-path / q278 order-free-set "
+    "with the gapped order-sensitive quadrant",
+)
+

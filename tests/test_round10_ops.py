@@ -165,6 +165,25 @@ def test_mutual_information_is_nonnegative_and_consistent(spark):
     assert n == load_table(spark, SF, "documents").count()
 
 
+def test_frequent_subsequences_apriori_monotone(spark):
+    """Support is anti-monotone under subsequence extension: every
+    frequent length-3 pattern's length-2 prefix AND suffix must be at
+    least as frequent — the property PrefixSpan prunes on. Also: gap
+    semantics means contiguous q128 paths are a subset source, and a
+    user counts once per pattern (set semantics)."""
+    rows = rel.frequent_subsequences(spark, SF, min_users=1).collect()
+    sup = {(r["length"], r["pattern"]): r["n_users"] for r in rows}
+    n_users_total = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    for (ln, pat), n in sup.items():
+        assert 1 <= n <= n_users_total
+        if ln == 3:
+            a, b, c = pat.split(">")
+            assert sup[(2, f"{a}>{b}")] >= n
+            assert sup[(2, f"{b}>{c}")] >= n
+
+
 def test_tokenizer_fertility_excludes_zero_word_groups(spark, tmp_path):
     """A language whose documents contain no [a-z0-9] tokens has
     words == 0; its fertility is undefined and the group must be
