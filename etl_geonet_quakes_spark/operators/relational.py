@@ -3988,11 +3988,18 @@ def decayed_average(
     Exactness by construction: over the kept window the recursion
     closes to e = [Σ_j w_j·cents_j] / (100·4^(n−1)) with INTEGER
     weights w_1 = 3^(n−1) (oldest), w_j = 4^(j−2)·3^(n−j) — every
-    weight and product is exact in DECIMAL, and the single final
-    double division of identical operands is identical across
-    engines. Bounding to last_k ≤ 20 keeps 4^(n−1) inside exact
-    double range (4¹⁹ < 2⁵³) — and is also the statistically honest
-    cut: older terms carry weight < (3/4)²⁰ ≈ 0.003.
+    weight and product is exact in DECIMAL, the denominator is an
+    exact BIGINT (100·(1 << 2(n−1)), never a libm pow), and the
+    single final double division of identical exact operands is
+    correctly rounded hence identical across engines. The quotient
+    is emitted UNROUNDED: round-to-6dp was the one nondeterminism
+    this query ever had — the sf0.1 parity sweep caught a true
+    …5-at-the-7th-digit tie that Java's HALF_UP and DuckDB's
+    float-multiply round() resolve differently (round 10); with no
+    rounding step there is no tie to disagree on. Bounding to
+    last_k ≤ 20 keeps 4^(n−1) inside exact double range (4¹⁹ < 2⁵³)
+    — and is also the statistically honest cut: older terms carry
+    weight < (3/4)²⁰ ≈ 0.003.
 
     At scale: per-customer windows partition by custkey (parallel,
     frames bounded by last_k); the weighted sum is one hash agg.
@@ -4027,10 +4034,13 @@ def decayed_average(
         .select(
             F.col("cust").alias("c_custkey"),
             F.col("n").alias("n_orders_used"),
-            F.round(
+            (
                 F.col("wsum").cast("double")
-                / (F.lit(100.0) * F.pow(F.lit(4.0), F.col("n") - 1)),
-                6,
+                # shiftleft's bit count must be a Column here → expr
+                / F.expr(
+                    "CAST(100 * shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(2 * (n - 1) AS INT)) AS DOUBLE)"
+                )
             ).alias("decayed_avg"),
         )
         .orderBy("c_custkey")

@@ -4479,9 +4479,14 @@ SPECS["q179_decayed_average"] = QuerySpec(
                                      * POWER(3.0, n - jj) END
                            AS DECIMAL(18,0)) AS wt
                FROM j)
+    -- UNROUNDED quotient of exact operands (bigint-shift denominator,
+    -- no libm pow): correctly rounded division is engine-identical;
+    -- a round-to-6dp here hit a true decimal-tie at sf0.1 that Java
+    -- HALF_UP and DuckDB float round() resolve differently (round 10)
     SELECT cust AS c_custkey, CAST(n AS INTEGER) AS n_orders_used,
-           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * wt) AS DOUBLE)
-                     / (100.0 * POWER(4.0, n - 1)), 6) AS decayed_avg
+           CAST(SUM(CAST(cents AS DECIMAL(38,0)) * wt) AS DOUBLE)
+               / CAST(100 * (CAST(1 AS BIGINT) << (2 * (n - 1)))
+                      AS DOUBLE) AS decayed_avg
     FROM w GROUP BY cust, n ORDER BY c_custkey
     """,
     "§2.2 statistics: exact exponentially-decayed average (α=1/4) of "
