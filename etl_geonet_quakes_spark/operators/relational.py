@@ -8736,8 +8736,15 @@ def pca_2d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a 100 TB table, computed from one moment pass.
 
     Covariance entries are exact rationals from BIGINT/DECIMAL
-    moments (population covariance, /n); the eigen formulas and
-    atan2 are fixed-shape doubles rounded 6dp (the libm policy).
+    moments (population covariance, /n) — fixed-shape double
+    expressions, engine-identical; sqrt is IEEE-correctly-rounded,
+    so the eigenvalues and ratio are too, and ALL of these emit
+    UNROUNDED (the sf0.1 parity sweep caught why not to round:
+    var_y ≈ 9e12 cents² has double ulp ~2e-3, so ROUND(·, 6) is
+    beyond representable precision and Java's decimal HALF_UP vs
+    DuckDB's ×1e6 float round disagree — round 10). Only atan2 is
+    libm (not correctly rounded), so only the angle keeps the 6dp
+    rounding, where its ≤180 magnitude makes that safe.
     Units: quantity in units, price in cents — the docstring-level
     warning that UNSCALED PCA follows the larger-variance column is
     part of the operator's honest contract (standardize first via
@@ -8756,23 +8763,26 @@ def pca_2d_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    a = (F.col("sxx").cast("double")
-         - F.col("sx").cast("double") * F.col("sx").cast("double") / nd) / nd
-    c = (F.col("syy").cast("double")
-         - F.col("sy").cast("double") * F.col("sy").cast("double") / nd) / nd
-    b = (F.col("sxy").cast("double")
-         - F.col("sx").cast("double") * F.col("sy").cast("double") / nd) / nd
+    # decimal moments reach ~6e19 (> 2^53): bridge through STRING so
+    # the double conversion is strtod/parseDouble (correctly rounded
+    # on both engines) — DuckDB's direct hugeint→double goes through
+    # two 64-bit halves and double-rounds the last ulp, which is
+    # exactly the divergence the round-10 sf0.1 sweep caught here
+    sb = lambda name: F.col(name).cast("string").cast("double")
+    a = (sb("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double") / nd) / nd
+    c = (sb("syy") - F.col("sy").cast("double") * F.col("sy").cast("double") / nd) / nd
+    b = (sb("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double") / nd) / nd
     disc = F.sqrt((a - c) * (a - c) + F.lit(4.0) * b * b)
     l1 = ((a + c) + disc) / F.lit(2.0)
     l2 = ((a + c) - disc) / F.lit(2.0)
     return m.select(
         "n",
-        F.round(a, 6).alias("var_x"),
-        F.round(c, 6).alias("var_y"),
-        F.round(b, 6).alias("cov_xy"),
-        F.round(l1, 6).alias("lambda1"),
-        F.round(l2, 6).alias("lambda2"),
-        F.round(l1 / (l1 + l2), 6).alias("explained_ratio"),
+        a.alias("var_x"),
+        c.alias("var_y"),
+        b.alias("cov_xy"),
+        l1.alias("lambda1"),
+        l2.alias("lambda2"),
+        (l1 / (l1 + l2)).alias("explained_ratio"),
         F.round(
             F.degrees(F.atan2(F.lit(2.0) * b, a - c) / F.lit(2.0)), 6
         ).alias("principal_angle_deg"),

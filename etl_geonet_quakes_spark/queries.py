@@ -8576,29 +8576,40 @@ SPECS["q288_pca_2d_exact"] = QuerySpec(
                       SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy,
                       SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy
                FROM li),
+         -- string-bridged decimal→double (see Spark side): direct
+         -- hugeint→double double-rounds the last ulp at ~6e19
          cov AS (SELECT n,
-                        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                         - CAST(sx AS DOUBLE)
                          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                         / CAST(n AS DOUBLE) AS a,
-                        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                        (CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                         - CAST(sy AS DOUBLE)
                          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                         / CAST(n AS DOUBLE) AS c,
-                        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        (CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                         - CAST(sx AS DOUBLE)
                          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                         / CAST(n AS DOUBLE) AS b
                  FROM m),
          eig AS (SELECT n, a, c, b,
                         sqrt((a - c) * (a - c) + 4.0 * b * b) AS disc
                  FROM cov)
+    -- var/cov/eigen terms emit UNROUNDED: exact-operand fixed-shape
+    -- doubles + IEEE-correctly-rounded sqrt are engine-identical,
+    -- and ROUND(·,6) at 9e12 magnitude sits beyond double ulp
+    -- (~2e-3) so the engines' round implementations disagree there
+    -- (caught by the round-10 sf0.1 parity sweep). Only the libm
+    -- atan2 angle keeps its 6dp rounding.
     SELECT n,
-           ROUND(a, 6) AS var_x,
-           ROUND(c, 6) AS var_y,
-           ROUND(b, 6) AS cov_xy,
-           ROUND(((a + c) + disc) / 2.0, 6) AS lambda1,
-           ROUND(((a + c) - disc) / 2.0, 6) AS lambda2,
-           ROUND((((a + c) + disc) / 2.0)
-                 / ((((a + c) + disc) / 2.0)
-                    + (((a + c) - disc) / 2.0)), 6) AS explained_ratio,
+           a AS var_x,
+           c AS var_y,
+           b AS cov_xy,
+           ((a + c) + disc) / 2.0 AS lambda1,
+           ((a + c) - disc) / 2.0 AS lambda2,
+           (((a + c) + disc) / 2.0)
+               / ((((a + c) + disc) / 2.0)
+                  + (((a + c) - disc) / 2.0)) AS explained_ratio,
            ROUND(degrees(atan2(2.0 * b, a - c) / 2.0), 6)
                AS principal_angle_deg
     FROM eig
