@@ -298,7 +298,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                # distinct metric name from the full artifact's
+                # headline_queries_total_wall: a consumer parsing the
+                # last line can never mistake the top-20 truncation
+                # for the full per-query map (round-11 advisor fix)
+                "metric": "headline_queries_summary",
                 "value": total,
                 "unit": "sec",
                 "queries": top20,

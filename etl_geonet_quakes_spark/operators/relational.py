@@ -1317,8 +1317,10 @@ def string_distance_pairs(spark: SparkSession, sf_dir: str, max_dist: int = 4) -
       1. distinct names D (a groupBy, scales out; |D| ≪ n),
       2. the O(|D|²) levenshtein kernel runs on DISTINCT pairs only,
          behind the lossless |Δlen| ≤ k theorem gate (each edit
-         changes length by ≤ 1) — 2,016 DP evaluations at sf0.1
-         where the old plan ran 8.0M,
+         changes length by ≤ 1) — of the C(64,2) = 2,016 distinct
+         pairs at sf0.1, 2,008 pass the length gate and reach the DP
+         kernel (pinned in test_scale_curve.py) where the old plan
+         ran 8.0M,
       3. qualifying ORDERED name pairs (x,y), including the
          reflexive (x,x) for exact-duplicate dist-0 pairs, are
          broadcast; the key-level result is recovered by two
@@ -4035,7 +4037,12 @@ def decayed_average(
             F.col("cust").alias("c_custkey"),
             F.col("n").alias("n_orders_used"),
             (
-                F.col("wsum").cast("double")
+                # decimal→string→double bridge (the q288/q01 pattern):
+                # wsum can exceed 2^63 at large SFs (4^18·3^0·cents
+                # ~1.5e19 near the last_k cap) and DuckDB's direct
+                # hugeint→double cast double-rounds there; the string
+                # path is correctly rounded on both engines (round 11)
+                F.col("wsum").cast("string").cast("double")
                 # shiftleft's bit count must be a Column here → expr
                 / F.expr(
                     "CAST(100 * shiftleft(CAST(1 AS BIGINT),"
@@ -13879,9 +13886,13 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: cell counts and both marginals are exact BIGINTs from
     ONE scan (marginals re-aggregated from cells, never a second
-    pass); PMI = log2(n·n_xy/(n_x·n_y)) evaluates the log on an
-    exact integer ratio — a fixed-shape double expression both
-    engines round identically.
+    pass); PMI = log2((n·n_xy)/(n_x·n_y)) with EACH FACTOR cast to
+    double BEFORE the multiply — int64 products n·n_xy / n_x·n_y
+    overflow past ~3e9 rows (n·n_xy > 2^63), so the products are
+    computed in double (round 11, advisor fix). Each double product
+    and the quotient are correctly rounded, so the fixed-shape
+    expression is still engine-identical; for counts ≤ 2^53 per
+    factor the doubles are exact anyway.
 
     Scale shape: |langs|×|sources| cells — a tiny frame after one
     hash agg, broadcast-joined to its own two marginal rollups."""
@@ -13897,8 +13908,8 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_d = F.col("n").cast("double")
     p_xy = F.col("n_xy").cast("double") / n_d
-    ratio = (F.col("n") * F.col("n_xy")).cast("double") / (
-        (F.col("n_x") * F.col("n_y")).cast("double")
+    ratio = (n_d * F.col("n_xy").cast("double")) / (
+        F.col("n_x").cast("double") * F.col("n_y").cast("double")
     )
     return j.select(
         "lang",

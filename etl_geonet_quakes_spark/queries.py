@@ -4483,8 +4483,12 @@ SPECS["q179_decayed_average"] = QuerySpec(
     -- no libm pow): correctly rounded division is engine-identical;
     -- a round-to-6dp here hit a true decimal-tie at sf0.1 that Java
     -- HALF_UP and DuckDB float round() resolve differently (round 10)
+    -- VARCHAR bridge on wsum (q288/q01 pattern): the hugeint sum can
+    -- exceed 2^63 at large SFs and duckdb's direct hugeint->double
+    -- cast double-rounds there; string->double is correctly rounded
     SELECT cust AS c_custkey, CAST(n AS INTEGER) AS n_orders_used,
-           CAST(SUM(CAST(cents AS DECIMAL(38,0)) * wt) AS DOUBLE)
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * wt) AS VARCHAR)
+                AS DOUBLE)
                / CAST(100 * (CAST(1 AS BIGINT) << (2 * (n - 1)))
                       AS DOUBLE) AS decayed_avg
     FROM w GROUP BY cust, n ORDER BY c_custkey
@@ -12702,13 +12706,16 @@ SPECS["q379_mutual_information"] = QuerySpec(
          my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y
                 FROM cells GROUP BY 1),
          tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+    -- each factor cast to double BEFORE multiplying: int64 products
+    -- overflow past ~3e9 rows (round-11 advisor fix, Spark mirrored)
     SELECT cells.lang, cells.source, n_xy, n_x, n_y,
-           ROUND(log2(CAST(n * n_xy AS DOUBLE)
-                      / CAST(n_x * n_y AS DOUBLE)), 6) AS pmi_bits,
+           ROUND(log2((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
+                 6) AS pmi_bits,
            ROUND((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
-                 * log2(CAST(n * n_xy AS DOUBLE)
-                        / CAST(n_x * n_y AS DOUBLE)), 6)
-               AS mi_contribution
+                 * log2((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))),
+                 6) AS mi_contribution
     FROM cells
     JOIN mx ON cells.lang = mx.lang
     JOIN my ON cells.source = my.source
