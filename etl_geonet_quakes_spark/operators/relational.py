@@ -12692,9 +12692,14 @@ def shapley_attribution(spark: SparkSession, sf_dir: str,
 
     Exactness is q210's integer protocol: millicent shares by exact
     floor division, no floats. The floor drops ≤ (n_channels−1)
-    millicents per journey — NOT emitted as a column; conservation is
-    bounded externally in tests (Σ shares ≤ Σ revenue, gap < n·k
-    millicents). Shape: the q210
+    millicents per journey; that remainder is EMITTED (round 11,
+    advisor item): each journey's remainder is attributed to its
+    canonical channel (MIN channel name in the journey — arbitrary
+    but deterministic), so Σ(shapley_millicents + remainder_mc)
+    over the result EQUALS Σ p_cents·1000 over attributed purchases
+    — conservation is auditable from the emitted rows (the q379
+    auditable-total pattern), pinned zero-sum in
+    tests/test_round11_ops.py. Shape: the q210
     per-user time-range join, then one distinct-channel agg per
     purchase and one channel agg — the set dedup is the only extra
     stage."""
@@ -12722,20 +12727,32 @@ def shapley_attribution(spark: SparkSession, sf_dir: str,
         & (F.col("us") >= F.col("p_us") - F.lit(win_us)),
     ).select("p_eid", "p_cents", "event_type").distinct()
     w = Window.partitionBy("p_eid")
-    shared = touched.withColumn(
-        "n_channels", F.count("*").over(w)
-    ).withColumn(
-        "share_mc",
-        F.expr(
-            "(p_cents * 1000 - pmod(p_cents * 1000, n_channels))"
-            " DIV n_channels"
-        ),
+    shared = (
+        touched.withColumn("n_channels", F.count("*").over(w))
+        .withColumn(
+            "share_mc",
+            F.expr(
+                "(p_cents * 1000 - pmod(p_cents * 1000, n_channels))"
+                " DIV n_channels"
+            ),
+        )
+        .withColumn(
+            # the journey's floor-division remainder, attributed once
+            # to its canonical (min-name) channel so the result rows
+            # sum exactly to the attributed revenue
+            "rem_mc",
+            F.when(
+                F.col("event_type") == F.min("event_type").over(w),
+                F.expr("pmod(p_cents * 1000, n_channels)"),
+            ).otherwise(F.lit(0)),
+        )
     )
     return (
         shared.groupBy(F.col("event_type").alias("channel"))
         .agg(
             F.count("*").alias("n_journeys"),
             F.sum("share_mc").alias("shapley_millicents"),
+            F.sum("rem_mc").alias("remainder_mc"),
         )
         .orderBy(F.desc("shapley_millicents"), "channel")
     )

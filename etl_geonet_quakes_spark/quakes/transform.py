@@ -79,13 +79,23 @@ def validate_features(features_df: DataFrame) -> DataFrame:
     second full scan at file-scale ingest; round-8 verdict item 6).
     The raise therefore surfaces at ACTION time (Spark-lazy), as
     ``SparkRuntimeException`` carrying the boundary message and the
-    offending publicID. Evaluation-order note: ``CombineFilters``
-    merges this filter with transform_quakes' age/quality/mmi filter
-    as ``And(validation, downstream)`` — inner predicate first under
-    short-circuit codegen — and the explode generator above blocks
-    either predicate from being pushed into the source scan, so a
-    null-mmi row raises here rather than being silently dropped by
-    the null-rejecting ``mmi >= k`` comparison."""
+    offending publicID.
+
+    Evaluation-order HARDENING (round 11, carried advisor low): the
+    raise-before-null-rejecting-filter guarantee previously leaned on
+    ``CombineFilters`` emitting ``And(validation, downstream)`` with
+    inner-first short-circuit — true today, but an optimizer-version
+    detail. Now the guarantee is STRUCTURAL: the three fields that
+    downstream null-rejecting predicates consume (``mmi``,
+    ``quality``, ``time``) are rebuilt via ``withField`` as
+    raise-on-invalid expressions (valid row → original value, invalid
+    row → ``raise_error`` with the boundary message). Whatever order
+    Catalyst evaluates or fuses the predicates in, touching ANY
+    predicate on an invalid row raises before the null-comparison can
+    silently drop it; the ``assert_true`` filter stays as the raise
+    path for rows whose invalid field feeds no predicate (locality,
+    magnitude, depth, coordinates). Pinned under filter-reordering
+    stress (AQE on, codegen on AND off) in test_quakes_golden."""
     required = [
         "properties.publicID",
         "properties.time",
@@ -118,7 +128,25 @@ def validate_features(features_df: DataFrame) -> DataFrame:
         F.coalesce(F.col("properties.publicID"), F.lit("<null>")),
         F.lit(")"),
     )
-    return features_df.filter(F.assert_true(~cond, msg).isNull())
+    # structural ordering guarantee: the predicate-feeding fields
+    # carry the raise themselves (see docstring). Types are taken
+    # from the input schema so the when-branches stay exact.
+    props_t = features_df.schema["properties"].dataType
+
+    def _guarded(field: str) -> Column:
+        dt = props_t[field].dataType.simpleString()
+        return F.when(~cond, F.col(f"properties.{field}")).otherwise(
+            F.raise_error(msg).cast(dt)
+        )
+
+    hardened = features_df.withColumn(
+        "properties",
+        F.col("properties")
+        .withField("mmi", _guarded("mmi"))
+        .withField("quality", _guarded("quality"))
+        .withField("time", _guarded("time")),
+    )
+    return hardened.filter(F.assert_true(~cond, msg).isNull())
 
 
 def _event_ts() -> Column:

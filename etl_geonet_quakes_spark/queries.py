@@ -11782,20 +11782,30 @@ SPECS["q352_shapley_attribution"] = QuerySpec(
                       AND t.us >= p_us - CAST(7 AS BIGINT) * 86400 * 1000000),
          shared AS (SELECT p_eid, p_cents, event_type,
                            COUNT(*) OVER (PARTITION BY p_eid)
-                               AS n_channels
+                               AS n_channels,
+                           MIN(event_type) OVER (PARTITION BY p_eid)
+                               AS canon_channel
                     FROM touched)
     SELECT event_type AS channel,
            COUNT(*) AS n_journeys,
            CAST(SUM((p_cents * 1000
                      - (p_cents * 1000) % n_channels)
-                    // n_channels) AS BIGINT) AS shapley_millicents
+                    // n_channels) AS BIGINT) AS shapley_millicents,
+           -- each journey's floor remainder, attributed once to its
+           -- canonical channel: result rows sum exactly to the
+           -- attributed revenue (auditable conservation, round 11)
+           CAST(SUM(CASE WHEN event_type = canon_channel
+                         THEN (p_cents * 1000) % n_channels
+                         ELSE 0 END) AS BIGINT) AS remainder_mc
     FROM shared GROUP BY 1
     ORDER BY shapley_millicents DESC, channel
     """,
     "§2.2 attribution: Shapley-value channel attribution under the "
     "counting coalition game (closed form: each journey's revenue "
     "splits over its DISTINCT channel set) — frequency-immune where "
-    "q210's linear split is not; exact integer millicents",
+    "q210's linear split is not; exact integer millicents with the "
+    "floor remainder emitted so Σ(shares + remainders) = attributed "
+    "revenue row-auditably",
 )
 
 SPECS["q353_fuzzy_join_deletion"] = QuerySpec(

@@ -222,3 +222,44 @@ def test_null_required_field_raises_in_pass(spark, tmp_path, path, value):
     bad = read_geojson(spark, p, GEONET_RESPONSE_SCHEMA)
     with pytest.raises(Exception, match="boundary validation"):
         run_pipeline(bad, KEEP_ALL).count()
+
+
+@pytest.mark.parametrize("codegen", ["true", "false"])
+def test_null_mmi_raises_under_filter_reordering_stress(
+    spark, tmp_path, codegen
+):
+    """Round-11 hardening pin (carried advisor low): the
+    raise-before-null-rejecting-filter guarantee must hold
+    STRUCTURALLY, not via CombineFilters conjunct order. The
+    predicate fields (mmi/quality/time) are rebuilt as
+    raise-on-invalid expressions in validate_features, so whatever
+    order the optimizer evaluates or fuses the filters in — AQE on,
+    whole-stage codegen on AND off, and a RESTRICTIVE config whose
+    mmi >= 5 predicate would otherwise null-reject the row first —
+    a null-mmi feature raises the boundary error instead of being
+    silently dropped."""
+    import json
+
+    from etl_geonet_quakes_spark.quakes import QuakeJobConfig
+
+    with open(FIXTURE) as f:
+        data = json.load(f)
+    data["features"][0]["properties"]["mmi"] = None
+    p = str(tmp_path / "bad_mmi.json")
+    with open(p, "w") as f:
+        json.dump(data, f)
+
+    strict = QuakeJobConfig(
+        min_mmi=5, max_age_minutes=1e12, now_utc_ms=KEEP_ALL.now_utc_ms
+    )
+    old_cg = spark.conf.get("spark.sql.codegen.wholeStage")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        bad = read_geojson(spark, p, GEONET_RESPONSE_SCHEMA)
+        with pytest.raises(Exception, match="boundary validation"):
+            run_pipeline(bad, strict).count()
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old_cg)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

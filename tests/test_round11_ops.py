@@ -148,3 +148,53 @@ def test_mutual_information_factors_survive_int64_overflow(spark, tmp_path):
     except Exception:
         raised = True
     assert raised
+
+
+def _shapley_conservation(spark, sf_dir: str) -> None:
+    """Zero-sum pin (round-11 advisor item): the emitted
+    shapley_millicents + remainder_mc columns must sum EXACTLY to
+    the attributed revenue — p_cents·1000 over purchases with ≥ 1
+    distinct non-purchase channel in the preceding 7 days — computed
+    here independently of the attribution query's split logic."""
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+
+    out = rel.shapley_attribution(spark, sf_dir)
+    tot = out.agg(
+        F.sum(F.col("shapley_millicents") + F.col("remainder_mc")).alias("t")
+    ).collect()[0]["t"]
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    win_us = 7 * 86400 * 1_000_000
+    p = e.filter(F.col("event_type") == "purchase")
+    t = e.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_uid"),
+        F.col("us").alias("t_us"),
+    )
+    attributed = (
+        p.join(
+            t,
+            (F.col("user_id") == F.col("t_uid"))
+            & (F.col("t_us") < F.col("us"))
+            & (F.col("t_us") >= F.col("us") - F.lit(win_us)),
+            "leftsemi",
+        )
+        .agg(F.sum(F.col("cents") * 1000).alias("rev_mc"))
+        .collect()[0]["rev_mc"]
+    )
+    assert tot == attributed, (tot, attributed)
+
+
+def test_shapley_remainder_conserves_revenue_sf0001(spark):
+    _shapley_conservation(spark, "/root/testdata/sf0.001")
+
+
+def test_shapley_remainder_conserves_revenue_sf001(spark):
+    _shapley_conservation(spark, "/root/testdata/sf0.01")

@@ -15,6 +15,12 @@ tools/bench_compare.py diffs two snapshots directly:
 Per-query failures are recorded under "errors" instead of aborting the
 sweep — a broken query should show up as a loud artifact entry, not as
 a missing file.
+
+Round-11 verdict item 7: after the single-run pass, the 20 slowest
+queries get a SECOND run and report min-of-2 — the ±1 s single-run
+wobbles on the expensive tail (the q330-class) stopped needing manual
+adjudication every round. "rerun_top20" in the artifact records both
+runs per re-measured query.
 """
 
 from __future__ import annotations
@@ -54,11 +60,28 @@ def main() -> None:
             f"({len(timings) + len(errors)}/{len(SPECS)})",
             file=sys.stderr,
         )
+    # min-of-2 for the slow tail: re-run the 20 slowest once more and
+    # keep the min — single-run noise there is drift, not plan change
+    rerun: dict[str, list[float]] = {}
+    top20 = sorted(timings, key=lambda k: timings[k], reverse=True)[:20]
+    for name in top20:
+        t0 = time.perf_counter()
+        try:
+            SPECS[name].fn(spark, SF_DIR).count()
+            second = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[name] = f"rerun: {type(exc).__name__}: {exc}"[:300]
+            continue
+        rerun[name] = [timings[name], second]
+        timings[name] = min(timings[name], second)
+        print(f"# rerun {name}: {rerun[name]} -> {timings[name]}s",
+              file=sys.stderr)
     artifact = {
         "metric": "full_registry_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "rerun_top20": rerun,
         "errors": errors,
         "n_queries": len(SPECS),
         "sweep_sec": round(time.perf_counter() - t_sweep, 3),

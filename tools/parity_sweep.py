@@ -8,6 +8,12 @@ diverging rows recorded instead of aborting the sweep.
 
     python tools/parity_sweep.py                    # sf0.1 -> PARITY_sf0.1.json
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/parity_sweep.py OUT.json
+    # subset sweep (e.g. the scale-sensitive class at the tiled sf0.3
+    # fixture — see tools/scale_sensitive.py): comma-separated exact
+    # names in SPARK_GRAFT_QUERIES, or a file of names (one per line)
+    SPARK_GRAFT_QUERIES=q01_pricing_summary,q179_decayed_average \
+        python tools/parity_sweep.py OUT.json
+    SPARK_GRAFT_QUERIES=@/tmp/names.txt python tools/parity_sweep.py OUT.json
 
 Comparison is the test_oracle_parity contract verbatim: sort columns
 by name, canonicalize cells (NaN sentinel, ISO dates, numpy→python),
@@ -33,6 +39,21 @@ from tests.test_oracle_parity import _normalize  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _selected_specs() -> dict:
+    sel = os.environ.get("SPARK_GRAFT_QUERIES")
+    if not sel:
+        return dict(SPECS)
+    if sel.startswith("@"):
+        with open(sel[1:]) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    else:
+        names = [n.strip() for n in sel.split(",") if n.strip()]
+    unknown = [n for n in names if n not in SPECS]
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
+    return {n: SPECS[n] for n in names}
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else (
         f"PARITY_sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}.json"
@@ -45,10 +66,11 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    specs = _selected_specs()
     results: dict[str, dict] = {}
     n_ok = n_bad = n_rows_only = n_err = 0
     t_sweep = time.perf_counter()
-    for name, spec in SPECS.items():
+    for name, spec in specs.items():
         t0 = time.perf_counter()
         try:
             sdf = spec.fn(spark, SF_DIR)
@@ -97,7 +119,7 @@ def main() -> None:
             n_err += 1
         print(
             f"# {name}: {results[name]['status']}"
-            f" ({len(results)}/{len(SPECS)})",
+            f" ({len(results)}/{len(specs)})",
             file=sys.stderr,
         )
 
@@ -108,7 +130,8 @@ def main() -> None:
         "n_mismatch": n_bad,
         "n_error": n_err,
         "n_rows_only": n_rows_only,
-        "n_total": len(SPECS),
+        "n_total": len(specs),
+        "selection": os.environ.get("SPARK_GRAFT_QUERIES"),
         "sweep_sec": round(time.perf_counter() - t_sweep, 3),
         "queries": results,
     }
