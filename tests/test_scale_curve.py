@@ -3,15 +3,36 @@ scales (SCALE.md round-7/8 curves): a silent regression in the LSH
 banding, the containment prefix/positional filter, or the k-prefix
 match-count filter — or a fixture regeneration that changes the
 density story the curves document — fails here before any driver
-run."""
+run.
+
+Round 11 adds a THIRD scale point: the deterministic sf0.3 tiling of
+sf0.1 (tools/make_scale_fixture.py — regenerate with
+``python tools/make_scale_fixture.py`` if testdata_local/ is absent;
+the sf0.3 tests skip, loudly, when it is). Two points cannot
+distinguish n·log n from n^1.3; the tiled point holds the data
+DISTRIBUTION fixed while tripling volume, so every within-tile
+structural metric must land at exactly ~3x its sf0.1 value and every
+saturation constant must stay FLAT — pinned in SF03_* below."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.llm import dedup
+
+SF03 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "testdata_local",
+    "sf0.3",
+)
+needs_sf03 = pytest.mark.skipif(
+    not os.path.isdir(SF03),
+    reason="sf0.3 tiling absent — python tools/make_scale_fixture.py",
+)
 
 # (sf_dir, expected minhash band-bucket pairs, expected containment
 # candidates at the default k=3 prefix) — measured by
@@ -243,6 +264,105 @@ def test_candidate_generator_volumes_pinned(spark, sf_dir, apriori,
     all_pairs = n_docs * (n_docs - 1) // 2
     assert got_h["minhash_candidates"] < all_pairs / 100
     assert got_h["simhash_candidates"] < all_pairs / 100
+
+
+# ---- round-11: third scale point (sf0.3 = deterministic 3x tiling
+# of sf0.1; measured 2026-08-15 after the word-identity-mapping fix —
+# the first positional perturbation damped near-dup structure and the
+# graph came out FLAT, which is exactly the failure mode a third point
+# exists to catch). Within-tile structure replicates exactly, so:
+#   graph pairs   147,839 -> 443,762   (3.0017x; +245 cross-tile rows)
+#   apriori pairs 984,487 -> 2,953,461 (3.0001x; triples SATURATED at
+#                                       C(25,3)=2300 at a third SF)
+#   linkpred edges 3,573 -> 10,719     (3.0x; negatives 9.0x = n²/2B
+#                                       BY CONSTRUCTION, balance 1.0)
+#   strdist kernel tier FLAT (|D|=64, 2,008 gated DP evals, 552
+#                             broadcast pairs) while output grows 9.05x
+#                             — the Θ(output) floor, now at three SFs
+#   minhash/simhash candidates 14,157/15,958 — 7.8x/8.2x (cross-tile
+#     band collisions on the tiny shared vocabulary are real
+#     candidates, honestly counted) yet still < all-pairs/1000: the
+#     verify tier, not the candidate tier, is what grows superlinearly
+#     on this corpus, and it grows with TRUE pairs (the graph's 3.0x).
+SF03_GRAPH = {
+    "n_pairs": 443762,
+    "n_vertices": 10433,
+    "pagerank_round_rows": 887524,
+    "tri_wedge_rows": 13933192,
+    "linkpred_wedge_rows": 50217882,
+    "labelprop_labeled_r1": 7852,
+    "labelprop_labeled_r2": 694,
+    "kcore_removed_r1": 935,
+    "kcore_removed_r2": 16,
+    "kcore_removed_r3": 0,
+    "kcore_removed_r4": 0,
+}
+SF03_STRDIST = {
+    "n_rows": 60000,
+    "n_distinct": 64,
+    "distinct_lev_pairs": 2008,
+    "qualifying_ordered_pairs": 552,
+    "output_pairs": 9785103,
+}
+SF03_APRIORI = {"n_baskets": 441708, "pair_rows": 2953461, "l2_size": 300,
+                "l2_items": 25, "cand_triples": 2300}
+SF03_LINKPRED = {"n_nodes": 17766, "n_edges": 10719,
+                 "neg_candidate_pairs": 2465705, "n_negs": 2465530,
+                 "balance_ratio": 1.0}
+SF03_LSH = {"minhash_candidates": 14157, "simhash_candidates": 15958}
+
+
+@needs_sf03
+def test_third_scale_point_growth_certificates(spark):
+    """The three-point certificates: exact pins at the tiled sf0.3
+    plus the growth-law assertions a 2-point curve could not make."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    got_g = dedup.graph_volume_metrics(spark, SF03)
+    assert got_g == SF03_GRAPH
+    # LINEAR in tiles: within 0.5% of 3x the pinned sf0.1 value
+    assert abs(got_g["n_pairs"] / (3 * 147839) - 1) < 0.005
+    assert got_g["tri_wedge_rows"] <= (2 * got_g["n_pairs"]) ** 1.5
+    assert got_g["kcore_removed_r4"] == 0
+
+    got_s = rel.string_distance_volume_metrics(spark, SF03)
+    assert got_s == SF03_STRDIST
+    # the kernel tier is corpus-size-INDEPENDENT at a third point:
+    # same 64 names, same 2,008 gated DP evals, same 552-pair
+    # broadcast across 20k -> 60k rows; only output grows (9.05x —
+    # cross-tile same-name pairs are true output, the Θ(output) floor)
+    assert (got_s["n_distinct"], got_s["distinct_lev_pairs"],
+            got_s["qualifying_ordered_pairs"]) == (64, 2008, 552)
+
+    got_a = rel.apriori_volume_metrics(spark, SF03)
+    assert got_a == SF03_APRIORI
+    # pair explosion stays LINEAR in baskets (ratio pinned ~6.7/basket
+    # at sf0.01, sf0.1 AND sf0.3); candidate triples saturated at the
+    # brand-domain bound for the third consecutive SF
+    assert got_a["pair_rows"] < 8 * got_a["n_baskets"]
+    assert got_a["cand_triples"] == 2300
+
+    got_l = rel.linkpred_volume_metrics(spark, SF03)
+    assert got_l == SF03_LINKPRED
+    assert 0.95 <= got_l["balance_ratio"] <= 1.05
+
+    got_h = dedup.lsh_volume_metrics(spark, SF03)
+    assert got_h == SF03_LSH
+    n_docs = load_table(spark, SF03, "documents").count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert got_h["minhash_candidates"] < all_pairs / 1000
+    assert got_h["simhash_candidates"] < all_pairs / 1000
+
+
+@needs_sf03
+def test_third_scale_point_containment_candidates(spark):
+    """k-prefix containment candidates at sf0.3: the min_matches=3
+    filter keeps candidates within ~4x of the sf0.1 count on 3x docs
+    (cross-tile containment residue), vs 273k for the theorem-minimal
+    k=1 prefix — the filter's value compounds with scale."""
+    assert dedup.containment_candidates(spark, SF03, min_matches=1).count() == 273147
+    assert dedup.containment_candidates(spark, SF03, min_matches=3).count() == 1965
+    assert dedup.prefix_filter_candidates(spark, SF03, min_matches=3).count() == 2164
 
 
 @pytest.mark.parametrize("sf_dir,expect", GRAPH_EXPECT)

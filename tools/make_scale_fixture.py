@@ -17,13 +17,22 @@ Tile construction (T = 3 tiles, tile 0 = the sf0.1 rows verbatim):
 - `region`/`nation` are DOMAIN tables — single copy (as in TPC-H,
   nation/region don't scale with SF), so nationkey references stay
   valid from every tile;
-- `documents.text` in tiles > 0 gets every 4th word suffixed with
-  `~<tile>` (positions i ≡ tile-1 (mod 4)): each replaced word kills
-  its ≤3 covering 3-shingles, dropping cross-tile Jaccard to ~0.14 —
-  far below the 0.7 near-dup threshold — so near-dup CLIQUE structure
-  replicates per-tile instead of tripling clique sizes, keeping
-  candidate growth the linear story the certificates pin. `n_chars`
-  is recomputed (the source invariant n_chars = length(text) holds);
+- `documents.text` in tiles > 0 goes through a WORD-IDENTITY mapping:
+  words whose crc32 ≡ tile-1 (mod 4) are suffixed `~<tile>` — an
+  injective per-tile vocabulary renaming, NOT positional. Injective
+  word mapping preserves within-tile shingle-set overlap EXACTLY
+  (shared shingles map to shared shingles, distinct stay distinct),
+  so every tile reproduces the sf0.1 near-dup pair/clique structure
+  verbatim and within-tile dedup volumes triple EXACTLY; across
+  tiles, ~50% of tokens differ between any two tiles' copies of a
+  doc (disjoint crc32 classes), so 3-shingle Jaccard falls to ~0.07
+  ≪ the 0.7 threshold and cross-tile duplicates break. (A first cut
+  used positional every-4th-word replacement; it misaligned between
+  near-dup pairs and silently DAMPED the structure — graph pairs
+  came out flat instead of 3x. Identity mapping is the fix; the
+  measured 3x growth is pinned in tests/test_scale_curve.py.)
+  `n_chars` is recomputed (the source invariant n_chars =
+  length(text) holds);
 - `embeddings.embedding` in tile t is rotated by t positions (norms
   and within-tile geometry preserved; cross-tile cosine structure
   decorrelated);
@@ -71,10 +80,12 @@ TABLES = list(DOMAIN_TABLES) + list(KEY_COLS)
 
 
 def _perturb_text(text: str, tile: int) -> str:
-    words = text.split(" ")
+    from zlib import crc32  # deterministic, unlike PYTHONHASHSEED hash()
+
     off = (tile - 1) % 4
     return " ".join(
-        f"{w}~{tile}" if i % 4 == off else w for i, w in enumerate(words)
+        f"{w}~{tile}" if crc32(w.encode()) % 4 == off else w
+        for w in text.split(" ")
     )
 
 
