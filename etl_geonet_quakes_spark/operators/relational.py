@@ -2687,10 +2687,14 @@ def winsorize(spark: SparkSession, sf_dir: str,
     step that tames outliers without dropping rows (q113 flags them;
     this bounds them).
 
-    Determinism: exact interpolated percentile ≡ quantile_cont
-    cross-engine (the q113 precedent); the winsorized sum is ONE
-    fixed expression tree — n_low·p05 + n_high·p95 + exact-decimal
-    mid-sum — over identical doubles, so no fold-order drift.
+    Determinism (REVISED round 11): percentile ≡ quantile_cont is
+    NOT true under ties — DuckDB interpolates (1−f)·v_lo + f·v_hi,
+    one ulp off Spark's v_lo + f·(v_hi−v_lo) when v_lo == v_hi, and
+    the sf0.3 sweep caught three tied fence rows flipping the n_low
+    count. The oracle now evaluates Spark's exact interpolation
+    expression itself (queries._exact_quantile_sql); the winsorized
+    sum stays ONE fixed expression tree — n_low·p05 + n_high·p95 +
+    exact-decimal mid-sum — over identical doubles.
 
     At scale: two passes over the group (percentile agg, then the
     clip accounting) with the tiny per-group fences broadcast back —
@@ -2973,9 +2977,12 @@ def rolling_median(spark: SparkSession, sf_dir: str, frame: int = 6) -> DataFram
     median shrugs).
 
     Exact interpolated percentile over a bounded ROWS frame (≤7
-    values of state); the q113 precedent pins percentile ≡
-    quantile_cont cross-engine, and a ≤7-value interpolated median
-    is reproducible double arithmetic. Frames are user-partitioned —
+    values of state); the oracle rounds the emitted median to 6dp,
+    which absorbs the one-ulp tied-fence divergence between Spark's
+    and DuckDB's interpolation forms (value-emitting use — COUNTING
+    against a fence would need queries._exact_quantile_sql, see
+    q141), and a ≤7-value interpolated median is reproducible double
+    arithmetic. Frames are user-partitioned —
     bounded at any scale, never a global sort."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -3480,9 +3487,11 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     take" readout that q103's funnel (how many convert) doesn't give.
 
     Latencies are exact integer seconds (microsecond timestamps
-    subtracted then DIV 10^6 — no float time math); percentiles use
-    the q113-proven exact interpolated percentile ≡ quantile_cont
-    parity; the mean divides an exact integer sum. Non-converting
+    subtracted then DIV 10^6 — no float time math); the emitted
+    percentiles are VALUES rounded to 6dp (absorbing the tied-fence
+    one-ulp quantile_cont divergence, see q141 — counting against a
+    fence would need queries._exact_quantile_sql); the mean divides
+    an exact integer sum. Non-converting
     users simply drop out of the min-agg join (no nulls to police).
 
     At scale: two user-keyed filtered min-aggs (first click, first
@@ -3635,8 +3644,11 @@ def trimmed_mean(spark: SparkSession, sf_dir: str,
     robust-location triplet closer (q113 FLAGS outliers, q141 CLIPS
     them, this REMOVES them; olympic scoring / robust KPI baseline).
 
-    Determinism: fences are exact interpolated percentiles (the q113
-    quantile_cont parity); the kept-row mean is an exact decimal sum
+    Determinism: fences are exact interpolated percentiles computed
+    with the SAME expression on both engines (the oracle uses
+    queries._exact_quantile_sql — quantile_cont flips tied fence
+    rows by one ulp, the q141 sf0.3 find); the kept-row mean is an
+    exact decimal sum
     over rows selected by identical fence comparisons, divided by an
     exact count — bit-identical.
 
@@ -4945,8 +4957,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str,
     CRM cohort cube built the scale-safe way: NO ntile (a global
     single-task sort); scores come from comparing each customer's
     exact integer statistic against four interpolated quintile
-    fences computed in ONE percentile aggregate (the q113
-    percentile/quantile_cont cross-engine parity), so scoring is an
+    fences computed in ONE percentile aggregate; the oracle computes
+    each fence with Spark's exact interpolation expression
+    (queries._exact_quantile_sql) because integer rec/freq/mon are
+    massively TIED at every fence — the one-ulp quantile_cont flip
+    class the sf0.3 sweep caught on q141. Scoring stays an
     embarrassingly-parallel projection.
 
     score = 1 + Σ (v > fence_i) for the higher-is-better dimensions;

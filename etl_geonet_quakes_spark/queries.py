@@ -410,6 +410,42 @@ WHERE rnk <= {k} ORDER BY query_id, rnk
 _DSUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
 _TS = "CAST(ts AS TIMESTAMP)"  # events.ts is TIMESTAMP_NS in DuckDB; µs in Spark
 
+
+def _exact_quantile_sql(src: str, keys: str, col: str, p: float) -> str:
+    """Subquery computing the exact interpolated quantile of ``col``
+    per ``keys`` (or globally when ``keys`` is empty) with SPARK'S OWN
+    expression tree: fence = v_lo + frac · (v_hi − v_lo), pos =
+    p·(n−1), frac = pos − floor(pos) (Percentile.getPercentile in
+    Catalyst). The round-11 sf0.3 sweep proved quantile_cont is NOT a
+    parity oracle for fence-COUNTING queries: DuckDB interpolates as
+    (1−frac)·v_lo + frac·v_hi, which for TIED fence values (v_lo ==
+    v_hi == x) returns (1−f)x + fx ≠ x by one ulp, flipping every row
+    tied at the fence across a `v < fence` test (q141 at sf0.3:
+    n_low 456 vs 459 — three tied copies of −443.45 at the
+    interpolation index). Spark's form yields v_lo EXACTLY under
+    ties, and under v_lo < v_hi both engines evaluate the identical
+    IEEE expression — so oracles that COUNT or BIN against a fence
+    must use this, never quantile_cont. Value-emitting uses rounded
+    to 6dp keep quantile_cont (a 1-ulp wobble survives rounding)."""
+    key_sel = f"{keys}, " if keys else ""
+    part = f"PARTITION BY {keys} " if keys else ""
+    group = f"GROUP BY {keys}" if keys else ""
+    return f"""(
+      SELECT {key_sel}vlo + (pos - FLOOR(pos)) * (COALESCE(vhi, vlo) - vlo)
+                 AS fence
+      FROM (SELECT {key_sel}
+                   MAX(CASE WHEN r = CAST(FLOOR(pos) AS BIGINT)
+                            THEN v END) AS vlo,
+                   MAX(CASE WHEN r = CAST(FLOOR(pos) AS BIGINT) + 1
+                            THEN v END) AS vhi,
+                   MAX(pos) AS pos
+            FROM (SELECT {key_sel}{col} AS v,
+                         ROW_NUMBER() OVER ({part}ORDER BY {col}) - 1 AS r,
+                         {p!r} * (COUNT(*) OVER ({part.rstrip()}) - 1) AS pos
+                  FROM {src})
+            {group})
+    )"""
+
 # Guarded distinct 3-word shingles — the exact SQL mirror of
 # llm.dedup.shingles_str (docs shorter than 3 tokens contribute the
 # whole document as one shingle).
@@ -2503,19 +2539,21 @@ SPECS["q112_scd2_intervals"] = QuerySpec(
 
 SPECS["q113_robust_outliers"] = QuerySpec(
     rel.robust_outliers,
-    """
-    -- replay of median/MAD modified z-scores: quantile_cont matches
-    -- Spark's exact interpolated percentile(); NULLIF guards MAD=0;
-    -- z rounded 6dp (the filter uses the rounded value on both
-    -- engines so boundary rows cannot diverge).
-    WITH med AS (SELECT c_mktsegment,
-                        quantile_cont(c_acctbal, 0.5) AS med
-                 FROM customer GROUP BY c_mktsegment),
+    f"""
+    -- replay of median/MAD modified z-scores. Both medians use the
+    -- Spark-exact interpolation expression (_exact_quantile_sql):
+    -- quantile_cont wobbles one ulp on TIED fence values (the q141
+    -- sf0.3 find), and a med/mad ulp would propagate into z and can
+    -- flip a 6dp rounding tie at the |z| > 1.2 filter. NULLIF guards
+    -- MAD=0; the filter uses the rounded z on both engines.
+    WITH med AS (SELECT c_mktsegment, fence AS med FROM
+        {_exact_quantile_sql("customer", "c_mktsegment", "c_acctbal", 0.5)}),
     resid AS (SELECT c.c_mktsegment, c.c_custkey, c.c_acctbal, m.med
               FROM customer c JOIN med m USING (c_mktsegment)),
-    mad AS (SELECT c_mktsegment,
-                   quantile_cont(abs(c_acctbal - med), 0.5) AS mad
-            FROM resid GROUP BY c_mktsegment)
+    mad AS (SELECT c_mktsegment, fence AS mad FROM
+        {_exact_quantile_sql(
+            "(SELECT c_mktsegment, abs(c_acctbal - med) AS av FROM resid)",
+            "c_mktsegment", "av", 0.5)})
     SELECT r.c_mktsegment, r.c_custkey, r.c_acctbal,
            ROUND(0.6745 * (r.c_acctbal - r.med)
                  / NULLIF(m.mad, 0.0), 6) AS robust_z
@@ -3363,11 +3401,17 @@ SPECS["q140_weighted_median"] = QuerySpec(
 
 SPECS["q141_winsorize"] = QuerySpec(
     rel.winsorize,
-    """
-    WITH p AS (SELECT c_mktsegment,
-                      quantile_cont(c_acctbal, 0.05) AS f05,
-                      quantile_cont(c_acctbal, 0.95) AS f95
-               FROM customer GROUP BY c_mktsegment),
+    f"""
+    -- fences via the Spark-exact interpolation expression (see
+    -- _exact_quantile_sql: quantile_cont diverges by one ulp on TIED
+    -- fence values, flipping tied rows across the v < fence count —
+    -- caught by the round-11 sf0.3 sweep, n_low 456 vs 459)
+    WITH q05 AS (SELECT c_mktsegment, fence AS f05 FROM
+        {_exact_quantile_sql("customer", "c_mktsegment", "c_acctbal", 0.05)}),
+         q95 AS (SELECT c_mktsegment, fence AS f95 FROM
+        {_exact_quantile_sql("customer", "c_mktsegment", "c_acctbal", 0.95)}),
+         p AS (SELECT c_mktsegment, f05, f95
+               FROM q05 JOIN q95 USING (c_mktsegment)),
          j AS (SELECT c.c_mktsegment AS seg, c_acctbal AS v, f05, f95
                FROM customer c JOIN p USING (c_mktsegment))
     SELECT seg AS c_mktsegment, COUNT(*) AS n,
@@ -3387,7 +3431,8 @@ SPECS["q141_winsorize"] = QuerySpec(
     FROM j GROUP BY seg ORDER BY c_mktsegment
     """,
     "§2.2 robust preprocessing: per-group winsorization at exact "
-    "interpolated p05/p95 (quantile_cont parity per q113) — clip "
+    "interpolated p05/p95 (Spark-exact fence expression in the "
+    "oracle — see _exact_quantile_sql) — clip "
     "accounting + a single fixed expression tree for the winsorized "
     "sum (n_low·p05 + n_high·p95 + exact-decimal mid), no fold drift",
 )
@@ -4146,11 +4191,15 @@ SPECS["q167_welch_t_test"] = QuerySpec(
 
 SPECS["q168_trimmed_mean"] = QuerySpec(
     rel.trimmed_mean,
-    """
-    WITH p AS (SELECT c_mktsegment,
-                      quantile_cont(c_acctbal, 0.1) AS f_lo,
-                      quantile_cont(c_acctbal, 0.9) AS f_hi
-               FROM customer GROUP BY c_mktsegment),
+    f"""
+    -- fence-COUNTING oracle: Spark-exact interpolation, never
+    -- quantile_cont (the q141 tied-fence ulp class, round 11)
+    WITH qlo AS (SELECT c_mktsegment, fence AS f_lo FROM
+        {_exact_quantile_sql("customer", "c_mktsegment", "c_acctbal", 0.1)}),
+         qhi AS (SELECT c_mktsegment, fence AS f_hi FROM
+        {_exact_quantile_sql("customer", "c_mktsegment", "c_acctbal", 0.9)}),
+         p AS (SELECT c_mktsegment, f_lo, f_hi
+               FROM qlo JOIN qhi USING (c_mktsegment)),
          j AS (SELECT c.c_mktsegment, c_acctbal, f_lo, f_hi
                FROM customer c JOIN p USING (c_mktsegment))
     SELECT c_mktsegment, COUNT(*) AS n,
@@ -5524,7 +5573,11 @@ SPECS["q212_local_clustering"] = QuerySpec(
 
 SPECS["q213_rfm_segmentation"] = QuerySpec(
     rel.rfm_segmentation,
-    """
+    f"""
+    -- quintile fences BIN every customer, so they use the Spark-exact
+    -- interpolation expression (_exact_quantile_sql), not
+    -- quantile_cont: integer rec/freq/mon are massively TIED at every
+    -- fence, exactly the one-ulp flip class the sf0.3 sweep caught
     WITH per_c AS (SELECT o_custkey,
                           datediff('day', CAST(MAX(o_orderdate) AS DATE),
                                    DATE '1998-12-31') AS rec,
@@ -5532,23 +5585,32 @@ SPECS["q213_rfm_segmentation"] = QuerySpec(
                           CAST(SUM(CAST(ROUND(o_totalprice * 100)
                                         AS BIGINT)) AS BIGINT) AS mon
                    FROM orders GROUP BY 1),
-         f AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS fr,
-                      quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS ff,
-                      quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS fm
-               FROM per_c),
+         f AS (SELECT
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "rec", 0.2)}) AS fr1,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "rec", 0.4)}) AS fr2,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "rec", 0.6)}) AS fr3,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "rec", 0.8)}) AS fr4,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "freq", 0.2)}) AS ff1,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "freq", 0.4)}) AS ff2,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "freq", 0.6)}) AS ff3,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "freq", 0.8)}) AS ff4,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "mon", 0.2)}) AS fm1,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "mon", 0.4)}) AS fm2,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "mon", 0.6)}) AS fm3,
+    (SELECT fence FROM {_exact_quantile_sql("per_c", "", "mon", 0.8)}) AS fm4),
          s AS (SELECT o_custkey, mon,
-                      6 - (1 + CAST(rec > fr[1] AS INT)
-                             + CAST(rec > fr[2] AS INT)
-                             + CAST(rec > fr[3] AS INT)
-                             + CAST(rec > fr[4] AS INT)) AS r_score,
-                      1 + CAST(freq > ff[1] AS INT)
-                        + CAST(freq > ff[2] AS INT)
-                        + CAST(freq > ff[3] AS INT)
-                        + CAST(freq > ff[4] AS INT) AS f_score,
-                      1 + CAST(mon > fm[1] AS INT)
-                        + CAST(mon > fm[2] AS INT)
-                        + CAST(mon > fm[3] AS INT)
-                        + CAST(mon > fm[4] AS INT) AS m_score
+                      6 - (1 + CAST(rec > fr1 AS INT)
+                             + CAST(rec > fr2 AS INT)
+                             + CAST(rec > fr3 AS INT)
+                             + CAST(rec > fr4 AS INT)) AS r_score,
+                      1 + CAST(freq > ff1 AS INT)
+                        + CAST(freq > ff2 AS INT)
+                        + CAST(freq > ff3 AS INT)
+                        + CAST(freq > ff4 AS INT) AS f_score,
+                      1 + CAST(mon > fm1 AS INT)
+                        + CAST(mon > fm2 AS INT)
+                        + CAST(mon > fm3 AS INT)
+                        + CAST(mon > fm4 AS INT) AS m_score
                FROM per_c CROSS JOIN f)
     SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
            CAST(SUM(mon) AS BIGINT) AS total_cents
@@ -5556,7 +5618,7 @@ SPECS["q213_rfm_segmentation"] = QuerySpec(
     """,
     "§2.2 analytics: RFM segmentation cube — quintile scores from ONE "
     "percentile aggregate (no ntile global sort; the q113 "
-    "percentile/quantile_cont parity), scoring as a parallel "
+    "percentile with Spark-exact oracle fences), scoring as a parallel "
     "projection, exact cents; the CRM cohort cube",
 )
 
