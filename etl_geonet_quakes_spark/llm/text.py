@@ -316,8 +316,18 @@ def bm25_topk(
     non-matching tokens) → one (doc_id, token) hash agg; df and the
     corpus stats (N, avgdl) are single-row/terms-sized aggregates
     broadcast back — the fact side streams once, exactly like tf-idf.
-    Ties: identical (tf, dl) profiles produce bit-identical scores on
-    both engines (same expression tree), broken by doc_id."""
+
+    Determinism (round-11 sf1.0 find): the doc score must NOT be a
+    SUM over term scores — hash-agg combine order is nondeterministic
+    on both engines, so two docs with IDENTICAL (tf, dl) profiles can
+    land one ulp apart and flip the unrounded top-k fence (DuckDB's
+    parallel agg even varies run to run). Instead the terms pivot to
+    columns and add in FIXED left-to-right order, avgdl is the exact
+    bigint-sum / count division (one correctly-rounded op, not an
+    order-dependent AVG), and the top-k rank key is the ROUNDED
+    score: identical profiles are now bit-identical within an engine
+    and the selection fence is the 6dp value cross-engine, with
+    doc_id breaking true ties."""
     terms = query.split()
     d = load_table(spark, sf_dir, "documents")
     dl = F.size(tokens(F.col("text"))).cast("double")
@@ -331,7 +341,10 @@ def bm25_topk(
     # Both broadcast — no driver collect, single plan.
     stats = d.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+        (
+            F.sum(F.size(tokens(F.col("text"))).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
     )
     df_ = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
@@ -346,16 +359,22 @@ def bm25_topk(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    per_term = (
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .select("doc_id", "token", term_score.alias("ts"))
+    )
+    # one row per (doc, token) ⇒ first() is exact; fixed-order add
+    wide = per_term.groupBy("doc_id").pivot("token", terms).agg(F.first("ts"))
+    score = F.lit(0.0)
+    for t in terms:
+        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    scored = wide.select(
+        "doc_id", F.round(score, 6).alias("score")
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
-        .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
 

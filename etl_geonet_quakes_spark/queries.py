@@ -2188,7 +2188,13 @@ SPECS["q101_bm25_topk"] = QuerySpec(
     -- replay of Lucene-form BM25 (k1=1.2, b=0.75) for the fixed
     -- query terms, mirrored expression order so identical (tf, dl)
     -- profiles are bit-identical cross-engine; round(6) absorbs the
-    -- ~1-ulp libm ln() spread.
+    -- ~1-ulp libm ln() spread. Round-11 sf1.0 find: the doc score is
+    -- a FIXED-ORDER sum of per-term columns (MAX(CASE) pivot), never
+    -- SUM over term rows — hash-agg combine order made identical
+    -- (tf, dl) profiles land an ulp apart and flip the unrounded
+    -- top-k fence (DuckDB's own parallel agg varies run to run);
+    -- avgdl is the exact bigint-sum / count division and the top-k
+    -- rank key is the ROUNDED score, doc_id breaking true ties.
     WITH tok AS (
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
@@ -2202,24 +2208,33 @@ SPECS["q101_bm25_topk"] = QuerySpec(
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             AVG(len(string_split(text, ' '))) AS avgdl
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
       FROM documents
     ),
     df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
            GROUP BY token),
-    scored AS (
-      SELECT tf.doc_id,
-             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-                 * (tf.tf * 2.2
-                    / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
-             ) AS score
+    per_term AS (
+      SELECT tf.doc_id, tf.token,
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             AS ts
       FROM tf JOIN df USING (token) CROSS JOIN stats s
-      GROUP BY tf.doc_id
     ),
-    top AS (SELECT doc_id, score FROM scored
-            ORDER BY score DESC, doc_id ASC LIMIT 10)
-    SELECT doc_id, round(score, 6) AS score FROM top
-    ORDER BY score DESC, doc_id ASC
+    scored AS (
+      SELECT doc_id,
+             round(0.0
+               + COALESCE(MAX(CASE WHEN token = 'spark' THEN ts END), 0.0)
+               + COALESCE(MAX(CASE WHEN token = 'hash' THEN ts END), 0.0)
+               + COALESCE(MAX(CASE WHEN token = 'join' THEN ts END), 0.0)
+               + COALESCE(MAX(CASE WHEN token = 'window' THEN ts END), 0.0),
+             6) AS score
+      FROM per_term
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
     """,
     "§2.3 text: BM25 retrieval scoring — explode pre-filtered to the "
     "query terms inside the scan stage, single (doc,term) hash agg, "

@@ -375,3 +375,132 @@ def test_graph_volume_metrics_pinned(spark, sf_dir, expect):
     # which is what makes q244's fixed-round contract equal the
     # exact k-core on these corpora
     assert got["kcore_removed_r4"] == 0
+
+
+# ---- round-11b: FOURTH scale point (sf1.0 = deterministic 10x tiling
+# of sf0.1; regenerate with
+# ``python tools/make_scale_fixture.py testdata_local/sf1.0 10``).
+# Measured 2026-08-16. Three points pin the curve's SHAPE; the fourth
+# point is the extrapolation check — every linear metric must land at
+# 10x sf0.1, every by-construction quadratic at ~100x, and every
+# saturation constant FLAT for the fourth time:
+#   graph pairs    147,839 -> 1,480,393  (10.013x; +2,003 cross-tile)
+#   apriori pairs  984,487 -> 9,844,870  (10.0001x; triples SATURATED
+#                                         at C(25,3)=2300, 4th SF)
+#   linkpred edges 3,573 -> 35,730       (10.0x; negatives 99.97x =
+#                                         n^2/2B by construction)
+#   strdist kernel FLAT (|D|=64, 2,008 DP evals) on 10x rows while
+#     output grows 100.8x — the Θ(output) floor at a fourth SF
+#   minhash/simhash candidates 106,191/169,393 — SUPERLINEAR (58.8x/
+#     86.9x) and honestly so: with 10 tiles the crc32 mod-4 renaming
+#     classes repeat (tiles {1,5,9},{2,6},{3,7},{4,8} share a class),
+#     so same-class tile pairs sit at shingle-Jaccard ~0.27 — far
+#     below the 0.7 dedup threshold (they are TRUE negatives and the
+#     pair graph stays linear) but close enough to collide in single
+#     bands. Still minhash < all-pairs/10,000 and simhash ~1/7,400 of
+#     all-pairs: the candidate tier absorbs a
+#     10x corpus with banding-collision growth, the verify tier stays
+#     bounded by true structure. This is the fixture artifact the
+#     MANIFEST documents, not engine behavior.
+SF10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "testdata_local",
+    "sf1.0",
+)
+# ~12 min of volume counting at 6M lineitem / 50k docs: opt-in (the
+# artifact of record is the pinned values below + PARITY_sf1.0_*.json;
+# re-verify with SPARK_GRAFT_SF10_CERTS=1 after regenerating the
+# fixture), never a silent cost in the default suite run.
+needs_sf10 = pytest.mark.skipif(
+    not (os.environ.get("SPARK_GRAFT_SF10_CERTS") and os.path.isdir(SF10)),
+    reason="sf1.0 certificates are opt-in: regenerate the fixture with "
+    "`python tools/make_scale_fixture.py testdata_local/sf1.0 10` and "
+    "run with SPARK_GRAFT_SF10_CERTS=1",
+)
+
+SF10_GRAPH = {
+    "n_pairs": 1480393,
+    "n_vertices": 34673,
+    "pagerank_round_rows": 2960786,
+    "tri_wedge_rows": 46445779,
+    "linkpred_wedge_rows": 167398115,
+    "labelprop_labeled_r1": 26498,
+    "labelprop_labeled_r2": 2354,
+    "kcore_removed_r1": 1590,
+    "kcore_removed_r2": 50,
+    "kcore_removed_r3": 0,
+    "kcore_removed_r4": 0,
+}
+SF10_STRDIST = {
+    "n_rows": 200000,
+    "n_distinct": 64,
+    "distinct_lev_pairs": 2008,
+    "qualifying_ordered_pairs": 552,
+    "output_pairs": 108956700,
+}
+SF10_APRIORI = {"n_baskets": 1472360, "pair_rows": 9844870, "l2_size": 300,
+                "l2_items": 25, "cand_triples": 2300}
+SF10_LINKPRED = {"n_nodes": 59220, "n_edges": 35730,
+                 "neg_candidate_pairs": 27400932, "n_negs": 27400393,
+                 "balance_ratio": 1.0}
+SF10_LSH = {"minhash_candidates": 106191, "simhash_candidates": 169393}
+
+
+@needs_sf10
+def test_fourth_scale_point_growth_certificates(spark):
+    """The four-point certificates: exact pins at the 10x tiling.
+    Linear metrics at 10x, by-construction quadratics at ~100x,
+    saturation constants FLAT — extrapolation, not interpolation."""
+    from etl_geonet_quakes_spark.operators import relational as rel
+
+    got_g = dedup.graph_volume_metrics(spark, SF10)
+    assert got_g == SF10_GRAPH
+    assert got_g["tri_wedge_rows"] <= (2 * got_g["n_pairs"]) ** 1.5
+    assert got_g["kcore_removed_r4"] == 0
+
+    got_s = rel.string_distance_volume_metrics(spark, SF10)
+    assert got_s == SF10_STRDIST
+
+    got_a = rel.apriori_volume_metrics(spark, SF10)
+    assert got_a == SF10_APRIORI
+
+    got_l = rel.linkpred_volume_metrics(spark, SF10)
+    assert got_l == SF10_LINKPRED
+
+    got_h = dedup.lsh_volume_metrics(spark, SF10)
+    assert got_h == SF10_LSH
+    n_docs = load_table(spark, SF10, "documents").count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    # same bound family as the third point: minhash lands below
+    # all-pairs/10,000; simhash's wider banding sits at ~1/7,400
+    assert got_h["minhash_candidates"] < all_pairs / 10000
+    assert got_h["simhash_candidates"] < all_pairs / 1000
+
+
+@needs_sf10
+def test_fourth_scale_point_containment_candidates(spark):
+    assert dedup.containment_candidates(spark, SF10, min_matches=1).count() == 918985
+    assert dedup.containment_candidates(spark, SF10, min_matches=3).count() == 6635
+    assert dedup.prefix_filter_candidates(spark, SF10, min_matches=3).count() == 4379
+
+
+@needs_sf03
+def test_bm25_identical_profiles_bit_identical_sf03(spark):
+    """Round-11 sf1.0 regression (q101): tiled copies of a document
+    whose query terms survive the per-tile renaming have IDENTICAL
+    (tf, dl) profiles, so their BM25 scores must be exactly equal —
+    the original SUM-over-term-rows scoring let hash-agg combine
+    order split identical profiles by one ulp and flip the unrounded
+    top-k fence (DuckDB's parallel agg even varied run to run). The
+    fixed-order pivot scoring makes profile groups byte-identical;
+    selection is on the rounded score with doc_id tiebreak."""
+    from etl_geonet_quakes_spark.llm import text as t
+
+    top = t.bm25_topk(spark, SF03, k=30).collect()
+    by_tile_class = {}
+    for r in top:
+        by_tile_class.setdefault(r["doc_id"] % 10**9, set()).add(r["score"])
+    # every tiled copy of the same base doc that reached the top-30
+    # carries exactly one distinct score
+    multi = {k: v for k, v in by_tile_class.items() if len(v) > 1}
+    assert multi == {}, multi
