@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_geonet_quakes_spark.functions import knuth_mod32
 from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.llm.text import ngram_join, tokens
 from etl_geonet_quakes_spark.operators.prefix import two_phase_cumsum
@@ -447,9 +448,7 @@ def mixture_sample(
         ).alias("r_s"),
     )
     h = (
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast(
-            "double"
-        )
+        knuth_mod32(F.col("doc_id"), 2654435761).cast("double")
         / F.lit(4294967296.0)
     )
     return (
@@ -484,7 +483,7 @@ def group_reservoir(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     two-phase top-k (per-partition local top-k, then merge) is the
     drop-in; at fixture scale Spark's WindowExec + filter is optimal."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = knuth_mod32(F.col("doc_id"), 2654435761)
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.withColumn("rank_in_source", F.row_number().over(w))
@@ -508,7 +507,7 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg. Nothing else; the split column itself is free at any
     scale."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10)
+    bucket = knuth_mod32(F.col("doc_id"), 2654435761) % F.lit(10)
     split = (
         F.when(bucket < 8, F.lit("train"))
         .when(bucket < 9, F.lit("val"))
@@ -546,7 +545,7 @@ def cluster_sample(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
     from etl_geonet_quakes_spark.llm.dedup import cluster_labels
 
     labels = cluster_labels(spark, sf_dir)
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = knuth_mod32(F.col("doc_id"), 2654435761)
     w = Window.partitionBy("lbl").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         labels.withColumn("rank_in_cluster", F.row_number().over(w))

@@ -915,14 +915,18 @@ def rrf_hybrid_fusion(
     Cormack et al. 2009): rrf(d) = Σ_r 1/(k + rank_r(d)) over the
     rankings that contain d, top-``topn`` by fused score.
 
-    Determinism: both rankings order by (unrounded score DESC, id
-    ASC) exactly as their certified parents (q101/q43 precedent —
-    identical fold shapes make the pre-round doubles match
-    cross-engine); the fused score is a FIXED two-term sum of exact
-    reciprocals of integer ranks, rounded 6dp. Docs and vectors
-    align by doc_id = vec_id; a document missing from one ranking
-    simply contributes that ranking's term as 0 (full outer join +
-    coalesce — absence is information, not an error).
+    Determinism: the LEXICAL ranking keys on the 6dp-ROUNDED
+    fixed-order BM25 score (q101's round-11 repair — a SUM over term
+    rows let hash-agg combine order split identical (tf, dl) profiles
+    by one ulp and shuffle mid-list ranks at the sf1.0 tiling, where
+    tiled copies tie by construction); the SEMANTIC ranking keys on
+    the unrounded cosine, which is a per-row fixed-order array fold
+    (no combine-order hazard). Ties break by doc_id. The fused score
+    is a FIXED two-term sum of exact reciprocals of integer ranks,
+    rounded 6dp. Docs and vectors align by doc_id = vec_id; a
+    document missing from one ranking simply contributes that
+    ranking's term as 0 (full outer join + coalesce — absence is
+    information, not an error).
 
     Scale: each ranking is its parent's shape (scan-stage explode +
     broadcast stats for BM25; broadcast query vector for cosine);
@@ -941,17 +945,21 @@ def rrf_hybrid_fusion(
     )
     stats = d.agg(
         F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
     )
     dfreq = tf.groupBy("token").agg(
         F.count("*").cast("double").alias("df")
     )
-    lex_scored = (
+    per_term = (
         tf.join(F.broadcast(dfreq), "token")
         .join(F.broadcast(stats), F.lit(True))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
+        .select(
+            "doc_id",
+            "token",
+            (
                 F.log(
                     F.lit(1.0)
                     + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -968,8 +976,20 @@ def rrf_hybrid_fusion(
                         )
                     )
                 )
-            ).alias("lex_score")
+            ).alias("ts"),
         )
+    )
+    # q101's fixed-order pivot: one row per (doc, token) ⇒ first() is
+    # exact; the add runs left-to-right so identical profiles are
+    # bit-identical, and the rank key is the ROUNDED score
+    wide = per_term.groupBy("doc_id").pivot(
+        "token", list(query_terms)
+    ).agg(F.first("ts"))
+    lex_key = F.lit(0.0)
+    for t in query_terms:
+        lex_key = lex_key + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    lex_scored = wide.select(
+        "doc_id", F.round(lex_key, 6).alias("lex_score")
     )
     wl = Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
     lex = lex_scored.select(

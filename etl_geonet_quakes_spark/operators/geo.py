@@ -30,6 +30,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_geonet_quakes_spark.functions import knuth_mod32
 from etl_geonet_quakes_spark.io import load_table
 
 # Wellington, NZ — the reference feed's home audience.
@@ -123,7 +124,8 @@ def _pseudo_coord(key: Column, mult: int, base: float, span: float) -> Column:
     multiplicative hash → exact [0,1) rational → affine map. The
     division and affine arithmetic are doubles over exact integers, so
     every engine computes the identical coordinate."""
-    frac = ((key * F.lit(mult)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    # decimal-path hash: overflow-free at any bigint key (sf1.0 find)
+    frac = knuth_mod32(key, mult) / F.lit(4294967296.0)
     return F.lit(base) + F.lit(span) * frac
 
 

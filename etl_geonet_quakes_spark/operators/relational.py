@@ -36,6 +36,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_geonet_quakes_spark.functions import knuth_mod32
 from etl_geonet_quakes_spark.io import load_table
 from etl_geonet_quakes_spark.operators.prefix import (
     BUCKET_TOTAL,
@@ -2488,9 +2489,7 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str,
     hash (golden-ratio constant) both engines compute exactly in
     64-bit integer space. One narrow scan + a 32-group hash agg."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    part_id = (F.col("l_partkey") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(
-        n_parts
-    )
+    part_id = knuth_mod32(F.col("l_partkey"), 2654435761) % F.lit(n_parts)
     tot = li.agg(F.count("*").alias("n_total"))
     return (
         li.select(part_id.cast("long").alias("part_id"))
@@ -5363,7 +5362,10 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str,
         "n_a",
         "n_b",
         two_u.alias("two_u"),
-        F.round(two_u.cast("double") / 2, 6).alias("u_stat"),
+        # u is a half-integer: exact halving of a BIGINT-cast double
+        # needs NO round — and ROUND(x, 6) at ~1e12 magnitude is
+        # lossy in DuckDB (x·1e6 exceeds 2^53; round-11 sf1.0 find)
+        (two_u.cast("double") / 2).alias("u_stat"),
         F.round(
             (two_u.cast("double") - (F.col("n_a") * F.col("n_b"))
              .cast("double"))

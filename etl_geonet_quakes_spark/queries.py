@@ -2965,7 +2965,7 @@ SPECS["q124_mixture_sample"] = QuerySpec(
     SELECT d.doc_id, d.source, r.n_s AS n_source,
            ROUND(r.r_s, 6) AS keep_rate
     FROM documents d JOIN r ON d.source = r.source
-    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+    WHERE CAST((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 AS DOUBLE)
               / 4294967296.0 < r.r_s
     ORDER BY d.doc_id
     """,
@@ -3248,7 +3248,7 @@ SPECS["q134_group_reservoir"] = QuerySpec(
     corpus.group_reservoir,
     """
     WITH h AS (SELECT source, doc_id,
-                      (doc_id * 2654435761) % 4294967296 AS hh
+                      (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hh
                FROM documents),
          r AS (SELECT source, doc_id,
                       CAST(row_number() OVER (PARTITION BY source
@@ -3286,7 +3286,7 @@ SPECS["q135_equidepth_histogram"] = QuerySpec(
 SPECS["q136_partition_skew_audit"] = QuerySpec(
     rel.partition_skew_audit,
     """
-    WITH p AS (SELECT ((l_partkey * 2654435761) % 4294967296) % 32
+    WITH p AS (SELECT ((CAST(l_partkey AS HUGEINT) * 2654435761) % 4294967296) % 32
                    AS part_id FROM lineitem),
          t AS (SELECT COUNT(*) AS n_total FROM p)
     SELECT part_id, COUNT(*) AS n_rows,
@@ -3460,15 +3460,15 @@ SPECS["q142_spatial_join"] = QuerySpec(
     -- complete BY GEOMETRY at these latitudes: 25 km < 0.5-degree
     -- cell in both axes); same pseudo-coordinate hash.
     WITH c AS (SELECT c_custkey AS custkey,
-                      -47.0 + 13.0 * (((c_custkey * 2654435761)
+                      -47.0 + 13.0 * (((CAST(c_custkey AS HUGEINT) * 2654435761)
                           % 4294967296) / 4294967296.0) AS clat,
-                      166.0 + 13.0 * (((c_custkey * 2246822519)
+                      166.0 + 13.0 * (((CAST(c_custkey AS HUGEINT) * 2246822519)
                           % 4294967296) / 4294967296.0) AS clon
                FROM customer),
          s AS (SELECT s_suppkey AS suppkey,
-                      -47.0 + 13.0 * (((s_suppkey * 2654435761)
+                      -47.0 + 13.0 * (((CAST(s_suppkey AS HUGEINT) * 2654435761)
                           % 4294967296) / 4294967296.0) AS slat,
-                      166.0 + 13.0 * (((s_suppkey * 2246822519)
+                      166.0 + 13.0 * (((CAST(s_suppkey AS HUGEINT) * 2246822519)
                           % 4294967296) / 4294967296.0) AS slon
                FROM supplier),
          p AS (SELECT suppkey, custkey, slat, slon, clat, clon,
@@ -3791,9 +3791,9 @@ SPECS["q153_train_split"] = QuerySpec(
     corpus.train_split,
     """
     WITH d AS (SELECT CASE
-                        WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+                        WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10 < 8
                             THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9
+                        WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 10 < 9
                             THEN 'val'
                         ELSE 'test' END AS split,
                       source,
@@ -3814,7 +3814,7 @@ SPECS["q154_cluster_sample"] = QuerySpec(
     _CLUSTER_CTE
     + """
     , hs AS (SELECT cc.doc AS doc_id, cc.cluster_rep,
-                    (cc.doc * 2654435761) % 4294967296 AS hh
+                    (CAST(cc.doc AS HUGEINT) * 2654435761) % 4294967296 AS hh
              FROM cc),
     rk AS (SELECT cluster_rep, doc_id,
                   CAST(row_number() OVER (PARTITION BY cluster_rep
@@ -6020,8 +6020,9 @@ SPECS["q224_mann_whitney"] = QuerySpec(
                FROM c)
     SELECT n_a, n_b,
            two_r_a - n_a * (n_a + 1) AS two_u,
-           ROUND(CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) / 2, 6)
-               AS u_stat,
+           -- exact halving, NO round: ROUND(x, 6) at ~1e12 magnitude
+           -- is lossy (x*1e6 > 2^53; round-11 sf1.0 find)
+           CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
            ROUND((CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE)
                   - CAST(n_a * n_b AS DOUBLE))
                  / (2 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
@@ -8211,18 +8212,34 @@ SPECS["q279_rrf_fusion"] = QuerySpec(
                 WHERE token IN ('spark', 'hash', 'join', 'window')
                 GROUP BY doc_id, dl, token),
          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                          AVG(len(string_split(text, ' '))) AS avgdl
+                          CAST(SUM(len(string_split(text, ' ')))
+                               AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS avgdl
                    FROM documents),
          dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
                    FROM tf GROUP BY token),
-         lexs AS (SELECT tf.doc_id,
-                         SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5)
-                                / (dfreq.df + 0.5))
-                             * (tf.tf * 2.2
-                                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
-                                                  / s.avgdl)))) AS score
-                  FROM tf JOIN dfreq USING (token) CROSS JOIN stats s
-                  GROUP BY tf.doc_id),
+         -- q101's round-11 fixed-order pivot: SUM over term rows is
+         -- combine-order nondeterministic and shuffled mid-list
+         -- ranks of tied tiled profiles at sf1.0
+         pterm AS (SELECT tf.doc_id, tf.token,
+                          ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                             / (dfreq.df + 0.5))
+                          * (tf.tf * 2.2
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                               / s.avgdl))) AS ts
+                   FROM tf JOIN dfreq USING (token) CROSS JOIN stats s),
+         lexs AS (SELECT doc_id,
+                         round(0.0
+                           + COALESCE(MAX(CASE WHEN token = 'spark'
+                                          THEN ts END), 0.0)
+                           + COALESCE(MAX(CASE WHEN token = 'hash'
+                                          THEN ts END), 0.0)
+                           + COALESCE(MAX(CASE WHEN token = 'join'
+                                          THEN ts END), 0.0)
+                           + COALESCE(MAX(CASE WHEN token = 'window'
+                                          THEN ts END), 0.0),
+                         6) AS score
+                  FROM pterm GROUP BY doc_id),
          lex AS (SELECT doc_id,
                         ROW_NUMBER() OVER (ORDER BY score DESC,
                                            doc_id ASC) AS rank_lex
@@ -12463,10 +12480,10 @@ SPECS["q366_getis_ord_hotspots"] = QuerySpec(
     geo.getis_ord_hotspots,
     """
     WITH pts AS (SELECT
-                     -47.0 + 13.0 * (((c_custkey * 2654435761)
+                     -47.0 + 13.0 * (((CAST(c_custkey AS HUGEINT) * 2654435761)
                                       % 4294967296) / 4294967296.0)
                          AS lat,
-                     166.0 + 13.0 * (((c_custkey * 2246822519)
+                     166.0 + 13.0 * (((CAST(c_custkey AS HUGEINT) * 2246822519)
                                       % 4294967296) / 4294967296.0)
                          AS lon
                  FROM customer),
