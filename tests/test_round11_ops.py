@@ -198,3 +198,32 @@ def test_shapley_remainder_conserves_revenue_sf0001(spark):
 
 def test_shapley_remainder_conserves_revenue_sf001(spark):
     _shapley_conservation(spark, "/root/testdata/sf0.01")
+
+
+def test_knuth_mod32_matches_int64_path_and_survives_big_keys(spark):
+    """Round-11 sf1.0 regression: (key * 2654435761) in plain int64
+    overflows (ANSI ARITHMETIC_OVERFLOW) once keys pass ~3.5e9 — the
+    10x tiling puts tile-9 keys at ~9e9 and five registry queries
+    errored. knuth_mod32 runs the multiply in DECIMAL(38,0) and must
+    (a) be bit-identical to the old int64 path on every key below the
+    overflow line and (b) return the exact mathematical value above
+    it (pins cross-checked against Python big-int arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.functions import knuth_mod32
+
+    small = spark.range(1, 5000, 37).select(
+        F.col("id").alias("k"),
+        knuth_mod32(F.col("id"), 2654435761).alias("new"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(4294967296)).alias("old"),
+    )
+    assert small.filter(F.col("new") != F.col("old")).count() == 0
+
+    big = [9_000_000_005, 9_000_000_005_000, 3_500_000_000]
+    got = {
+        r["k"]: r["h"]
+        for r in spark.createDataFrame([(k,) for k in big], "k long")
+        .select("k", knuth_mod32(F.col("k"), 2654435761).alias("h"))
+        .collect()
+    }
+    assert got == {k: (k * 2654435761) % 2**32 for k in big}
