@@ -931,7 +931,11 @@ def rrf_hybrid_fusion(
     Scale: each ranking is its parent's shape (scan-stage explode +
     broadcast stats for BM25; broadcast query vector for cosine);
     the fusion join is rank-table sized, and top-n is
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. Repeated query terms are deduped
+    (order-preserving) before the pivot — duplicates would emit
+    duplicate pivot columns (ambiguous-column AnalysisException);
+    BM25 scores a term SET and tf already counts repetitions."""
+    query_terms = tuple(dict.fromkeys(query_terms))
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",

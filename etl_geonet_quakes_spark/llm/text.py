@@ -327,8 +327,11 @@ def bm25_topk(
     order-dependent AVG), and the top-k rank key is the ROUNDED
     score: identical profiles are now bit-identical within an engine
     and the selection fence is the 6dp value cross-engine, with
-    doc_id breaking true ties."""
-    terms = query.split()
+    doc_id breaking true ties. Repeated query terms are deduped
+    (order-preserving) before the pivot — duplicates would emit
+    duplicate pivot columns (ambiguous-column AnalysisException) and
+    BM25 scores a term SET; tf already counts repetitions."""
+    terms = list(dict.fromkeys(query.split()))
     d = load_table(spark, sf_dir, "documents")
     dl = F.size(tokens(F.col("text"))).cast("double")
     base = d.select("doc_id", dl.alias("dl"), F.explode(tokens(F.col("text"))).alias("token"))

@@ -225,3 +225,259 @@ def test_oracle_result_fingerprint_collisions_are_pinned():
         f"unexpected={got - INTENTIONAL_RESULT_SHARES} "
         f"missing={INTENTIONAL_RESULT_SHARES - got}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fence-class guard (round-12, verdict item 3): the q101/q279 sf1.0
+# bug class was an UNROUNDED float-aggregate rank key under LIMIT —
+# hash-agg combine order put identical profiles one ulp apart and
+# shuffled the top-k fence (within one engine AND cross-engine). The
+# round-11 clearance of the 13 other LIMIT-on-float queries was a
+# manual audit (commit d8fb2bc); this encodes it as a standing static
+# check so a future query cannot silently re-introduce the class.
+#
+# Rule: for every oracled query, each ORDER BY key adjacent to a
+# LIMIT at the same paren depth is resolved through its `AS` alias
+# chain (bounded recursion); a key whose resolved bundle contains an
+# aggregate function AND float-typed content (float literal, DOUBLE/
+# FLOAT cast, or a transcendental call — the libm-ulp hazard) must be
+# ROUND-wrapped at the OUTERMOST level, else it is a violation.
+# ROUND(x, 6) + eps does not count as wrapped. Verified classes from
+# the round-11 manual audit come out clean by construction: COUNT/
+# BIGINT/DECIMAL-exact aggregates have no float content (q170/q221/
+# q245/q252/q272/q284), per-row expression keys have no aggregate
+# (q100/q69), and the rounded keys are wrapped (q101/q164/q186/q209/
+# q358/q366). Mutation-tested below on the three bug shapes.
+# ---------------------------------------------------------------------------
+
+_FENCE_KEYWORDS = {
+    "select", "from", "where", "group", "by", "order", "limit", "having",
+    "case", "when", "then", "else", "end", "and", "or", "not", "as", "on",
+    "join", "inner", "left", "right", "full", "outer", "cross", "using",
+    "with", "union", "all", "distinct", "over", "partition", "rows",
+    "range", "between", "unbounded", "preceding", "following", "current",
+    "row", "asc", "desc", "nulls", "first", "last", "in", "is", "null",
+    "true", "false", "like", "exists", "interval", "double", "bigint",
+    "decimal", "varchar", "integer", "int", "boolean", "date", "timestamp",
+    "filter", "qualify",
+}
+
+_FENCE_AGG_RE = re.compile(
+    r"\b(SUM|AVG|MAX|MIN|STDDEV|STDDEV_SAMP|STDDEV_POP|VAR_SAMP|VAR_POP|"
+    r"CORR|COVAR_SAMP|COVAR_POP|PRODUCT|GEOMEAN|MEDIAN|QUANTILE_CONT|"
+    r"QUANTILE_DISC|ARG_MAX|ARG_MIN|FIRST|LAST|ANY_VALUE)\s*\(",
+    re.I,
+)
+_FENCE_FLOAT_RE = re.compile(
+    r"(\b\d+\.\d+|\bAS\s+(DOUBLE|FLOAT|REAL)\b|::(DOUBLE|FLOAT|REAL)\b|"
+    r"\b(LN|LOG|LOG2|LOG10|EXP|POWER|POW|SQRT|SIN|COS|ATAN2?)\s*\()",
+    re.I,
+)
+
+# Queries allowed to carry an unrounded float-aggregate rank key
+# under LIMIT, each with the reason the hazard does not apply.
+# Empty today — additions need a written justification.
+FENCE_ALLOWLIST: dict[str, str] = {}
+
+
+def _fence_strip(sql: str) -> str:
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+def _fence_depths(sql: str) -> list[int]:
+    depth = 0
+    out = []
+    for c in sql:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        out.append(depth)
+    return out
+
+
+def _fence_rank_keys(sql: str) -> list[str]:
+    """ORDER BY keys adjacent to each LIMIT at the same paren depth
+    (window-internal ORDER BYs sit at a deeper depth and never pair
+    with an outer LIMIT)."""
+    sql = _fence_strip(sql)
+    depths = _fence_depths(sql)
+    obs = list(re.finditer(r"\bORDER\s+BY\b", sql, re.I))
+    keys: list[str] = []
+    for m in re.finditer(r"\bLIMIT\b", sql, re.I):
+        d = depths[m.start()]
+        best = None
+        for ob in obs:
+            if ob.end() <= m.start() and depths[ob.start()] == d:
+                best = ob
+        if best is None:
+            continue
+        segment = sql[best.end() : m.start()]
+        depth = 0
+        cur = ""
+        parts = []
+        for c in segment:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if c == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += c
+        parts.append(cur)
+        for p in parts:
+            k = re.sub(
+                r"\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b", "",
+                p.strip(), flags=re.I,
+            ).strip()
+            if k:
+                keys.append(re.sub(r"\s+", " ", k))
+    return keys
+
+
+def _fence_alias_defs(sql_stripped: str, alias: str) -> list[str]:
+    """Every '<expr> AS <alias>' definition, paren-balanced backward
+    scan to the nearest top-level comma / open paren."""
+    out = []
+    for m in re.finditer(rf"\bAS\s+{re.escape(alias)}\b", sql_stripped, re.I):
+        end = m.start()
+        depth = 0
+        j = end - 1
+        start = 0
+        while j >= 0:
+            c = sql_stripped[j]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                start = j + 1
+                break
+            j -= 1
+        expr = sql_stripped[start:end].strip()
+        expr = re.sub(r"^(SELECT|DISTINCT)\s+", "", expr, flags=re.I)
+        out.append(re.sub(r"\s+", " ", expr))
+    return out
+
+
+def _fence_identifiers(expr: str) -> set[str]:
+    ids = set()
+    for m in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\b\s*(\()?", expr):
+        if m.group(2):  # function call
+            continue
+        if m.group(1).lower() in _FENCE_KEYWORDS:
+            continue
+        ids.add(m.group(1))
+    return ids
+
+
+def _fence_expand(sql_stripped: str, expr: str, depth: int, seen: set) -> str:
+    if depth <= 0:
+        return expr
+    bundle = [expr]
+    for ident in _fence_identifiers(expr):
+        low = ident.lower()
+        if low in seen:
+            continue
+        seen.add(low)
+        for d in _fence_alias_defs(sql_stripped, ident):
+            bundle.append(_fence_expand(sql_stripped, d, depth - 1, seen))
+    return " § ".join(bundle)
+
+
+def _fence_round_wrapped(expr: str) -> bool:
+    """True only when ROUND( opens the expression AND its matching
+    close paren ends it — ROUND(x, 6) + eps is NOT wrapped."""
+    m = re.match(r"^\s*ROUND\s*\(", expr, re.I)
+    if not m:
+        return False
+    depth = 1
+    for j in range(m.end(), len(expr)):
+        c = expr[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return expr[j + 1 :].strip() == ""
+    return False
+
+
+def fence_violations(sql: str) -> list[str]:
+    """q101/q279-class hazards in one oracle SQL text."""
+    stripped = _fence_strip(sql)
+    out = []
+    for key in _fence_rank_keys(sql):
+        if re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", key
+        ):
+            defs = _fence_alias_defs(stripped, key.rsplit(".", 1)[-1])
+        else:
+            defs = [key]
+        for d in defs:
+            if _fence_round_wrapped(d):
+                continue
+            bundle = _fence_expand(stripped, d, 3, {key.lower()})
+            if _FENCE_AGG_RE.search(bundle) and _FENCE_FLOAT_RE.search(bundle):
+                out.append(f"{key} := {d[:120]}")
+                break
+    return out
+
+
+def test_no_unrounded_float_agg_rank_key_under_limit():
+    flagged = {}
+    for name, spec in SPECS.items():
+        if not spec.oracle or name in FENCE_ALLOWLIST:
+            continue
+        v = fence_violations(spec.oracle)
+        if v:
+            flagged[name] = v
+    assert flagged == {}, (
+        "unrounded float-aggregate rank key(s) under LIMIT — the "
+        "q101/q279 sf1.0 fence bug class. ROUND the key (6dp) in both "
+        f"engines or allowlist with a reason: {flagged}"
+    )
+
+
+def test_fence_guard_catches_derounded_q101():
+    """Mutation 1: strip the ROUND from q101's pivot score."""
+    q101 = SPECS["q101_bm25_topk"].oracle
+    mutated = re.sub(r"round\(0\.0", "(0.0", q101, count=1)
+    mutated = re.sub(r",\s*6\) AS score", ") AS score", mutated, count=1)
+    assert mutated != q101 and "round(0.0" not in mutated
+    assert fence_violations(mutated), "de-rounded q101 not flagged"
+    assert not fence_violations(q101)
+
+
+def test_fence_guard_catches_sum_over_rows_and_round_plus_eps():
+    """Mutation 2: the ORIGINAL q101 bug shape (SUM over term rows).
+    Mutation 3: ROUND(x, 6) + eps must not count as wrapped."""
+    sum_over_rows = """
+    WITH per_term AS (
+      SELECT doc_id, ln(1.0 + x) * tf AS ts FROM t)
+    SELECT doc_id, SUM(ts) AS score FROM per_term GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+    assert fence_violations(sum_over_rows)
+    round_plus_eps = """
+    SELECT doc_id, ROUND(SUM(ts), 6) + 0.0000001 AS score
+    FROM per_term GROUP BY doc_id ORDER BY score DESC LIMIT 10
+    """
+    assert fence_violations(round_plus_eps)
+    # and the exact-aggregate classes stay clean
+    count_key = """
+    SELECT tok, COUNT(*) AS n FROM t GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 25
+    """
+    assert not fence_violations(count_key)
+    decimal_key = """
+    SELECT k, SUM(CAST(v AS DECIMAL(18,2))) AS rev_dec FROM t GROUP BY k
+    ORDER BY rev_dec DESC, k LIMIT 10
+    """
+    assert not fence_violations(decimal_key)

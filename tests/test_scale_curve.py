@@ -493,14 +493,36 @@ def test_bm25_identical_profiles_bit_identical_sf03(spark):
     order split identical profiles by one ulp and flip the unrounded
     top-k fence (DuckDB's parallel agg even varied run to run). The
     fixed-order pivot scoring makes profile groups byte-identical;
-    selection is on the rounded score with doc_id tiebreak."""
+    selection is on the rounded score with doc_id tiebreak.
+
+    Round-12 fix (ADVICE): grouping by doc_id % tile-stride asserted
+    "same base doc ⇒ same score", but the per-tile crc32 renaming can
+    drop a query term in some tiles, so tiled copies of one base doc
+    can carry legitimately DIFFERENT (tf, dl) profiles. The invariant
+    the fix actually guarantees is "identical (tf, dl) profile ⇒
+    identical score" — so recompute each top-30 doc's profile from
+    its text (same tokenizer) and group by THAT."""
     from etl_geonet_quakes_spark.llm import text as t
 
+    query_terms = "spark hash join window".split()
     top = t.bm25_topk(spark, SF03, k=30).collect()
-    by_tile_class = {}
+    ids = [r["doc_id"] for r in top]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF03, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_profile: dict = {}
+    members: dict = {}
     for r in top:
-        by_tile_class.setdefault(r["doc_id"] % 10**9, set()).add(r["score"])
-    # every tiled copy of the same base doc that reached the top-30
-    # carries exactly one distinct score
-    multi = {k: v for k, v in by_tile_class.items() if len(v) > 1}
+        toks = texts[r["doc_id"]].split(t.TOKEN_SEP)
+        profile = (len(toks),) + tuple(toks.count(q) for q in query_terms)
+        by_profile.setdefault(profile, set()).add(r["score"])
+        members[profile] = members.get(profile, 0) + 1
+    multi = {k: v for k, v in by_profile.items() if len(v) > 1}
     assert multi == {}, multi
+    # the check must be non-vacuous: the tiling guarantees at least
+    # one profile class with >1 member in the top-30
+    assert max(members.values()) > 1
