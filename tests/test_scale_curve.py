@@ -17,6 +17,7 @@ saturation constant must stay FLAT — pinned in SF03_* below."""
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 from pyspark.sql import functions as F
@@ -409,14 +410,39 @@ SF10 = os.path.join(
 )
 # ~12 min of volume counting at 6M lineitem / 50k docs: opt-in (the
 # artifact of record is the pinned values below + PARITY_sf1.0_*.json;
-# re-verify with SPARK_GRAFT_SF10_CERTS=1 after regenerating the
-# fixture), never a silent cost in the default suite run.
+# re-verify with SPARK_GRAFT_SF10_CERTS=1), never a silent cost in
+# the default suite run. Round-12: the env var alone now suffices —
+# an absent fixture is REGENERATED (deterministic, ~30 s) instead of
+# silently skipping; the default suite additionally pins the
+# cross-point growth LAWS fixture-free (test_scale_pin_growth_laws).
 needs_sf10 = pytest.mark.skipif(
-    not (os.environ.get("SPARK_GRAFT_SF10_CERTS") and os.path.isdir(SF10)),
-    reason="sf1.0 certificates are opt-in: regenerate the fixture with "
-    "`python tools/make_scale_fixture.py testdata_local/sf1.0 10` and "
-    "run with SPARK_GRAFT_SF10_CERTS=1",
+    not os.environ.get("SPARK_GRAFT_SF10_CERTS"),
+    reason="sf1.0 certificates are opt-in: SPARK_GRAFT_SF10_CERTS=1 "
+    "(the fixture regenerates automatically if absent)",
 )
+
+
+@pytest.fixture(scope="session")
+def sf10_dir() -> str:
+    """testdata_local/sf1.0, regenerated deterministically if absent
+    (round-12: the opt-in no longer silently skips on a fresh clone)."""
+    if not os.path.isdir(SF10):
+        import subprocess
+
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools",
+                    "make_scale_fixture.py",
+                ),
+                SF10,
+                "10",
+            ],
+            check=True,
+        )
+    return SF10
 
 SF10_GRAPH = {
     "n_pairs": 1480393,
@@ -447,7 +473,7 @@ SF10_LSH = {"minhash_candidates": 106191, "simhash_candidates": 169393}
 
 
 @needs_sf10
-def test_fourth_scale_point_growth_certificates(spark):
+def test_fourth_scale_point_growth_certificates(spark, sf10_dir):
     """The four-point certificates: exact pins at the 10x tiling.
     Linear metrics at 10x, by-construction quadratics at ~100x,
     saturation constants FLAT — extrapolation, not interpolation."""
@@ -478,7 +504,7 @@ def test_fourth_scale_point_growth_certificates(spark):
 
 
 @needs_sf10
-def test_fourth_scale_point_containment_candidates(spark):
+def test_fourth_scale_point_containment_candidates(spark, sf10_dir):
     assert dedup.containment_candidates(spark, SF10, min_matches=1).count() == 918985
     assert dedup.containment_candidates(spark, SF10, min_matches=3).count() == 6635
     assert dedup.prefix_filter_candidates(spark, SF10, min_matches=3).count() == 4379
@@ -505,7 +531,7 @@ def test_bm25_identical_profiles_bit_identical_sf03(spark):
     from etl_geonet_quakes_spark.llm import text as t
 
     query_terms = "spark hash join window".split()
-    top = t.bm25_topk(spark, SF03, k=30).collect()
+    top = t.bm25_topk(spark, SF03, k=240).collect()
     ids = [r["doc_id"] for r in top]
     texts = {
         r["doc_id"]: r["text"]
@@ -523,6 +549,68 @@ def test_bm25_identical_profiles_bit_identical_sf03(spark):
         members[profile] = members.get(profile, 0) + 1
     multi = {k: v for k, v in by_profile.items() if len(v) > 1}
     assert multi == {}, multi
-    # the check must be non-vacuous: the tiling guarantees at least
-    # one profile class with >1 member in the top-30
+    # the check must be non-vacuous: k=240 was probed to contain 4
+    # duplicate-profile classes at this fixture (k=30 had none)
     assert max(members.values()) > 1
+
+
+def test_scale_pin_growth_laws_fixture_free():
+    """Round-12 (verdict item 6): the sf1.0 volume certificates are
+    opt-in (12 min), but the growth LAWS they certify are pure
+    arithmetic over the pinned constants — so pin the laws in the
+    default suite, fixture-free. An edit to any SF*_ pin that breaks
+    a law (or a re-measure that lands off-law, meaning the tiling or
+    an operator changed shape) fails here on every run.
+
+    Laws, from the tiling construction (tools/make_scale_fixture.py):
+    - within-tile structure is copied verbatim, so tile-linear
+      metrics land within 0.5% of tiles × the sf0.1 value;
+    - the q88 kernel tier (distinct names / DP evals / qualifying
+      pairs) is corpus-size-INDEPENDENT: identical at sf0.01, sf0.1,
+      sf0.3, sf1.0;
+    - apriori L2 saturates at the brand-domain bound (C(25,2)=300
+      pairs, 25 items, C(25,3)·... = 2300 candidate triples) from
+      sf0.01 up — FLAT at every point;
+    - pagerank round rows = 2 × undirected pair count, exactly, at
+      every scale point (each pair contributes both directions)."""
+    sf01_graph = dict(GRAPH_EXPECT[1][1])
+    sf01_strdist = dict(STRDIST_EXPECT[1][1])
+
+    # tile-linear: n_pairs within 0.5% of tiles × sf0.1
+    assert abs(SF03_GRAPH["n_pairs"] / (3 * sf01_graph["n_pairs"]) - 1) < 0.005
+    assert abs(SF10_GRAPH["n_pairs"] / (10 * sf01_graph["n_pairs"]) - 1) < 0.005
+    assert SF03_STRDIST["n_rows"] == 3 * sf01_strdist["n_rows"]
+    assert SF10_STRDIST["n_rows"] == 10 * sf01_strdist["n_rows"]
+
+    # exact structural identity: pagerank rows = 2 × pairs everywhere
+    for g in (sf01_graph, SF03_GRAPH, SF10_GRAPH):
+        assert g["pagerank_round_rows"] == 2 * g["n_pairs"]
+        # Chiba–Nishizeki orientation bound holds at every point
+        assert g["tri_wedge_rows"] <= (2 * g["n_pairs"]) ** 1.5
+        # the peel converges by round 4 at every point
+        assert g["kcore_removed_r4"] == 0
+
+    # kernel tier corpus-size-independent across ALL four points
+    kernel = ("n_distinct", "distinct_lev_pairs", "qualifying_ordered_pairs")
+    for s in (sf01_strdist, SF03_STRDIST, SF10_STRDIST):
+        assert tuple(s[k] for k in kernel) == (64, 2008, 552)
+
+    # apriori saturation FLAT at sf0.3 and sf1.0
+    for a in (SF03_APRIORI, SF10_APRIORI):
+        assert (a["l2_size"], a["l2_items"], a["cand_triples"]) == (300, 25, 2300)
+    # basket-linear pair rows: < 8 pairs/basket at both points
+    assert SF03_APRIORI["pair_rows"] < 8 * SF03_APRIORI["n_baskets"]
+    assert SF10_APRIORI["pair_rows"] < 8 * SF10_APRIORI["n_baskets"]
+    assert abs(SF10_APRIORI["n_baskets"] / (10 / 3 * SF03_APRIORI["n_baskets"]) - 1) < 0.005
+
+    # link-pred negatives stay 1:1 balanced at both points
+    assert SF03_LINKPRED["balance_ratio"] == 1.0
+    assert SF10_LINKPRED["balance_ratio"] == 1.0
+    # negative-candidate pool is ~n²/2 per construction batch; the
+    # selected negatives stay within the pool
+    assert SF10_LINKPRED["n_negs"] <= SF10_LINKPRED["neg_candidate_pairs"]
+
+    # LSH candidate tier stays bounded: < all-pairs/10,000 at sf1.0
+    # (50k docs) and < all-pairs/1,000 at sf0.3 (15k docs)
+    assert SF10_LSH["minhash_candidates"] < (50000 * 49999 // 2) / 10000
+    assert SF03_LSH["minhash_candidates"] < (15000 * 14999 // 2) / 1000
