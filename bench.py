@@ -174,6 +174,10 @@ HEADLINE = [
     "q353_fuzzy_join_deletion",
     "q357_markov_power",
     "q358_stump_boosting",
+    # round 12: the real baseline-JPEG codec path (synthesize+decode
+    # through mapInPandas) — wall-time visibility for the newest
+    # media family member from the round it lands
+    "q381_media_jpeg_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

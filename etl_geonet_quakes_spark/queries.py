@@ -12871,3 +12871,35 @@ SPECS["q380_frequent_subsequences"] = QuerySpec(
     "with the gapped order-sensitive quadrant",
 )
 
+
+SPECS["q381_media_jpeg_decode"] = QuerySpec(
+    multimodal.media_jpeg_decode,
+    """
+    -- closed-form replay of the uniform-block spec v(k) =
+    -- 2*((doc_id*31 + k*97) % 128) over a 16x16 grayscale grid of
+    -- four 8x8 blocks: a uniform block has only a DC coefficient
+    -- (8*(v-128)), and with Q[0]=16 the quantized round trip is
+    -- 2*round((v-128)/2)+128 = v exactly for EVEN v — so baseline
+    -- JPEG (a LOSSY format) is exactly invertible on this subset and
+    -- the oracle never parses bytes (q98's contract). Features are
+    -- integer-exact: BIGINT pixel sum (64 px per block), first/last
+    -- pixels. The lossy general path is pinned in tests against an
+    -- independent transform-layer reference.
+    WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+    px AS (SELECT doc_id, k,
+                  2 * ((doc_id * 31 + k * 97) % 128) AS v
+           FROM documents CROSS JOIN ks)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS pixel_sum,
+           CAST(MAX(CASE WHEN k = 0 THEN v END) AS INTEGER) AS px_first,
+           CAST(MAX(CASE WHEN k = 3 THEN v END) AS INTEGER) AS px_last
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal: REAL JPEG codec — baseline sequential DCT "
+    "grayscale, stdlib markers/Huffman + numpy IDCT, tables parsed "
+    "from the DHT/DQT segments (closes the round-11 'real image "
+    "decode' gap without PIL); uniform-even-block synthesis makes "
+    "the lossy format exactly oracle-checkable (q96/q97/q98's "
+    "closed-form contract)",
+)
