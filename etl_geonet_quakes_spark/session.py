@@ -39,14 +39,36 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(spark, "_egqs_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "etl_geonet_quakes_spark.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
+    # Content-addressed name + atomic publish (round-12 fix): a fixed
+    # /tmp path made CONCURRENT sessions on one machine race — one
+    # process rewrote the zip while another's executors fetched it,
+    # failing with "exists and does not match contents" (caught by six
+    # parallel parity sweeps + an A/B freeze worktree, whose package
+    # genuinely differs). Identical content hashes to the same name
+    # (Spark's per-name fetch cache stays consistent); different
+    # content gets a different name (no collision); os.replace makes
+    # the publish atomic so a half-written zip is never visible.
+    import hashlib
+    import io
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for root, _dirs, files in sorted(os.walk(pkg_dir)):
+            for f in sorted(files):
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     zf.write(full, rel)
+    data = buf.getvalue()
+    digest = hashlib.md5(data).hexdigest()[:12]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"etl_geonet_quakes_spark_{digest}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._egqs_shipped = True
 
