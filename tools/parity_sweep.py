@@ -61,6 +61,15 @@ def main() -> None:
     spark = get_spark("parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Optional oracle-side memory cap with disk spill (round 12):
+    # q290's modularity oracle allocates ~69 GB at the sf1.0 tiling —
+    # enough for the kernel OOM-killer even on a 128 GiB host when
+    # anything else is running. A cap makes DuckDB spill to temp
+    # instead of dying: SPARK_GRAFT_DUCKDB_MEM=32GB.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
