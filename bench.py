@@ -178,6 +178,7 @@ HEADLINE = [
     # through mapInPandas) — wall-time visibility for the newest
     # media family member from the round it lands
     "q381_media_jpeg_decode",
+    "q382_media_jpeg_color_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

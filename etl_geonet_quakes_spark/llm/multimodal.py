@@ -785,13 +785,14 @@ def _jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
     )
 
 
-def _jpeg_decode_gray(buf: bytes):
-    """Baseline JPEG decoder, single 8-bit grayscale component: marker
-    walk (APPn/COM skipped), DQT/DHT parsed from the stream (never
-    from this module's encode-side constants), canonical Huffman
-    decode with byte-unstuffing, zigzag dequantization, numpy IDCT,
-    level shift, clamp. Returns (width, height, pixels ndarray) or
-    None on any malformation (one-poisoned-row policy, as q98)."""
+def _jpeg_decode_baseline(buf):
+    """General baseline-JPEG decoder: 1..3 components, all H=V=1
+    (grayscale or 4:4:4 interleaved), per-component quant/Huffman
+    table ids honored, tables parsed FROM THE STREAM. Returns
+    (width, height, [plane ndarrays]) or None on any malformation
+    (one-poisoned-row policy). Subsampled (H or V > 1), progressive,
+    arithmetic-coded and restart-interval streams are rejected —
+    the honestly-gated remainder of the format."""
     import struct
 
     import numpy as np
@@ -803,32 +804,32 @@ def _jpeg_decode_gray(buf: bytes):
         if buf[:2] != b"\xff\xd8":
             return None
         i = 2
-        qtables: dict = {}
-        hufftabs: dict = {}  # (class, id) -> {(len, code): symbol}
+        qtables = {}
+        hufftabs = {}
         dims = None
-        comp_q = None
+        comps = None  # list of (cid, tq)
         scan = None
         while i + 4 <= len(buf):
             if buf[i] != 0xFF:
                 return None
             marker = buf[i + 1]
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:
                 return None
             (ln,) = struct.unpack_from(">H", buf, i + 2)
             seg = buf[i + 4 : i + 2 + ln]
             if len(seg) != ln - 2:
                 return None
-            if marker == 0xDB:  # DQT (possibly several tables)
+            if marker == 0xDB:
                 j = 0
                 while j < len(seg):
                     pq, tq = seg[j] >> 4, seg[j] & 0x0F
                     if pq != 0:
-                        return None  # 16-bit tables unsupported
+                        return None
                     qtables[tq] = list(seg[j + 1 : j + 65])
                     if len(qtables[tq]) != 64:
                         return None
                     j += 65
-            elif marker == 0xC4:  # DHT (possibly several tables)
+            elif marker == 0xC4:
                 j = 0
                 while j + 17 <= len(seg):
                     cls, tid = seg[j] >> 4, seg[j] & 0x0F
@@ -848,37 +849,51 @@ def _jpeg_decode_gray(buf: bytes):
                         code <<= 1
                     hufftabs[(cls, tid)] = table
                     j += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker == 0xC0:
                 prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
-                if prec != 8 or nf != 1:
+                if prec != 8 or nf not in (1, 3):
                     return None
-                comp_q = seg[6 + 2]  # component 0's Tq
+                comps = []
+                for c in range(nf):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    if hv != 0x11:
+                        return None  # subsampling unsupported
+                    comps.append((cid, tq))
                 dims = (w, h)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
-                return None  # non-baseline SOF / restart interval
-            elif marker == 0xDA:  # SOS
-                if seg[0] != 1:
+                return None
+            elif marker == 0xDA:
+                ns = seg[0]
+                if comps is None or ns != len(comps):
                     return None
-                td, ta = seg[2] >> 4, seg[2] & 0x0F
-                scan = (td, ta, i + 2 + ln)
+                sel = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                    sel.append((cs, tdta >> 4, tdta & 0x0F))
+                scan = (sel, i + 2 + ln)
                 break
             i += 2 + ln
-        if dims is None or scan is None or comp_q not in qtables:
+        if dims is None or scan is None:
             return None
-        td, ta, pos = scan
-        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
-            return None
-        dc_tab, ac_tab = hufftabs[(0, td)], hufftabs[(1, ta)]
+        sel, pos = scan
         w, h = dims
         if w <= 0 or h <= 0:
             return None
+        # map scan order to component table ids
+        order = []
+        for cs, td, ta in sel:
+            match = [tq for cid, tq in comps if cid == cs]
+            if not match or (0, td) not in hufftabs or (1, ta) not in hufftabs:
+                return None
+            if match[0] not in qtables:
+                return None
+            order.append((hufftabs[(0, td)], hufftabs[(1, ta)], qtables[match[0]]))
 
-        # entropy-coded bit reader with 0xFF00 unstuffing
         data = buf
-        bitpos = [pos, 0]  # byte index, bit index
+        bitpos = [pos, 0]
 
-        def read_bit() -> int:
+        def read_bit():
             bi, off = bitpos
             if bi >= len(data):
                 raise ValueError("truncated")
@@ -892,20 +907,20 @@ def _jpeg_decode_gray(buf: bytes):
             if off == 8:
                 bi += 1
                 if data[bi - 1] == 0xFF:
-                    bi += 1  # skip stuffed 0x00
+                    bi += 1
                 off = 0
             bitpos[0], bitpos[1] = bi, off
             return bit
 
-        def read_huff(table) -> int:
+        def read_huff(table):
             code = 0
             for l2 in range(1, 17):
                 code = (code << 1) | read_bit()
                 if (l2, code) in table:
                     return table[(l2, code)]
-            raise ValueError("bad huffman code")
+            raise ValueError("bad code")
 
-        def read_extend(s: int) -> int:
+        def read_extend(s):
             if s == 0:
                 return 0
             v = 0
@@ -914,46 +929,60 @@ def _jpeg_decode_gray(buf: bytes):
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
         zz = _jpeg_zigzag()
-        q = np.array(qtables[comp_q], dtype=np.float64)[
-            np.argsort(zz)  # DQT stores zigzag; back to natural order
-        ].reshape(8, 8)
+        inv = np.argsort(zz)
         x = np.arange(8)
         u = np.arange(8).reshape(8, 1)
         a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
         a[0, :] /= np.sqrt(2.0)
-
         bx_n = (w + 7) // 8
         by_n = (h + 7) // 8
-        img = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
-        prev_dc = 0
+        planes = [np.zeros((by_n * 8, bx_n * 8)) for _ in order]
+        prev = [0] * len(order)
         for by in range(by_n):
             for bx in range(bx_n):
-                zzc = [0] * 64
-                t = read_huff(dc_tab)
-                prev_dc += read_extend(t)
-                zzc[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        return None
-                    zzc[k] = read_extend(rs & 0x0F)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                for zi, ni in enumerate(zz):
-                    coef[ni] = zzc[zi]
-                blk = a.T @ ((coef.reshape(8, 8)) * q) @ a
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-        pixels = np.clip(np.rint(img + 128.0), 0, 255).astype(np.int64)
-        return (w, h, pixels[:h, :w])
+                for ci, (dct, act, qt) in enumerate(order):
+                    zzc = [0] * 64
+                    t = read_huff(dct)
+                    prev[ci] += read_extend(t)
+                    zzc[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(act)
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            return None
+                        zzc[k] = read_extend(rs & 0x0F)
+                        k += 1
+                    q = np.array(qt, dtype=np.float64)[inv].reshape(8, 8)
+                    coef = np.zeros(64)
+                    for zi, ni in enumerate(zz):
+                        coef[ni] = zzc[zi]
+                    blk = a.T @ (coef.reshape(8, 8) * q) @ a
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        px = [
+            np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64)[:h, :w]
+            for p in planes
+        ]
+        return (w, h, px)
     except Exception:
         return None
+
+
+def _jpeg_decode_gray(buf: bytes):
+    """Single-component view over _jpeg_decode_baseline: q381's
+    contract is grayscale, so a color stream here is a poisoned row,
+    not a silent first-plane projection."""
+    r = _jpeg_decode_baseline(buf)
+    if r is None or len(r[2]) != 1:
+        return None
+    w, h, planes = r
+    return (w, h, planes[0])
+
 
 
 def synthesize_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,5 +1058,193 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform-layer reference."""
     return (
         decode_jpeg_features(synthesize_jpeg_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Color JPEG (round 12, second half): 3-component 4:4:4 interleaved
+# baseline. The synthesis generates the YCbCr PLANES directly (no
+# RGB<->YCbCr transform in the codec), so the DCT quantization stays
+# the only lossy stage and q381's uniform-even-block exact-roundtrip
+# argument extends per plane. What remains honestly gated in
+# extract_features(fake=False): chroma SUBSAMPLING (H/V > 1),
+# progressive scans, restart intervals, arithmetic coding.
+# ---------------------------------------------------------------------------
+
+_JPEG_COLOR_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, "
+    "sum_y long, sum_cb long, sum_cr long, px_y int, px_cb int, px_cr int"
+)
+
+
+def _jpeg_encode_ycc444(planes, width: int, height: int) -> bytes:
+    """Baseline sequential JPEG, three 8-bit components, H=V=1
+    (4:4:4), interleaved MCU = one 8x8 block per component, shared
+    quant + DC/AC tables, per-component DC predictors."""
+    import struct
+
+    import numpy as np
+
+    zz = _jpeg_zigzag()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def put_val(v: int) -> None:
+        s = abs(v).bit_length()
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    imgs = [
+        np.asarray(p, dtype=np.float64).reshape(height, width) for p in planes
+    ]
+    prev = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(3):  # interleaved MCU: Y, Cb, Cr
+                blk = imgs[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qc = np.rint((a @ blk @ a.T) / q).astype(np.int64)
+                flat = qc.reshape(64)
+                zzc = [int(flat[i]) for i in zz]
+                d = zzc[0] - prev[ci]
+                prev[ci] = zzc[0]
+                put(*dc_codes[abs(d).bit_length()])
+                put_val(d)
+                run = 0
+                for i in range(1, 64):
+                    if zzc[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(*ac_codes[0xF0])
+                        run -= 16
+                    s = abs(zzc[i]).bit_length()
+                    put(*ac_codes[(run << 4) | s])
+                    put_val(zzc[i])
+                    run = 0
+                if run:
+                    put(*ac_codes[0x00])
+    if nbits:
+        pad = 8 - nbits
+        put((1 << pad) - 1, pad)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE[i] for i in zz))
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+
+    def dht(cls_id: int, bits: list, vals: list) -> bytes:
+        return seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+
+    scomps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    sos = seg(0xFFDA, bytes([3]) + scomps + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+        + dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+        + sos
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def synthesize_jpeg_color_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL 4:4:4 color JPEGs: 16x16, three planes of
+    four uniform 8x8 blocks each with EVEN values
+    v(ci, k) = 2*((doc_id*31 + ci*53 + k*97) % 128) — exactly
+    invertible per plane (q381's argument), so q382's oracle replays
+    the pixel spec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(doc_id: int) -> bytes:
+            import numpy as np
+
+            planes = []
+            for ci in range(3):
+                img = np.zeros((16, 16), dtype=np.int64)
+                for k in range(4):
+                    v = 2 * ((doc_id * 31 + ci * 53 + k * 97) % 128)
+                    by, bx = divmod(k, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                planes.append(img)
+            return _jpeg_encode_ycc444(planes, 16, 16)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
+    """Color twin of decode_jpeg_features: full baseline parse via the
+    general decoder, requiring THREE components; exact per-plane
+    integer features (BIGINT sums, last-pixel per plane). Grayscale
+    payloads are poisoned rows under this contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "width": [], "height": [],
+                "sum_y": [], "sum_cb": [], "sum_cr": [],
+                "px_y": [], "px_cb": [], "px_cr": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = _jpeg_decode_baseline(buf)
+                ok = r is not None and len(r[2]) == 3
+                out["doc_id"].append(doc_id)
+                out["valid"].append(ok)
+                if not ok:
+                    for c in ("width", "height", "sum_y", "sum_cb",
+                              "sum_cr", "px_y", "px_cb", "px_cr"):
+                        out[c].append(None)
+                else:
+                    w, h, planes = r
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for key, p in zip(("sum_y", "sum_cb", "sum_cr"), planes):
+                        out[key].append(int(p.sum()))
+                    for key, p in zip(("px_y", "px_cb", "px_cr"), planes):
+                        out[key].append(int(p[-1, -1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_JPEG_COLOR_SCHEMA)
+
+
+def media_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real color-JPEG path: synthesize 4:4:4 interleaved
+    baseline JPEGs → general decoder (per-component DC predictors,
+    stream-parsed tables) → exact per-plane features, ordered."""
+    return (
+        decode_jpeg_color_features(synthesize_jpeg_color_media(spark, sf_dir))
         .orderBy("doc_id")
     )

@@ -12903,3 +12903,35 @@ SPECS["q381_media_jpeg_decode"] = QuerySpec(
     "the lossy format exactly oracle-checkable (q96/q97/q98's "
     "closed-form contract)",
 )
+
+SPECS["q382_media_jpeg_color_decode"] = QuerySpec(
+    multimodal.media_jpeg_color_decode,
+    """
+    -- closed-form replay of the per-plane uniform-block spec
+    -- v(ci, k) = 2*((doc_id*31 + ci*53 + k*97) % 128) over a 16x16
+    -- three-component 4:4:4 interleaved baseline JPEG: q381's
+    -- DC-only exact-roundtrip argument applies per plane (shared
+    -- Q[0]=16), so the lossy color format is exactly checkable and
+    -- the oracle never parses bytes. Exercises what grayscale can't:
+    -- interleaved MCUs and PER-COMPONENT DC predictors.
+    WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+    cs AS (SELECT unnest(range(0, 3)) AS ci),
+    px AS (SELECT doc_id, ci, k,
+                  2 * ((doc_id * 31 + ci * 53 + k * 97) % 128) AS v
+           FROM documents CROSS JOIN ks CROSS JOIN cs)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN ci = 0 THEN 64 * v END) AS BIGINT) AS sum_y,
+           CAST(SUM(CASE WHEN ci = 1 THEN 64 * v END) AS BIGINT) AS sum_cb,
+           CAST(SUM(CASE WHEN ci = 2 THEN 64 * v END) AS BIGINT) AS sum_cr,
+           CAST(MAX(CASE WHEN ci = 0 AND k = 3 THEN v END) AS INTEGER) AS px_y,
+           CAST(MAX(CASE WHEN ci = 1 AND k = 3 THEN v END) AS INTEGER) AS px_cb,
+           CAST(MAX(CASE WHEN ci = 2 AND k = 3 THEN v END) AS INTEGER) AS px_cr
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal: REAL color JPEG — 4:4:4 interleaved baseline "
+    "(three components, per-component DC predictors, stream-parsed "
+    "tables) through the same general decoder as q381; uniform "
+    "even-block synthesis keeps the lossy format exactly "
+    "oracle-checkable per plane; subsampled/progressive remain gated",
+)

@@ -140,3 +140,70 @@ def test_jpeg_q381_end_to_end_matches_pixel_spec(spark, sf_dir):
         assert r["pixel_sum"] == 64 * sum(vs)
         assert r["px_first"] == vs[0]
         assert r["px_last"] == vs[3]
+
+
+# --- color JPEG (q382): 4:4:4 interleaved, per-component DC predictors ---
+
+
+def test_jpeg_color_lossy_path_matches_per_plane_reference():
+    import numpy as np
+
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_decode_baseline,
+        _jpeg_encode_ycc444,
+    )
+
+    planes = [
+        np.fromfunction(
+            lambda y, x, c=ci: (3 * x + 5 * y + 7 * (c + 1)) % 256, (16, 24)
+        ).astype(np.int64)
+        for ci in range(3)
+    ]
+    r = _jpeg_decode_baseline(_jpeg_encode_ycc444(planes, 24, 16))
+    assert r is not None
+    w, h, got = r
+    assert (w, h, len(got)) == (24, 16, 3)
+    for ci in range(3):
+        assert np.array_equal(got[ci], _jpeg_transform_reference(planes[ci]))
+
+
+def test_jpeg_gray_and_color_streams_cross_reject(spark):
+    import numpy as np
+
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+        _jpeg_encode_ycc444,
+        decode_jpeg_color_features,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.int64)
+    gray = _jpeg_encode_gray(img.reshape(-1), 8, 8)
+    color = _jpeg_encode_ycc444([img, img, img], 8, 8)
+    # a color stream is a poisoned row for the grayscale contract
+    assert _jpeg_decode_gray(color) is None
+    assert _jpeg_decode_gray(gray) is not None
+    # and a grayscale stream is a poisoned row for the color contract
+    df = spark.createDataFrame(
+        [(1, bytearray(gray)), (2, bytearray(color))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_jpeg_color_features(df).collect()}
+    assert not out[1]["valid"] and out[1]["sum_y"] is None
+    assert out[2]["valid"] and out[2]["sum_y"] == 64 * 100
+
+
+def test_jpeg_q382_end_to_end_matches_pixel_spec(spark, sf_dir):
+    from etl_geonet_quakes_spark.llm.multimodal import media_jpeg_color_decode
+
+    rows = media_jpeg_color_decode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        assert r["valid"] and (r["width"], r["height"]) == (16, 16)
+        for ci, (s_key, p_key) in enumerate(
+            [("sum_y", "px_y"), ("sum_cb", "px_cb"), ("sum_cr", "px_cr")]
+        ):
+            vs = [2 * ((d * 31 + ci * 53 + k * 97) % 128) for k in range(4)]
+            assert r[s_key] == 64 * sum(vs)
+            assert r[p_key] == vs[3]
