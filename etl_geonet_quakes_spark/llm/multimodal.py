@@ -1012,7 +1012,17 @@ def synthesize_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the input is an 8-byte/row doc_id projection — at fixture scale
+    # it collapses to ONE split, serializing the Python codec; a
+    # repartition of this tiny column is near-free and spreads encode
+    # across all cores (at real scale the scan has many splits and
+    # AQE would coalesce, so this is bench-scale parallelism, not a
+    # data shuffle)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -1201,7 +1211,11 @@ def synthesize_jpeg_color_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # same bench-scale parallelism note as synthesize_jpeg_media
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
