@@ -58,7 +58,14 @@ def _ship_package(spark: SparkSession) -> None:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+                    # Fixed timestamp so the digest depends only on
+                    # file BYTES: zipfile otherwise stores each
+                    # member's mtime, making byte-identical checkouts
+                    # (e.g. a fresh A/B freeze worktree) hash to
+                    # different names and accumulate stale zips.
+                    info = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+                    with open(full, "rb") as src:
+                        zf.writestr(info, src.read())
     data = buf.getvalue()
     digest = hashlib.md5(data).hexdigest()[:12]
     zpath = os.path.join(

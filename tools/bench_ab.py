@@ -87,17 +87,27 @@ def _run_pass(side: str, names: list[str], label: str) -> dict[str, float]:
         f.write(_RUNNER)
         runner = f.name
     t0 = time.perf_counter()
-    subprocess.run(
-        [sys.executable, runner, side, json.dumps(names), SF_DIR, out_path],
-        check=True,
-        env={**os.environ, "PYTHONPATH": side},
-    )
-    wall = time.perf_counter() - t0
-    with open(out_path) as f:
-        res = json.load(f)
+    try:
+        subprocess.run(
+            [sys.executable, runner, side, json.dumps(names), SF_DIR, out_path],
+            check=True,
+            # Prepend (don't clobber): environments that reach pyspark
+            # or deps via a pre-existing PYTHONPATH keep working.
+            env={
+                **os.environ,
+                "PYTHONPATH": side + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            },
+        )
+        wall = time.perf_counter() - t0
+        with open(out_path) as f:
+            res = json.load(f)
+    finally:
+        for p in (out_path, runner):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
     print(f"# pass {label}: {len(res)} queries, {wall:.1f} s", file=sys.stderr)
-    os.unlink(out_path)
-    os.unlink(runner)
     return res
 
 

@@ -25,9 +25,11 @@ Scope guard: columns must be integer/string/boolean/date typed — a
 raw DOUBLE would compare float FORMATTING, not values, so the tool
 refuses it (round such columns to fixed decimals in the query first,
 which the registry's determinism rules already require for rank
-keys). NULL columns are excluded from the contract (concat_ws skips
-nulls identically on both engines, which would let 'a',NULL ≡ 'a';
-the registry's huge-output queries are null-free by construction).
+keys). NULLs are hashed via a per-column coalesce to a '<NULL>'
+sentinel on BOTH engines (round-13): concat_ws alone skips nulls
+identically on both sides, which would let ('a',NULL,'b') ≡
+('a','b',NULL); the sentinel makes null placement part of the hash
+instead of relying on queries being null-free by convention.
 
     SPARK_GRAFT_SF_DIR=... python tools/parity_checksum.py OUT.json q88_string_distance [more...]
 """
@@ -56,6 +58,67 @@ _OK_SPARK_TYPES = (
 )
 
 
+class ChecksumTypeError(TypeError):
+    """Raised when a result schema has float-typed columns the
+    checksum protocol cannot compare exactly."""
+
+
+def checksum_compare(sdf, con, oracle_sql: str) -> dict:
+    """Collect-free value parity: COUNT(*) + order-independent SUM of
+    md5-60bit row hashes in DECIMAL(38,0), computed fully inside each
+    engine. Shared by the standalone CLI below and the row-sweep's
+    oversized-result fallback (tools/parity_sweep.py, round 13)."""
+    bad_types = [
+        (c, t) for c, t in sdf.dtypes if t not in _OK_SPARK_TYPES
+    ]
+    if bad_types:
+        raise ChecksumTypeError(
+            f"checksum parity requires exact-formatting column types, "
+            f"got {bad_types} — round/cast in the query"
+        )
+    cols = sdf.columns  # same order both sides: the SELECT order
+    # NULL-proof (round-13, ADVICE): concat_ws SKIPS nulls on both
+    # engines, so ('a',NULL,'b') and ('a','b',NULL) would hash
+    # identically. Coalescing every column to a sentinel makes the
+    # hash injective over null placement instead of relying on the
+    # queries being null-free by convention.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                for c in cols
+            ])),
+            1, 15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    srow = sdf.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(h).alias("cs")
+    ).collect()[0]
+    s_n, s_cs = srow["n"], srow["cs"]
+
+    d_expr = ", ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), '<NULL>')" for c in cols
+    )
+    drow = con.sql(
+        f"SELECT COUNT(*) AS n, "
+        f"SUM(CAST(CAST(concat('0x', substring(md5(concat_ws('|', {d_expr})), 1, 15)) "
+        f"AS BIGINT) AS DECIMAL(38,0))) AS cs "
+        f"FROM ({oracle_sql}) _q"
+    ).fetchone()
+    d_n, d_cs = drow
+    ok = (s_n == d_n) and (str(s_cs) == str(d_cs))
+    return {
+        "status": "checksum_match" if ok else "checksum_mismatch",
+        "spark_rows": s_n,
+        "oracle_rows": d_n,
+        "spark_checksum": str(s_cs),
+        "oracle_checksum": str(d_cs),
+        "columns": cols,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1]
     names = sys.argv[2:]
@@ -78,47 +141,16 @@ def main() -> None:
             raise SystemExit(f"{name} has no oracle")
         t0 = time.perf_counter()
         sdf = spec.fn(spark, SF_DIR)
-        bad_types = [
-            (c, t) for c, t in sdf.dtypes if t not in _OK_SPARK_TYPES
-        ]
-        if bad_types:
-            raise SystemExit(
-                f"{name}: checksum parity requires exact-formatting "
-                f"column types, got {bad_types} — round/cast in the query"
-            )
-        cols = sdf.columns  # same order both sides: the SELECT order
-        h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])), 1, 15),
-            16,
-            10,
-        ).cast("decimal(38,0)")
-        srow = sdf.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(h).alias("cs")
-        ).collect()[0]
-        s_n, s_cs = srow["n"], srow["cs"]
-
-        d_expr = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
-        drow = con.sql(
-            f"SELECT COUNT(*) AS n, "
-            f"SUM(CAST(CAST(concat('0x', substring(md5(concat_ws('|', {d_expr})), 1, 15)) "
-            f"AS BIGINT) AS DECIMAL(38,0))) AS cs "
-            f"FROM ({spec.oracle}) _q"
-        ).fetchone()
-        d_n, d_cs = drow
-        ok = (s_n == d_n) and (str(s_cs) == str(d_cs))
-        results[name] = {
-            "status": "checksum_match" if ok else "checksum_mismatch",
-            "spark_rows": s_n,
-            "oracle_rows": d_n,
-            "spark_checksum": str(s_cs),
-            "oracle_checksum": str(d_cs),
-            "columns": cols,
-            "sec": round(time.perf_counter() - t0, 3),
-        }
-        if not ok:
+        try:
+            entry = checksum_compare(sdf, con, spec.oracle)
+        except ChecksumTypeError as exc:
+            raise SystemExit(f"{name}: {exc}")
+        entry["sec"] = round(time.perf_counter() - t0, 3)
+        results[name] = entry
+        if entry["status"] != "checksum_match":
             n_bad += 1
-        print(f"# {name}: {results[name]['status']} "
-              f"({s_n} rows, {results[name]['sec']} s)", file=sys.stderr)
+        print(f"# {name}: {entry['status']} "
+              f"({entry['spark_rows']} rows, {entry['sec']} s)", file=sys.stderr)
 
     artifact = {
         "metric": "oracle_parity_checksum",

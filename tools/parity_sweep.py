@@ -18,6 +18,12 @@ diverging rows recorded instead of aborting the sweep.
 Comparison is the test_oracle_parity contract verbatim: sort columns
 by name, canonicalize cells (NaN sentinel, ISO dates, numpy→python),
 sort rows by repr, require equal column names, counts, and values.
+
+Oversized results (round 13): rows are fetched via limit(budget+1)
+(SPARK_GRAFT_ROW_BUDGET, default 5M) so a Θ(output) query can never
+OOM the driver mid-sweep; past the budget the sweep switches to the
+collect-free checksum protocol (tools/parity_checksum.py) and records
+status "checksum_match" — the scalable parity mode, counted as green.
 """
 
 from __future__ import annotations
@@ -35,8 +41,67 @@ from etl_geonet_quakes_spark.io import TABLES  # noqa: E402
 from etl_geonet_quakes_spark.queries import SPECS  # noqa: E402
 from etl_geonet_quakes_spark.session import get_spark  # noqa: E402
 from tests.test_oracle_parity import _normalize  # noqa: E402
+from tools.parity_checksum import ChecksumTypeError, checksum_compare  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Driver-side row budget for the row-level compare (round 13,
+# institutionalizing the q88 lesson: its 109M-row sf1.0 collect OOMed
+# an 8 GiB driver heap before the sweep could notice). Results are
+# fetched via limit(budget+1) — CollectLimit stops early, so a huge
+# result costs one early-terminated scan, not a full materialization.
+# When the limit is hit the sweep falls back to the collect-free
+# checksum protocol (tools/parity_checksum.py) instead of OOMing.
+ROW_BUDGET = int(os.environ.get("SPARK_GRAFT_ROW_BUDGET", "5000000"))
+
+
+def compare_one(spark, con, spec, row_budget: int = ROW_BUDGET) -> dict:
+    """Row-level Spark-vs-DuckDB compare for one registry spec, with
+    the oversized-result checksum fallback. Returns the artifact
+    entry dict (status 'match' / '*_mismatch' / 'rows_only' /
+    'checksum_match' / 'checksum_mismatch')."""
+    t0 = time.perf_counter()
+    sdf = spec.fn(spark, SF_DIR)
+    if not spec.oracle:
+        return {"status": "rows_only", "spark_rows": sdf.count()}
+    capped = sdf.limit(row_budget + 1).collect()
+    if len(capped) > row_budget:
+        # Result exceeds the driver budget: prove value equality
+        # in-engine instead (order-independent hash-sum + COUNT).
+        del capped
+        try:
+            entry = checksum_compare(sdf, con, spec.oracle)
+        except ChecksumTypeError as exc:
+            entry = {"status": "error", "err": f"ChecksumTypeError: {exc}"[:300]}
+        entry["row_budget"] = row_budget
+        entry["sec"] = round(time.perf_counter() - t0, 3)
+        return entry
+    s_named, s_data = _normalize(sdf.columns, [tuple(r) for r in capped])
+    res = con.sql(spec.oracle)
+    d_named, d_data = _normalize(list(res.columns), res.fetchall())
+    entry = {
+        "spark_rows": len(s_data),
+        "oracle_rows": len(d_data),
+        "sec": round(time.perf_counter() - t0, 3),
+    }
+    if s_named != d_named:
+        entry["status"] = "schema_mismatch"
+        entry["spark_cols"], entry["oracle_cols"] = s_named, d_named
+    elif len(s_data) != len(d_data):
+        entry["status"] = "rowcount_mismatch"
+    else:
+        diffs = [
+            {"i": i, "spark": repr(a)[:200], "oracle": repr(b)[:200]}
+            for i, (a, b) in enumerate(zip(s_data, d_data))
+            if a != b
+        ]
+        if diffs:
+            entry["status"] = "value_mismatch"
+            entry["n_diff_rows"] = len(diffs)
+            entry["first_diffs"] = diffs[:3]
+        else:
+            entry["status"] = "match"
+    return entry
 
 
 def _selected_specs() -> dict:
@@ -80,44 +145,15 @@ def main() -> None:
     n_ok = n_bad = n_rows_only = n_err = 0
     t_sweep = time.perf_counter()
     for name, spec in specs.items():
-        t0 = time.perf_counter()
         try:
-            sdf = spec.fn(spark, SF_DIR)
-            if not spec.oracle:
-                n = sdf.count()
-                results[name] = {"status": "rows_only", "spark_rows": n}
-                n_rows_only += 1
-                continue
-            s_named, s_data = _normalize(
-                sdf.columns, [tuple(r) for r in sdf.collect()]
-            )
-            res = con.sql(spec.oracle)
-            d_named, d_data = _normalize(list(res.columns), res.fetchall())
-            entry: dict = {
-                "spark_rows": len(s_data),
-                "oracle_rows": len(d_data),
-                "sec": round(time.perf_counter() - t0, 3),
-            }
-            if s_named != d_named:
-                entry["status"] = "schema_mismatch"
-                entry["spark_cols"], entry["oracle_cols"] = s_named, d_named
-            elif len(s_data) != len(d_data):
-                entry["status"] = "rowcount_mismatch"
-            else:
-                diffs = [
-                    {"i": i, "spark": repr(a)[:200], "oracle": repr(b)[:200]}
-                    for i, (a, b) in enumerate(zip(s_data, d_data))
-                    if a != b
-                ]
-                if diffs:
-                    entry["status"] = "value_mismatch"
-                    entry["n_diff_rows"] = len(diffs)
-                    entry["first_diffs"] = diffs[:3]
-                else:
-                    entry["status"] = "match"
+            entry = compare_one(spark, con, spec)
             results[name] = entry
-            if entry["status"] == "match":
+            if entry["status"] in ("match", "checksum_match"):
                 n_ok += 1
+            elif entry["status"] == "rows_only":
+                n_rows_only += 1
+            elif entry["status"] == "error":
+                n_err += 1
             else:
                 n_bad += 1
         except Exception as exc:  # record loudly, keep sweeping
@@ -141,6 +177,7 @@ def main() -> None:
         "n_rows_only": n_rows_only,
         "n_total": len(specs),
         "selection": os.environ.get("SPARK_GRAFT_QUERIES"),
+        "row_budget": ROW_BUDGET,
         "sweep_sec": round(time.perf_counter() - t_sweep, 3),
         "queries": results,
     }
@@ -160,7 +197,7 @@ def main() -> None:
     if n_bad or n_err:
         bad = {
             k: v["status"] for k, v in results.items()
-            if v["status"] not in ("match", "rows_only")
+            if v["status"] not in ("match", "checksum_match", "rows_only")
         }
         print(f"NON-MATCHES: {json.dumps(bad)}", file=sys.stderr)
         sys.exit(1)
