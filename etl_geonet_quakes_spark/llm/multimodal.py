@@ -619,10 +619,13 @@ def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFra
 # decode; baseline JPEG needs no library — the wire format is marker
 # segments (DQT/SOF0/DHT/SOS), canonical Huffman coding, zigzag
 # dequantization and the 8x8 type-II IDCT, all spec-reproducible the
-# way q96/q97/q98's PPM/WAV/PNG codecs are. Color (YCbCr subsampled)
-# and progressive JPEG stay out of scope — a library build swaps into
-# the same mapInPandas stage; this codec is the real single-component
-# baseline path, exercised end-to-end.
+# way q96/q97/q98's PPM/WAV/PNG codecs are. Round 12 added 4:4:4
+# interleaved color (q382); round 13 added 4:2:0 chroma subsampling
+# (q383) and restart markers (q384) — the decoder now covers the
+# sequential-baseline process for 1..3 components at arbitrary T.81
+# sampling factors with DRI/RSTn. Progressive and arithmetic-coded
+# streams stay out of scope — a library build swaps into the same
+# mapInPandas stage.
 #
 # Oracle strategy: JPEG is LOSSY, so the synthesized images are
 # grids of UNIFORM 8x8 blocks with EVEN pixel values v — a uniform
@@ -786,13 +789,16 @@ def _jpeg_encode_gray(pixels, width: int, height: int) -> bytes:
 
 
 def _jpeg_decode_baseline(buf):
-    """General baseline-JPEG decoder: 1..3 components, all H=V=1
-    (grayscale or 4:4:4 interleaved), per-component quant/Huffman
-    table ids honored, tables parsed FROM THE STREAM. Returns
-    (width, height, [plane ndarrays]) or None on any malformation
-    (one-poisoned-row policy). Subsampled (H or V > 1), progressive,
-    arithmetic-coded and restart-interval streams are rejected —
-    the honestly-gated remainder of the format."""
+    """General baseline-JPEG decoder: 1..3 components with arbitrary
+    T.81 sampling factors (H, V in 1..4 — covers 4:4:4, 4:2:2 and the
+    dominant real-world 4:2:0 layout), restart intervals (DRI + RSTn
+    with DC-predictor reset), per-component quant/Huffman table ids
+    honored, tables parsed FROM THE STREAM. Returns (width, height,
+    [plane ndarrays], [(H, V) per component]) — each plane at its
+    NATIVE resolution, ceil(w*H/Hmax) x ceil(h*V/Vmax) — or None on
+    any malformation (one-poisoned-row policy). Progressive and
+    arithmetic-coded streams are rejected — the honestly-gated
+    remainder of the format."""
     import struct
 
     import numpy as np
@@ -807,8 +813,9 @@ def _jpeg_decode_baseline(buf):
         qtables = {}
         hufftabs = {}
         dims = None
-        comps = None  # list of (cid, tq)
+        comps = None  # list of (cid, Hc, Vc, tq)
         scan = None
+        dri = 0  # restart interval in MCUs, 0 = none
         while i + 4 <= len(buf):
             if buf[i] != 0xFF:
                 return None
@@ -856,12 +863,22 @@ def _jpeg_decode_baseline(buf):
                 comps = []
                 for c in range(nf):
                     cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                    if hv != 0x11:
-                        return None  # subsampling unsupported
-                    comps.append((cid, tq))
+                    hc, vc = hv >> 4, hv & 0x0F
+                    if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                        return None
+                    comps.append((cid, hc, vc, tq))
+                if nf == 1:
+                    # Non-interleaved single-component scan: T.81 A.2.2
+                    # ignores the sampling factors (data-unit raster
+                    # over the component); normalize so MCU = 1 block.
+                    comps = [(comps[0][0], 1, 1, comps[0][3])]
                 dims = (w, h)
+            elif marker == 0xDD:
+                if len(seg) != 2:
+                    return None
+                (dri,) = struct.unpack_from(">H", seg, 0)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
             elif marker == 0xDA:
                 ns = seg[0]
@@ -880,15 +897,22 @@ def _jpeg_decode_baseline(buf):
         w, h = dims
         if w <= 0 or h <= 0:
             return None
-        # map scan order to component table ids
+        # map scan order to component table ids + sampling factors
         order = []
         for cs, td, ta in sel:
-            match = [tq for cid, tq in comps if cid == cs]
+            match = [(hc, vc, tq) for cid, hc, vc, tq in comps if cid == cs]
             if not match or (0, td) not in hufftabs or (1, ta) not in hufftabs:
                 return None
-            if match[0] not in qtables:
+            hc, vc, tq = match[0]
+            if tq not in qtables:
                 return None
-            order.append((hufftabs[(0, td)], hufftabs[(1, ta)], qtables[match[0]]))
+            order.append(
+                (hufftabs[(0, td)], hufftabs[(1, ta)], qtables[tq], hc, vc)
+            )
+        hmax = max(o[3] for o in order)
+        vmax = max(o[4] for o in order)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
         data = buf
         bitpos = [pos, 0]
@@ -912,6 +936,16 @@ def _jpeg_decode_baseline(buf):
             bitpos[0], bitpos[1] = bi, off
             return bit
 
+        def expect_rst(n):
+            # Byte-align (discarding pad bits; a 0xFF pad byte carries
+            # a stuffed 0x00 to skip), then consume the RSTn marker.
+            bi, off = bitpos
+            if off:
+                bi += 2 if data[bi] == 0xFF else 1
+            if bi + 1 >= len(data) or data[bi] != 0xFF or data[bi + 1] != 0xD0 + n:
+                raise ValueError("missing restart marker")
+            bitpos[0], bitpos[1] = bi + 2, 0
+
         def read_huff(table):
             code = 0
             for l2 in range(1, 17):
@@ -934,41 +968,61 @@ def _jpeg_decode_baseline(buf):
         u = np.arange(8).reshape(8, 1)
         a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
         a[0, :] /= np.sqrt(2.0)
-        bx_n = (w + 7) // 8
-        by_n = (h + 7) // 8
-        planes = [np.zeros((by_n * 8, bx_n * 8)) for _ in order]
-        prev = [0] * len(order)
-        for by in range(by_n):
-            for bx in range(bx_n):
-                for ci, (dct, act, qt) in enumerate(order):
-                    zzc = [0] * 64
-                    t = read_huff(dct)
-                    prev[ci] += read_extend(t)
-                    zzc[0] = prev[ci]
-                    k = 1
-                    while k < 64:
-                        rs = read_huff(act)
-                        if rs == 0x00:
-                            break
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            return None
-                        zzc[k] = read_extend(rs & 0x0F)
-                        k += 1
-                    q = np.array(qt, dtype=np.float64)[inv].reshape(8, 8)
-                    coef = np.zeros(64)
-                    for zi, ni in enumerate(zz):
-                        coef[ni] = zzc[zi]
-                    blk = a.T @ (coef.reshape(8, 8) * q) @ a
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-        px = [
-            np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64)[:h, :w]
-            for p in planes
+        planes = [
+            np.zeros((mcuy * 8 * vc, mcux * 8 * hc))
+            for _dct, _act, _qt, hc, vc in order
         ]
-        return (w, h, px)
+        prev = [0] * len(order)
+
+        def decode_block(ci, row8, col8):
+            dct, act, qt = order[ci][:3]
+            zzc = [0] * 64
+            t = read_huff(dct)
+            prev[ci] += read_extend(t)
+            zzc[0] = prev[ci]
+            k = 1
+            while k < 64:
+                rs = read_huff(act)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("coef index out of range")
+                zzc[k] = read_extend(rs & 0x0F)
+                k += 1
+            q = np.array(qt, dtype=np.float64)[inv].reshape(8, 8)
+            coef = np.zeros(64)
+            for zi, ni in enumerate(zz):
+                coef[ni] = zzc[zi]
+            blk = a.T @ (coef.reshape(8, 8) * q) @ a
+            planes[ci][row8 * 8 : row8 * 8 + 8, col8 * 8 : col8 * 8 + 8] = blk
+
+        mcu_n = 0
+        rst_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_n and mcu_n % dri == 0:
+                    expect_rst(rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    prev[:] = [0] * len(order)
+                for ci, (_dct, _act, _qt, hc, vc) in enumerate(order):
+                    for v2 in range(vc):
+                        for h2 in range(hc):
+                            decode_block(ci, my * vc + v2, mx * hc + h2)
+                mcu_n += 1
+        px = []
+        samps = []
+        for (_dct, _act, _qt, hc, vc), p in zip(order, planes):
+            wc = (w * hc + hmax - 1) // hmax
+            hcomp = (h * vc + vmax - 1) // vmax
+            px.append(
+                np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64)[:hcomp, :wc]
+            )
+            samps.append((hc, vc))
+        return (w, h, px, samps)
     except Exception:
         return None
 
@@ -980,7 +1034,7 @@ def _jpeg_decode_gray(buf: bytes):
     r = _jpeg_decode_baseline(buf)
     if r is None or len(r[2]) != 1:
         return None
-    w, h, planes = r
+    w, h, planes, _samps = r
     return (w, h, planes[0])
 
 
@@ -1077,9 +1131,10 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline. The synthesis generates the YCbCr PLANES directly (no
 # RGB<->YCbCr transform in the codec), so the DCT quantization stays
 # the only lossy stage and q381's uniform-even-block exact-roundtrip
-# argument extends per plane. What remains honestly gated in
-# extract_features(fake=False): chroma SUBSAMPLING (H/V > 1),
-# progressive scans, restart intervals, arithmetic coding.
+# argument extends per plane. Round 13 extends the same decoder to
+# chroma subsampling + restart intervals (q383/q384 below); what
+# remains honestly gated in extract_features(fake=False):
+# progressive scans, arithmetic coding.
 # ---------------------------------------------------------------------------
 
 _JPEG_COLOR_SCHEMA = (
@@ -1234,7 +1289,14 @@ def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
             }
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 r = _jpeg_decode_baseline(buf)
-                ok = r is not None and len(r[2]) == 3
+                # contract: three components, NOT subsampled — a
+                # 4:2:0 stream under the 4:4:4 contract is a poisoned
+                # row (q383 is its home), same as gray under color
+                ok = (
+                    r is not None
+                    and len(r[2]) == 3
+                    and all(s == (1, 1) for s in r[3])
+                )
                 out["doc_id"].append(doc_id)
                 out["valid"].append(ok)
                 if not ok:
@@ -1242,7 +1304,7 @@ def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
                               "sum_cr", "px_y", "px_cb", "px_cr"):
                         out[c].append(None)
                 else:
-                    w, h, planes = r
+                    w, h, planes, _samps = r
                     out["width"].append(w)
                     out["height"].append(h)
                     for key, p in zip(("sum_y", "sum_cb", "sum_cr"), planes):
@@ -1260,5 +1322,270 @@ def media_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-parsed tables) → exact per-plane features, ordered."""
     return (
         decode_jpeg_color_features(synthesize_jpeg_color_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 chroma subsampling + restart intervals (round 13): the
+# dominant real-world JPEG layout (Y at full resolution with H=V=2,
+# Cb/Cr at half resolution), MCU = four Y blocks + one Cb + one Cr
+# over a 16x16 pixel tile, plus DRI/RSTn restart markers (byte-
+# aligned, DC predictors reset — what makes real encoder output with
+# DRI segments decodable). Exactness strategy: synthesize the YCbCr
+# planes at their NATIVE resolutions with uniform EVEN 8x8 blocks —
+# 16x16-MCU-aligned for chroma — so every data unit is DC-only and
+# q381's round((v-128)/2)*2+128 = v argument holds per block; the
+# decoder reports planes at native resolution, so no upsampling
+# enters the oracle contract at all (replication upsampling of a
+# uniform MCU would be exact anyway). Still gated: progressive
+# scans, arithmetic coding.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_encode_ycc420(y, cb, cr, width: int, height: int,
+                        restart_interval: int = 0) -> bytes:
+    """Baseline sequential JPEG, three 8-bit components with 4:2:0
+    sampling (Y H=V=2; Cb/Cr H=V=1), interleaved MCU = 2x2 Y blocks +
+    one block each of Cb/Cr, shared quant + DC/AC tables, per-
+    component DC predictors. ``y`` is height x width, ``cb``/``cr``
+    are (height/2) x (width/2); dims must be multiples of 16. With
+    ``restart_interval`` = r > 0, a DRI segment is emitted and every
+    r MCUs the entropy stream is byte-aligned (1-padded) and an RSTn
+    marker (n cycling 0..7) is written with DC predictors reset."""
+    import struct
+
+    import numpy as np
+
+    if width % 16 or height % 16:
+        raise ValueError("4:2:0 synthesis requires dims % 16 == 0")
+    zz = _jpeg_zigzag()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def put_val(v: int) -> None:
+        s = abs(v).bit_length()
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def flush_pad() -> None:
+        nonlocal nbits
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1-bits
+
+    planes = [
+        np.asarray(y, dtype=np.float64).reshape(height, width),
+        np.asarray(cb, dtype=np.float64).reshape(height // 2, width // 2),
+        np.asarray(cr, dtype=np.float64).reshape(height // 2, width // 2),
+    ]
+    prev = [0, 0, 0]
+
+    def encode_block(ci: int, row8: int, col8: int) -> None:
+        blk = planes[ci][row8 * 8 : row8 * 8 + 8, col8 * 8 : col8 * 8 + 8] - 128.0
+        qc = np.rint((a @ blk @ a.T) / q).astype(np.int64)
+        flat = qc.reshape(64)
+        zzc = [int(flat[i]) for i in zz]
+        d = zzc[0] - prev[ci]
+        prev[ci] = zzc[0]
+        put(*dc_codes[abs(d).bit_length()])
+        put_val(d)
+        run = 0
+        for i in range(1, 64):
+            if zzc[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*ac_codes[0xF0])
+                run -= 16
+            s = abs(zzc[i]).bit_length()
+            put(*ac_codes[(run << 4) | s])
+            put_val(zzc[i])
+            run = 0
+        if run:
+            put(*ac_codes[0x00])  # EOB
+
+    mcux, mcuy = width // 16, height // 16
+    mcu_n = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                flush_pad()
+                out += bytes([0xFF, 0xD0 + rst_n])  # raw marker, unstuffed
+                rst_n = (rst_n + 1) % 8
+                prev[:] = [0, 0, 0]
+            for v2 in range(2):  # four Y blocks, raster within the MCU
+                for h2 in range(2):
+                    encode_block(0, my * 2 + v2, mx * 2 + h2)
+            encode_block(1, my, mx)  # Cb
+            encode_block(2, my, mx)  # Cr
+            mcu_n += 1
+    flush_pad()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE[i] for i in zz))
+    comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+
+    def dht(cls_id: int, bits: list, vals: list) -> bytes:
+        return seg(0xFFC4, bytes([cls_id]) + bytes(bits) + bytes(vals))
+
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    scomps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    sos = seg(0xFFDA, bytes([3]) + scomps + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof
+        + dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+        + dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+        + dri
+        + sos
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_420_planes(doc_id: int, mult: int):
+    """The q383/q384 pixel spec: 32x32 Y of sixteen uniform even 8x8
+    blocks v_y(k) = 2*((doc_id*mult + k*97) % 128), k block-raster;
+    16x16 Cb/Cr of four uniform even 8x8 blocks (one per 16x16 MCU)
+    v_c(ci, m) = 2*((doc_id*mult + ci*53 + m*89) % 128), ci in 1..2."""
+    import numpy as np
+
+    yp = np.zeros((32, 32), dtype=np.int64)
+    for k in range(16):
+        by, bx = divmod(k, 4)
+        yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((doc_id * mult + k * 97) % 128)
+        )
+    chroma = []
+    for ci in (1, 2):
+        p = np.zeros((16, 16), dtype=np.int64)
+        for m in range(4):
+            by, bx = divmod(m, 2)
+            p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                2 * ((doc_id * mult + ci * 53 + m * 89) % 128)
+            )
+        chroma.append(p)
+    return yp, chroma[0], chroma[1]
+
+
+def synthesize_jpeg_420_media(
+    spark: SparkSession, sf_dir: str, *, mult: int = 31, restart_interval: int = 0
+) -> DataFrame:
+    """Deterministic REAL 4:2:0 JPEGs over the _jpeg_420_planes spec —
+    every data unit uniform+even, chroma blocks MCU-aligned, so the
+    lossy subsampled format round-trips exactly (module note)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(doc_id: int) -> bytes:
+            yp, cbp, crp = _jpeg_420_planes(doc_id, mult)
+            return _jpeg_encode_ycc420(
+                yp, cbp, crp, 32, 32, restart_interval=restart_interval
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # same bench-scale parallelism note as synthesize_jpeg_media
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_jpeg_420_features(df: DataFrame) -> DataFrame:
+    """4:2:0 twin of decode_jpeg_color_features: full baseline parse
+    via the general decoder, requiring THREE components sampled
+    exactly (2,2),(1,1),(1,1); per-plane integer features at each
+    plane's NATIVE resolution (Y full-res, chroma half-res), so no
+    upsampling convention enters the oracle contract. 4:4:4 or
+    grayscale payloads are poisoned rows under this contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "width": [], "height": [],
+                "sum_y": [], "sum_cb": [], "sum_cr": [],
+                "px_y": [], "px_cb": [], "px_cr": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = _jpeg_decode_baseline(buf)
+                ok = (
+                    r is not None
+                    and len(r[2]) == 3
+                    and r[3] == [(2, 2), (1, 1), (1, 1)]
+                )
+                out["doc_id"].append(doc_id)
+                out["valid"].append(ok)
+                if not ok:
+                    for c in ("width", "height", "sum_y", "sum_cb",
+                              "sum_cr", "px_y", "px_cb", "px_cr"):
+                        out[c].append(None)
+                else:
+                    w, h, planes, _samps = r
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for key, p in zip(("sum_y", "sum_cb", "sum_cr"), planes):
+                        out[key].append(int(p.sum()))
+                    for key, p in zip(("px_y", "px_cb", "px_cr"), planes):
+                        out[key].append(int(p[-1, -1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_JPEG_COLOR_SCHEMA)
+
+
+def media_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 4:2:0 path (q383): synthesize subsampled baseline
+    JPEGs → general decoder (MCU = 4 Y + Cb + Cr data units, native-
+    resolution planes) → exact per-plane features, ordered."""
+    return (
+        decode_jpeg_420_features(synthesize_jpeg_420_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )
+
+
+def media_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end restart-marker path (q384): the same 4:2:0 layout
+    with a DRI segment and an RSTn marker after EVERY MCU (interval
+    1 — the hardest cadence: three byte-aligned restarts per 32x32
+    image, DC predictors reset each time, marker index cycling). The
+    decoded features must equal the same closed-form pixel spec as an
+    unrestarted stream — restarts change the WIRE layout, never the
+    image — under a distinct value formula (mult=37) so q383/q384
+    results are not textually interchangeable."""
+    return (
+        decode_jpeg_420_features(
+            synthesize_jpeg_420_media(spark, sf_dir, mult=37, restart_interval=1)
+        )
         .orderBy("doc_id")
     )

@@ -12935,3 +12935,96 @@ SPECS["q382_media_jpeg_color_decode"] = QuerySpec(
     "even-block synthesis keeps the lossy format exactly "
     "oracle-checkable per plane; subsampled/progressive remain gated",
 )
+
+SPECS["q383_media_jpeg_420_decode"] = QuerySpec(
+    multimodal.media_jpeg_420_decode,
+    """
+    -- closed-form replay of the 4:2:0 pixel spec (_jpeg_420_planes,
+    -- mult=31): 32x32 Y of sixteen uniform even 8x8 blocks
+    -- v_y(k) = 2*((doc_id*31 + k*97) % 128), and NATIVE-resolution
+    -- 16x16 Cb/Cr of four uniform even 8x8 blocks (one per 16x16
+    -- MCU) v_c(ci, m) = 2*((doc_id*31 + ci*53 + m*89) % 128). Every
+    -- data unit is uniform+even, so q381's DC-only exact-roundtrip
+    -- argument holds per block and the dominant real-world JPEG
+    -- layout (subsampled chroma, interleaved 4-Y+Cb+Cr MCUs) is
+    -- exactly oracle-checkable; features are reported at each
+    -- plane's native resolution so no upsampling convention enters
+    -- the contract.
+    WITH ks AS (SELECT unnest(range(0, 16)) AS k),
+    y AS (SELECT doc_id,
+                 SUM(64 * 2 * ((doc_id * 31 + k * 97) % 128)) AS sum_y,
+                 MAX(CASE WHEN k = 15
+                     THEN 2 * ((doc_id * 31 + k * 97) % 128) END) AS px_y
+          FROM documents CROSS JOIN ks GROUP BY doc_id),
+    cpx AS (SELECT doc_id, ci, m,
+                   2 * ((doc_id * 31 + ci * 53 + m * 89) % 128) AS v
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+            CROSS JOIN (SELECT unnest(range(1, 3)) AS ci)),
+    c AS (SELECT doc_id,
+                 SUM(CASE WHEN ci = 1 THEN 64 * v END) AS sum_cb,
+                 SUM(CASE WHEN ci = 2 THEN 64 * v END) AS sum_cr,
+                 MAX(CASE WHEN ci = 1 AND m = 3 THEN v END) AS px_cb,
+                 MAX(CASE WHEN ci = 2 AND m = 3 THEN v END) AS px_cr
+          FROM cpx GROUP BY doc_id)
+    SELECT y.doc_id, TRUE AS valid,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_cb AS BIGINT) AS sum_cb,
+           CAST(sum_cr AS BIGINT) AS sum_cr,
+           CAST(px_y AS INTEGER) AS px_y,
+           CAST(px_cb AS INTEGER) AS px_cb,
+           CAST(px_cr AS INTEGER) AS px_cr
+    FROM y JOIN c ON y.doc_id = c.doc_id ORDER BY y.doc_id
+    """,
+    "§2.3 multimodal: 4:2:0 chroma subsampling — the dominant "
+    "real-world JPEG layout (Y at H=V=2, half-resolution Cb/Cr, "
+    "MCU = four Y data units + Cb + Cr over a 16x16 tile) through "
+    "the general baseline decoder; MCU-aligned uniform-even-block "
+    "synthesis keeps the lossy subsampled format exactly "
+    "oracle-checkable at native plane resolutions",
+)
+
+SPECS["q384_media_jpeg_restart_decode"] = QuerySpec(
+    multimodal.media_jpeg_restart_decode,
+    """
+    -- same closed-form 4:2:0 pixel-spec replay as q383 under
+    -- mult=37, but the STREAM carries a DRI segment with restart
+    -- interval 1: an RSTn marker after every MCU (three per image,
+    -- indices cycling D0/D1/D2), byte-aligned with 1-bit padding and
+    -- DC predictors reset at each restart. Restarts change the wire
+    -- layout, never the image, so the oracle is the same pixel spec
+    -- — what real encoder output with DRI segments requires of a
+    -- decoder.
+    WITH ks AS (SELECT unnest(range(0, 16)) AS k),
+    y AS (SELECT doc_id,
+                 SUM(64 * 2 * ((doc_id * 37 + k * 97) % 128)) AS sum_y,
+                 MAX(CASE WHEN k = 15
+                     THEN 2 * ((doc_id * 37 + k * 97) % 128) END) AS px_y
+          FROM documents CROSS JOIN ks GROUP BY doc_id),
+    cpx AS (SELECT doc_id, ci, m,
+                   2 * ((doc_id * 37 + ci * 53 + m * 89) % 128) AS v
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+            CROSS JOIN (SELECT unnest(range(1, 3)) AS ci)),
+    c AS (SELECT doc_id,
+                 SUM(CASE WHEN ci = 1 THEN 64 * v END) AS sum_cb,
+                 SUM(CASE WHEN ci = 2 THEN 64 * v END) AS sum_cr,
+                 MAX(CASE WHEN ci = 1 AND m = 3 THEN v END) AS px_cb,
+                 MAX(CASE WHEN ci = 2 AND m = 3 THEN v END) AS px_cr
+          FROM cpx GROUP BY doc_id)
+    SELECT y.doc_id, TRUE AS valid,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_cb AS BIGINT) AS sum_cb,
+           CAST(sum_cr AS BIGINT) AS sum_cr,
+           CAST(px_y AS INTEGER) AS px_y,
+           CAST(px_cb AS INTEGER) AS px_cb,
+           CAST(px_cr AS INTEGER) AS px_cr
+    FROM y JOIN c ON y.doc_id = c.doc_id ORDER BY y.doc_id
+    """,
+    "§2.3 multimodal: JPEG restart markers — DRI/RSTn parsing "
+    "(byte-aligned restarts, DC-predictor reset, marker-index "
+    "cycling) on the 4:2:0 layout; unlocks real encoder output "
+    "carrying DRI segments; progressive/arithmetic remain gated",
+)

@@ -161,8 +161,9 @@ def test_jpeg_color_lossy_path_matches_per_plane_reference():
     ]
     r = _jpeg_decode_baseline(_jpeg_encode_ycc444(planes, 24, 16))
     assert r is not None
-    w, h, got = r
+    w, h, got, samps = r
     assert (w, h, len(got)) == (24, 16, 3)
+    assert samps == [(1, 1)] * 3
     for ci in range(3):
         assert np.array_equal(got[ci], _jpeg_transform_reference(planes[ci]))
 

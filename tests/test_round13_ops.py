@@ -1,0 +1,159 @@
+"""Round-13 operator tests: JPEG 4:2:0 chroma subsampling (q383) and
+restart markers (q384) through the general baseline decoder, plus the
+cross-contract poisoning rules between the three JPEG query families.
+
+The registry-level oracle parity of q383/q384 is covered automatically
+by tests/test_oracle_parity.py (parametrized over SPECS); these tests
+pin the CODEC: exact roundtrip on the uniform-even-block subset, the
+lossy general case against the independent transform-layer reference
+(per native plane — 4:2:0 encodes each plane's own blocks, so the
+4:4:4 reference applies plane-wise), restart-stream equivalence, and
+the malformation policies unique to subsampled/restarted streams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from etl_geonet_quakes_spark.llm.multimodal import (
+    _jpeg_420_planes,
+    _jpeg_decode_baseline,
+    _jpeg_encode_gray,
+    _jpeg_encode_ycc420,
+    _jpeg_encode_ycc444,
+)
+from tests.test_round12_ops import _jpeg_transform_reference
+
+
+def test_jpeg_420_uniform_even_blocks_roundtrip_exactly():
+    yp, cb, cr = _jpeg_420_planes(4242, 31)
+    r = _jpeg_decode_baseline(_jpeg_encode_ycc420(yp, cb, cr, 32, 32))
+    assert r is not None
+    w, h, planes, samps = r
+    assert (w, h) == (32, 32)
+    assert samps == [(2, 2), (1, 1), (1, 1)]
+    assert planes[0].shape == (32, 32) and planes[1].shape == (16, 16)
+    assert np.array_equal(planes[0], yp)
+    assert np.array_equal(planes[1], cb)
+    assert np.array_equal(planes[2], cr)
+
+
+def test_jpeg_420_lossy_general_case_matches_transform_reference():
+    # Non-uniform content: the decoder must reproduce the independent
+    # DCT->quant->dequant->IDCT reference bit-exactly per NATIVE plane
+    # (the encoder transforms each plane's own 8x8 blocks; subsampling
+    # changes plane geometry, not the per-block math).
+    yp = np.fromfunction(lambda y, x: (3 * x + 5 * y) % 256, (48, 32)).astype(
+        np.int64
+    )
+    cb = np.fromfunction(lambda y, x: (7 * x + y + 11) % 256, (24, 16)).astype(
+        np.int64
+    )
+    cr = np.fromfunction(lambda y, x: (x + 13 * y + 29) % 256, (24, 16)).astype(
+        np.int64
+    )
+    r = _jpeg_decode_baseline(_jpeg_encode_ycc420(yp, cb, cr, 32, 48))
+    assert r is not None
+    w, h, planes, samps = r
+    assert (w, h) == (32, 48) and samps == [(2, 2), (1, 1), (1, 1)]
+    for got, src in zip(planes, (yp, cb, cr)):
+        assert np.array_equal(got, _jpeg_transform_reference(src))
+
+
+def test_jpeg_restart_streams_decode_to_identical_pixels():
+    yp, cb, cr = _jpeg_420_planes(777, 37)
+    base = _jpeg_decode_baseline(_jpeg_encode_ycc420(yp, cb, cr, 32, 32))
+    assert base is not None
+    for ri in (1, 2, 3):
+        buf = _jpeg_encode_ycc420(yp, cb, cr, 32, 32, restart_interval=ri)
+        assert struct.pack(">H", ri) in buf  # DRI segment present
+        r = _jpeg_decode_baseline(buf)
+        assert r is not None, f"restart_interval={ri}"
+        assert all(
+            np.array_equal(a, b) for a, b in zip(r[2], base[2])
+        ), f"restart_interval={ri} changed pixels"
+
+
+def test_jpeg_dri_without_rst_markers_is_poisoned():
+    # A stream whose DRI promises a restart every MCU but whose scan
+    # carries none: the decoder must reject, not silently continue.
+    yp, cb, cr = _jpeg_420_planes(99, 31)
+    buf = _jpeg_encode_ycc420(yp, cb, cr, 32, 32)
+    sos_at = buf.find(b"\xff\xda")
+    dri = struct.pack(">HH", 0xFFDD, 4) + struct.pack(">H", 1)
+    assert _jpeg_decode_baseline(buf[:sos_at] + dri + buf[sos_at:]) is None
+
+
+def test_jpeg_wrong_rst_index_is_poisoned():
+    yp, cb, cr = _jpeg_420_planes(99, 31)
+    buf = bytearray(_jpeg_encode_ycc420(yp, cb, cr, 32, 32, restart_interval=1))
+    sos_at = bytes(buf).find(b"\xff\xda")
+    i = bytes(buf).find(b"\xff\xd0", sos_at)  # first RST0 in the scan
+    assert i != -1
+    buf[i + 1] = 0xD3  # out-of-cycle index
+    assert _jpeg_decode_baseline(bytes(buf)) is None
+
+
+def test_jpeg_420_truncated_stream_is_poisoned():
+    yp, cb, cr = _jpeg_420_planes(5, 31)
+    buf = _jpeg_encode_ycc420(yp, cb, cr, 32, 32, restart_interval=2)
+    assert _jpeg_decode_baseline(buf[: len(buf) // 2]) is None
+
+
+def test_jpeg_contract_cross_rejection_across_all_three_families(spark):
+    # Each decode contract owns exactly one stream layout; the other
+    # two layouts are poisoned rows, never silent projections.
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_decode_gray,
+        decode_jpeg_420_features,
+        decode_jpeg_color_features,
+    )
+
+    img = np.full((16, 16), 100, dtype=np.int64)
+    gray = _jpeg_encode_gray(img.reshape(-1), 16, 16)
+    c444 = _jpeg_encode_ycc444([img, img, img], 16, 16)
+    yp, cb, cr = _jpeg_420_planes(1, 31)
+    c420 = _jpeg_encode_ycc420(yp, cb, cr, 32, 32)
+
+    # codec-level: gray contract rejects both color layouts
+    assert _jpeg_decode_gray(c444) is None
+    assert _jpeg_decode_gray(c420) is None
+    assert _jpeg_decode_gray(gray) is not None
+
+    # DataFrame-level: run all three payloads through both color
+    # contracts; only the native layout is valid.
+    df = spark.createDataFrame(
+        [(0, bytearray(gray)), (1, bytearray(c444)), (2, bytearray(c420))],
+        "doc_id long, payload binary",
+    )
+    by_444 = {
+        r["doc_id"]: r["valid"]
+        for r in decode_jpeg_color_features(df).collect()
+    }
+    assert by_444 == {0: False, 1: True, 2: False}
+    by_420 = {
+        r["doc_id"]: r["valid"] for r in decode_jpeg_420_features(df).collect()
+    }
+    assert by_420 == {0: False, 1: False, 2: True}
+
+
+def test_jpeg_single_component_sof_sampling_is_ignored(spark):
+    # T.81 A.2.2: a non-interleaved single-component scan ignores the
+    # SOF sampling factors. Rewrite the gray stream's SOF to claim
+    # H=V=2; the decode must be unchanged (data-unit raster).
+    from etl_geonet_quakes_spark.llm.multimodal import _jpeg_decode_gray
+
+    img = np.arange(256, dtype=np.int64).reshape(16, 16) % 256
+    img = (img // 2) * 2
+    buf = bytearray(_jpeg_encode_gray(img.reshape(-1), 16, 16))
+    sof_at = bytes(buf).find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nf(1) then cid hv tq
+    hv_at = sof_at + 4 + 6 + 1
+    assert buf[hv_at] == 0x11
+    buf[hv_at] = 0x22
+    base = _jpeg_decode_gray(bytes(_jpeg_encode_gray(img.reshape(-1), 16, 16)))
+    got = _jpeg_decode_gray(bytes(buf))
+    assert got is not None
+    assert np.array_equal(got[2], base[2])
