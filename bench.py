@@ -179,6 +179,11 @@ HEADLINE = [
     # media family member from the round it lands
     "q381_media_jpeg_decode",
     "q382_media_jpeg_color_decode",
+    # round 13: 4:2:0 subsampling + restart markers — the general-
+    # sampling MCU loop decodes more data units per image (4Y+Cb+Cr
+    # over 32x32), so its wall-time gets headline visibility too
+    "q383_media_jpeg_420_decode",
+    "q384_media_jpeg_restart_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a
@@ -246,6 +251,10 @@ def parse_sf(sf_dir: str) -> float:
 
 def main() -> None:
     sf = parse_sf(SF_DIR)
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     spark = get_spark("etl-geonet-quakes-spark-bench")
     _warm(spark, SF_DIR)
 
@@ -287,7 +296,7 @@ def main() -> None:
         # environment stamp (round-6 item): cross-round drift
         # (r4→r5 measured a uniform ~1.3× on identical code)
         # must be attributable from the artifact alone
-        "env": _env_stamp(spark),
+        "env": {**_env_stamp(spark), "loadavg_start_1_5_15": load_start},
     }
     print(json.dumps(full))
     # the full artifact above is one very long line; a tail-capture of

@@ -41,6 +41,20 @@ STREAMING_HEAVY = [
     "q273_stream_full_outer_join",
 ]
 
+# Queries whose BENCH_r12 run triplets spread >2x (flagged
+# high_variance by bench.py): min-of-2 settles them only on a quiet
+# machine — the r12 verdict needed a re-run to adjudicate 1.05 vs
+# 0.95. They get a THIRD alternating pass pair (min-of-3), so one A/B
+# invocation is decisive under ordinary background load.
+HIGH_VARIANCE = [
+    "q01_pricing_summary",
+    "q59_join_dim_chain",
+    "q41_dedup_exact",
+    "q40_dedup_ngram_jaccard",
+    "q257_kaplan_meier",
+    "q381_media_jpeg_decode",
+]
+
 _RUNNER = r"""
 import json, os, sys, time
 side = sys.argv[1]
@@ -133,24 +147,40 @@ def main() -> None:
     names += [q for q in STREAMING_HEAVY if q not in names]
 
     load0 = os.getloadavg()
-    # alternating A,B,A,B — two same-code passes per side
-    a1 = _run_pass(REPO, names, "A1")
-    b1 = _run_pass(freeze, names, "B1")
-    a2 = _run_pass(REPO, names, "A2")
-    b2 = _run_pass(freeze, names, "B2")
+    loads = {}
+
+    def timed_pass(side, qnames, label):
+        loads[label] = [round(x, 2) for x in os.getloadavg()]
+        return _run_pass(side, qnames, label)
+
+    # alternating A,B,A,B — two same-code passes per side — plus a
+    # third pass pair restricted to the HIGH_VARIANCE set (min-of-3)
+    a1 = timed_pass(REPO, names, "A1")
+    b1 = timed_pass(freeze, names, "B1")
+    a2 = timed_pass(REPO, names, "A2")
+    b2 = timed_pass(freeze, names, "B2")
+    hv = [q for q in HIGH_VARIANCE if q in names]
+    a3 = timed_pass(REPO, hv, "A3hv") if hv else {}
+    b3 = timed_pass(freeze, hv, "B3hv") if hv else {}
     load1 = os.getloadavg()
 
     overlap = sorted(set(a1) & set(a2) & set(b1) & set(b2))
-    a_min = {q: min(a1[q], a2[q]) for q in overlap}
-    b_min = {q: min(b1[q], b2[q]) for q in overlap}
+    a_min = {
+        q: min([a1[q], a2[q]] + ([a3[q]] if q in a3 else []))
+        for q in overlap
+    }
+    b_min = {
+        q: min([b1[q], b2[q]] + ([b3[q]] if q in b3 else []))
+        for q in overlap
+    }
     ratio = round(sum(a_min.values()) / sum(b_min.values()), 3)
     per_q = {
         q: {
             "a_min": a_min[q],
             "b_min": b_min[q],
             "ratio": round(a_min[q] / b_min[q], 3) if b_min[q] else None,
-            "a_runs": [a1[q], a2[q]],
-            "b_runs": [b1[q], b2[q]],
+            "a_runs": [a1[q], a2[q]] + ([a3[q]] if q in a3 else []),
+            "b_runs": [b1[q], b2[q]] + ([b3[q]] if q in b3 else []),
         }
         for q in overlap
     }
@@ -160,8 +190,12 @@ def main() -> None:
             "alternating A,B,A,B same machine same session; "
             f"A=working tree ({a_sha}), B=freeze worktree ({b_sha}); "
             "per-query min of the two same-code passes; includes the "
-            "heavy streaming replays (round-12 verdict item 4)"
+            "heavy streaming replays (round-12 verdict item 4); "
+            "HIGH_VARIANCE set gets a third pass pair (min-of-3, "
+            "round-13 verdict item 5)"
         ),
+        "high_variance_set": hv,
+        "loadavg_per_pass": loads,
         "value": ratio,
         "unit": "ratio",
         "sf_dir": SF_DIR,
