@@ -793,12 +793,18 @@ def _jpeg_decode_baseline(buf):
     T.81 sampling factors (H, V in 1..4 — covers 4:4:4, 4:2:2 and the
     dominant real-world 4:2:0 layout), restart intervals (DRI + RSTn
     with DC-predictor reset), per-component quant/Huffman table ids
-    honored, tables parsed FROM THE STREAM. Returns (width, height,
-    [plane ndarrays], [(H, V) per component]) — each plane at its
-    NATIVE resolution, ceil(w*H/Hmax) x ceil(h*V/Vmax) — or None on
-    any malformation (one-poisoned-row policy). Progressive and
-    arithmetic-coded streams are rejected — the honestly-gated
-    remainder of the format."""
+    honored, tables parsed FROM THE STREAM — plus PROGRESSIVE mode
+    (SOF2, round 13): multi-scan spectral selection and successive
+    approximation, both DC (arithmetic point transform + one-bit
+    refinement) and AC (sign-magnitude point transform, EOB-run
+    coding, correction-bit refinement per ITU-T T.81 G.1.2), with
+    coefficients accumulated across scans and a single final IDCT.
+    Returns (width, height, [plane ndarrays], [(H, V) per component])
+    — each plane at its NATIVE resolution, ceil(w*H/Hmax) x
+    ceil(h*V/Vmax) — or None on any malformation (one-poisoned-row
+    policy). Still rejected, the honestly-gated remainder:
+    arithmetic coding, subsampled or restart-interval progressive
+    (sampling > 1x1 and DRI are sequential-mode features here)."""
     import struct
 
     import numpy as np
@@ -816,11 +822,85 @@ def _jpeg_decode_baseline(buf):
         comps = None  # list of (cid, Hc, Vc, tq)
         scan = None
         dri = 0  # restart interval in MCUs, 0 = none
+        progressive = False
+        prog_coef = None  # per component: int64 (bys, bxs, 64) zigzag
+        prog_scans = 0
+
+        # Shared entropy bit reader (sequential scan after the marker
+        # loop; progressive scans inline within it).
+        data = buf
+        bitpos = [0, 0]
+
+        def read_bit():
+            bi, off = bitpos
+            if bi >= len(data):
+                raise ValueError("truncated")
+            b = data[bi]
+            if b == 0xFF:
+                nxt = data[bi + 1] if bi + 1 < len(data) else None
+                if nxt != 0x00:
+                    raise ValueError("marker inside scan")
+            bit = (b >> (7 - off)) & 1
+            off += 1
+            if off == 8:
+                bi += 1
+                if data[bi - 1] == 0xFF:
+                    bi += 1
+                off = 0
+            bitpos[0], bitpos[1] = bi, off
+            return bit
+
+        def read_bits(n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def expect_rst(n):
+            # Byte-align (discarding pad bits; a 0xFF pad byte carries
+            # a stuffed 0x00 to skip), then consume the RSTn marker.
+            bi, off = bitpos
+            if off:
+                bi += 2 if data[bi] == 0xFF else 1
+            if bi + 1 >= len(data) or data[bi] != 0xFF or data[bi + 1] != 0xD0 + n:
+                raise ValueError("missing restart marker")
+            bitpos[0], bitpos[1] = bi + 2, 0
+
+        def read_huff(table):
+            code = 0
+            for l2 in range(1, 17):
+                code = (code << 1) | read_bit()
+                if (l2, code) in table:
+                    return table[(l2, code)]
+            raise ValueError("bad code")
+
+        def read_extend(s):
+            if s == 0:
+                return 0
+            v = read_bits(s)
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def align_to_next_marker():
+            # after a progressive scan's entropy data: byte-align and
+            # advance to the next 0xFF marker (skipping stuffing)
+            bi, off = bitpos
+            if off:
+                bi += 2 if data[bi] == 0xFF else 1
+            while bi + 1 < len(data) and not (
+                data[bi] == 0xFF and data[bi + 1] != 0x00
+            ):
+                bi += 1
+            return bi
+
         while i + 4 <= len(buf):
             if buf[i] != 0xFF:
                 return None
             marker = buf[i + 1]
             if marker == 0xD9:
+                # EOI: terminal for a completed progressive stream;
+                # premature everywhere else
+                if progressive and prog_scans:
+                    break
                 return None
             (ln,) = struct.unpack_from(">H", buf, i + 2)
             seg = buf[i + 4 : i + 2 + ln]
@@ -856,7 +936,8 @@ def _jpeg_decode_baseline(buf):
                         code <<= 1
                     hufftabs[(cls, tid)] = table
                     j += 17 + n
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 prec, h, w, nf = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nf not in (1, 3):
                     return None
@@ -872,25 +953,207 @@ def _jpeg_decode_baseline(buf):
                     # ignores the sampling factors (data-unit raster
                     # over the component); normalize so MCU = 1 block.
                     comps = [(comps[0][0], 1, 1, comps[0][3])]
+                if progressive and any(
+                    (hc, vc) != (1, 1) for _cid, hc, vc, _tq in comps
+                ):
+                    return None  # subsampled progressive: gated
                 dims = (w, h)
             elif marker == 0xDD:
                 if len(seg) != 2:
                     return None
                 (dri,) = struct.unpack_from(">H", seg, 0)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None
             elif marker == 0xDA:
                 ns = seg[0]
-                if comps is None or ns != len(comps):
+                if comps is None:
                     return None
+                if not progressive:
+                    if ns != len(comps):
+                        return None
+                    sel = []
+                    for c in range(ns):
+                        cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                        sel.append((cs, tdta >> 4, tdta & 0x0F))
+                    scan = (sel, i + 2 + ln)
+                    break
+                # ---- progressive scan, decoded inline ----
+                if dri:
+                    return None  # restart-interval progressive: gated
+                if prog_scans >= 64:
+                    return None  # scan-count sanity bound
+                w, h = dims
+                if w <= 0 or h <= 0:
+                    return None
+                bxs, bys = (w + 7) // 8, (h + 7) // 8
+                if prog_coef is None:
+                    prog_coef = [
+                        np.zeros((bys, bxs, 64), dtype=np.int64)
+                        for _ in comps
+                    ]
                 sel = []
                 for c in range(ns):
                     cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                    sel.append((cs, tdta >> 4, tdta & 0x0F))
-                scan = (sel, i + 2 + ln)
-                break
+                    idxs = [ci for ci, cp in enumerate(comps) if cp[0] == cs]
+                    if not idxs:
+                        return None
+                    sel.append((idxs[0], tdta >> 4, tdta & 0x0F))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if not (0 <= ss <= se <= 63) or al > 13:
+                    return None
+                bitpos[0], bitpos[1] = i + 2 + ln, 0
+                if ss == 0:
+                    # DC scan (interleaved allowed); Se must be 0
+                    if se != 0:
+                        return None
+                    if ah == 0:
+                        tabs = []
+                        for ci, td, _ta in sel:
+                            if (0, td) not in hufftabs:
+                                return None
+                            tabs.append((ci, hufftabs[(0, td)]))
+                        pred = [0] * len(sel)
+                        for by in range(bys):
+                            for bx in range(bxs):
+                                for si, (ci, tab) in enumerate(tabs):
+                                    t = read_huff(tab)
+                                    pred[si] += read_extend(t)
+                                    prog_coef[ci][by, bx, 0] = pred[si] << al
+                    else:
+                        # DC refinement: one raw bit per data unit
+                        for by in range(bys):
+                            for bx in range(bxs):
+                                for ci, _td, _ta in sel:
+                                    if read_bit():
+                                        prog_coef[ci][by, bx, 0] |= 1 << al
+                else:
+                    # AC scan: T.81 mandates non-interleaved (ns == 1)
+                    if ns != 1:
+                        return None
+                    ci, _td, ta = sel[0]
+                    if (1, ta) not in hufftabs:
+                        return None
+                    act = hufftabs[(1, ta)]
+                    cf = prog_coef[ci]
+                    if ah == 0:
+                        # AC first pass for this band at this Al
+                        eobrun = 0
+                        for by in range(bys):
+                            for bx in range(bxs):
+                                if eobrun:
+                                    eobrun -= 1
+                                    continue
+                                k = ss
+                                while k <= se:
+                                    rs = read_huff(act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += read_bits(r)
+                                        break
+                                    k += r
+                                    if k > se:
+                                        return None
+                                    cf[by, bx, k] = read_extend(s) << al
+                                    k += 1
+                    else:
+                        # AC refinement (T.81 G.1.2.3 / the correction-
+                        # bit protocol): newly-nonzero coefs arrive as
+                        # sign bits at magnitude 1<<Al; already-nonzero
+                        # coefs consume one correction bit each as the
+                        # scan passes them, moving them away from zero
+                        # by 1<<Al when set.
+                        p1, m1 = 1 << al, -(1 << al)
+                        eobrun = 0
+                        for by in range(bys):
+                            for bx in range(bxs):
+                                blk = cf[by, bx]
+                                k = ss
+                                if eobrun == 0:
+                                    while k <= se:
+                                        rs = read_huff(act)
+                                        r, s = rs >> 4, rs & 0x0F
+                                        newval = 0
+                                        if s:
+                                            if s != 1:
+                                                return None
+                                            newval = p1 if read_bit() else m1
+                                        elif r != 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += read_bits(r)
+                                            break
+                                        while k <= se:
+                                            cv = int(blk[k])
+                                            if cv != 0:
+                                                if read_bit() and not (cv & p1):
+                                                    blk[k] = cv + (
+                                                        p1 if cv >= 0 else m1
+                                                    )
+                                            else:
+                                                if r == 0:
+                                                    break
+                                                r -= 1
+                                            k += 1
+                                        if newval:
+                                            if k > se:
+                                                return None
+                                            blk[k] = newval
+                                        k += 1
+                                if eobrun > 0:
+                                    while k <= se:
+                                        cv = int(blk[k])
+                                        if cv != 0:
+                                            if read_bit() and not (cv & p1):
+                                                blk[k] = cv + (
+                                                    p1 if cv >= 0 else m1
+                                                )
+                                        k += 1
+                                    eobrun -= 1
+                prog_scans += 1
+                i = align_to_next_marker()
+                continue
             i += 2 + ln
+        if progressive:
+            if prog_coef is None or prog_scans == 0:
+                return None
+            w, h = dims
+            bxs, bys = (w + 7) // 8, (h + 7) // 8
+            zz = _jpeg_zigzag()
+            x = np.arange(8)
+            u = np.arange(8).reshape(8, 1)
+            a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+            a[0, :] /= np.sqrt(2.0)
+            px = []
+            samps = []
+            for (_cid, hc, vc, tq), cf in zip(comps, prog_coef):
+                if tq not in qtables:
+                    return None
+                qzz = np.array(qtables[tq], dtype=np.float64)  # zigzag order
+                plane = np.zeros((bys * 8, bxs * 8))
+                for by in range(bys):
+                    for bx in range(bxs):
+                        coefn = np.zeros(64)
+                        dq = cf[by, bx].astype(np.float64) * qzz
+                        for zi, ni in enumerate(zz):
+                            coefn[ni] = dq[zi]
+                        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            a.T @ coefn.reshape(8, 8) @ a
+                        )
+                px.append(
+                    np.clip(np.rint(plane + 128.0), 0, 255).astype(np.int64)[
+                        :h, :w
+                    ]
+                )
+                samps.append((hc, vc))
+            return (w, h, px, samps)
+
         if dims is None or scan is None:
             return None
         sel, pos = scan
@@ -914,53 +1177,7 @@ def _jpeg_decode_baseline(buf):
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-        data = buf
-        bitpos = [pos, 0]
-
-        def read_bit():
-            bi, off = bitpos
-            if bi >= len(data):
-                raise ValueError("truncated")
-            b = data[bi]
-            if b == 0xFF:
-                nxt = data[bi + 1] if bi + 1 < len(data) else None
-                if nxt != 0x00:
-                    raise ValueError("marker inside scan")
-            bit = (b >> (7 - off)) & 1
-            off += 1
-            if off == 8:
-                bi += 1
-                if data[bi - 1] == 0xFF:
-                    bi += 1
-                off = 0
-            bitpos[0], bitpos[1] = bi, off
-            return bit
-
-        def expect_rst(n):
-            # Byte-align (discarding pad bits; a 0xFF pad byte carries
-            # a stuffed 0x00 to skip), then consume the RSTn marker.
-            bi, off = bitpos
-            if off:
-                bi += 2 if data[bi] == 0xFF else 1
-            if bi + 1 >= len(data) or data[bi] != 0xFF or data[bi + 1] != 0xD0 + n:
-                raise ValueError("missing restart marker")
-            bitpos[0], bitpos[1] = bi + 2, 0
-
-        def read_huff(table):
-            code = 0
-            for l2 in range(1, 17):
-                code = (code << 1) | read_bit()
-                if (l2, code) in table:
-                    return table[(l2, code)]
-            raise ValueError("bad code")
-
-        def read_extend(s):
-            if s == 0:
-                return 0
-            v = 0
-            for _ in range(s):
-                v = (v << 1) | read_bit()
-            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        bitpos[0], bitpos[1] = pos, 0
 
         zz = _jpeg_zigzag()
         inv = np.argsort(zz)
@@ -1588,4 +1805,301 @@ def media_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             synthesize_jpeg_420_media(spark, sf_dir, mult=37, restart_interval=1)
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 13, second half): SOF2 multi-scan decoding —
+# spectral selection (per-band AC scans with EOB-run coding) and
+# successive approximation (DC arithmetic point transform + one-bit
+# refinement scans; AC sign-magnitude point transform + correction-bit
+# refinement per T.81 G.1.2). The decoder accumulates quantized
+# coefficients across scans and runs one IDCT at the end — which makes
+# a progressive stream a LOSSLESS re-encoding of the same coefficients
+# a sequential stream carries, and gives the strongest possible test:
+# progressive decode ≡ sequential decode, bit-exact, for ANY image.
+# The encoder below emits the standard libjpeg-style scan script
+# (interleaved DC first, per-component AC bands, then DC and AC
+# refinements walking Al down to 0). Gated: subsampled progressive,
+# restart intervals inside progressive scans, arithmetic coding.
+# ---------------------------------------------------------------------------
+
+# Progressive AC scans need the EOBn symbols (r<<4 for r>=1) the
+# sequential flat table omits; 176 symbols, all at code length 9.
+_JPEG_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_ACP_VALS = sorted(
+    {(r << 4) for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+
+
+def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
+    """Progressive JPEG (SOF2), 1 or 3 components, H=V=1, dims
+    multiples of 8. Scan script (the shape libjpeg's default
+    progressive script has): interleaved DC first at Al=1; per
+    component AC bands 1-5 and 6-63 first-pass at Al=2; DC refinement
+    to Al=0; per component AC refinements 1-63 at Al=1 then Al=0 —
+    exercising spectral selection, EOB runs across blocks, ZRL in
+    first and refinement passes, sign bits and correction bits."""
+    import struct
+
+    import numpy as np
+
+    n = len(planes)
+    if n not in (1, 3):
+        raise ValueError("1 or 3 components")
+    if width % 8 or height % 8:
+        raise ValueError("dims % 8 == 0 required")
+    zz = _jpeg_zigzag()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acp_codes = _jpeg_huff_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
+
+    bxs, bys = width // 8, height // 8
+    # zigzag-ordered quantized coefficients, per component per block
+    qcs = []
+    for p in planes:
+        img = np.asarray(p, dtype=np.float64).reshape(height, width)
+        blocks = []
+        for by in range(bys):
+            row = []
+            for bx in range(bxs):
+                blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                flat = np.rint((a @ blk @ a.T) / q).astype(np.int64).reshape(64)
+                row.append([int(flat[i]) for i in zz])
+            blocks.append(row)
+        qcs.append(blocks)
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code: int, ln: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << ln) | (code & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+
+    def put_val(v: int) -> None:
+        s = abs(v).bit_length()
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def flush_pad() -> None:
+        if nbits:
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def scan_dc_first(cis, al):
+        pred = [0] * len(cis)
+        for by in range(bys):
+            for bx in range(bxs):
+                for si, ci in enumerate(cis):
+                    v = qcs[ci][by][bx][0] >> al  # arithmetic shift
+                    d = v - pred[si]
+                    pred[si] = v
+                    put(*dc_codes[abs(d).bit_length()])
+                    put_val(d)
+
+    def scan_dc_refine(cis, al):
+        for by in range(bys):
+            for bx in range(bxs):
+                for ci in cis:
+                    put((qcs[ci][by][bx][0] >> al) & 1, 1)
+
+    def pt_ac(v, al):
+        # AC point transform is sign-magnitude (toward zero), unlike
+        # the DC arithmetic shift (T.81 G.1.2.2)
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def scan_ac_first(ci, ss, se, al):
+        state = {"eobrun": 0}
+
+        def emit_eobrun():
+            er = state["eobrun"]
+            if er > 0:
+                nb = er.bit_length() - 1
+                put(*acp_codes[nb << 4])
+                if nb:
+                    put(er - (1 << nb), nb)
+                state["eobrun"] = 0
+
+        for by in range(bys):
+            for bx in range(bxs):
+                blkz = qcs[ci][by][bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    t = pt_ac(blkz[k], al)
+                    if t == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        put(*acp_codes[0xF0])
+                        r -= 16
+                    put(*acp_codes[(r << 4) | abs(t).bit_length()])
+                    put_val(t)
+                    r = 0
+                if r > 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+
+    def scan_ac_refine(ci, ss, se, al):
+        state = {"eobrun": 0, "be": []}
+
+        def emit_eobrun():
+            er = state["eobrun"]
+            if er > 0:
+                nb = er.bit_length() - 1
+                put(*acp_codes[nb << 4])
+                if nb:
+                    put(er - (1 << nb), nb)
+                for b in state["be"]:
+                    put(b, 1)
+                state["eobrun"] = 0
+                state["be"] = []
+
+        for by in range(bys):
+            for bx in range(bxs):
+                blkz = qcs[ci][by][bx]
+                absv = [abs(blkz[k]) >> al for k in range(64)]
+                eob = 0
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eob = k  # last NEWLY-nonzero coefficient
+                r = 0
+                br = []
+                for k in range(ss, se + 1):
+                    temp = absv[k]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun()
+                        put(*acp_codes[0xF0])
+                        r -= 16
+                        for b in br:
+                            put(b, 1)
+                        br = []
+                    if temp > 1:
+                        # already nonzero at coarser precision: one
+                        # buffered correction bit
+                        br.append(temp & 1)
+                        continue
+                    emit_eobrun()
+                    put(*acp_codes[(r << 4) | 1])
+                    put(1 if blkz[k] > 0 else 0, 1)  # sign bit
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eobrun"] += 1
+                    state["be"].extend(br)
+                    if state["eobrun"] == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    stream = bytearray(b"\xff\xd8")
+    stream += seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE[i] for i in zz))
+    comps = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(n))
+    stream += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, n) + comps)
+    stream += seg(
+        0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    stream += seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS)
+    )
+
+    def run_scan(comp_ids, ss, se, ah, al, emitter):
+        nonlocal out, bitbuf, nbits
+        hdr = bytes([len(comp_ids)])
+        hdr += b"".join(bytes([ci + 1, 0x00]) for ci in comp_ids)
+        hdr += bytes([ss, se, (ah << 4) | al])
+        stream.extend(seg(0xFFDA, hdr))
+        out = bytearray()
+        bitbuf = 0
+        nbits = 0
+        emitter()
+        flush_pad()
+        stream.extend(out)
+
+    allc = list(range(n))
+    run_scan(allc, 0, 0, 0, 1, lambda: scan_dc_first(allc, 1))
+    for ci in allc:
+        run_scan([ci], 1, 5, 0, 2, lambda c=ci: scan_ac_first(c, 1, 5, 2))
+        run_scan([ci], 6, 63, 0, 2, lambda c=ci: scan_ac_first(c, 6, 63, 2))
+    run_scan(allc, 0, 0, 1, 0, lambda: scan_dc_refine(allc, 0))
+    for ci in allc:
+        run_scan([ci], 1, 63, 2, 1, lambda c=ci: scan_ac_refine(c, 1, 63, 1))
+        run_scan([ci], 1, 63, 1, 0, lambda c=ci: scan_ac_refine(c, 1, 63, 0))
+    stream += b"\xff\xd9"
+    return bytes(stream)
+
+
+def synthesize_jpeg_progressive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL progressive (SOF2) color JPEGs: 16x16, three
+    planes of four uniform 8x8 blocks with EVEN values
+    v(ci, k) = 2*((doc_id*41 + ci*53 + k*97) % 128). Per plane the
+    q381 DC-only exactness argument carries through successive
+    approximation bit-exactly (the DC integer is rebuilt bit by bit;
+    ACs are zero, so the AC scans are pure EOB-run streams), so the
+    13-scan progressive wire format decodes to the closed-form spec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(doc_id: int) -> bytes:
+            import numpy as np
+
+            planes = []
+            for ci in range(3):
+                img = np.zeros((16, 16), dtype=np.int64)
+                for k in range(4):
+                    v = 2 * ((doc_id * 41 + ci * 53 + k * 97) % 128)
+                    by, bx = divmod(k, 2)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                planes.append(img)
+            return _jpeg_encode_progressive(planes, 16, 16)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # same bench-scale parallelism note as synthesize_jpeg_media
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def media_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end progressive path (q385): synthesize SOF2 streams
+    (interleaved DC-first scan, per-component spectral-selection AC
+    bands, DC + AC successive-approximation refinements — 13 scans)
+    → multi-scan coefficient-accumulating decoder → exact per-plane
+    features. The 4:4:4 color contract applies (three components,
+    1x1 sampled): a sequential-only decoder cannot read these
+    payloads at all."""
+    return (
+        decode_jpeg_color_features(
+            synthesize_jpeg_progressive_media(spark, sf_dir)
+        ).orderBy("doc_id")
     )

@@ -13028,3 +13028,41 @@ SPECS["q384_media_jpeg_restart_decode"] = QuerySpec(
     "cycling) on the 4:2:0 layout; unlocks real encoder output "
     "carrying DRI segments; progressive/arithmetic remain gated",
 )
+
+SPECS["q385_media_jpeg_progressive_decode"] = QuerySpec(
+    multimodal.media_jpeg_progressive_decode,
+    """
+    -- closed-form replay of the per-plane uniform-block spec
+    -- v(ci, k) = 2*((doc_id*41 + ci*53 + k*97) % 128) over a 16x16
+    -- three-component PROGRESSIVE (SOF2) JPEG: 13 scans —
+    -- interleaved DC first pass at Al=1, per-component spectral-
+    -- selection AC bands (1-5, 6-63) at Al=2, a DC refinement scan,
+    -- and per-component AC successive-approximation refinements down
+    -- to Al=0. Successive approximation rebuilds each quantized DC
+    -- integer bit-exactly and the uniform blocks have zero ACs, so
+    -- the lossy multi-scan format remains exactly oracle-checkable;
+    -- the general nonzero-AC machinery (EOB runs, ZRL, sign +
+    -- correction bits) is pinned in tests by the progressive ==
+    -- sequential decode equality over arbitrary images.
+    WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+    cs AS (SELECT unnest(range(0, 3)) AS ci),
+    px AS (SELECT doc_id, ci, k,
+                  2 * ((doc_id * 41 + ci * 53 + k * 97) % 128) AS v
+           FROM documents CROSS JOIN ks CROSS JOIN cs)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN ci = 0 THEN 64 * v END) AS BIGINT) AS sum_y,
+           CAST(SUM(CASE WHEN ci = 1 THEN 64 * v END) AS BIGINT) AS sum_cb,
+           CAST(SUM(CASE WHEN ci = 2 THEN 64 * v END) AS BIGINT) AS sum_cr,
+           CAST(MAX(CASE WHEN ci = 0 AND k = 3 THEN v END) AS INTEGER) AS px_y,
+           CAST(MAX(CASE WHEN ci = 1 AND k = 3 THEN v END) AS INTEGER) AS px_cb,
+           CAST(MAX(CASE WHEN ci = 2 AND k = 3 THEN v END) AS INTEGER) AS px_cr
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal: PROGRESSIVE JPEG (SOF2) — multi-scan spectral "
+    "selection + successive approximation (DC arithmetic point "
+    "transform and one-bit refinements; AC sign-magnitude transform, "
+    "EOB-run coding, correction-bit refinement per T.81 G.1.2), "
+    "coefficients accumulated across 13 scans with one final IDCT; "
+    "arithmetic coding and subsampled progressive remain gated",
+)

@@ -157,3 +157,97 @@ def test_jpeg_single_component_sof_sampling_is_ignored(spark):
     got = _jpeg_decode_gray(bytes(buf))
     assert got is not None
     assert np.array_equal(got[2], base[2])
+
+
+# ---- progressive JPEG (q385) ----
+
+
+def test_jpeg_progressive_equals_sequential_on_arbitrary_images():
+    # The strongest property a progressive decoder can satisfy: SOF2
+    # is a lossless re-encoding of the same quantized coefficients, so
+    # progressive decode must equal sequential decode bit-exactly for
+    # ANY image — exercising EOB runs, ZRL, spectral bands, DC/AC
+    # successive approximation, sign and correction bits.
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(1313)
+    stressors = [
+        np.full((16, 24), 200, dtype=np.int64),           # pure EOB runs
+        np.eye(16, 24, dtype=np.int64) * 255,             # sparse spikes
+        ((np.indices((16, 24)).sum(0) % 2) * 255).astype(np.int64),
+        rng.randint(0, 256, (16, 24)).astype(np.int64),
+        rng.choice([0, 255], (16, 24)).astype(np.int64),
+    ]
+    for img in stressors:
+        seq = _jpeg_decode_baseline(
+            _jpeg_encode_gray(img.reshape(-1), 24, 16)
+        )
+        pro = _jpeg_decode_baseline(_jpeg_encode_progressive([img], 24, 16))
+        assert seq is not None and pro is not None
+        assert np.array_equal(seq[2][0], pro[2][0])
+    # color
+    planes = [rng.randint(0, 256, (16, 16)).astype(np.int64) for _ in range(3)]
+    seq = _jpeg_decode_baseline(_jpeg_encode_ycc444(planes, 16, 16))
+    pro = _jpeg_decode_baseline(_jpeg_encode_progressive(planes, 16, 16))
+    assert seq is not None and pro is not None
+    for ci in range(3):
+        assert np.array_equal(seq[2][ci], pro[2][ci])
+
+
+def test_jpeg_progressive_uniform_even_blocks_roundtrip_exactly():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    planes = []
+    for ci in range(3):
+        img = np.zeros((16, 16), dtype=np.int64)
+        for k in range(4):
+            v = 2 * ((9 * 41 + ci * 53 + k * 97) % 128)
+            by, bx = divmod(k, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+        planes.append(img)
+    r = _jpeg_decode_baseline(_jpeg_encode_progressive(planes, 16, 16))
+    assert r is not None
+    assert r[3] == [(1, 1)] * 3
+    for got, src in zip(r[2], planes):
+        assert np.array_equal(got, src)
+
+
+def test_jpeg_progressive_truncation_and_scan_damage_poisoned():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    img = np.arange(256, dtype=np.int64).reshape(16, 16)
+    buf = _jpeg_encode_progressive([img], 16, 16)
+    # truncation at several depths (inside different scans)
+    for frac in (3, 2):
+        assert _jpeg_decode_baseline(buf[: len(buf) // frac]) is None
+    # EOI alone after headers (zero scans) is premature
+    sos_at = buf.find(b"\xff\xda")
+    assert _jpeg_decode_baseline(buf[:sos_at] + b"\xff\xd9") is None
+
+
+def test_jpeg_progressive_stream_under_sequential_only_contracts(spark):
+    # A progressive stream decodes through the general decoder and
+    # satisfies the color contract (3 comps, 1x1) — and the GRAY
+    # contract still rejects it (component count).
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_progressive,
+        decode_jpeg_420_features,
+        decode_jpeg_color_features,
+    )
+
+    rng = np.random.RandomState(5)
+    planes = [rng.randint(0, 256, (16, 16)).astype(np.int64) for _ in range(3)]
+    pro = _jpeg_encode_progressive(planes, 16, 16)
+    assert _jpeg_decode_gray(pro) is None
+    df = spark.createDataFrame(
+        [(0, bytearray(pro))], "doc_id long, payload binary"
+    )
+    assert decode_jpeg_color_features(df).collect()[0]["valid"] is True
+    assert decode_jpeg_420_features(df).collect()[0]["valid"] is False
