@@ -184,6 +184,8 @@ HEADLINE = [
     # over 32x32), so its wall-time gets headline visibility too
     "q383_media_jpeg_420_decode",
     "q384_media_jpeg_restart_decode",
+    "q385_media_jpeg_progressive_decode",
+    "q386_media_jpeg_prog420_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

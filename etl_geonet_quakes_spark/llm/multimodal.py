@@ -96,9 +96,10 @@ def extract_features(df: DataFrame, *, fake: bool = True) -> DataFrame:
                     "environment; wire PIL/ffmpeg here. For REAL "
                     "no-dependency codec paths through this exact plumbing "
                     "see decode_ppm_features (q96), decode_wav_features "
-                    "(q97), decode_png_features (q98), and "
-                    "decode_jpeg_features (q381 — baseline grayscale JPEG, "
-                    "full marker/Huffman/IDCT decode)."
+                    "(q97), decode_png_features (q98), and the JPEG "
+                    "family (q381 grayscale, q382 4:4:4 color, q383 "
+                    "4:2:0 subsampled, q384 restart markers, q385 "
+                    "progressive — full marker/Huffman/IDCT decode)."
                 )
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -802,9 +803,12 @@ def _jpeg_decode_baseline(buf):
     Returns (width, height, [plane ndarrays], [(H, V) per component])
     — each plane at its NATIVE resolution, ceil(w*H/Hmax) x
     ceil(h*V/Vmax) — or None on any malformation (one-poisoned-row
-    policy). Still rejected, the honestly-gated remainder:
-    arithmetic coding, subsampled or restart-interval progressive
-    (sampling > 1x1 and DRI are sequential-mode features here)."""
+    policy). Progressive composes with subsampling (interleaved DC
+    scans walk the MCU lattice incl. padding blocks; non-interleaved
+    scans walk the component's actual data units per T.81 A.2.2).
+    Still rejected, the honestly-gated remainder: arithmetic coding
+    and restart intervals inside progressive scans (DRI is a
+    sequential-mode feature here)."""
     import struct
 
     import numpy as np
@@ -953,10 +957,6 @@ def _jpeg_decode_baseline(buf):
                     # ignores the sampling factors (data-unit raster
                     # over the component); normalize so MCU = 1 block.
                     comps = [(comps[0][0], 1, 1, comps[0][3])]
-                if progressive and any(
-                    (hc, vc) != (1, 1) for _cid, hc, vc, _tq in comps
-                ):
-                    return None  # subsampled progressive: gated
                 dims = (w, h)
             elif marker == 0xDD:
                 if len(seg) != 2:
@@ -986,11 +986,25 @@ def _jpeg_decode_baseline(buf):
                 w, h = dims
                 if w <= 0 or h <= 0:
                     return None
-                bxs, bys = (w + 7) // 8, (h + 7) // 8
+                # per-component grids: padded to the MCU lattice
+                # (interleaved DC scans cover padding blocks), with
+                # ACTUAL native block counts for the non-interleaved
+                # data-unit raster (T.81 A.2.2 — no padding blocks)
+                p_hmax = max(hc for _cid, hc, vc, _tq in comps)
+                p_vmax = max(vc for _cid, hc, vc, _tq in comps)
+                p_mcux = (w + 8 * p_hmax - 1) // (8 * p_hmax)
+                p_mcuy = (h + 8 * p_vmax - 1) // (8 * p_vmax)
+                nat = []  # (actual_bxs, actual_bys) per component
+                for _cid, hc, vc, _tq in comps:
+                    wc = (w * hc + p_hmax - 1) // p_hmax
+                    hcm = (h * vc + p_vmax - 1) // p_vmax
+                    nat.append(((wc + 7) // 8, (hcm + 7) // 8))
                 if prog_coef is None:
                     prog_coef = [
-                        np.zeros((bys, bxs, 64), dtype=np.int64)
-                        for _ in comps
+                        np.zeros(
+                            (p_mcuy * vc, p_mcux * hc, 64), dtype=np.int64
+                        )
+                        for _cid, hc, vc, _tq in comps
                     ]
                 sel = []
                 for c in range(ns):
@@ -1005,29 +1019,57 @@ def _jpeg_decode_baseline(buf):
                     return None
                 bitpos[0], bitpos[1] = i + 2 + ln, 0
                 if ss == 0:
-                    # DC scan (interleaved allowed); Se must be 0
+                    # DC scan; Se must be 0
                     if se != 0:
                         return None
+                    if ns > 1:
+                        # interleaved: MCU lattice, Hc x Vc data units
+                        # per component per MCU (padding blocks coded)
+                        units = [
+                            (si, ci, v2, h2)
+                            for si, (ci, _td, _ta) in enumerate(sel)
+                            for v2 in range(comps[ci][2])
+                            for h2 in range(comps[ci][1])
+                        ]
+                        grid = [
+                            (my, mx)
+                            for my in range(p_mcuy)
+                            for mx in range(p_mcux)
+                        ]
+                    else:
+                        # non-interleaved: actual-block raster, 1 unit
+                        ci0 = sel[0][0]
+                        abx, aby = nat[ci0]
+                        units = [(0, ci0, 0, 0)]
+                        grid = [
+                            (by, bx)
+                            for by in range(aby)
+                            for bx in range(abx)
+                        ]
                     if ah == 0:
                         tabs = []
                         for ci, td, _ta in sel:
                             if (0, td) not in hufftabs:
                                 return None
-                            tabs.append((ci, hufftabs[(0, td)]))
+                            tabs.append(hufftabs[(0, td)])
                         pred = [0] * len(sel)
-                        for by in range(bys):
-                            for bx in range(bxs):
-                                for si, (ci, tab) in enumerate(tabs):
-                                    t = read_huff(tab)
-                                    pred[si] += read_extend(t)
-                                    prog_coef[ci][by, bx, 0] = pred[si] << al
+                        for gy, gx in grid:
+                            for si, ci, v2, h2 in units:
+                                hc, vc = comps[ci][1], comps[ci][2]
+                                by = gy * vc + v2 if ns > 1 else gy
+                                bx = gx * hc + h2 if ns > 1 else gx
+                                t = read_huff(tabs[si])
+                                pred[si] += read_extend(t)
+                                prog_coef[ci][by, bx, 0] = pred[si] << al
                     else:
                         # DC refinement: one raw bit per data unit
-                        for by in range(bys):
-                            for bx in range(bxs):
-                                for ci, _td, _ta in sel:
-                                    if read_bit():
-                                        prog_coef[ci][by, bx, 0] |= 1 << al
+                        for gy, gx in grid:
+                            for si, ci, v2, h2 in units:
+                                hc, vc = comps[ci][1], comps[ci][2]
+                                by = gy * vc + v2 if ns > 1 else gy
+                                bx = gx * hc + h2 if ns > 1 else gx
+                                if read_bit():
+                                    prog_coef[ci][by, bx, 0] |= 1 << al
                 else:
                     # AC scan: T.81 mandates non-interleaved (ns == 1)
                     if ns != 1:
@@ -1037,11 +1079,13 @@ def _jpeg_decode_baseline(buf):
                         return None
                     act = hufftabs[(1, ta)]
                     cf = prog_coef[ci]
+                    # non-interleaved: ACTUAL native block raster
+                    abx, aby = nat[ci]
                     if ah == 0:
                         # AC first pass for this band at this Al
                         eobrun = 0
-                        for by in range(bys):
-                            for bx in range(bxs):
+                        for by in range(aby):
+                            for bx in range(abx):
                                 if eobrun:
                                     eobrun -= 1
                                     continue
@@ -1071,8 +1115,8 @@ def _jpeg_decode_baseline(buf):
                         # by 1<<Al when set.
                         p1, m1 = 1 << al, -(1 << al)
                         eobrun = 0
-                        for by in range(bys):
-                            for bx in range(bxs):
+                        for by in range(aby):
+                            for bx in range(abx):
                                 blk = cf[by, bx]
                                 k = ss
                                 if eobrun == 0:
@@ -1124,7 +1168,8 @@ def _jpeg_decode_baseline(buf):
             if prog_coef is None or prog_scans == 0:
                 return None
             w, h = dims
-            bxs, bys = (w + 7) // 8, (h + 7) // 8
+            f_hmax = max(hc for _cid, hc, vc, _tq in comps)
+            f_vmax = max(vc for _cid, hc, vc, _tq in comps)
             zz = _jpeg_zigzag()
             x = np.arange(8)
             u = np.arange(8).reshape(8, 1)
@@ -1136,9 +1181,10 @@ def _jpeg_decode_baseline(buf):
                 if tq not in qtables:
                     return None
                 qzz = np.array(qtables[tq], dtype=np.float64)  # zigzag order
-                plane = np.zeros((bys * 8, bxs * 8))
-                for by in range(bys):
-                    for bx in range(bxs):
+                cby, cbx = cf.shape[:2]
+                plane = np.zeros((cby * 8, cbx * 8))
+                for by in range(cby):
+                    for bx in range(cbx):
                         coefn = np.zeros(64)
                         dq = cf[by, bx].astype(np.float64) * qzz
                         for zi, ni in enumerate(zz):
@@ -1146,9 +1192,11 @@ def _jpeg_decode_baseline(buf):
                         plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                             a.T @ coefn.reshape(8, 8) @ a
                         )
+                wc = (w * hc + f_hmax - 1) // f_hmax
+                hcm = (h * vc + f_vmax - 1) // f_vmax
                 px.append(
                     np.clip(np.rint(plane + 128.0), 0, 255).astype(np.int64)[
-                        :h, :w
+                        :hcm, :wc
                     ]
                 )
                 samps.append((hc, vc))
@@ -1834,14 +1882,19 @@ _JPEG_ACP_VALS = sorted(
 )
 
 
-def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
-    """Progressive JPEG (SOF2), 1 or 3 components, H=V=1, dims
-    multiples of 8. Scan script (the shape libjpeg's default
-    progressive script has): interleaved DC first at Al=1; per
-    component AC bands 1-5 and 6-63 first-pass at Al=2; DC refinement
-    to Al=0; per component AC refinements 1-63 at Al=1 then Al=0 —
-    exercising spectral selection, EOB runs across blocks, ZRL in
-    first and refinement passes, sign bits and correction bits."""
+def _jpeg_encode_progressive(planes, width: int, height: int,
+                             sampling=None) -> bytes:
+    """Progressive JPEG (SOF2), 1 or 3 components, with optional
+    T.81 sampling factors (``sampling`` = [(H, V), ...]; default all
+    1x1; planes supplied at native resolution — e.g. 4:2:0 =
+    [(2,2),(1,1),(1,1)] with half-size chroma). Scan script (the
+    shape libjpeg's default progressive script has): interleaved DC
+    first at Al=1 (MCU lattice when subsampled); per component AC
+    bands 1-5 and 6-63 first-pass at Al=2 (native data-unit raster);
+    DC refinement to Al=0; per component AC refinements 1-63 at Al=1
+    then Al=0 — exercising spectral selection, EOB runs across
+    blocks, ZRL in first and refinement passes, sign bits and
+    correction bits."""
     import struct
 
     import numpy as np
@@ -1849,8 +1902,11 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
     n = len(planes)
     if n not in (1, 3):
         raise ValueError("1 or 3 components")
-    if width % 8 or height % 8:
-        raise ValueError("dims % 8 == 0 required")
+    sampling = sampling or [(1, 1)] * n
+    hmax = max(hc for hc, _vc in sampling)
+    vmax = max(vc for _hc, vc in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dims must be MCU-aligned")
     zz = _jpeg_zigzag()
     q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     x = np.arange(8)
@@ -1860,15 +1916,23 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     acp_codes = _jpeg_huff_codes(_JPEG_ACP_BITS, _JPEG_ACP_VALS)
 
-    bxs, bys = width // 8, height // 8
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
     # zigzag-ordered quantized coefficients, per component per block
+    # (native resolution: component ci is (height*Vc/Vmax) x
+    # (width*Hc/Hmax))
     qcs = []
-    for p in planes:
-        img = np.asarray(p, dtype=np.float64).reshape(height, width)
+    nbx = []
+    nby = []
+    for p, (hc, vc) in zip(planes, sampling):
+        cw, ch = width * hc // hmax, height * vc // vmax
+        img = np.asarray(p, dtype=np.float64).reshape(ch, cw)
+        cbx, cby = cw // 8, ch // 8
+        nbx.append(cbx)
+        nby.append(cby)
         blocks = []
-        for by in range(bys):
+        for by in range(cby):
             row = []
-            for bx in range(bxs):
+            for bx in range(cbx):
                 blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 flat = np.rint((a @ blk @ a.T) / q).astype(np.int64).reshape(64)
                 row.append([int(flat[i]) for i in zz])
@@ -1899,22 +1963,35 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
         if nbits:
             put((1 << (8 - nbits)) - 1, 8 - nbits)
 
+    def _dc_units(cis):
+        # interleaved: MCU lattice with Hc x Vc data units per comp;
+        # single-component: native data-unit raster
+        if len(cis) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, ci in enumerate(cis):
+                        hc, vc = sampling[ci]
+                        for v2 in range(vc):
+                            for h2 in range(hc):
+                                yield si, ci, my * vc + v2, mx * hc + h2
+        else:
+            ci = cis[0]
+            for by in range(nby[ci]):
+                for bx in range(nbx[ci]):
+                    yield 0, ci, by, bx
+
     def scan_dc_first(cis, al):
         pred = [0] * len(cis)
-        for by in range(bys):
-            for bx in range(bxs):
-                for si, ci in enumerate(cis):
-                    v = qcs[ci][by][bx][0] >> al  # arithmetic shift
-                    d = v - pred[si]
-                    pred[si] = v
-                    put(*dc_codes[abs(d).bit_length()])
-                    put_val(d)
+        for si, ci, by, bx in _dc_units(cis):
+            v = qcs[ci][by][bx][0] >> al  # arithmetic shift
+            d = v - pred[si]
+            pred[si] = v
+            put(*dc_codes[abs(d).bit_length()])
+            put_val(d)
 
     def scan_dc_refine(cis, al):
-        for by in range(bys):
-            for bx in range(bxs):
-                for ci in cis:
-                    put((qcs[ci][by][bx][0] >> al) & 1, 1)
+        for _si, ci, by, bx in _dc_units(cis):
+            put((qcs[ci][by][bx][0] >> al) & 1, 1)
 
     def pt_ac(v, al):
         # AC point transform is sign-magnitude (toward zero), unlike
@@ -1933,8 +2010,8 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
                     put(er - (1 << nb), nb)
                 state["eobrun"] = 0
 
-        for by in range(bys):
-            for bx in range(bxs):
+        for by in range(nby[ci]):
+            for bx in range(nbx[ci]):
                 blkz = qcs[ci][by][bx]
                 r = 0
                 for k in range(ss, se + 1):
@@ -1970,8 +2047,8 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
                 state["eobrun"] = 0
                 state["be"] = []
 
-        for by in range(bys):
-            for bx in range(bxs):
+        for by in range(nby[ci]):
+            for bx in range(nbx[ci]):
                 blkz = qcs[ci][by][bx]
                 absv = [abs(blkz[k]) >> al for k in range(64)]
                 eob = 0
@@ -2016,7 +2093,10 @@ def _jpeg_encode_progressive(planes, width: int, height: int) -> bytes:
 
     stream = bytearray(b"\xff\xd8")
     stream += seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE[i] for i in zz))
-    comps = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(n))
+    comps = b"".join(
+        bytes([cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0])
+        for cid in range(n)
+    )
     stream += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, n) + comps)
     stream += seg(
         0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -2088,6 +2168,48 @@ def synthesize_jpeg_progressive_media(spark: SparkSession, sf_dir: str) -> DataF
         .repartition(spark.sparkContext.defaultParallelism)
     )  # same bench-scale parallelism note as synthesize_jpeg_media
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def synthesize_jpeg_prog420_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic progressive 4:2:0 JPEGs — the layout real
+    encoders actually emit (SOF2 + subsampled chroma): the q383 MCU-
+    aligned uniform-even-block pixel spec under mult=43, carried by
+    the 13-scan progressive script with the interleaved DC scan
+    walking the MCU lattice (4 Y + Cb + Cr data units per MCU)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(doc_id: int) -> bytes:
+            yp, cbp, crp = _jpeg_420_planes(doc_id, 43)
+            return _jpeg_encode_progressive(
+                [yp, cbp, crp], 32, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # same bench-scale parallelism note as synthesize_jpeg_media
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def media_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end progressive 4:2:0 path (q386): SOF2 + subsampling
+    composed — what a typical camera/web progressive JPEG is. The
+    4:2:0 feature contract applies (three components sampled
+    (2,2),(1,1),(1,1), native-resolution planes)."""
+    return (
+        decode_jpeg_420_features(
+            synthesize_jpeg_prog420_media(spark, sf_dir)
+        ).orderBy("doc_id")
+    )
 
 
 def media_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13066,3 +13066,49 @@ SPECS["q385_media_jpeg_progressive_decode"] = QuerySpec(
     "coefficients accumulated across 13 scans with one final IDCT; "
     "arithmetic coding and subsampled progressive remain gated",
 )
+
+SPECS["q386_media_jpeg_prog420_decode"] = QuerySpec(
+    multimodal.media_jpeg_prog420_decode,
+    """
+    -- closed-form replay of the 4:2:0 pixel spec (q383's layout,
+    -- mult=43) carried by a PROGRESSIVE (SOF2) stream — the
+    -- composition a typical real-world JPEG actually is: subsampled
+    -- chroma AND multi-scan successive approximation. The
+    -- interleaved DC-first scan walks the MCU lattice (four Y + Cb +
+    -- Cr data units per 16x16 MCU); AC scans raster each component's
+    -- native data units. Uniform even MCU-aligned blocks keep the
+    -- doubly-lossy-looking format exactly oracle-checkable at native
+    -- plane resolutions.
+    WITH ks AS (SELECT unnest(range(0, 16)) AS k),
+    y AS (SELECT doc_id,
+                 SUM(64 * 2 * ((doc_id * 43 + k * 97) % 128)) AS sum_y,
+                 MAX(CASE WHEN k = 15
+                     THEN 2 * ((doc_id * 43 + k * 97) % 128) END) AS px_y
+          FROM documents CROSS JOIN ks GROUP BY doc_id),
+    cpx AS (SELECT doc_id, ci, m,
+                   2 * ((doc_id * 43 + ci * 53 + m * 89) % 128) AS v
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+            CROSS JOIN (SELECT unnest(range(1, 3)) AS ci)),
+    c AS (SELECT doc_id,
+                 SUM(CASE WHEN ci = 1 THEN 64 * v END) AS sum_cb,
+                 SUM(CASE WHEN ci = 2 THEN 64 * v END) AS sum_cr,
+                 MAX(CASE WHEN ci = 1 AND m = 3 THEN v END) AS px_cb,
+                 MAX(CASE WHEN ci = 2 AND m = 3 THEN v END) AS px_cr
+          FROM cpx GROUP BY doc_id)
+    SELECT y.doc_id, TRUE AS valid,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_cb AS BIGINT) AS sum_cb,
+           CAST(sum_cr AS BIGINT) AS sum_cr,
+           CAST(px_y AS INTEGER) AS px_y,
+           CAST(px_cb AS INTEGER) AS px_cb,
+           CAST(px_cr AS INTEGER) AS px_cr
+    FROM y JOIN c ON y.doc_id = c.doc_id ORDER BY y.doc_id
+    """,
+    "§2.3 multimodal: progressive x subsampled JPEG — SOF2 composed "
+    "with 4:2:0 (interleaved DC scan over the MCU lattice incl. "
+    "padding blocks per T.81; non-interleaved AC scans over native "
+    "data units) — the layout typical real-world progressive files "
+    "use; remaining gates: arithmetic coding, DRI inside SOF2 scans",
+)

@@ -251,3 +251,45 @@ def test_jpeg_progressive_stream_under_sequential_only_contracts(spark):
     )
     assert decode_jpeg_color_features(df).collect()[0]["valid"] is True
     assert decode_jpeg_420_features(df).collect()[0]["valid"] is False
+
+
+# ---- progressive x 4:2:0 (q386) ----
+
+
+def test_jpeg_progressive_420_equals_sequential_420():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(86)
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    for _ in range(3):
+        yp = rng.randint(0, 256, (32, 48)).astype(np.int64)
+        cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+        cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+        seq = _jpeg_decode_baseline(_jpeg_encode_ycc420(yp, cb, cr, 48, 32))
+        pro = _jpeg_decode_baseline(
+            _jpeg_encode_progressive([yp, cb, cr], 48, 32, sampling=s420)
+        )
+        assert seq is not None and pro is not None
+        assert pro[3] == s420
+        for ci in range(3):
+            assert np.array_equal(seq[2][ci], pro[2][ci])
+
+
+def test_jpeg_progressive_420_uniform_blocks_roundtrip_exactly():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    yp, cb, cr = _jpeg_420_planes(1234, 43)
+    buf = _jpeg_encode_progressive(
+        [yp, cb, cr], 32, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    r = _jpeg_decode_baseline(buf)
+    assert r is not None and r[3] == [(2, 2), (1, 1), (1, 1)]
+    assert np.array_equal(r[2][0], yp)
+    assert np.array_equal(r[2][1], cb)
+    assert np.array_equal(r[2][2], cr)
+    # the stream satisfies the 4:2:0 contract, and truncation poisons
+    assert _jpeg_decode_baseline(buf[: len(buf) * 2 // 3]) is None
