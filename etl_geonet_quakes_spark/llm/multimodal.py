@@ -805,10 +805,10 @@ def _jpeg_decode_baseline(buf):
     ceil(h*V/Vmax) — or None on any malformation (one-poisoned-row
     policy). Progressive composes with subsampling (interleaved DC
     scans walk the MCU lattice incl. padding blocks; non-interleaved
-    scans walk the component's actual data units per T.81 A.2.2).
-    Still rejected, the honestly-gated remainder: arithmetic coding
-    and restart intervals inside progressive scans (DRI is a
-    sequential-mode feature here)."""
+    scans walk the component's actual data units per T.81 A.2.2) and
+    with restart intervals (per-scan RSTn cadence in MCUs, DC
+    predictors and EOB-run state reset). Still rejected, the
+    honestly-gated remainder of T.81: arithmetic coding."""
     import struct
 
     import numpy as np
@@ -979,8 +979,6 @@ def _jpeg_decode_baseline(buf):
                     scan = (sel, i + 2 + ln)
                     break
                 # ---- progressive scan, decoded inline ----
-                if dri:
-                    return None  # restart-interval progressive: gated
                 if prog_scans >= 64:
                     return None  # scan-count sanity bound
                 w, h = dims
@@ -1046,6 +1044,7 @@ def _jpeg_decode_baseline(buf):
                             for by in range(aby)
                             for bx in range(abx)
                         ]
+                    rst_n = 0
                     if ah == 0:
                         tabs = []
                         for ci, td, _ta in sel:
@@ -1053,7 +1052,11 @@ def _jpeg_decode_baseline(buf):
                                 return None
                             tabs.append(hufftabs[(0, td)])
                         pred = [0] * len(sel)
-                        for gy, gx in grid:
+                        for gi, (gy, gx) in enumerate(grid):
+                            if dri and gi and gi % dri == 0:
+                                expect_rst(rst_n)
+                                rst_n = (rst_n + 1) % 8
+                                pred = [0] * len(sel)
                             for si, ci, v2, h2 in units:
                                 hc, vc = comps[ci][1], comps[ci][2]
                                 by = gy * vc + v2 if ns > 1 else gy
@@ -1063,7 +1066,10 @@ def _jpeg_decode_baseline(buf):
                                 prog_coef[ci][by, bx, 0] = pred[si] << al
                     else:
                         # DC refinement: one raw bit per data unit
-                        for gy, gx in grid:
+                        for gi, (gy, gx) in enumerate(grid):
+                            if dri and gi and gi % dri == 0:
+                                expect_rst(rst_n)
+                                rst_n = (rst_n + 1) % 8
                             for si, ci, v2, h2 in units:
                                 hc, vc = comps[ci][1], comps[ci][2]
                                 by = gy * vc + v2 if ns > 1 else gy
@@ -1079,13 +1085,21 @@ def _jpeg_decode_baseline(buf):
                         return None
                     act = hufftabs[(1, ta)]
                     cf = prog_coef[ci]
-                    # non-interleaved: ACTUAL native block raster
+                    # non-interleaved: ACTUAL native block raster (one
+                    # data unit per MCU, so DRI cadence is per block)
                     abx, aby = nat[ci]
+                    blocks = [
+                        (by, bx) for by in range(aby) for bx in range(abx)
+                    ]
+                    rst_n = 0
                     if ah == 0:
                         # AC first pass for this band at this Al
                         eobrun = 0
-                        for by in range(aby):
-                            for bx in range(abx):
+                        for gi, (by, bx) in enumerate(blocks):
+                                if dri and gi and gi % dri == 0:
+                                    expect_rst(rst_n)
+                                    rst_n = (rst_n + 1) % 8
+                                    eobrun = 0
                                 if eobrun:
                                     eobrun -= 1
                                     continue
@@ -1115,8 +1129,11 @@ def _jpeg_decode_baseline(buf):
                         # by 1<<Al when set.
                         p1, m1 = 1 << al, -(1 << al)
                         eobrun = 0
-                        for by in range(aby):
-                            for bx in range(abx):
+                        for gi, (by, bx) in enumerate(blocks):
+                                if dri and gi and gi % dri == 0:
+                                    expect_rst(rst_n)
+                                    rst_n = (rst_n + 1) % 8
+                                    eobrun = 0
                                 blk = cf[by, bx]
                                 k = ss
                                 if eobrun == 0:
@@ -1868,8 +1885,9 @@ def media_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # progressive decode ≡ sequential decode, bit-exact, for ANY image.
 # The encoder below emits the standard libjpeg-style scan script
 # (interleaved DC first, per-component AC bands, then DC and AC
-# refinements walking Al down to 0). Gated: subsampled progressive,
-# restart intervals inside progressive scans, arithmetic coding.
+# refinements walking Al down to 0), composes with subsampling (q386)
+# and restart intervals (q387). Gated: arithmetic coding — with that
+# exception, the decoder covers all of Huffman-coded T.81.
 # ---------------------------------------------------------------------------
 
 # Progressive AC scans need the EOBn symbols (r<<4 for r>=1) the
@@ -1883,7 +1901,7 @@ _JPEG_ACP_VALS = sorted(
 
 
 def _jpeg_encode_progressive(planes, width: int, height: int,
-                             sampling=None) -> bytes:
+                             sampling=None, restart_interval: int = 0) -> bytes:
     """Progressive JPEG (SOF2), 1 or 3 components, with optional
     T.81 sampling factors (``sampling`` = [(H, V), ...]; default all
     1x1; planes supplied at native resolution — e.g. 4:2:0 =
@@ -1894,7 +1912,11 @@ def _jpeg_encode_progressive(planes, width: int, height: int,
     DC refinement to Al=0; per component AC refinements 1-63 at Al=1
     then Al=0 — exercising spectral selection, EOB runs across
     blocks, ZRL in first and refinement passes, sign bits and
-    correction bits."""
+    correction bits. With ``restart_interval`` = r > 0, a DRI segment
+    is emitted and every r MCUs WITHIN EVERY SCAN the entropy stream
+    is byte-aligned and an RSTn marker written (n cycling per scan),
+    with DC predictors and EOB-run state reset — pending EOB runs and
+    buffered correction bits are flushed before each marker."""
     import struct
 
     import numpy as np
@@ -1963,35 +1985,53 @@ def _jpeg_encode_progressive(planes, width: int, height: int,
         if nbits:
             put((1 << (8 - nbits)) - 1, 8 - nbits)
 
-    def _dc_units(cis):
+    def _dc_mcus(cis):
         # interleaved: MCU lattice with Hc x Vc data units per comp;
-        # single-component: native data-unit raster
+        # single-component: native data-unit raster (1 unit per MCU)
         if len(cis) > 1:
             for my in range(mcuy):
                 for mx in range(mcux):
-                    for si, ci in enumerate(cis):
-                        hc, vc = sampling[ci]
-                        for v2 in range(vc):
-                            for h2 in range(hc):
-                                yield si, ci, my * vc + v2, mx * hc + h2
+                    yield [
+                        (si, ci, my * vc + v2, mx * hc + h2)
+                        for si, ci in enumerate(cis)
+                        for hc, vc in (sampling[ci],)
+                        for v2 in range(vc)
+                        for h2 in range(hc)
+                    ]
         else:
             ci = cis[0]
             for by in range(nby[ci]):
                 for bx in range(nbx[ci]):
-                    yield 0, ci, by, bx
+                    yield [(0, ci, by, bx)]
+
+    def _emit_rst(rst):
+        # byte-align with 1-bit padding, then the raw (unstuffed)
+        # restart marker
+        flush_pad()
+        out.extend(bytes([0xFF, 0xD0 + rst[0]]))
+        rst[0] = (rst[0] + 1) % 8
 
     def scan_dc_first(cis, al):
         pred = [0] * len(cis)
-        for si, ci, by, bx in _dc_units(cis):
-            v = qcs[ci][by][bx][0] >> al  # arithmetic shift
-            d = v - pred[si]
-            pred[si] = v
-            put(*dc_codes[abs(d).bit_length()])
-            put_val(d)
+        rst = [0]
+        for mi, units in enumerate(_dc_mcus(cis)):
+            if restart_interval and mi and mi % restart_interval == 0:
+                _emit_rst(rst)
+                pred = [0] * len(cis)
+            for si, ci, by, bx in units:
+                v = qcs[ci][by][bx][0] >> al  # arithmetic shift
+                d = v - pred[si]
+                pred[si] = v
+                put(*dc_codes[abs(d).bit_length()])
+                put_val(d)
 
     def scan_dc_refine(cis, al):
-        for _si, ci, by, bx in _dc_units(cis):
-            put((qcs[ci][by][bx][0] >> al) & 1, 1)
+        rst = [0]
+        for mi, units in enumerate(_dc_mcus(cis)):
+            if restart_interval and mi and mi % restart_interval == 0:
+                _emit_rst(rst)
+            for _si, ci, by, bx in units:
+                put((qcs[ci][by][bx][0] >> al) & 1, 1)
 
     def pt_ac(v, al):
         # AC point transform is sign-magnitude (toward zero), unlike
@@ -2010,9 +2050,14 @@ def _jpeg_encode_progressive(planes, width: int, height: int,
                     put(er - (1 << nb), nb)
                 state["eobrun"] = 0
 
-        for by in range(nby[ci]):
-            for bx in range(nbx[ci]):
+        rst = [0]
+        for mi, (by, bx) in enumerate(
+            (b, x) for b in range(nby[ci]) for x in range(nbx[ci])
+        ):
                 blkz = qcs[ci][by][bx]
+                if restart_interval and mi and mi % restart_interval == 0:
+                    emit_eobrun()
+                    _emit_rst(rst)
                 r = 0
                 for k in range(ss, se + 1):
                     t = pt_ac(blkz[k], al)
@@ -2047,9 +2092,14 @@ def _jpeg_encode_progressive(planes, width: int, height: int,
                 state["eobrun"] = 0
                 state["be"] = []
 
-        for by in range(nby[ci]):
-            for bx in range(nbx[ci]):
+        rst = [0]
+        for mi, (by, bx) in enumerate(
+            (b, x) for b in range(nby[ci]) for x in range(nbx[ci])
+        ):
                 blkz = qcs[ci][by][bx]
+                if restart_interval and mi and mi % restart_interval == 0:
+                    emit_eobrun()  # flushes pending EOB run + BE bits
+                    _emit_rst(rst)
                 absv = [abs(blkz[k]) >> al for k in range(64)]
                 eob = 0
                 for k in range(ss, se + 1):
@@ -2104,6 +2154,8 @@ def _jpeg_encode_progressive(planes, width: int, height: int,
     stream += seg(
         0xFFC4, bytes([0x10]) + bytes(_JPEG_ACP_BITS) + bytes(_JPEG_ACP_VALS)
     )
+    if restart_interval:
+        stream += seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def run_scan(comp_ids, ss, se, ah, al, emitter):
         nonlocal out, bitbuf, nbits
@@ -2208,6 +2260,42 @@ def media_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_jpeg_420_features(
             synthesize_jpeg_prog420_media(spark, sf_dir)
+        ).orderBy("doc_id")
+    )
+
+
+def media_jpeg_prog_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end progressive x 4:2:0 x DRI path (q387): every
+    non-arithmetic T.81 feature in one stream — SOF2 successive
+    approximation, subsampled chroma, and an RSTn after every MCU of
+    EVERY one of the 13 scans (byte-aligned, DC predictors and
+    EOB-run state reset, index cycling per scan). Same 4:2:0 feature
+    contract; pixel spec under mult=47."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encode(doc_id: int) -> bytes:
+            yp, cbp, crp = _jpeg_420_planes(doc_id, 47)
+            return _jpeg_encode_progressive(
+                [yp, cbp, crp], 32, 32,
+                sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=1,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return (
+        decode_jpeg_420_features(
+            d.mapInPandas(gen, schema="doc_id long, payload binary")
         ).orderBy("doc_id")
     )
 

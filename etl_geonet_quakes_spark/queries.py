@@ -13112,3 +13112,48 @@ SPECS["q386_media_jpeg_prog420_decode"] = QuerySpec(
     "data units) — the layout typical real-world progressive files "
     "use; remaining gates: arithmetic coding, DRI inside SOF2 scans",
 )
+
+SPECS["q387_media_jpeg_prog_restart_decode"] = QuerySpec(
+    multimodal.media_jpeg_prog_restart_decode,
+    """
+    -- closed-form replay of the 4:2:0 pixel spec (q383's layout,
+    -- mult=47) carried by a stream composing EVERY non-arithmetic
+    -- T.81 feature at once: progressive (SOF2) successive
+    -- approximation, subsampled chroma, and a restart marker after
+    -- every MCU of every one of the 13 scans (DRI=1: byte-aligned
+    -- RSTn, DC predictors and EOB-run state reset, marker index
+    -- cycling per scan). Restarts and scan structure change the wire
+    -- layout, never the image, so the oracle is the same pixel spec.
+    WITH ks AS (SELECT unnest(range(0, 16)) AS k),
+    y AS (SELECT doc_id,
+                 SUM(64 * 2 * ((doc_id * 47 + k * 97) % 128)) AS sum_y,
+                 MAX(CASE WHEN k = 15
+                     THEN 2 * ((doc_id * 47 + k * 97) % 128) END) AS px_y
+          FROM documents CROSS JOIN ks GROUP BY doc_id),
+    cpx AS (SELECT doc_id, ci, m,
+                   2 * ((doc_id * 47 + ci * 53 + m * 89) % 128) AS v
+            FROM documents
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS m)
+            CROSS JOIN (SELECT unnest(range(1, 3)) AS ci)),
+    c AS (SELECT doc_id,
+                 SUM(CASE WHEN ci = 1 THEN 64 * v END) AS sum_cb,
+                 SUM(CASE WHEN ci = 2 THEN 64 * v END) AS sum_cr,
+                 MAX(CASE WHEN ci = 1 AND m = 3 THEN v END) AS px_cb,
+                 MAX(CASE WHEN ci = 2 AND m = 3 THEN v END) AS px_cr
+          FROM cpx GROUP BY doc_id)
+    SELECT y.doc_id, TRUE AS valid,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           CAST(sum_y AS BIGINT) AS sum_y,
+           CAST(sum_cb AS BIGINT) AS sum_cb,
+           CAST(sum_cr AS BIGINT) AS sum_cr,
+           CAST(px_y AS INTEGER) AS px_y,
+           CAST(px_cb AS INTEGER) AS px_cb,
+           CAST(px_cr AS INTEGER) AS px_cr
+    FROM y JOIN c ON y.doc_id = c.doc_id ORDER BY y.doc_id
+    """,
+    "§2.3 multimodal: the complete Huffman-coded T.81 composition — "
+    "progressive x 4:2:0 x restart intervals in one stream (RSTn "
+    "after every MCU of all 13 scans, per-scan cadence and state "
+    "reset); with this the only remaining JPEG gate is arithmetic "
+    "coding",
+)

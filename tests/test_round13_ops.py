@@ -293,3 +293,76 @@ def test_jpeg_progressive_420_uniform_blocks_roundtrip_exactly():
     assert np.array_equal(r[2][2], cr)
     # the stream satisfies the 4:2:0 contract, and truncation poisons
     assert _jpeg_decode_baseline(buf[: len(buf) * 2 // 3]) is None
+
+
+def test_jpeg_progressive_422_matches_transform_reference():
+    # A third sampling configuration through the general machinery:
+    # 4:2:2 (Y at H=2,V=1; chroma full-height half-width). No
+    # sequential 4:2:2 encoder exists here, so the pin is the
+    # independent per-plane transform reference — every plane's
+    # blocks are DCT'd at native resolution, so the 4:4:4 reference
+    # applies plane-wise exactly as for 4:2:0.
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(22)
+    yp = rng.randint(0, 256, (32, 32)).astype(np.int64)
+    cb = rng.randint(0, 256, (32, 16)).astype(np.int64)
+    cr = rng.randint(0, 256, (32, 16)).astype(np.int64)
+    buf = _jpeg_encode_progressive(
+        [yp, cb, cr], 32, 32, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    r = _jpeg_decode_baseline(buf)
+    assert r is not None
+    assert r[3] == [(2, 1), (1, 1), (1, 1)]
+    assert [p.shape for p in r[2]] == [(32, 32), (32, 16), (32, 16)]
+    for got, src in zip(r[2], (yp, cb, cr)):
+        assert np.array_equal(got, _jpeg_transform_reference(src))
+
+
+# ---- progressive + DRI (q387) ----
+
+
+def test_jpeg_progressive_dri_equals_no_dri():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(47)
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    yp = rng.randint(0, 256, (32, 48)).astype(np.int64)
+    cb = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    cr = rng.randint(0, 256, (16, 24)).astype(np.int64)
+    base = _jpeg_decode_baseline(
+        _jpeg_encode_progressive([yp, cb, cr], 48, 32, sampling=s420)
+    )
+    assert base is not None
+    for ri in (1, 2, 3):
+        buf = _jpeg_encode_progressive(
+            [yp, cb, cr], 48, 32, sampling=s420, restart_interval=ri
+        )
+        r = _jpeg_decode_baseline(buf)
+        assert r is not None, f"restart_interval={ri}"
+        for ci in range(3):
+            assert np.array_equal(r[2][ci], base[2][ci]), (ri, ci)
+    # gray progressive + DRI too
+    img = rng.randint(0, 256, (24, 32)).astype(np.int64)
+    g0 = _jpeg_decode_baseline(_jpeg_encode_progressive([img], 32, 24))
+    for ri in (1, 5):
+        r = _jpeg_decode_baseline(
+            _jpeg_encode_progressive([img], 32, 24, restart_interval=ri)
+        )
+        assert r is not None and np.array_equal(r[2][0], g0[2][0]), ri
+
+
+def test_jpeg_progressive_forged_dri_is_poisoned():
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    img = np.arange(768, dtype=np.int64).reshape(24, 32) % 256
+    nodri = _jpeg_encode_progressive([img], 32, 24)
+    sos_at = nodri.find(b"\xff\xda")
+    dri = struct.pack(">HH", 0xFFDD, 4) + struct.pack(">H", 1)
+    assert _jpeg_decode_baseline(nodri[:sos_at] + dri + nodri[sos_at:]) is None
