@@ -366,3 +366,29 @@ def test_jpeg_progressive_forged_dri_is_poisoned():
     sos_at = nodri.find(b"\xff\xda")
     dri = struct.pack(">HH", 0xFFDD, 4) + struct.pack(">H", 1)
     assert _jpeg_decode_baseline(nodri[:sos_at] + dri + nodri[sos_at:]) is None
+
+
+def test_jpeg_appn_and_com_segments_are_skipped():
+    # Real files carry JFIF/EXIF APPn and COM metadata; they must be
+    # transparent to decoding in both sequential and progressive mode.
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _jpeg_encode_progressive,
+    )
+
+    img = (np.arange(256, dtype=np.int64).reshape(16, 16) // 2) * 2
+    app0 = (
+        struct.pack(">HH", 0xFFE0, 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    com = struct.pack(">HH", 0xFFFE, 13) + b"hello world"
+    for encode in (
+        lambda: _jpeg_encode_gray(img.reshape(-1), 16, 16),
+        lambda: _jpeg_encode_progressive([img], 16, 16),
+    ):
+        buf = encode()
+        sos_at = buf.find(b"\xff\xda")
+        forged = buf[:2] + app0 + buf[2:sos_at] + com + buf[sos_at:]
+        plain = _jpeg_decode_baseline(buf)
+        tagged = _jpeg_decode_baseline(forged)
+        assert plain is not None and tagged is not None
+        assert np.array_equal(plain[2][0], tagged[2][0])
