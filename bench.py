@@ -187,6 +187,7 @@ HEADLINE = [
     "q385_media_jpeg_progressive_decode",
     "q386_media_jpeg_prog420_decode",
     "q387_media_jpeg_prog_restart_decode",
+    "q388_media_warc_gzip_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

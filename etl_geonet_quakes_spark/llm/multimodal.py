@@ -2313,3 +2313,135 @@ def media_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame
             synthesize_jpeg_progressive_media(spark, sf_dir)
         ).orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC-style multi-member gzip (round 13): the wire format web-corpus
+# ingestion actually reads — Common Crawl WARC/WET files are
+# CONCATENATED gzip members (one per record), and a reader must walk
+# member boundaries via the decompressor's unused_data, not assume
+# one stream. Lossless, so exactness is free: the oracle rebuilds the
+# same record text from the documents table and hashes it in SQL.
+# stdlib zlib only; the decode is the same mapInPandas batch shape as
+# the image codecs.
+# ---------------------------------------------------------------------------
+
+_WARC_SCHEMA = (
+    "doc_id long, valid boolean, n_members int, "
+    "header_len bigint, text_len bigint, payload_md5 string"
+)
+
+
+def _warc_header(doc_id: int) -> bytes:
+    return (
+        f"WARC/1.0\r\nWARC-Record-ID: <doc-{doc_id}>\r\n\r\n".encode("ascii")
+    )
+
+
+def _gzip_members(chunks) -> bytes:
+    """Concatenated gzip members, one per chunk (WARC file layout)."""
+    import zlib
+
+    out = bytearray()
+    for c in chunks:
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)  # wbits=31: gzip wrapper
+        out += co.compress(c) + co.flush()
+    return bytes(out)
+
+
+def _gzip_members_decode(buf: bytes):
+    """Walk concatenated gzip members via unused_data; returns the
+    list of decompressed members or None on any malformation
+    (truncated member, trailing garbage, bad CRC)."""
+    import zlib
+
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or not buf:
+            return None
+        buf = bytes(buf)
+        members = []
+        while buf:
+            d = zlib.decompressobj(31)
+            data = d.decompress(buf)
+            data += d.flush()
+            if not d.eof:
+                return None  # truncated member
+            members.append(data)
+            buf = d.unused_data
+            if len(members) > 10000:
+                return None
+        return members
+    except Exception:
+        return None
+
+
+def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: a two-member concatenated gzip payload — a
+    WARC-ish record header member and the document text member —
+    exactly the member layout a WET shard has."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _gzip_members(
+                            [_warc_header(int(d)), t.encode("ascii")]
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_warc_gzip_features(df: DataFrame) -> DataFrame:
+    """Multi-member gzip decode with the one-poisoned-row policy:
+    member count, per-member byte lengths, and the md5 of the
+    concatenated recovered bytes (the oracle rebuilds the identical
+    string in SQL — lossless formats need no invertible-subset
+    trick)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "n_members": [],
+                "header_len": [], "text_len": [], "payload_md5": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                members = _gzip_members_decode(buf)
+                ok = members is not None and len(members) == 2
+                out["doc_id"].append(doc_id)
+                out["valid"].append(ok)
+                if not ok:
+                    for c in ("n_members", "header_len", "text_len",
+                              "payload_md5"):
+                        out[c].append(None)
+                else:
+                    out["n_members"].append(len(members))
+                    out["header_len"].append(len(members[0]))
+                    out["text_len"].append(len(members[1]))
+                    out["payload_md5"].append(
+                        hashlib.md5(b"".join(members)).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_WARC_SCHEMA)
+
+
+def media_warc_gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC-layout path (q388): synthesize concatenated
+    gzip members → member-walking decode → exact features, ordered."""
+    return (
+        decode_warc_gzip_features(synthesize_warc_gzip_media(spark, sf_dir))
+        .orderBy("doc_id")
+    )

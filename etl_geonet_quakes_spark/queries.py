@@ -13157,3 +13157,32 @@ SPECS["q387_media_jpeg_prog_restart_decode"] = QuerySpec(
     "reset); with this the only remaining JPEG gate is arithmetic "
     "coding",
 )
+
+SPECS["q388_media_warc_gzip_decode"] = QuerySpec(
+    multimodal.media_warc_gzip_decode,
+    """
+    -- lossless wire-format replay: each payload is TWO concatenated
+    -- gzip members (a WARC-ish record header + the document text) —
+    -- the member layout Common Crawl WARC/WET shards have, which a
+    -- reader must walk via decompressor unused_data rather than
+    -- assuming one stream. Because gzip is lossless, the oracle
+    -- needs no invertible-subset trick: it rebuilds the identical
+    -- header string from doc_id and hashes header||text in SQL.
+    WITH h AS (SELECT doc_id,
+                      'WARC/1.0' || chr(13) || chr(10) ||
+                      'WARC-Record-ID: <doc-' || CAST(doc_id AS VARCHAR) ||
+                      '>' || chr(13) || chr(10) || chr(13) || chr(10) AS hdr,
+                      text
+               FROM documents)
+    SELECT doc_id, TRUE AS valid, CAST(2 AS INTEGER) AS n_members,
+           CAST(strlen(hdr) AS BIGINT) AS header_len,
+           CAST(strlen(text) AS BIGINT) AS text_len,
+           md5(hdr || text) AS payload_md5
+    FROM h ORDER BY doc_id
+    """,
+    "§2.3 multimodal / corpus ingestion: WARC-style multi-member "
+    "gzip decode — concatenated gzip members walked via unused_data "
+    "with CRC/truncation/trailing-garbage poisoning (the actual "
+    "Common Crawl WET wire format); stdlib zlib, mapInPandas batch "
+    "shape shared with the image codecs",
+)

@@ -392,3 +392,33 @@ def test_jpeg_appn_and_com_segments_are_skipped():
         tagged = _jpeg_decode_baseline(forged)
         assert plain is not None and tagged is not None
         assert np.array_equal(plain[2][0], tagged[2][0])
+
+
+# ---- WARC multi-member gzip (q388) ----
+
+
+def test_warc_gzip_members_roundtrip_and_poisoning(spark):
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _gzip_members,
+        _gzip_members_decode,
+        _warc_header,
+        decode_warc_gzip_features,
+    )
+
+    h = _warc_header(123)
+    buf = _gzip_members([h, b"hello world"])
+    assert _gzip_members_decode(buf) == [h, b"hello world"]
+    # truncated member, corrupted byte (CRC), trailing garbage: poisoned
+    assert _gzip_members_decode(buf[:-3]) is None
+    bad = bytearray(buf)
+    bad[len(buf) // 2] ^= 0xFF
+    assert _gzip_members_decode(bytes(bad)) is None
+    assert _gzip_members_decode(buf + b"garbage") is None
+    # contract: exactly two members — a single-member stream is poisoned
+    one = _gzip_members([b"only one"])
+    df = spark.createDataFrame(
+        [(0, bytearray(buf)), (1, bytearray(one)), (2, bytearray(buf[:-3]))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["valid"] for r in decode_warc_gzip_features(df).collect()}
+    assert got == {0: True, 1: False, 2: False}
