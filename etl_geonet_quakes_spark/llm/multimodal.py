@@ -2394,6 +2394,11 @@ def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # NOTE: unlike the image synths' 8-byte doc_id projections, this
+    # repartition moves the text column (~KB/row) — still bench-scale
+    # parallelism only (the fixture scan is one split); at real scale
+    # the scan has many splits and this line should be dropped, since
+    # shuffling corpus text just to spread a cheap gzip is waste.
     d = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
