@@ -13110,7 +13110,8 @@ SPECS["q386_media_jpeg_prog420_decode"] = QuerySpec(
     "with 4:2:0 (interleaved DC scan over the MCU lattice incl. "
     "padding blocks per T.81; non-interleaved AC scans over native "
     "data units) — the layout typical real-world progressive files "
-    "use; remaining gates: arithmetic coding, DRI inside SOF2 scans",
+    "use; q387 adds DRI inside SOF2 scans — the only remaining JPEG "
+    "gate is arithmetic coding",
 )
 
 SPECS["q387_media_jpeg_prog_restart_decode"] = QuerySpec(
