@@ -188,6 +188,7 @@ HEADLINE = [
     "q386_media_jpeg_prog420_decode",
     "q387_media_jpeg_prog_restart_decode",
     "q388_media_warc_gzip_decode",
+    "q389_media_png_interlaced_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

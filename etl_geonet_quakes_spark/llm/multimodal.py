@@ -588,6 +588,233 @@ def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adam7 interlacing (round 13): the PNG spec's seven-pass progressive
+# layout — each pass is an independently-filtered sub-image (its own
+# per-scanline adaptive filters against the pass's own prior row), and
+# passes with zero width or height contribute NO bytes. The q98
+# decoder honestly rejects interlace=1; this pair owns it. Lossless,
+# so the oracle replays the same closed-form pixel spec.
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]  # (x0, dx, y0, dy) per pass
+
+_PNG_I_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def _png_filter_line(raw: bytes, prior: bytes, ft: int) -> bytes:
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        left = raw[i - 3] if i >= 3 else 0
+        up = prior[i]
+        ul = prior[i - 3] if i >= 3 else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, ul)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_line(line: bytes, prior: bytes, ft: int):
+    recon = bytearray(len(line))
+    for i in range(len(line)):
+        left = recon[i - 3] if i >= 3 else 0
+        up = prior[i]
+        ul = prior[i - 3] if i >= 3 else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) >> 1
+        elif ft == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            return None
+        recon[i] = (line[i] + pred) & 0xFF
+    return recon
+
+
+def synthesize_png_interlaced_media(
+    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL Adam7 PNGs: 8-bit RGB, interlace=1, pixel
+    stream value(k) = (doc_id*53 + k) mod 256 over the FULL image;
+    each pass's scanlines filtered with ft = (doc_id + pass + row)
+    mod 5, so all five filters appear across passes and the
+    per-pass prior-row state is exercised."""
+    import struct
+    import zlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        def encode(doc_id: int) -> bytes:
+            px = [
+                (doc_id * 53 + k) % 256 for k in range(width * height * 3)
+            ]
+            scanlines = bytearray()
+            for pi, (x0, dx, y0, dy) in enumerate(_ADAM7):
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw == 0 or ph == 0:
+                    continue  # empty pass: no bytes at all
+                stride = pw * 3
+                prior = bytes(stride)
+                for r in range(ph):
+                    y = y0 + r * dy
+                    raw = bytes(
+                        px[(y * width + x0 + j * dx) * 3 + c]
+                        for j in range(pw)
+                        for c in range(3)
+                    )
+                    ft = (doc_id + pi + r) % 5
+                    scanlines.append(ft)
+                    scanlines += _png_filter_line(raw, prior, ft)
+                    prior = raw
+            ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+            return (
+                _PNG_SIG
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def decode_png_interlaced_features(df: DataFrame) -> DataFrame:
+    """Adam7 twin of decode_png_features: same signature/CRC/chunk
+    discipline, REQUIRES interlace=1 (a non-interlaced stream is a
+    poisoned row under this contract, mirroring q98's reverse rule),
+    de-interlaces the seven passes — each unfiltered against its own
+    pass-local prior row, empty passes contributing no bytes — and
+    scatters pixels to image positions. Exact integer channel sums."""
+    import struct
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(buf):
+            try:
+                if not isinstance(buf, (bytes, bytearray)):
+                    return None
+                buf = bytes(buf)
+                if buf[:8] != _PNG_SIG:
+                    return None
+                i, ihdr, idat, ended = 8, None, b"", False
+                while i + 12 <= len(buf):
+                    (ln,) = struct.unpack_from(">I", buf, i)
+                    ctype = buf[i + 4 : i + 8]
+                    data = buf[i + 8 : i + 8 + ln]
+                    if len(data) != ln:
+                        return None
+                    (crc,) = struct.unpack_from(">I", buf, i + 8 + ln)
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        return None
+                    if ctype == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        ended = True
+                        break
+                    i += 12 + ln
+                if ihdr is None or not idat or not ended:
+                    return None
+                w, h, depth, color, comp, filt, interlace = ihdr
+                if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 1):
+                    return None
+                if w <= 0 or h <= 0:
+                    return None
+                raw = zlib.decompress(idat)
+                img = bytearray(w * h * 3)
+                pos = 0
+                for x0, dx, y0, dy in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                    ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                    if pw == 0 or ph == 0:
+                        continue
+                    stride = pw * 3
+                    prior = bytes(stride)
+                    for r in range(ph):
+                        if pos + 1 + stride > len(raw):
+                            return None
+                        ft = raw[pos]
+                        line = raw[pos + 1 : pos + 1 + stride]
+                        pos += 1 + stride
+                        recon = _png_unfilter_line(line, prior, ft)
+                        if recon is None:
+                            return None
+                        y = y0 + r * dy
+                        for j in range(pw):
+                            base = (y * w + x0 + j * dx) * 3
+                            img[base : base + 3] = recon[j * 3 : j * 3 + 3]
+                        prior = bytes(recon)
+                if pos != len(raw):
+                    return None  # trailing bytes: malformed
+                sums = [0, 0, 0]
+                for k, v in enumerate(img):
+                    sums[k % 3] += v
+                return (w, h, sums[0], sums[1], sums[2])
+            except Exception:
+                return None
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "valid": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                r = decode(buf)
+                out["doc_id"].append(doc_id)
+                out["valid"].append(r is not None)
+                for col, j in (
+                    ("width", 0), ("height", 1),
+                    ("sum_r", 2), ("sum_g", 3), ("sum_b", 4),
+                ):
+                    out[col].append(r[j] if r else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_PNG_I_SCHEMA)
+
+
+def media_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Adam7 path (q389): synthesize interlace=1 PNGs →
+    seven-pass de-interlacing decode → exact channel sums, ordered."""
+    return (
+        decode_png_interlaced_features(
+            synthesize_png_interlaced_media(spark, sf_dir)
+        ).orderBy("doc_id")
+    )
+
+
 def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:
     """Resize plumbing for opaque media: nearest-neighbor resample of
     the payload to a fixed ``out_len`` bytes — the 1-D stand-in for

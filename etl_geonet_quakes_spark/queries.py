@@ -13187,3 +13187,32 @@ SPECS["q388_media_warc_gzip_decode"] = QuerySpec(
     "Common Crawl WET wire format); stdlib zlib, mapInPandas batch "
     "shape shared with the image codecs",
 )
+
+SPECS["q389_media_png_interlaced_decode"] = QuerySpec(
+    multimodal.media_png_interlaced_decode,
+    """
+    -- closed-form replay of the Adam7 pixel spec: the full 16x8 RGB
+    -- stream is value(k) = (doc_id*53 + k) % 256 regardless of how
+    -- the seven interlace passes carve it up — interlacing (like
+    -- restart markers for JPEG) changes the WIRE layout, never the
+    -- image. The decoder must de-interlace seven independently
+    -- filtered sub-images (pass-local prior rows, empty passes
+    -- contributing zero bytes) to reconstruct this spec; the oracle
+    -- never parses bytes (q98's contract), and channel sums are
+    -- integer-exact.
+    WITH ks AS (SELECT unnest(range(0, 384)) AS k),
+    px AS (SELECT doc_id, k, (doc_id * 53 + k) % 256 AS v
+           FROM documents CROSS JOIN ks)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal: Adam7 interlaced PNG — seven-pass progressive "
+    "layout with per-pass adaptive filtering (pass-local prior-row "
+    "state, zero-byte empty passes) de-interlaced by scatter; closes "
+    "the q98 decoder's interlace gate with the same stdlib-only "
+    "signature/CRC/chunk discipline",
+)

@@ -422,3 +422,80 @@ def test_warc_gzip_members_roundtrip_and_poisoning(spark):
     )
     got = {r["doc_id"]: r["valid"] for r in decode_warc_gzip_features(df).collect()}
     assert got == {0: True, 1: False, 2: False}
+
+
+# ---- Adam7 interlaced PNG (q389) ----
+
+
+def test_png_adam7_roundtrip_across_dims(spark):
+    # Dims chosen so some passes are EMPTY (1x1: only pass 1; 3x3:
+    # passes 2 and 4 have zero width) — empty passes must contribute
+    # zero bytes on both sides.
+    import struct
+    import zlib
+
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_filter_line,
+        decode_png_features,
+        decode_png_interlaced_features,
+        media_png_interlaced_decode,  # noqa: F401 (registry fn importable)
+    )
+
+    def encode(doc_id, w, h):
+        px = [(doc_id * 53 + k) % 256 for k in range(w * h * 3)]
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        scan = bytearray()
+        for pi, (x0, dx, y0, dy) in enumerate(_ADAM7):
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prior = bytes(pw * 3)
+            for r in range(ph):
+                y = y0 + r * dy
+                raw = bytes(
+                    px[(y * w + x0 + j * dx) * 3 + c]
+                    for j in range(pw) for c in range(3)
+                )
+                ft = (doc_id + pi + r) % 5
+                scan.append(ft)
+                scan += _png_filter_line(raw, prior, ft)
+                prior = raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = []
+    expected = {}
+    for i, (w, h) in enumerate([(16, 8), (3, 3), (1, 1), (7, 5)]):
+        buf = encode(i, w, h)
+        rows.append((i, bytearray(buf)))
+        sums = [0, 0, 0]
+        for k in range(w * h * 3):
+            sums[k % 3] += (i * 53 + k) % 256
+        expected[i] = (True, w, h, *sums)
+    # a truncated interlaced stream is poisoned
+    rows.append((99, bytearray(encode(99, 16, 8)[:-20])))
+    expected[99] = (False, None, None, None, None, None)
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["valid"], r["width"], r["height"],
+                      r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in decode_png_interlaced_features(df).collect()
+    }
+    assert got == expected
+    # cross-rejection: an interlaced stream under the q98 (interlace=0)
+    # contract is a poisoned row, and vice versa
+    one = spark.createDataFrame(rows[:1], "doc_id long, payload binary")
+    assert decode_png_features(one).collect()[0]["valid"] is False
