@@ -189,6 +189,7 @@ HEADLINE = [
     "q387_media_jpeg_prog_restart_decode",
     "q388_media_warc_gzip_decode",
     "q389_media_png_interlaced_decode",
+    "q390_media_data_uri_decode",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

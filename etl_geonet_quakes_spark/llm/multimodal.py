@@ -401,6 +401,44 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_encode_rgb(doc_id: int, width: int, height: int, mult: int) -> bytes:
+    """Non-interlaced 8-bit RGB PNG over the pixel spec
+    v(k) = (doc_id*mult + k) % 256, scanline row filtered with
+    ft = (doc_id + row) % 5 (all five filters across a corpus).
+    Shared by q98's synthesis and q390's data-URI embedding."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    raw_rows = [
+        bytes(
+            (doc_id * mult + row * stride + i) % 256 for i in range(stride)
+        )
+        for row in range(height)
+    ]
+    scanlines = bytearray()
+    for row, raw in enumerate(raw_rows):
+        prior = raw_rows[row - 1] if row else bytes(stride)
+        ft = (doc_id + row) % 5
+        scanlines.append(ft)
+        scanlines += _png_filter_line(raw, prior, ft)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthesize_png_media(
     spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
 ) -> DataFrame:
@@ -415,49 +453,8 @@ def synthesize_png_media(
     import zlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def chunk(ctype: bytes, data: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(data))
-                + ctype
-                + data
-                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-            )
-
         def encode(doc_id: int) -> bytes:
-            stride = width * 3
-            raw_rows = [
-                bytes(
-                    (doc_id * 37 + row * stride + i) % 256 for i in range(stride)
-                )
-                for row in range(height)
-            ]
-            scanlines = bytearray()
-            for row, raw in enumerate(raw_rows):
-                prior = raw_rows[row - 1] if row else bytes(stride)
-                ft = (doc_id + row) % 5
-                scanlines.append(ft)
-                for i in range(stride):
-                    left = raw[i - 3] if i >= 3 else 0
-                    up = prior[i]
-                    ul = prior[i - 3] if i >= 3 else 0
-                    if ft == 0:
-                        pred = 0
-                    elif ft == 1:
-                        pred = left
-                    elif ft == 2:
-                        pred = up
-                    elif ft == 3:
-                        pred = (left + up) >> 1
-                    else:
-                        pred = _paeth(left, up, ul)
-                    scanlines.append((raw[i] - pred) & 0xFF)
-            ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-            return (
-                _PNG_SIG
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
-                + chunk(b"IEND", b"")
-            )
+            return _png_encode_rgb(doc_id, width, height, 37)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -813,6 +810,54 @@ def media_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             synthesize_png_interlaced_media(spark, sf_dir)
         ).orderBy("doc_id")
     )
+
+
+def synthesize_html_data_uri_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: an HTML-ish string embedding a base64 PNG data
+    URI (pixel spec mult=59) — the shape inline images actually take
+    in crawled web text."""
+    import base64
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def page(doc_id: int) -> str:
+            b64 = base64.b64encode(_png_encode_rgb(doc_id, 16, 8, 59)).decode(
+                "ascii"
+            )
+            return (
+                f"<html><body><p>doc {doc_id}</p>"
+                f'<img src="data:image/png;base64,{b64}"/></body></html>'
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "html": [page(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="doc_id long, html string")
+
+
+def media_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end inline-image extraction (q390): pull the base64
+    payload out of crawled-HTML text with BUILTIN regexp_extract +
+    unbase64 — both stay inside whole-stage codegen, so the
+    extraction costs no Python — then decode the recovered bytes
+    through the same stdlib PNG codec as q98. The Spark-first shape
+    for 'index every inline image in a 100 TB crawl': only the codec
+    itself leaves the JVM."""
+    html = synthesize_html_data_uri_media(spark, sf_dir)
+    payloads = html.select(
+        "doc_id",
+        F.unbase64(
+            F.regexp_extract(
+                F.col("html"), r'data:image/png;base64,([A-Za-z0-9+/=]+)', 1
+            )
+        ).alias("payload"),
+    )
+    return decode_png_features(payloads).orderBy("doc_id")
 
 
 def media_resize(spark: SparkSession, sf_dir: str, out_len: int = 16) -> DataFrame:

@@ -13216,3 +13216,31 @@ SPECS["q389_media_png_interlaced_decode"] = QuerySpec(
     "the q98 decoder's interlace gate with the same stdlib-only "
     "signature/CRC/chunk discipline",
 )
+
+SPECS["q390_media_data_uri_decode"] = QuerySpec(
+    multimodal.media_data_uri_decode,
+    """
+    -- the q98 closed-form pixel-spec replay under mult=59: wrapping
+    -- the PNG in an HTML page as a base64 data URI and recovering it
+    -- with regexp_extract + unbase64 (JVM builtins, whole-stage
+    -- codegen) must be a perfect identity, so the oracle is exactly
+    -- the q98 shape — channel means divide by 128, exact in binary
+    -- floating point on both engines.
+    WITH ks AS (SELECT unnest(range(0, 384)) AS k),
+    px AS (SELECT doc_id, k, (doc_id * 59 + k) % 256 AS v
+           FROM documents CROSS JOIN ks)
+    SELECT doc_id, TRUE AS valid,
+           CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS DOUBLE) / 128
+               AS mean_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS DOUBLE) / 128
+               AS mean_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS DOUBLE) / 128
+               AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.3 multimodal / corpus ingestion: inline-image (data-URI) "
+    "extraction from crawled HTML — regexp_extract + unbase64 stay "
+    "in whole-stage codegen, only the PNG codec leaves the JVM; the "
+    "Spark-first shape for indexing every inline image in a crawl",
+)

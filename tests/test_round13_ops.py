@@ -499,3 +499,42 @@ def test_png_adam7_roundtrip_across_dims(spark):
     # contract is a poisoned row, and vice versa
     one = spark.createDataFrame(rows[:1], "doc_id long, payload binary")
     assert decode_png_features(one).collect()[0]["valid"] is False
+
+
+# ---- data-URI inline-image extraction (q390) ----
+
+
+def test_data_uri_extraction_is_jvm_side_and_handles_imageless_docs(spark):
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _png_encode_rgb,
+        decode_png_features,
+    )
+
+    png = _png_encode_rgb(7, 16, 8, 59)
+    b64 = base64.b64encode(png).decode("ascii")
+    rows = [
+        (0, f'<img src="data:image/png;base64,{b64}"/>'),
+        (1, "<html><p>no image here</p></html>"),  # no match -> poisoned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    payloads = df.select(
+        "doc_id",
+        F.unbase64(
+            F.regexp_extract(
+                F.col("html"), r'data:image/png;base64,([A-Za-z0-9+/=]+)', 1
+            )
+        ).alias("payload"),
+    )
+    # the extraction must be a plain JVM Project: the only Python
+    # nodes in the full q390 plan are the two mapInPandas codec stages
+    import re
+
+    got = {r["doc_id"]: r["valid"] for r in decode_png_features(payloads).collect()}
+    assert got == {0: True, 1: False}
+    plan = decode_png_features(payloads)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"MapInPandas", plan)) == 1  # only the codec
+    assert "regexp_extract" in plan and "unbase64" in plan
