@@ -2647,10 +2647,10 @@ def _gzip_members_decode(buf: bytes):
         return None
 
 
-def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: a two-member concatenated gzip payload — a
-    WARC-ish record header member and the document text member —
-    exactly the member layout a WET shard has."""
+def _warc_gzip_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, payload): two concatenated gzip
+    members per row. Works on batch AND streaming DataFrames (q391
+    drives it under availableNow)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2666,6 +2666,13 @@ def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: a two-member concatenated gzip payload — a
+    WARC-ish record header member and the document text member —
+    exactly the member layout a WET shard has."""
     # NOTE: unlike the image synths' 8-byte doc_id projections, this
     # repartition moves the text column (~KB/row) — still bench-scale
     # parallelism only (the fixture scan is one split); at real scale
@@ -2676,7 +2683,7 @@ def synthesize_warc_gzip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    return d.mapInPandas(gen, schema="doc_id long, payload binary")
+    return _warc_gzip_payloads(d)
 
 
 def decode_warc_gzip_features(df: DataFrame) -> DataFrame:
@@ -2722,3 +2729,32 @@ def media_warc_gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_warc_gzip_features(synthesize_warc_gzip_media(spark, sf_dir))
         .orderBy("doc_id")
     )
+
+
+def media_warc_gzip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WARC ingestion (q391): the deployment shape corpus
+    ingestion actually has — a continuously arriving pile of WET
+    shards. readStream over the documents fixture → the same
+    gzip-member synth + member-walking decode stages (mapInPandas
+    composes with Structured Streaming unchanged) → a running
+    corpus-level aggregate in complete mode. Driven availableNow so
+    the terminated stream must equal the batch oracle (the q04–q10
+    replay-certification contract)."""
+    from etl_geonet_quakes_spark.streaming.windows import _run_to_memory
+
+    batch = load_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(f"{sf_dir}/")
+        .select("doc_id", "text")
+    )
+    feats = decode_warc_gzip_features(_warc_gzip_payloads(stream))
+    agg = feats.groupBy("valid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_members").alias("n_members"),
+        F.sum("header_len").alias("sum_header_len"),
+        F.sum("text_len").alias("sum_text_len"),
+    )
+    name = _run_to_memory(agg, "complete")
+    return spark.table(name).orderBy("valid")

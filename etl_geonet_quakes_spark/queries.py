@@ -13244,3 +13244,30 @@ SPECS["q390_media_data_uri_decode"] = QuerySpec(
     "in whole-stage codegen, only the PNG codec leaves the JVM; the "
     "Spark-first shape for indexing every inline image in a crawl",
 )
+
+SPECS["q391_stream_warc_ingest"] = QuerySpec(
+    multimodal.media_warc_gzip_stream,
+    """
+    -- batch twin of the availableNow-terminated stream: corpus-level
+    -- ingest accounting over the same two-member gzip layout. Every
+    -- payload decodes (valid row per document), so the aggregate is
+    -- one group with exact integer sums the oracle rebuilds from the
+    -- closed-form header spec + the text column.
+    WITH h AS (SELECT doc_id,
+                      'WARC/1.0' || chr(13) || chr(10) ||
+                      'WARC-Record-ID: <doc-' || CAST(doc_id AS VARCHAR) ||
+                      '>' || chr(13) || chr(10) || chr(13) || chr(10) AS hdr,
+                      text
+               FROM documents)
+    SELECT TRUE AS valid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(strlen(hdr)) AS BIGINT) AS sum_header_len,
+           CAST(SUM(strlen(text)) AS BIGINT) AS sum_text_len
+    FROM h ORDER BY valid
+    """,
+    "§2.2 streaming / corpus ingestion: continuous WET-shard intake "
+    "— readStream composed with the gzip-member mapInPandas stages "
+    "and a running complete-mode aggregate, availableNow-certified "
+    "against the batch oracle (the q04-q10 replay contract)",
+)

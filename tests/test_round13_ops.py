@@ -538,3 +538,37 @@ def test_data_uri_extraction_is_jvm_side_and_handles_imageless_docs(spark):
     plan = decode_png_features(payloads)._jdf.queryExecution().optimizedPlan().toString()
     assert len(re.findall(r"MapInPandas", plan)) == 1  # only the codec
     assert "regexp_extract" in plan and "unbase64" in plan
+
+
+# ---- streaming WARC ingestion (q391) ----
+
+
+def test_stream_warc_ingest_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_geonet_quakes_spark.io import load_table
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _warc_gzip_payloads,
+        decode_warc_gzip_features,
+        media_warc_gzip_stream,
+    )
+
+    got = media_warc_gzip_stream(spark, sf_dir).collect()
+    batch = (
+        decode_warc_gzip_features(
+            _warc_gzip_payloads(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            )
+        )
+        .groupBy("valid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_members").alias("n_members"),
+            F.sum("header_len").alias("sum_header_len"),
+            F.sum("text_len").alias("sum_text_len"),
+        )
+        .orderBy("valid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert got[0]["valid"] is True and got[0]["n_members"] == 2 * got[0]["n_docs"]
