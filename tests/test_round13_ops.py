@@ -572,3 +572,53 @@ def test_stream_warc_ingest_equals_batch(spark, sf_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
     assert got[0]["valid"] is True and got[0]["n_members"] == 2 * got[0]["n_docs"]
+
+
+# ---- property-based guard: progressive is a lossless re-encoding ----
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        gray=st.booleans(),
+    )
+    def test_jpeg_progressive_equals_sequential_property(seed, bw, bh, gray):
+        # For ANY image content and block-grid shape, SOF2 re-encodes
+        # the same quantized coefficients sequential mode carries, so
+        # the two decodes must agree bit-exactly.
+        from etl_geonet_quakes_spark.llm.multimodal import (
+            _jpeg_encode_progressive,
+        )
+
+        rng = np.random.RandomState(seed)
+        w, h = bw * 8, bh * 8
+        if gray:
+            img = rng.randint(0, 256, (h, w)).astype(np.int64)
+            seq = _jpeg_decode_baseline(
+                _jpeg_encode_gray(img.reshape(-1), w, h)
+            )
+            pro = _jpeg_decode_baseline(_jpeg_encode_progressive([img], w, h))
+        else:
+            planes = [
+                rng.randint(0, 256, (h, w)).astype(np.int64) for _ in range(3)
+            ]
+            seq = _jpeg_decode_baseline(_jpeg_encode_ycc444(planes, w, h))
+            pro = _jpeg_decode_baseline(_jpeg_encode_progressive(planes, w, h))
+        assert seq is not None and pro is not None
+        for a, b in zip(seq[2], pro[2]):
+            assert np.array_equal(a, b)
