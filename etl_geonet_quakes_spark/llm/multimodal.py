@@ -2462,7 +2462,7 @@ def synthesize_jpeg_progressive_media(spark: SparkSession, sf_dir: str) -> DataF
     q381 DC-only exactness argument carries through successive
     approximation bit-exactly (the DC integer is rebuilt bit by bit;
     ACs are zero, so the AC scans are pure EOB-run streams), so the
-    13-scan progressive wire format decodes to the closed-form spec."""
+    14-scan progressive wire format decodes to the closed-form spec."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def encode(doc_id: int) -> bytes:
@@ -2498,7 +2498,7 @@ def synthesize_jpeg_prog420_media(spark: SparkSession, sf_dir: str) -> DataFrame
     """Deterministic progressive 4:2:0 JPEGs — the layout real
     encoders actually emit (SOF2 + subsampled chroma): the q383 MCU-
     aligned uniform-even-block pixel spec under mult=43, carried by
-    the 13-scan progressive script with the interleaved DC scan
+    the 14-scan progressive script with the interleaved DC scan
     walking the MCU lattice (4 Y + Cb + Cr data units per MCU)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2540,7 +2540,7 @@ def media_jpeg_prog_restart_decode(spark: SparkSession, sf_dir: str) -> DataFram
     """End-to-end progressive x 4:2:0 x DRI path (q387): every
     non-arithmetic T.81 feature in one stream — SOF2 successive
     approximation, subsampled chroma, and an RSTn after every MCU of
-    EVERY one of the 13 scans (byte-aligned, DC predictors and
+    EVERY one of the 14 scans (byte-aligned, DC predictors and
     EOB-run state reset, index cycling per scan). Same 4:2:0 feature
     contract; pixel spec under mult=47."""
 
@@ -2575,7 +2575,7 @@ def media_jpeg_prog_restart_decode(spark: SparkSession, sf_dir: str) -> DataFram
 def media_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end progressive path (q385): synthesize SOF2 streams
     (interleaved DC-first scan, per-component spectral-selection AC
-    bands, DC + AC successive-approximation refinements — 13 scans)
+    bands, DC + AC successive-approximation refinements — 14 scans)
     → multi-scan coefficient-accumulating decoder → exact per-plane
     features. The 4:4:4 color contract applies (three components,
     1x1 sampled): a sequential-only decoder cannot read these
@@ -2650,17 +2650,25 @@ def _gzip_members_decode(buf: bytes):
 def _warc_gzip_payloads(d: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, payload): two concatenated gzip
     members per row. Works on batch AND streaming DataFrames (q391
-    drives it under availableNow)."""
+    drives it under availableNow). Text is encoded as UTF-8 — the
+    byte semantics DuckDB's strlen()/md5() use on VARCHAR, so the
+    oracle's hdr||text hash matches for non-ASCII content too. A
+    NULL / non-string text yields a NULL payload (a poisoned row the
+    decoder marks invalid) instead of failing the whole Spark task."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(doc_id, t):
+            if not isinstance(t, str):
+                return None  # poisoned row, not a task failure
+            return _gzip_members([_warc_header(int(doc_id)),
+                                  t.encode("utf-8")])
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        _gzip_members(
-                            [_warc_header(int(d)), t.encode("ascii")]
-                        )
+                        enc(d, t)
                         for d, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 }

@@ -13034,7 +13034,7 @@ SPECS["q385_media_jpeg_progressive_decode"] = QuerySpec(
     """
     -- closed-form replay of the per-plane uniform-block spec
     -- v(ci, k) = 2*((doc_id*41 + ci*53 + k*97) % 128) over a 16x16
-    -- three-component PROGRESSIVE (SOF2) JPEG: 13 scans —
+    -- three-component PROGRESSIVE (SOF2) JPEG: 14 scans —
     -- interleaved DC first pass at Al=1, per-component spectral-
     -- selection AC bands (1-5, 6-63) at Al=2, a DC refinement scan,
     -- and per-component AC successive-approximation refinements down
@@ -13063,7 +13063,7 @@ SPECS["q385_media_jpeg_progressive_decode"] = QuerySpec(
     "selection + successive approximation (DC arithmetic point "
     "transform and one-bit refinements; AC sign-magnitude transform, "
     "EOB-run coding, correction-bit refinement per T.81 G.1.2), "
-    "coefficients accumulated across 13 scans with one final IDCT; "
+    "coefficients accumulated across 14 scans with one final IDCT; "
     "arithmetic coding and subsampled progressive remain gated",
 )
 
@@ -13121,7 +13121,7 @@ SPECS["q387_media_jpeg_prog_restart_decode"] = QuerySpec(
     -- mult=47) carried by a stream composing EVERY non-arithmetic
     -- T.81 feature at once: progressive (SOF2) successive
     -- approximation, subsampled chroma, and a restart marker after
-    -- every MCU of every one of the 13 scans (DRI=1: byte-aligned
+    -- every MCU of every one of the 14 scans (DRI=1: byte-aligned
     -- RSTn, DC predictors and EOB-run state reset, marker index
     -- cycling per scan). Restarts and scan structure change the wire
     -- layout, never the image, so the oracle is the same pixel spec.
@@ -13154,7 +13154,7 @@ SPECS["q387_media_jpeg_prog_restart_decode"] = QuerySpec(
     """,
     "§2.3 multimodal: the complete Huffman-coded T.81 composition — "
     "progressive x 4:2:0 x restart intervals in one stream (RSTn "
-    "after every MCU of all 13 scans, per-scan cadence and state "
+    "after every MCU of all 14 scans, per-scan cadence and state "
     "reset); with this the only remaining JPEG gate is arithmetic "
     "coding",
 )

@@ -92,6 +92,72 @@ def test_oversized_value_divergence_is_caught(spark, con):
     assert entry["spark_rows"] == entry["oracle_rows"] == 1000
 
 
+def test_wide_rows_trip_byte_budget_into_checksum_path(spark, con):
+    # Round-14 verdict item 6: a pure ROW budget assumes narrow rows.
+    # 2,000 rows of ~100 KB strings (~200 MB) are far under the 5M
+    # default row budget, but under a 10 MB BYTE budget the sweep
+    # must shrink the effective row budget from the width sample and
+    # take the collect-free checksum path instead of materializing
+    # the result on the driver.
+    n = 2000
+    spec = SimpleNamespace(
+        fn=lambda spark, sf_dir: spark.range(0, n).select(
+            F.col("id").cast("bigint").alias("id"),
+            F.concat(
+                F.lpad(F.col("id").cast("string"), 8, "0"),
+                F.lit("x" * 100_000),
+            ).alias("blob"),
+        ),
+        oracle=(
+            f"SELECT id::BIGINT AS id, "
+            f"lpad(id::VARCHAR, 8, '0') || repeat('x', 100000) AS blob "
+            f"FROM range(0, {n}) t(id)"
+        ),
+    )
+    entry = compare_one(spark, con, spec, byte_budget=10 * 1024**2)
+    assert entry["status"] == "checksum_match"
+    assert entry["spark_rows"] == entry["oracle_rows"] == n
+    # the effective budget must have been shrunk well below the rows
+    assert entry["row_budget"] < n
+
+
+def test_null_vs_literal_null_string_diverges(spark, con):
+    # Round-14 ADVICE: the old '<NULL>' sentinel hashed a real NULL
+    # and the literal six-character string '<NULL>' identically. The
+    # length-prefixed encoding must catch that divergence.
+    spec = SimpleNamespace(
+        fn=lambda spark, sf_dir: spark.range(0, 200).select(
+            F.col("id").cast("bigint").alias("id"),
+            F.lit(None).cast("string").alias("c"),
+        ),
+        oracle=(
+            "SELECT id::BIGINT AS id, '<NULL>' AS c "
+            "FROM range(0, 200) t(id)"
+        ),
+    )
+    entry = compare_one(spark, con, spec, row_budget=50)
+    assert entry["status"] == "checksum_mismatch"
+
+
+def test_separator_inside_values_does_not_alias(spark, con):
+    # Values containing the separator/sentinel characters must not
+    # alias across column boundaries: ('a\x1eb', 'c') vs ('a', 'b\x1ec')
+    # concatenate identically without length prefixes.
+    spec = SimpleNamespace(
+        fn=lambda spark, sf_dir: spark.range(0, 100).select(
+            F.col("id").cast("bigint").alias("id"),
+            F.lit("a\x1eb").alias("c1"),
+            F.lit("c").alias("c2"),
+        ),
+        oracle=(
+            "SELECT id::BIGINT AS id, 'a' AS c1, "
+            "'b' || chr(30) || 'c' AS c2 FROM range(0, 100) t(id)"
+        ),
+    )
+    entry = compare_one(spark, con, spec, row_budget=50)
+    assert entry["status"] == "checksum_mismatch"
+
+
 def test_null_placement_changes_checksum(spark, con):
     # The ADVICE NULL hazard: concat_ws skips nulls on both engines,
     # so ('a', NULL, 'b') and ('a', 'b', NULL) hash identically

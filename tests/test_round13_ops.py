@@ -424,6 +424,51 @@ def test_warc_gzip_members_roundtrip_and_poisoning(spark):
     assert got == {0: True, 1: False, 2: False}
 
 
+def test_warc_payloads_utf8_and_null_text_poisoned_row(spark):
+    # Round-14 ADVICE: text encodes as UTF-8 (DuckDB's strlen/md5
+    # byte semantics), and a NULL text yields a poisoned row instead
+    # of failing the whole Spark task.
+    import hashlib
+
+    from etl_geonet_quakes_spark.llm.multimodal import (
+        _warc_gzip_payloads,
+        _warc_header,
+        decode_warc_gzip_features,
+    )
+
+    txt = "tēnā koutou — Aotearoa 🌋"  # non-ASCII: macrons + emoji
+    df = spark.createDataFrame(
+        [(0, txt), (1, None), (2, "plain ascii")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_warc_gzip_features(
+            _warc_gzip_payloads(df)
+        ).collect()
+    }
+    assert rows[1]["valid"] is False and rows[1]["payload_md5"] is None
+    for did, t in ((0, txt), (2, "plain ascii")):
+        b = t.encode("utf-8")
+        assert rows[did]["valid"] is True
+        assert rows[did]["text_len"] == len(b)  # BYTE length, not chars
+        assert rows[did]["payload_md5"] == hashlib.md5(
+            _warc_header(did) + b
+        ).hexdigest()
+    # and the md5 matches what the DuckDB oracle computes for the
+    # same VARCHAR content (strlen/md5 operate on UTF-8 bytes there)
+    import duckdb
+
+    d_md5, d_len = duckdb.sql(
+        "SELECT md5('WARC/1.0' || chr(13) || chr(10) || "
+        "'WARC-Record-ID: <doc-0>' || chr(13) || chr(10) || chr(13) || chr(10)"
+        " || ?), strlen(?)",
+        params=[txt, txt],
+    ).fetchone()
+    assert d_md5 == rows[0]["payload_md5"]
+    assert d_len == rows[0]["text_len"]
+
+
 # ---- Adam7 interlaced PNG (q389) ----
 
 

@@ -154,14 +154,23 @@ def main() -> None:
         return _run_pass(side, qnames, label)
 
     # alternating A,B,A,B — two same-code passes per side — plus a
-    # third pass pair restricted to the HIGH_VARIANCE set (min-of-3)
-    a1 = timed_pass(REPO, names, "A1")
-    b1 = timed_pass(freeze, names, "B1")
-    a2 = timed_pass(REPO, names, "A2")
-    b2 = timed_pass(freeze, names, "B2")
-    hv = [q for q in HIGH_VARIANCE if q in names]
-    a3 = timed_pass(REPO, hv, "A3hv") if hv else {}
-    b3 = timed_pass(freeze, hv, "B3hv") if hv else {}
+    # third pass pair restricted to the HIGH_VARIANCE set (min-of-3).
+    # The freeze worktree is removed in the finally (round-14 verdict
+    # item 5): a detached checkout of a committed SHA holds nothing
+    # unique, and leaving it inflates the repo's LoC diagnostic.
+    try:
+        a1 = timed_pass(REPO, names, "A1")
+        b1 = timed_pass(freeze, names, "B1")
+        a2 = timed_pass(REPO, names, "A2")
+        b2 = timed_pass(freeze, names, "B2")
+        hv = [q for q in HIGH_VARIANCE if q in names]
+        a3 = timed_pass(REPO, hv, "A3hv") if hv else {}
+        b3 = timed_pass(freeze, hv, "B3hv") if hv else {}
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", freeze],
+            cwd=REPO, check=False,
+        )
     load1 = os.getloadavg()
 
     overlap = sorted(set(a1) & set(a2) & set(b1) & set(b2))

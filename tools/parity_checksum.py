@@ -25,11 +25,14 @@ Scope guard: columns must be integer/string/boolean/date typed — a
 raw DOUBLE would compare float FORMATTING, not values, so the tool
 refuses it (round such columns to fixed decimals in the query first,
 which the registry's determinism rules already require for rank
-keys). NULLs are hashed via a per-column coalesce to a '<NULL>'
-sentinel on BOTH engines (round-13): concat_ws alone skips nulls
-identically on both sides, which would let ('a',NULL,'b') ≡
-('a','b',NULL); the sentinel makes null placement part of the hash
-instead of relying on queries being null-free by convention.
+keys). Row encoding (round-14): each column hashes as
+length-prefixed bytes — NULL -> chr(0), value v ->
+octet_length(v) || chr(31) || v — joined with chr(30). concat_ws
+alone skips nulls identically on both sides (('a',NULL,'b') ≡
+('a','b',NULL)), and round-13's '<NULL>' literal sentinel could not
+distinguish a real NULL from the six-character string '<NULL>'; the
+length prefix makes the encoding injective for ANY value content,
+including values containing the separator characters themselves.
 
     SPARK_GRAFT_SF_DIR=... python tools/parity_checksum.py OUT.json q88_string_distance [more...]
 """
@@ -77,17 +80,27 @@ def checksum_compare(sdf, con, oracle_sql: str) -> dict:
             f"got {bad_types} — round/cast in the query"
         )
     cols = sdf.columns  # same order both sides: the SELECT order
-    # NULL-proof (round-13, ADVICE): concat_ws SKIPS nulls on both
-    # engines, so ('a',NULL,'b') and ('a','b',NULL) would hash
-    # identically. Coalescing every column to a sentinel makes the
-    # hash injective over null placement instead of relying on the
-    # queries being null-free by convention.
+    # Injective row encoding (round-14, ADVICE): each column becomes
+    #   NULL            -> "\x00"
+    #   value v         -> octet_length(v) + "\x1f" + v
+    # joined with "\x1e". The byte-length prefix delimits every value
+    # exactly, so a value CONTAINING the separator/sentinel cannot
+    # alias across column boundaries, and a literal "<NULL>" string
+    # can no longer hash like a real NULL (the old sentinel's blind
+    # spot): a non-null encoding always starts with a decimal digit,
+    # "\x00" never does. octet_length/strlen count UTF-8 bytes on
+    # both engines, and both md5() the UTF-8 bytes of the string, so
+    # the hex digests agree for any unicode content.
+    def _enc(c):
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.octet_length(s).cast("string"), F.lit("\x1f"), s),
+            F.lit("\x00"),
+        )
+
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", *[
-                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-                for c in cols
-            ])),
+            F.md5(F.concat_ws("\x1e", *[_enc(c) for c in cols])),
             1, 15,
         ),
         16,
@@ -99,11 +112,13 @@ def checksum_compare(sdf, con, oracle_sql: str) -> dict:
     s_n, s_cs = srow["n"], srow["cs"]
 
     d_expr = ", ".join(
-        f"coalesce(CAST(\"{c}\" AS VARCHAR), '<NULL>')" for c in cols
+        f"coalesce(CAST(strlen(CAST(\"{c}\" AS VARCHAR)) AS VARCHAR) "
+        f"|| chr(31) || CAST(\"{c}\" AS VARCHAR), chr(0))"
+        for c in cols
     )
     drow = con.sql(
         f"SELECT COUNT(*) AS n, "
-        f"SUM(CAST(CAST(concat('0x', substring(md5(concat_ws('|', {d_expr})), 1, 15)) "
+        f"SUM(CAST(CAST(concat('0x', substring(md5(concat_ws(chr(30), {d_expr})), 1, 15)) "
         f"AS BIGINT) AS DECIMAL(38,0))) AS cs "
         f"FROM ({oracle_sql}) _q"
     ).fetchone()
