@@ -1080,7 +1080,14 @@ def _jpeg_decode_baseline(buf):
     scans walk the component's actual data units per T.81 A.2.2) and
     with restart intervals (per-scan RSTn cadence in MCUs, DC
     predictors and EOB-run state reset). Still rejected, the
-    honestly-gated remainder of T.81: arithmetic coding."""
+    honestly-gated remainder of T.81: ARITHMETIC entropy coding
+    (SOF9/SOF10 + DAC) — a documented DOWN-SCOPE, not a TODO: the
+    QM-coder processes were patent-encumbered through the format's
+    formative years and are essentially absent from real web corpora,
+    so a corpus pipeline gains nothing from them. The contract is
+    REJECTION, never mis-parse: an arithmetic-coded stream poisons
+    the row (tests/test_conformance_vectors.py pins SOF9 and SOF10
+    streams to valid=false through the production feature path)."""
     import struct
 
     import numpy as np
