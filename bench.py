@@ -190,6 +190,10 @@ HEADLINE = [
     "q388_media_warc_gzip_decode",
     "q389_media_png_interlaced_decode",
     "q390_media_data_uri_decode",
+    # round 14: the O26 snapshot-diff upsert sink driven over the WARC
+    # decode stream (two full streamed crawls + anti-join expiry) —
+    # the heaviest streaming composition in the registry
+    "q392_stream_warc_upsert_expiry",
 ]
 
 # Each query is timed N_RUNS times and the MEDIAN is reported: a

@@ -18,6 +18,8 @@ plumbing.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -2773,3 +2775,71 @@ def media_warc_gzip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_memory(agg, "complete")
     return spark.table(name).orderBy("valid")
+
+
+def media_warc_stream_upsert_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert at corpus scale (q392, round 14): compose the
+    reference's ONE stateful contract — upsert-by-id with
+    expiry-by-omission (SnapshotDiffSink, the O26 scale path of
+    task.ts:195-203,251-256) — with the WARC ingestion pipeline
+    (q388/q391's gzip-member synth + member-walking decode).
+
+    Two consecutive crawl snapshots stream in via foreachBatch:
+    crawl 1 is the full corpus, crawl 2 a re-crawl from which every
+    doc_id % 10 == 0 document has vanished. Each crawl publishes one
+    snapshot keyed by doc id; the sink diffs id sets across publishes
+    WITHOUT any driver collect (anti-join + scratch parquet), so the
+    expiry computation is a distributed plan that scales with
+    executors, not driver memory. One publish == one COMPLETED crawl:
+    availableNow over the shard set feeds a single foreachBatch call
+    (no maxFilesPerTrigger split), which is the correct snapshot
+    grain — diffing partial shards against a full crawl would expire
+    everything not yet re-seen.
+
+    Result: the ids crawl 2 expired, each with the live-corpus size
+    the second publish reported — both facts the oracle rebuilds
+    relationally.
+    """
+    import tempfile
+
+    from etl_geonet_quakes_spark.quakes.sink import SnapshotDiffSink
+
+    work = tempfile.mkdtemp(prefix="warc_upsert_")
+    sink = SnapshotDiffSink(os.path.join(work, "state"))
+    batch = load_table(spark, sf_dir, "documents")
+    published: dict = {}
+
+    def crawl(tag: str, keep=None) -> None:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(f"{sf_dir}/")
+            .select("doc_id", "text")
+        )
+        if keep is not None:
+            stream = stream.filter(keep)
+        snap = (
+            decode_warc_gzip_features(_warc_gzip_payloads(stream))
+            .filter(F.col("valid"))
+            .select(F.col("doc_id").alias("id"))
+        )
+
+        def publish(batch_df: DataFrame, epoch_id: int) -> None:
+            published[tag] = sink.publish(batch_df)
+
+        q = (
+            snap.writeStream.foreachBatch(publish)
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    crawl("crawl1")
+    crawl("crawl2", keep=F.col("doc_id") % 10 != 0)
+    n_live, expired = published["crawl2"]
+    return (
+        expired.select(F.col("id").alias("doc_id"))
+        .withColumn("n_live", F.lit(n_live).cast("long"))
+        .orderBy("doc_id")
+    )

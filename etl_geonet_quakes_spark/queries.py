@@ -13271,3 +13271,23 @@ SPECS["q391_stream_warc_ingest"] = QuerySpec(
     "and a running complete-mode aggregate, availableNow-certified "
     "against the batch oracle (the q04-q10 replay contract)",
 )
+
+SPECS["q392_stream_warc_upsert_expiry"] = QuerySpec(
+    multimodal.media_warc_stream_upsert_expiry,
+    """
+    -- the reference's stateful contract (upsert-by-id +
+    -- expiry-by-omission, task.ts:195-203) composed with WARC
+    -- ingestion: crawl 1 publishes the full decoded corpus, crawl 2
+    -- a re-crawl missing every doc_id % 10 == 0 document. The sink
+    -- must expire exactly that set, and report the re-crawl's live
+    -- count with every expiry — both rebuilt relationally here.
+    SELECT doc_id,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE doc_id % 10 <> 0) AS BIGINT) AS n_live
+    FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """,
+    "§2.2 streaming / O26 composition: snapshot-diff upsert sink "
+    "driven by foreachBatch over the WARC decode stream — expiry-by-"
+    "omission on doc ids computed as a distributed anti-join (no "
+    "driver collect), one publish per completed crawl",
+)
