@@ -162,6 +162,42 @@ def test_jpeg_vector_v5_420_mcu_order():
     assert np.array_equal(planes[2], np.full((8, 8), 126))
 
 
+# V6 — PROGRESSIVE (SOF2) grayscale 16x8 in THREE hand-built scans:
+#   scan1 DC-first Al=1: sends DC>>1 as diffs (+8 cat4 "01"+"1000",
+#         then -4 cat3 "00"+"011" — DHT B' cat3="00"/cat4="01")
+#   scan2 AC band Ss=1..Se=63 Al=0: all ACs zero -> one EOB-run
+#         symbol (0x00 = "0") per block
+#   scan3 DC refinement Ah=1,Al=0: raw bits 0,1 append the low bit
+# Final DCs (8<<1)|0=16 and (4<<1)|1=9 -> blocks 130 and 129
+# (round(9/8)+128). Exercises multi-SOS parsing, successive
+# approximation arithmetic, and progressive AC EOB-run coding on
+# bytes this repo's encoder never produced (its script is 6 scans
+# for grayscale; this one is 3).
+V6_GRAY_PROGRESSIVE = bytes.fromhex(
+    _SOI_DQT
+    + "ffc2000b080008001001011100"
+    + "ffc4001500000200000000000000000000000000000304"
+    + "ffc40014100100000000000000000000000000000000"
+    + "ffda0008010100000001607f"
+    + "ffda0008010100013f003f"
+    + "ffda00080101000000107f"
+    + "ffd9"
+)
+
+
+def test_jpeg_vector_v6_progressive_three_scans(spark):
+    w, h, planes, samps = _jpeg_decode_baseline(V6_GRAY_PROGRESSIVE)
+    assert (w, h, samps) == (16, 8, [(1, 1)])
+    assert np.array_equal(planes[0][:, :8], np.full((8, 8), 130))
+    assert np.array_equal(planes[0][:, 8:], np.full((8, 8), 129))
+    df = spark.createDataFrame(
+        [(0, bytearray(V6_GRAY_PROGRESSIVE))], "doc_id long, payload binary"
+    )
+    r = decode_jpeg_features(df).collect()[0]
+    assert (r["valid"], r["width"], r["height"]) == (True, 16, 8)
+    assert r["pixel_sum"] == 64 * 130 + 64 * 129
+
+
 # ---- PNG: hand-filtered scanlines, zlib-compressed independently ----
 
 # V7 — 3x3 RGB exercising Sub(1), Up(2) and Paeth(4) with
