@@ -259,6 +259,32 @@ def test_png_vector_v8_adam7_tiny(spark):
     assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (22, 26, 30)
 
 
+# V8B — Adam7 5x5 RGB with FILTERED multi-row passes: pixel (x,y) =
+# (10+x+16y, 40+2x+y, 200-3x-5y). At 5x5 every pass is non-empty —
+# pass3 [(0,4),(4,4)], pass4 [(2,0),(2,4)], pass6 2x3, pass7 5x2 —
+# and each pass's rows are filtered Sub, then Up, then Paeth (then
+# None), so Up/Paeth predict from the PASS-LOCAL prior row (e.g.
+# pass 7's second row (y=3) predicts from its first (y=1), two image
+# rows away). Hand-computed filter bytes, stdlib-zlib IDAT.
+V8B_PNG_ADAM7_FILTERS = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000005000000050802000001750a81"
+    "240000004449444154789c63e4d238c1c867b087d14b670b0bc717461e9d434c"
+    "0e2c6f18b5b4f631b1fc0222466eada3209602d3372062016226a65f8c529a87"
+    "1999fec21154168e00214c1a2a633112410000000049454e44ae426082"
+)
+
+
+def test_png_vector_v8b_adam7_filtered_passes(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(V8B_PNG_ADAM7_FILTERS))], "doc_id long, payload binary"
+    )
+    r = decode_png_interlaced_features(df).collect()[0]
+    assert (r["valid"], r["width"], r["height"]) == (True, 5, 5)
+    # closed-form channel sums over pixel(x,y) = (10+x+16y, 40+2x+y,
+    # 200-3x-5y) for x,y in 0..4
+    assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (1100, 1150, 4600)
+
+
 # ---- gzip: RFC 1952 framing with a stored-block deflate member ----
 
 # V9 — a gzip member assembled byte-by-byte from RFC 1952 (header
