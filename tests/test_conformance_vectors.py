@@ -318,6 +318,62 @@ def test_gzip_vector_v9_stored_block_member(spark):
     assert r["payload_md5"] == hashlib.md5(V9_PAYLOAD + text).hexdigest()
 
 
+# ---- WAV / PPM: hand-framed containers the synths never emit ----
+
+
+def test_wav_vector_odd_chunk_word_alignment(spark):
+    # RIFF chunks are word-aligned: an ODD-sized chunk is followed by
+    # a pad byte (RIFF spec). The repo's synthesizer emits no such
+    # chunk, so this path only ever ran against hand bytes. A LIST
+    # chunk of size 5 precedes fmt/data; mis-handling the pad byte
+    # desynchronizes the walk and poisons the row.
+    import math
+    import struct
+
+    from etl_geonet_quakes_spark.llm.multimodal import decode_wav_features
+
+    samples = [1000, -2000, 3000]
+    data = struct.pack("<3h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [(0, bytearray(wav))], "doc_id long, payload binary"
+    )
+    r = decode_wav_features(df).collect()[0]
+    assert (r["valid"], r["n_samples"], r["sample_rate"]) == (True, 3, 8000)
+    assert r["duration_ms"] == 3 / 8000 * 1000
+    assert r["mean"] == sum(samples) / 3
+    assert r["rms"] == math.sqrt(sum(s * s for s in samples) / 3)
+
+
+def test_ppm_vector_whitespace_variants_and_comment_gate(spark):
+    # P6 header fields may be separated by ANY whitespace (tab, CR,
+    # LF, runs of them) — hand-framed here; the synth always writes
+    # single "\n"s. PPM comments ("#") are a documented down-scope:
+    # they must poison the row, never mis-parse as dimensions.
+    from etl_geonet_quakes_spark.llm.multimodal import decode_ppm_features
+
+    px = bytes(range(18))  # 3x2 RGB raster
+    good = b"P6\t3 2\r\n255\n" + px
+    commented = b"P6 #c\n3 2 255\n" + px
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(commented))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_ppm_features(df).collect()}
+    r = rows[0]
+    assert (r["valid"], r["width"], r["height"]) == (True, 3, 2)
+    # channel k mean over bytes 0..17: r=(0+3+6+9+12+15)/6
+    assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (7.5, 8.5, 9.5)
+    assert rows[1]["valid"] is False  # comment -> poisoned, not misread
+
+
 # ---- arithmetic-coding gate (round-14 verdict item 4) ----
 
 # T.81's arithmetic-coded processes (SOF9 sequential / SOF10
