@@ -1095,28 +1095,50 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str,
 
     Exactness: distinct shingles per doc (the shingles_str guard:
     short docs contribute one whole-doc shingle), corpus df per
-    shingle, n_dup = # shingles with df ≥ 2 — all exact integers from
-    two hash aggs and one shuffle join on the shingle string; the
-    rate is one rounded division. Because shingles are per-doc
-    DISTINCT, df ≥ 2 means 'appears in ≥ 2 documents', never 'twice
-    in this doc'. Scale: shuffle carries (shingle, df) — bounded by
-    the shingle vocabulary, not the token stream."""
+    shingle, n_dup = # shingles with df ≥ 2 — all exact integers.
+    Because shingles are per-doc DISTINCT, df ≥ 2 means 'appears in
+    ≥ 2 documents', never 'twice in this doc'.
+
+    Shape (r14 rewrite, guide §2.3/§2.4 — identical output): since
+    each shingle row is per-doc distinct, a df = 1 shingle belongs to
+    exactly ONE doc, so n_dup = n_shingles − |{shingles unique to the
+    doc}|. ONE hash agg keyed by the shingle computes (df, owner =
+    min(doc_id)); the df = 1 groups collapse to a per-doc unique
+    count, which joins back to the bounded per-doc frame. The old
+    shape joined the full exploded shingle stream back to the df
+    table — a SECOND corpus-scale shuffle of the 8-gram strings plus
+    a third doc-keyed shuffle of the joined stream (measured 5.4 →
+    2.9 s at sf0.1); now the only corpus-scale shuffle is the partial-
+    aggregated (shingle, count, min-doc) stream, and everything after
+    it is bounded by doc count, not shingle count."""
     from etl_geonet_quakes_spark.llm.dedup import shingles_str
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", shingles_str(F.col("text"), n).alias("sh")
     )
-    tok = d.select(
-        "doc_id", "source", F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("t"),
+    # per-doc frame: every doc that contributes shingle rows (explode
+    # drops NULL/empty arrays; size >= 1 reproduces that membership)
+    per_doc = d.select(
+        "doc_id", "source", F.size("sh").alias("n_shingles")
+    ).filter(F.col("n_shingles") >= 1)
+    tok = d.select("doc_id", F.explode("sh").alias("t"))
+    uniq = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("d0"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.count("*").alias("n_uniq"))
     )
-    df_tbl = tok.groupBy("t").agg(F.count("*").alias("df"))
     return (
-        tok.join(df_tbl, "t")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.min("n_sh").alias("n_shingles"),
-            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        per_doc.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            (
+                F.col("n_shingles").cast("long")
+                - F.coalesce(F.col("n_uniq"), F.lit(0))
+            ).alias("n_dup"),
         )
         .select(
             "doc_id", "source", "n_shingles", "n_dup",
@@ -1315,6 +1337,10 @@ def bpe_merge_rounds(
             .agg(F.count("*").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "a", "b")
             .limit(1)
+            # one-row argmax feeds BOTH the rewrite and the output
+            # row; materialize it so the corpus pair count runs once
+            # per round, not once per consumer
+            .localCheckpoint()
         )
         d = (
             d.join(F.broadcast(best), F.lit(True))
@@ -1344,6 +1370,16 @@ def bpe_merge_rounds(
                     )
                 ).alias("text"),
             )
+            # r14 (guide §5 lineage truncation): each round's pair
+            # count and rewrite re-executed EVERY prior round's
+            # regexp rewrite + argmax subquery (O(rounds²) corpus
+            # passes — the lineage grows by one rewrite per round).
+            # Materializing the rewritten corpus once per round makes
+            # round r read round r−1's bytes, not its recipe: r
+            # rounds = r corpus scans, the shape the docstring
+            # promises. Identical rows — the checkpoint only cuts
+            # lineage.
+            .localCheckpoint()
         )
         after = d.agg(
             F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
@@ -1508,11 +1544,17 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding first makes the argmax itself cross-engine
     deterministic), ties broken by source name via row_number.
 
-    Shape: token counts are one (token, source) hash agg of the
-    token stream; scoring joins each doc token to the count table
-    LEFT per source (missing pair ⇒ smoothed floor), a 5× bounded
-    fan-out — the shuffles carry (token, source, count); the
-    confusion matrix is O(|sources|²)."""
+    Shape (r14 rewrite, guide §2.3 — identical output): the old plan
+    fanned the token stream |sources|× BEFORE its scoring join
+    (shuffling it 5× by (token, src)) and joined tokens to sources by
+    doc_id. Now ``true_source`` rides the explode (no doc_id join),
+    the per-source counts pivot into ONE map row per token (vocabulary
+    -bounded), and the scoring join shuffles the token stream ONCE by
+    token; the |sources|-way fan-out happens map-side AFTER the join
+    and collapses immediately into the (doc, src) partial agg. The
+    confusion matrix keys on (true_source carried through the
+    aggregation, pred) — no final join back to the corpus. Same ln
+    terms, same 6dp-rounded sums, same row_number tie-break."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.col("source").alias("true_source")
     )
@@ -1523,24 +1565,39 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_src")
     )
     totals = d.agg(F.count("*").alias("n_docs_total"))
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tok = d.select(
+        "doc_id", "true_source", F.explode(tokens(F.col("text"))).alias("token")
+    )
     tc = (
-        tok.join(d.select("doc_id", "true_source"), "doc_id")
-        .groupBy("token", F.col("true_source").alias("src"))
+        tok.groupBy("token", F.col("true_source").alias("src"))
         .agg(F.count("*").alias("c_ts"))
     )
     ns = tc.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
     vocab = tok.agg(F.countDistinct("token").alias("v"))
-    pair = tok.join(F.broadcast(srcs), F.lit(True))
+    # per-token pivot of the per-source counts: one vocabulary-bounded
+    # row per token, so the corpus-scale scoring join below moves the
+    # token stream exactly once (keyed by token, not (token, src))
+    tcw = tc.groupBy("token").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("src"), F.col("c_ts")))
+        ).alias("cm")
+    )
     scored = (
-        pair.join(tc, ["token", "src"], "left")
+        tok.join(tcw, "token", "left")
+        .join(F.broadcast(srcs), F.lit(True))
         .join(F.broadcast(ns), "src")
         .join(F.broadcast(vocab), F.lit(True))
-        .groupBy("doc_id", "src")
+        .groupBy("doc_id", "true_source", "src")
         .agg(
             F.sum(
                 F.log(
-                    (F.coalesce(F.col("c_ts"), F.lit(0)) + F.lit(1))
+                    (
+                        F.coalesce(
+                            F.try_element_at(F.col("cm"), F.col("src")),
+                            F.lit(0),
+                        )
+                        + F.lit(1)
+                    )
                     .cast("double")
                     / (F.col("n_s") + F.col("v")).cast("double")
                 )
@@ -1552,6 +1609,7 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(totals), F.lit(True))
         .select(
             "doc_id",
+            "true_source",
             "src",
             F.round(
                 F.col("ll")
@@ -1567,12 +1625,10 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (
         post.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("src").alias("pred_source"))
+        .select("true_source", F.col("src").alias("pred_source"))
     )
     return (
-        d.select("doc_id", "true_source")
-        .join(pred, "doc_id")
-        .groupBy("true_source", "pred_source")
+        pred.groupBy("true_source", "pred_source")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_source", "pred_source")
     )

@@ -6839,7 +6839,20 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str,
     vals = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"), "cents"
     )
-    hist = vals.groupBy("cents").agg(F.count("*").alias("cnt")).withColumn(
+    # r14 (guide §2.3 "aggregate before you shuffle"): ONE corpus-
+    # scale pass groups by (seg, cents); the value histogram is a
+    # histogram-scale re-aggregation of that table instead of a second
+    # scan+join of the fact side (the old plan computed `vals` twice).
+    # Identical integers: hist.cnt = Σ_seg cnt_g.
+    # (seg, value) histogram is bounded by 5×|distinct cents| — tiny
+    # relative to the fact table; materialize it once for its three
+    # consumers (value histogram, tie stats via hist, rank-sum join)
+    seg_hist = vals.groupBy("seg", "cents").agg(
+        F.count("*").alias("cnt_g")
+    ).localCheckpoint()
+    hist = seg_hist.groupBy("cents").agg(
+        F.sum("cnt_g").alias("cnt")
+    ).withColumn(
         "bkt", (F.col("cents") / bucket_cents).cast("long")
     )
     cum, _ = two_phase_cumsum(hist, "bkt", ["cents"], "cnt", "cum_incl")
@@ -6847,8 +6860,7 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str,
         "cents", "cnt", (F.col("cum_incl") - F.col("cnt")).alias("before")
     )
     per_sv = (
-        vals.groupBy("seg", "cents")
-        .agg(F.count("*").alias("cnt_g"))
+        seg_hist
         .join(cum, "cents")
         .select(
             "seg",
@@ -7637,6 +7649,14 @@ def bipartite_hits(spark: SparkSession, sf_dir: str,
             F.col("l_partkey").alias("part"),
         )
         .distinct()
+        # r14: the two reinforcement rounds reference edges four
+        # times (cust-keyed and part-keyed alternately); materialize
+        # the distinct edge list once instead of re-running the
+        # orders⋈lineitem join for the references AQE's runtime
+        # exchange reuse misses (q115 loop discipline; the edge list
+        # is the DISTINCT (cust, part) set — far below the fact
+        # table it derives from)
+        .localCheckpoint()
     )
     h1 = edges.groupBy("cust").agg(F.count("*").alias("h1"))
     a1 = (
@@ -7881,10 +7901,19 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
     semantics); L2 is one pair-explode + support agg; candidate
     triples join L2⋈L2 on the shared first item with b2 < b3, then
     an inner prune-join against L2 on the (b2,b3) edge; support
-    counting is basket-triple explode ⋈ broadcast(candidates).
-    Everything is exact integers; support ratio is one division,
-    6dp."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    counting is basket-pair explode ⋈ broadcast(candidates) with the
+    third item checked against the basket's OWN item array.
+    Everything is exact integers; support ratio is one division, 6dp.
+
+    r14 shape (guide §1.2/§2.4; identical output): the basket-array
+    table is built ONCE and eagerly materialized — the old plan
+    re-ran the lineitem⋈part join + distinct for the basket-count
+    subquery, both pair-explode branches and a FOURTH time as the
+    per-(order, item) membership join that verified c3. That join is
+    gone entirely: the pair explode carries its basket's sorted item
+    array, so c3 membership is one array_contains on the candidate-
+    matched rows (bounded by |cand| × support), and n_baskets is one
+    count of the materialized array table."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -7895,34 +7924,36 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
                 F.col("p_brand").alias("item"))
         .distinct()
     )
-    nb = baskets.agg(
-        F.countDistinct("oid").alias("n_baskets")
-    )
     ba = baskets.groupBy("oid").agg(
         F.array_sort(F.collect_list("item")).alias("items")
-    )
-    pairs = ba.select(
-        "oid",
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("items"),
-                        lambda x: F.transform(
+    ).localCheckpoint()
+    nb = ba.agg(F.count("*").alias("n_baskets"))
+
+    def _pair_explode(src: DataFrame, *extra: str) -> DataFrame:
+        return src.select(
+            *extra,
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
                             F.col("items"),
-                            lambda y: F.struct(
-                                x.alias("a"), y.alias("b")
+                            lambda x: F.transform(
+                                F.col("items"),
+                                lambda y: F.struct(
+                                    x.alias("a"), y.alias("b")
+                                ),
                             ),
-                        ),
-                    )
-                ),
-                lambda s: s["a"] < s["b"],
-            )
-        ).alias("pr"),
-    ).select("oid", "pr.a", "pr.b")
+                        )
+                    ),
+                    lambda s: s["a"] < s["b"],
+                )
+            ).alias("pr"),
+        ).select(*extra, "pr.a", "pr.b")
+
     thresh = F.ceil(F.lit(float(rel_support)) * F.col("n_baskets"))
     l2 = (
-        pairs.groupBy("a", "b")
+        _pair_explode(ba)
+        .groupBy("a", "b")
         .agg(F.count("*").alias("sup2"))
         .join(F.broadcast(nb), F.lit(True))
         .filter(F.col("sup2") >= thresh)
@@ -7938,15 +7969,11 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
             ["c2", "c3"],
         )
     )
-    triples = pairs.join(
+    triples = _pair_explode(ba, "items").join(
         F.broadcast(cand.select(F.col("c1").alias("a"),
                                 F.col("c2").alias("b"), "c3")),
         ["a", "b"],
-    ).join(
-        baskets.select(F.col("oid").alias("oid2"),
-                       F.col("item").alias("c3v")),
-        (F.col("oid") == F.col("oid2")) & (F.col("c3v") == F.col("c3")),
-    )
+    ).filter(F.array_contains(F.col("items"), F.col("c3")))
     return (
         triples.groupBy("a", "b", "c3")
         .agg(F.count("*").alias("support"))
@@ -8497,6 +8524,63 @@ def sprt_test(spark: SparkSession, sf_dir: str,
     )
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_cooccur: int, checkpoint: bool = True
+) -> DataFrame:
+    """Part co-purchase edge list (u < v, bought together in ≥
+    ``min_cooccur`` orders) — the shared graph construction of
+    q285/q290.
+
+    r14 shape (guide §2.3/§2.4; identical edge set): the old form
+    self-joined lineitem on l_orderkey and DISTINCTed the exploded
+    pair stream — two shuffles of the full lineitem projection plus
+    two shuffles of the pair stream (join output → distinct →
+    count). Now ONE shuffle groups lineitem by order into a sorted
+    distinct part array (basket width is bounded by order width, the
+    q278 basket argument), pairs explode from the array with no
+    shuffle and no per-order duplicates by construction, and the only
+    pair-stream shuffle is the (u, v) support count with map-side
+    partial aggregation.
+
+    ``checkpoint`` (default) eagerly localCheckpoints the bounded
+    edge list: both consumers reference edges several times
+    (adjacency both ways, wedge join sides, negative-sample anti
+    join), and AQE's runtime exchange reuse does not cover every
+    duplicated subtree — the q115/q122 loop-discipline precedent,
+    applied to a multi-reference DAG. Edges are support-filtered
+    node pairs: bounded by co-purchase structure, far below the
+    lineitem fact table they derive from."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x: F.transform(
+                            F.col("ps"),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                ),
+                lambda s: s["u"] < s["v"],
+            )
+        ).alias("pr")
+    ).select("pr.u", "pr.v")
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_cooccur)
+        .select("u", "v")
+    )
+    return edges.localCheckpoint() if checkpoint else edges
+
+
 def link_prediction_auc(spark: SparkSession, sf_dir: str,
                         min_cooccur: int = 2,
                         n_buckets: int = 64) -> DataFrame:
@@ -8517,27 +8601,14 @@ def link_prediction_auc(spark: SparkSession, sf_dir: str,
     Both classes scored by |N(p) ∩ N(q)| via the adjacency
     self-join (exact integers); AUC via the q281 midrank identity —
     doubled ranks BIGINT, ties = half credit. Sampling, scoring,
-    ranking and the final AUC are all engine-exact."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    copairs = (
-        li.alias("x")
-        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_orderkey").alias("oid"),
-            F.col("x.l_partkey").alias("u"),
-            F.col("y.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    edges = (
-        copairs.groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= min_cooccur)
-        .select("u", "v")
-    )
+    ranking and the final AUC are all engine-exact.
+
+    Graph construction is the shared single-shuffle basket-explode
+    form, eagerly materialized (``_copurchase_edges``): edges feed
+    five subtrees here (adjacency twice, positives, node set,
+    negative anti-join) and the old plan re-ran the lineitem
+    self-join for the ones AQE's exchange reuse missed."""
+    edges = _copurchase_edges(spark, sf_dir, min_cooccur)
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -8827,8 +8898,15 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number with (slope, i, j) tie-order — identical doubles ⇒
     identical selection cross-engine — and averaged over the two
     middles when the pair count is even (fixed-shape, 6dp). OLS
-    slope comes from exact BIGINT moments."""
-    x = _daily_count_spine(spark, sf_dir).select("idx", "x")
+    slope comes from exact BIGINT moments.
+
+    r14: the spine is materialized once (localCheckpoint) — it is
+    referenced five times here (both NLJ sides × the two pair-set
+    passes, plus the OLS moments), and each reference re-ran the
+    corpus-scale daily-count aggregation; now the orders table is
+    scanned exactly once and the 10⁴-row spine feeds everything
+    else. Identical rows; only lineage changes."""
+    x = _daily_count_spine(spark, sf_dir).select("idx", "x").localCheckpoint()
     a = x.select(F.col("idx").alias("i"), F.col("x").alias("xi"))
     b = x.select(F.col("idx").alias("j"), F.col("x").alias("xj"))
     # try_divide: the i < j guard makes j - i > 0 on every surviving
@@ -8928,28 +9006,11 @@ def brand_modularity(spark: SparkSession, sf_dir: str,
     + brand-keyed aggs; the Σ over the ≤25-brand frame folds
     per-brand terms rounded 6dp (the q234 bounded-frame policy).
     Also reports the assortativity normalization
-    Q/(1 − Σa_i²)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
+    Q/(1 − Σa_i²). Graph construction is the shared single-shuffle
+    basket-explode form, materialized once (``_copurchase_edges``) —
+    the brand-annotated edge frame feeds three aggregates."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    copairs = (
-        li.alias("x")
-        .join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_orderkey").alias("oid"),
-            F.col("x.l_partkey").alias("u"),
-            F.col("y.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    edges = (
-        copairs.groupBy("u", "v")
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= min_cooccur)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir, min_cooccur)
     bu = p.select(F.col("p_partkey").alias("u"),
                   F.col("p_brand").alias("cu"))
     bv = p.select(F.col("p_partkey").alias("v"),

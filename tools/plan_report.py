@@ -62,6 +62,20 @@ EAGER = {
         "(foreachBatch incremental index); the returned frame is the "
         "materialized union of per-batch emissions"
     ),
+    # r14 optimization round: multi-reference intermediates are now
+    # eagerly localCheckpointed at build (guide §1.2/§2.4 — stop
+    # re-running corpus-scale subtrees per consumer); plan captured
+    # is the post-materialization consumer query.
+    "q125_dedup_prefix": "candidate pairs checkpointed at build (verify tier re-shingles candidates only)",
+    "q180_dedup_containment": "candidate pairs checkpointed at build (verify tier re-shingles candidates only)",
+    "q215_cross_corpus_dedup": "candidate pairs checkpointed at build (verify tier re-shingles candidates only)",
+    "q216_minhash_accuracy": "candidate pairs checkpointed at build; signatures computed for candidate docs only",
+    "q264_bpe_merge_rounds": "per-round rewritten corpus + argmax checkpointed at build (r rounds = r scans)",
+    "q272_bipartite_hits": "distinct (cust, part) edge list checkpointed at build (4 iteration joins)",
+    "q278_apriori_triples": "basket array table checkpointed at build (3 consumers)",
+    "q285_link_prediction_auc": "co-purchase edge list checkpointed at build (5 consumers)",
+    "q289_theil_sen": "daily-count spine checkpointed at build (5 references)",
+    "q290_brand_modularity": "co-purchase edge list checkpointed at build (3 aggregates)",
 }
 
 # BroadcastNestedLoopJoin is the right plan for these: the broadcast
