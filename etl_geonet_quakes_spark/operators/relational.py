@@ -6731,7 +6731,13 @@ def _daily_count_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.to_date("o_orderdate").alias("d")
     )
-    daily = o.groupBy("d").agg(F.count("*").alias("c"))
+    # r14 (guide §2.4): the per-day count table feeds THREE subtrees
+    # (the bounds agg and the spine join side below — and bounds is
+    # itself referenced twice) — without materialization each one
+    # re-ran the corpus-scale orders scan + groupBy. The table is
+    # calendar-bounded (decades ≈ 10⁴ rows), so the checkpoint is
+    # cheap and the orders table is scanned exactly once per spine.
+    daily = o.groupBy("d").agg(F.count("*").alias("c")).localCheckpoint()
     bounds = daily.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("mind"), F.col("maxd"))).alias("day"),

@@ -79,7 +79,15 @@ class SnapshotDiffSink:
            it must outlive the next cycle.
         """
         spark = snapshot.sparkSession
-        ids = snapshot.select("id").dropDuplicates(["id"])
+        # r14 (guide §2.4/§5): materialize the id set ONCE. Three
+        # consumers follow (the expiry anti-join, the upsert count,
+        # the state overwrite), and each action on a lazy `ids` would
+        # re-execute the ENTIRE snapshot plan — for a WARC/codec
+        # pipeline (q392) that meant three full mapInPandas
+        # encode+decode passes per publish. The id set is tiny by
+        # construction (ids only), so the checkpoint is cheap at any
+        # scale; results are identical, only execution count changes.
+        ids = snapshot.select("id").dropDuplicates(["id"]).localCheckpoint()
         prev = self._previous_ids(spark)
         if prev is not None:
             expired = prev.join(ids, "id", "left_anti")
