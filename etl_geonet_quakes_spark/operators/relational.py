@@ -13769,7 +13769,12 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str,
         )
         .filter(F.col("i") < n)
     )
-    approx = series
+    # r14 (guide §2.4): materialize the ≤2^levels-row series once —
+    # every per-level branch (8 energy aggs + the approx chain) and
+    # both consumers of the union below otherwise re-derive it from
+    # the CORPUS-scale orders scan (16 scans in the before-plan);
+    # after the checkpoint the orders table is scanned exactly once.
+    approx = series.localCheckpoint()
     out = None
     for lvl in range(1, levels + 1):
         paired = approx.groupBy((F.col("i") / 2).cast("long").alias("i")).agg(
@@ -13803,6 +13808,8 @@ def haar_wavelet_energy(spark: SparkSession, sf_dir: str,
         approx = paired.select(
             "i", ((F.col("even") + F.col("odd")) / F.lit(2.0)).alias("x")
         )
+    # `out` (≤levels rows) feeds the total agg AND the final select
+    out = out.localCheckpoint()
     tot = out.agg(F.sum("energy").alias("e_tot"))
     return (
         out.join(F.broadcast(tot))
