@@ -531,9 +531,15 @@ def power_iteration(
         )
 
     def y_frame(x: list[float]) -> DataFrame:
-        s = e.select("vec_id", dots(x).alias("s"))
+        # r14 (guide §2.4): s_i is a function of the SAME row as v_i,
+        # so it rides the scan as a projected column — the previous
+        # vec_id self-join (e ⋈ e-derived s) re-scanned the corpus
+        # and shuffled it by vec_id every round for values already in
+        # hand. Per round: one scan, zero joins; the only shuffle is
+        # the 64-key dim agg. Identical arithmetic per row, identical
+        # aggregation — same values.
         return (
-            e.join(s, "vec_id")
+            e.withColumn("s", dots(x))
             .select(F.posexplode("v").alias("dim", "val"), "s")
             .groupBy("dim")
             .agg(F.sum(F.col("val") * F.col("s")).alias("y"))
@@ -553,7 +559,9 @@ def power_iteration(
         norm = sum(v * v for v in ys) ** 0.5
         x = [round6_away(v / norm) for v in ys]
 
-    y = y_frame(x)
+    # the 64-row final iterate feeds both the norm agg and the output
+    # select — materialize it so the final corpus pass runs once
+    y = y_frame(x).localCheckpoint()
     n = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
     return (
         y.join(F.broadcast(n))

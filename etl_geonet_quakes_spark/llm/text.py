@@ -710,7 +710,21 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    # r14 (guide §2.3/§2.4): the count model collapses into ONE bounded
+    # (bg → lp) table before it ever meets the occurrence stream. The
+    # old plan joined the corpus-scale bigram stream by bg, re-shuffled
+    # it by w1 for the head join, and instantiated the bg_counts
+    # subtree twice (scoring side + head_counts derivation) — 4 corpus
+    # scans / 3 corpus-scale exchanges. Now the bg agg runs once
+    # (localCheckpoint, bounded by bigram vocabulary), head counts and
+    # ln P are re-aggregations/expressions OVER that table (ln is
+    # deterministic per bg: same operands → same double as the
+    # per-occurrence evaluation), and the stream pays exactly one
+    # bg-keyed equi-join + the doc agg. 4 scans → 3, 3 corpus-scale
+    # exchanges → 2.
+    bg_counts = (
+        bigrams.groupBy("bg").agg(F.count("*").alias("c_bg")).localCheckpoint()
+    )
     head_counts = bg_counts.withColumn(
         "w1", F.split(F.col("bg"), "\x01").getItem(0)
     ).groupBy("w1").agg(F.sum("c_bg").alias("c_head"))
@@ -718,19 +732,19 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(toks).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
-    scored = (
-        bigrams.join(bg_counts, "bg")
-        .withColumn("w1", F.split(F.col("bg"), "\x01").getItem(0))
+    model = (
+        bg_counts.withColumn("w1", F.split(F.col("bg"), "\x01").getItem(0))
         .join(head_counts, "w1")
         .join(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "bg",
             F.log(
                 (F.col("c_bg") + 1).cast("double")
                 / (F.col("c_head") + F.col("v")).cast("double")
             ).alias("lp"),
         )
     )
+    scored = bigrams.join(model, "bg").select("doc_id", "lp")
     return (
         scored.groupBy("doc_id")
         .agg(

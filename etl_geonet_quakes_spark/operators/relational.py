@@ -2853,10 +2853,18 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
-    daily = e.groupBy("user_id", "day").agg(
-        F.round(F.sum("value"), 6).alias("day_value")
+    # r14 (guide §2.4): spans = min/max day per user is derivable from
+    # the (user, day)-aggregated table — same days survive the agg —
+    # so the second corpus-scale events scan+shuffle the independent
+    # spans subtree cost is gone. daily is localCheckpointed (bounded
+    # by users × days) because it now feeds both spans and the spine
+    # join; events is scanned exactly once.
+    daily = (
+        e.groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+        .localCheckpoint()
     )
-    spans = e.groupBy("user_id").agg(
+    spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     spine = spans.select(
@@ -8934,9 +8942,16 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~5*10^7 rows and either a global sort (one task) or a full
     # two-phase rank (two extra shuffles of every pair) is the
     # bottleneck; this sorts just the median bucket
+    # r14 session 3 (guide §2.4, measured): the histogram pass and the
+    # median-bucket pass each re-ran the full spine×spine NLJ slope
+    # generation — the dominant cost. Materializing the bucketed pair
+    # set runs the generation ONCE; at the 10⁴-day decade-spine worst
+    # case the stored set is ~5·10⁷ × 24-byte rows ≈ 1.2 GB across
+    # the cluster — well inside executor storage, far cheaper than a
+    # second 5·10⁷-row NLJ + division pass.
     bucketed = pairs.withColumn(
         "bkt", F.floor(F.col("slope") * 64).cast("long")
-    )
+    ).localCheckpoint()
     hist = bucketed.groupBy("bkt").agg(F.count("*").alias("cnt"))
     wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = hist.select(
