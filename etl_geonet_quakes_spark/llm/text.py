@@ -1572,22 +1572,34 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.col("source").alias("true_source")
     )
-    srcs = d.select(
-        F.col("true_source").alias("src")
-    ).distinct()
-    prior = d.groupBy(F.col("true_source").alias("src")).agg(
-        F.count("*").alias("n_docs_src")
+    # r14 session 3 (guide §2.4): the model statistics collapse onto
+    # two materialized bounded tables. Previously srcs/prior/totals/
+    # tc/ns/vocab were SIX independent live subtrees — 7 documents
+    # scans (4 of them through the token explode) in one plan. Now:
+    # prior (≤|sources| rows, one plain scan) also yields srcs and
+    # totals as re-aggregations; tc (vocabulary×sources-bounded, one
+    # explode pass) also yields ns and the vocabulary count — every
+    # token occurrence lands in tc, so distinct tokens of tc equal
+    # distinct tokens of the stream. documents scans 7 → 3 (prior,
+    # tc build, scoring stream); explode passes 4 → 2. Identical
+    # integers everywhere.
+    prior = (
+        d.groupBy(F.col("true_source").alias("src"))
+        .agg(F.count("*").alias("n_docs_src"))
+        .localCheckpoint()
     )
-    totals = d.agg(F.count("*").alias("n_docs_total"))
+    srcs = prior.select("src")
+    totals = prior.agg(F.sum("n_docs_src").alias("n_docs_total"))
     tok = d.select(
         "doc_id", "true_source", F.explode(tokens(F.col("text"))).alias("token")
     )
     tc = (
         tok.groupBy("token", F.col("true_source").alias("src"))
         .agg(F.count("*").alias("c_ts"))
+        .localCheckpoint()
     )
     ns = tc.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
-    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    vocab = tc.agg(F.countDistinct("token").alias("v"))
     # per-token pivot of the per-source counts: one vocabulary-bounded
     # row per token, so the corpus-scale scoring join below moves the
     # token stream exactly once (keyed by token, not (token, src))
