@@ -561,7 +561,7 @@ def power_iteration(
 
     # the 64-row final iterate feeds both the norm agg and the output
     # select — materialize it so the final corpus pass runs once
-    y = y_frame(x).localCheckpoint()
+    y = y_frame(x).localCheckpoint(eager=False)
     n = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n"))
     return (
         y.join(F.broadcast(n))

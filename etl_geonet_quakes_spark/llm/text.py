@@ -723,7 +723,8 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bg-keyed equi-join + the doc agg. 4 scans → 3, 3 corpus-scale
     # exchanges → 2.
     bg_counts = (
-        bigrams.groupBy("bg").agg(F.count("*").alias("c_bg")).localCheckpoint()
+        bigrams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=False)
     )
     head_counts = bg_counts.withColumn(
         "w1", F.split(F.col("bg"), "\x01").getItem(0)
@@ -1449,7 +1450,20 @@ def kneser_ney_score(spark: SparkSession, sf_dir: str,
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    bgc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    # r14 (guide §2.3/§2.4, the q147 rewrite applied here): bgc was a
+    # live subtree instantiated four times (scoring side + head/tail/
+    # types derivations) — 5 documents scans, 4 through the bigram
+    # explode — and the corpus-scale occurrence stream was shuffled
+    # three times ((w1,w2), w1, w2) through the scoring joins. The
+    # bigram-TYPE table is materialized once; head/tail/types are its
+    # re-aggregations; ln P collapses into a bounded (w1, w2 → lp)
+    # model table (deterministic per type: same operands → same
+    # double as per-occurrence evaluation); the stream pays exactly
+    # one type-keyed equi-join + the doc agg.
+    bgc = (
+        bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=False)
+    )
     head = bgc.groupBy("w1").agg(
         F.sum("c_bg").alias("c_head"),
         F.count("*").alias("n1p_head"),
@@ -1465,13 +1479,13 @@ def kneser_ney_score(spark: SparkSession, sf_dir: str,
         * (F.col("n1p_tail").cast("double")
            / F.col("n_types").cast("double"))
     )
-    scored = (
-        bigrams.join(bgc, ["w1", "w2"])
-        .join(head, "w1")
+    model = (
+        bgc.join(head, "w1")
         .join(tail, "w2")
         .join(F.broadcast(types))
-        .select("doc_id", F.log(p).alias("lp"))
+        .select("w1", "w2", F.log(p).alias("lp"))
     )
+    scored = bigrams.join(model, ["w1", "w2"]).select("doc_id", "lp")
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1586,7 +1600,7 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = (
         d.groupBy(F.col("true_source").alias("src"))
         .agg(F.count("*").alias("n_docs_src"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     srcs = prior.select("src")
     totals = prior.agg(F.sum("n_docs_src").alias("n_docs_total"))
@@ -1596,7 +1610,7 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (
         tok.groupBy("token", F.col("true_source").alias("src"))
         .agg(F.count("*").alias("c_ts"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ns = tc.groupBy("src").agg(F.sum("c_ts").alias("n_s"))
     vocab = tc.agg(F.countDistinct("token").alias("v"))

@@ -2862,7 +2862,7 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("user_id", "day")
         .agg(F.round(F.sum("value"), 6).alias("day_value"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     spans = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -10322,10 +10322,18 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("brand", "rank")
     )
+    # r14 (guide §2.4): test feeds per_cust AND hits, and per_cust
+    # feeds hits AND n_cust — without materialization the fact-scale
+    # ob join re-instantiated per reference (8 orders / 4 lineitem
+    # scans in the before-plan). test is bounded by customers ×
+    # brands; with it checkpointed the fact join runs twice (top +
+    # test build) and everything else re-aggregates the bounded
+    # frame. per_cust likewise (≤|customers| rows).
     test = (
         ob.filter(F.col("d") >= F.col("mid"))
         .select("o_custkey", "brand")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     per_cust = test.groupBy("o_custkey").agg(
         F.least(F.count("*"), F.lit(k)).alias("m")
