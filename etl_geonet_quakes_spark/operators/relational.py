@@ -2853,18 +2853,10 @@ def interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
-    # r14 (guide §2.4): spans = min/max day per user is derivable from
-    # the (user, day)-aggregated table — same days survive the agg —
-    # so the second corpus-scale events scan+shuffle the independent
-    # spans subtree cost is gone. daily is localCheckpointed (bounded
-    # by users × days) because it now feeds both spans and the spine
-    # join; events is scanned exactly once.
-    daily = (
-        e.groupBy("user_id", "day")
-        .agg(F.round(F.sum("value"), 6).alias("day_value"))
-        .localCheckpoint(eager=False)
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 6).alias("day_value")
     )
-    spans = daily.groupBy("user_id").agg(
+    spans = e.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     spine = spans.select(
@@ -10322,18 +10314,10 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("brand", "rank")
     )
-    # r14 (guide §2.4): test feeds per_cust AND hits, and per_cust
-    # feeds hits AND n_cust — without materialization the fact-scale
-    # ob join re-instantiated per reference (8 orders / 4 lineitem
-    # scans in the before-plan). test is bounded by customers ×
-    # brands; with it checkpointed the fact join runs twice (top +
-    # test build) and everything else re-aggregates the bounded
-    # frame. per_cust likewise (≤|customers| rows).
     test = (
         ob.filter(F.col("d") >= F.col("mid"))
         .select("o_custkey", "brand")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     per_cust = test.groupBy("o_custkey").agg(
         F.least(F.count("*"), F.lit(k)).alias("m")
