@@ -7741,65 +7741,68 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str,
         keep = bit == 0
         aggs.append(F.count(F.when(keep, F.lit(1))).alias(f"m{rep}"))
         aggs.append(F.sum(F.when(keep, F.col("cents"))).alias(f"s{rep}"))
+    # r14 (guide §2.3/§2.4): the full-population count/sum ride the
+    # SAME single-scan aggregate as the replicate draws (hh is an
+    # unfiltered projection of orders, so count(1) == count(*) and the
+    # BIGINT cent sum is associative ⇒ value-identical) — the plan's
+    # second orders scan is gone. The B=64 replicate means then fold
+    # ENTIRELY in array algebra on the one aggregate row: order
+    # statistics via array_sort + element_at (equal VALUES to the old
+    # row_number protocol — ties in mean_b carry the same value, so
+    # the rep tie-break can't change the emitted quantile), Σm and Σm²
+    # as exact DECIMAL(38,12) folds (associative ⇒ order-free). This
+    # removes the explode → window exchange and the broadcast join:
+    # the whole query is one scan stage and one 1-row reduce.
+    aggs.append(F.count(F.lit(1)).alias("n_all"))
+    aggs.append(F.sum("cents").alias("s_all"))
     wide = hh.agg(*aggs)
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(rep).cast("long").alias("rep"),
-                F.col(f"m{rep}").alias("m"),
-                F.col(f"s{rep}").alias("s"),
-            )
-            for rep in range(1, n_replicates + 1)
-        ]
+    mean_of = lambda rep: (  # noqa: E731
+        F.round(
+            F.col(f"s{rep}").cast("double")
+            / (F.lit(100.0) * F.col(f"m{rep}").cast("double")),
+            6,
+        ).cast("decimal(18,6)")
     )
-    drawn = (
-        wide.select(F.explode(arr).alias("r"))
-        .select(
-            F.col("r.rep").alias("rep"),
-            F.col("r.m").alias("m"),
-            F.round(
-                F.col("r.s").cast("double")
-                / (F.lit(100.0) * F.col("r.m").cast("double")),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("mean_b"),
-        )
+    means = F.array_sort(
+        F.array(*[mean_of(rep) for rep in range(1, n_replicates + 1)])
     )
-    w = Window.orderBy("mean_b", "rep")
-    ranked = drawn.withColumn("rn", F.row_number().over(w))
     lo_idx = math.ceil(0.025 * n_replicates)
     hi_idx = math.ceil(0.975 * n_replicates)
-    full = load_table(spark, sf_dir, "orders").agg(
-        F.count("*").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sc"),
+    dz = F.lit(0).cast("decimal(38,12)")
+    # the merge cast keeps the fold type fixed at decimal(38,12)
+    # (decimal addition promotes precision past 38 otherwise); values
+    # are ≤ B·10^12-scaled means, so the cast is lossless — every
+    # partial sum is exact, same integers as the old hash-agg SUMs
+    sm = F.aggregate(
+        means,
+        dz,
+        lambda acc, x: (acc + x.cast("decimal(38,12)")).cast(
+            "decimal(38,12)"
+        ),
     )
-    agg = ranked.agg(
-        F.count("*").alias("n_replicates"),
-        F.sum(F.col("mean_b").cast("decimal(38,12)")).alias("sm"),
-        F.sum(
-            (F.col("mean_b") * F.col("mean_b")).cast("decimal(38,12)")
-        ).alias("sm2"),
-        F.max(F.when(F.col("rn") == lo_idx, F.col("mean_b"))).alias("lo"),
-        F.max(F.when(F.col("rn") == hi_idx, F.col("mean_b"))).alias("hi"),
+    sm2 = F.aggregate(
+        means,
+        dz,
+        lambda acc, x: (acc + (x * x).cast("decimal(38,12)")).cast(
+            "decimal(38,12)"
+        ),
     )
-    bd = F.col("n_replicates").cast("double")
-    return agg.join(F.broadcast(full), F.lit(True)).select(
-        "n_orders",
-        "n_replicates",
+    bd = F.lit(float(n_replicates))
+    return wide.select(
+        F.col("n_all").alias("n_orders"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
         F.round(
-            F.col("sc").cast("double")
-            / (F.lit(100.0) * F.col("n_orders").cast("double")),
+            F.col("s_all").cast("double")
+            / (F.lit(100.0) * F.col("n_all").cast("double")),
             6,
         ).alias("point_mean"),
-        F.col("lo").cast("double").alias("ci_lo"),
-        F.col("hi").cast("double").alias("ci_hi"),
+        F.element_at(means, lo_idx).cast("double").alias("ci_lo"),
+        F.element_at(means, hi_idx).cast("double").alias("ci_hi"),
         F.round(
             F.sqrt(
                 (
-                    F.col("sm2").cast("double")
-                    - F.col("sm").cast("double")
-                    * F.col("sm").cast("double") / bd
+                    sm2.cast("double")
+                    - sm.cast("double") * sm.cast("double") / bd
                 )
                 / (bd - F.lit(1.0))
             ),
@@ -12981,10 +12984,27 @@ def markov_chain_power(spark: SparkSession, sf_dir: str,
         F.row_number().over(w).alias("rn"),
         F.lead("event_type").over(w).alias("to_type"),
     )
-    trans = (
-        seq.filter(F.col("to_type").isNotNull())
-        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+    # r14 (guide §2.3/§2.4, the q147/q268 model-table discipline): the
+    # transition counts, the initial-state counts AND the user count
+    # are all re-aggregations of ONE bounded (event_type, to_type,
+    # is_first) count table — previously each was an independent live
+    # subtree re-running the corpus-scale window pass (4 events scans
+    # in the plan: tm, state init, the distinct-user count). Integer
+    # counts of disjoint row partitions re-sum exactly; every user has
+    # exactly one rn==1 row, so n_users == Σ initial-state counts ==
+    # the old countDistinct(user_id), value-identical.
+    base = (
+        seq.select(
+            "event_type", "to_type", (F.col("rn") == 1).alias("first")
+        )
+        .groupBy("event_type", "to_type", "first")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    trans = (
+        base.filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.sum("n").alias("n"))
     )
     tw = Window.partitionBy("from_type")
     tm = trans.select(
@@ -12992,17 +13012,17 @@ def markov_chain_power(spark: SparkSession, sf_dir: str,
         "to_type",
         (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
     )
-    n_users = e.select("user_id").distinct().count()
-    state = (
-        seq.filter(F.col("rn") == 1)
+    init = (
+        base.filter(F.col("first"))
         .groupBy(F.col("event_type").alias("state"))
-        .agg(
-            F.round(
-                F.count("*").cast("double") / F.lit(float(n_users)), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("prob")
-        )
+        .agg(F.sum("n").alias("cnt"))
+    )
+    n_users = init.agg(F.sum("cnt")).first()[0]
+    state = init.select(
+        "state",
+        F.round(F.col("cnt").cast("double") / F.lit(float(n_users)), 6)
+        .cast("decimal(18,6)")
+        .alias("prob"),
     )
     for _ in range(steps):
         moved = (
