@@ -9684,10 +9684,19 @@ def logistic_irls(spark: SparkSession, sf_dir: str,
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
     )
     wb = Window.orderBy("cents", "o_orderkey")
+    # r14 (guide §2.4): `cells` is a ≤2·n_bins-row frame behind the
+    # corpus-scale ntile GLOBAL SORT, and it feeds two consumers (the
+    # moment agg and the collect) — without materialization the sort
+    # subtree instantiates twice (2 orders scans + 2 global sorts in
+    # the plan). Eager checkpoint: the sort runs exactly once;
+    # downstream reads ≤20 rows from blocks. (Eager, not lazy — both
+    # consumers sit in one action, and concurrent subtree execution
+    # would recompute the sort before a lazy checkpoint lands.)
     cells = (
         o.withColumn("bin", F.ntile(n_bins).over(wb))
         .groupBy("bin", "y")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     mom = cells.agg(
         F.sum("cnt").alias("n"),
@@ -12693,10 +12702,15 @@ def poisson_irls(spark: SparkSession, sf_dir: str,
         .join(counts, "o_orderkey")
     )
     wb = Window.orderBy("cents", "o_orderkey")
+    # r14 (guide §2.4): same as q304 — the ≤70-row cell frame sits
+    # behind the corpus-scale ntile global sort and feeds two
+    # consumers; eager checkpoint runs the sort once (was 2 scans +
+    # 2 sorts in the plan).
     cells = (
         o.withColumn("bin", F.ntile(n_bins).over(wb))
         .groupBy("bin", "y")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     mom = cells.agg(
         F.sum("cnt").alias("n"),
