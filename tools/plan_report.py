@@ -44,7 +44,10 @@ EAGER = {
         "pair cache builds at first use; per-pivot BFS loop is lazy "
         "(plan is the final round)"
     ),
-    "q357_markov_power": "n_users distinct-count runs at build time",
+    "q357_markov_power": (
+        "bounded (from,to,first) count table checkpointed at build; "
+        "n_users is its re-aggregation"
+    ),
     "q257_kaplan_meier": "life table checkpointed at first use (shared _SURV_CACHE)",
     "q299_nelson_aalen": "reuses the checkpointed life table",
     "q360_weibull_fit": "reuses the checkpointed life table",
