@@ -9684,28 +9684,34 @@ def logistic_irls(spark: SparkSession, sf_dir: str,
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
     )
     wb = Window.orderBy("cents", "o_orderkey")
-    # r14 (guide §2.4): `cells` is a ≤2·n_bins-row frame behind the
-    # corpus-scale ntile GLOBAL SORT, and it feeds two consumers (the
-    # moment agg and the collect) — without materialization the sort
-    # subtree instantiates twice (2 orders scans + 2 global sorts in
-    # the plan). Eager checkpoint: the sort runs exactly once;
-    # downstream reads ≤20 rows from blocks. (Eager, not lazy — both
-    # consumers sit in one action, and concurrent subtree execution
-    # would recompute the sort before a lazy checkpoint lands.)
+    # r14 (guide §2.3/§2.4): `cells` is a ≤2·n_bins-row frame behind
+    # the corpus-scale ntile GLOBAL SORT, and it used to feed two
+    # consumers (a moment agg + the collect), instantiating the sort
+    # subtree twice (2 orders scans + 2 global sorts in the plan).
+    # Instead of materializing (an eager checkpoint serializes an
+    # extra job — measured 1.3–1.5× locally), the moment sums fold
+    # off the COLLECTED array itself: integer sums of the same ≤20
+    # (bin, y, cnt) cells, associative ⇒ value-identical, and `cells`
+    # now has exactly one consumer — the sort runs once, one job.
     cells = (
         o.withColumn("bin", F.ntile(n_bins).over(wb))
         .groupBy("bin", "y")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
     )
-    mom = cells.agg(
-        F.sum("cnt").alias("n"),
-        F.sum(F.col("bin") * F.col("cnt")).alias("sb"),
-        F.sum(F.col("bin") * F.col("bin") * F.col("cnt")).alias("sbb"),
+    lz = F.lit(0).cast("long")
+    lsum = lambda term: F.aggregate(  # noqa: E731
+        F.transform("cl", term), lz, lambda a, t: a + t
     )
     one = cells.agg(
         F.sort_array(F.collect_list(F.struct("bin", "y", "cnt"))).alias("cl")
-    ).join(F.broadcast(mom), F.lit(True))
+    ).select(
+        "cl",
+        lsum(lambda c: c["cnt"].cast("long")).alias("n"),
+        lsum(lambda c: (c["bin"] * c["cnt"]).cast("long")).alias("sb"),
+        lsum(
+            lambda c: (c["bin"] * c["bin"] * c["cnt"]).cast("long")
+        ).alias("sbb"),
+    )
     mean = F.col("sb").cast("double") / F.col("n").cast("double")
     sd = F.sqrt(
         F.col("sbb").cast("double") / F.col("n").cast("double") - mean * mean
@@ -12702,24 +12708,29 @@ def poisson_irls(spark: SparkSession, sf_dir: str,
         .join(counts, "o_orderkey")
     )
     wb = Window.orderBy("cents", "o_orderkey")
-    # r14 (guide §2.4): same as q304 — the ≤70-row cell frame sits
-    # behind the corpus-scale ntile global sort and feeds two
-    # consumers; eager checkpoint runs the sort once (was 2 scans +
-    # 2 sorts in the plan).
+    # r14 (guide §2.3/§2.4): same as q304 — the ≤70-row cell frame
+    # sits behind the corpus-scale ntile global sort; the moment sums
+    # fold off the collected array (integer sums, value-identical), so
+    # the frame has one consumer and the sort runs once, in one job.
     cells = (
         o.withColumn("bin", F.ntile(n_bins).over(wb))
         .groupBy("bin", "y")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
     )
-    mom = cells.agg(
-        F.sum("cnt").alias("n"),
-        F.sum(F.col("bin") * F.col("cnt")).alias("sb"),
-        F.sum(F.col("bin") * F.col("bin") * F.col("cnt")).alias("sbb"),
+    lz = F.lit(0).cast("long")
+    lsum = lambda term: F.aggregate(  # noqa: E731
+        F.transform("cl", term), lz, lambda a, t: a + t
     )
     one = cells.agg(
         F.sort_array(F.collect_list(F.struct("bin", "y", "cnt"))).alias("cl")
-    ).join(F.broadcast(mom), F.lit(True))
+    ).select(
+        "cl",
+        lsum(lambda c: c["cnt"].cast("long")).alias("n"),
+        lsum(lambda c: (c["bin"] * c["cnt"]).cast("long")).alias("sb"),
+        lsum(
+            lambda c: (c["bin"] * c["bin"] * c["cnt"]).cast("long")
+        ).alias("sbb"),
+    )
     mean = F.col("sb").cast("double") / F.col("n").cast("double")
     sd = F.sqrt(
         F.col("sbb").cast("double") / F.col("n").cast("double") - mean * mean
