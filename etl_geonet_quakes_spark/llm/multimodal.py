@@ -183,7 +183,17 @@ def synthesize_ppm_media(
                 payloads.append(b"P6\n%d %d\n255\n" % (width, height) + px)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the input is an 8-byte/row doc_id projection — at fixture scale
+    # it collapses to ONE split, serializing the Python codec; a
+    # repartition of this tiny column is near-free and spreads encode
+    # across all cores (at real scale the scan has many splits and
+    # AQE would coalesce, so this is bench-scale parallelism, not a
+    # data shuffle)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -297,7 +307,17 @@ def synthesize_wav_media(
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the input is an 8-byte/row doc_id projection — at fixture scale
+    # it collapses to ONE split, serializing the Python codec; a
+    # repartition of this tiny column is near-free and spreads encode
+    # across all cores (at real scale the scan has many splits and
+    # AQE would coalesce, so this is bench-scale parallelism, not a
+    # data shuffle)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -466,7 +486,17 @@ def synthesize_png_media(
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the input is an 8-byte/row doc_id projection — at fixture scale
+    # it collapses to ONE split, serializing the Python codec; a
+    # repartition of this tiny column is near-free and spreads encode
+    # across all cores (at real scale the scan has many splits and
+    # AQE would coalesce, so this is bench-scale parallelism, not a
+    # data shuffle)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -705,7 +735,17 @@ def synthesize_png_interlaced_media(
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the input is an 8-byte/row doc_id projection — at fixture scale
+    # it collapses to ONE split, serializing the Python codec; a
+    # repartition of this tiny column is near-free and spreads encode
+    # across all cores (at real scale the scan has many splits and
+    # AQE would coalesce, so this is bench-scale parallelism, not a
+    # data shuffle)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -838,7 +878,13 @@ def synthesize_html_data_uri_media(spark: SparkSession, sf_dir: str) -> DataFram
                 }
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # same bench-scale parallelism note as the image synths: the
+    # one-split doc_id projection would serialize the page builder
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return d.mapInPandas(gen, schema="doc_id long, html string")
 
 
