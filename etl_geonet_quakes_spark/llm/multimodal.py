@@ -2806,6 +2806,10 @@ def media_warc_gzip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_geonet_quakes_spark.streaming.windows import _run_to_memory
 
     batch = load_table(spark, sf_dir, "documents")
+    # NO micro-batch repartition here, unlike the batch synths: an
+    # interleaved A/B (r14 session 5) measured the per-micro-batch
+    # shuffle of the text column costing more than the serialized
+    # gzip stage it spreads (q391 runs 2.8-3.6 s → 3.9-13.9 s)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -2864,6 +2868,11 @@ def media_warc_stream_upsert_expiry(spark: SparkSession, sf_dir: str) -> DataFra
         )
         if keep is not None:
             stream = stream.filter(keep)
+        # NO micro-batch repartition (r14 session 5, measured): the
+        # per-batch shuffle regressed the interleaved A/B 6.67 →
+        # 9.49 s mins — the stateful publish pipeline pays the extra
+        # stage twice per crawl while the serialized gzip it would
+        # spread is not the bottleneck here
         snap = (
             decode_warc_gzip_features(_warc_gzip_payloads(stream))
             .filter(F.col("valid"))
