@@ -183,17 +183,12 @@ def synthesize_ppm_media(
                 payloads.append(b"P6\n%d %d\n255\n" % (width, height) + px)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # the input is an 8-byte/row doc_id projection — at fixture scale
-    # it collapses to ONE split, serializing the Python codec; a
-    # repartition of this tiny column is near-free and spreads encode
-    # across all cores (at real scale the scan has many splits and
-    # AQE would coalesce, so this is bench-scale parallelism, not a
-    # data shuffle)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # NO repartition here, unlike the PNG/JPEG/data-URI synths: this
+    # codec's Python work is too cheap to pay for the extra shuffle
+    # stage (r14 session 5 interleaved A/B: repartition REGRESSED the
+    # query, mins 0.81 -> 0.91 s PPM / 0.67 -> 0.81 s WAV; the
+    # single-thread codec cost is ~0.2 s total vs ~2 s for PNG)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
@@ -307,17 +302,12 @@ def synthesize_wav_media(
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    # the input is an 8-byte/row doc_id projection — at fixture scale
-    # it collapses to ONE split, serializing the Python codec; a
-    # repartition of this tiny column is near-free and spreads encode
-    # across all cores (at real scale the scan has many splits and
-    # AQE would coalesce, so this is bench-scale parallelism, not a
-    # data shuffle)
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # NO repartition here, unlike the PNG/JPEG/data-URI synths: this
+    # codec's Python work is too cheap to pay for the extra shuffle
+    # stage (r14 session 5 interleaved A/B: repartition REGRESSED the
+    # query, mins 0.81 -> 0.91 s PPM / 0.67 -> 0.81 s WAV; the
+    # single-thread codec cost is ~0.2 s total vs ~2 s for PNG)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
