@@ -7939,25 +7939,27 @@ def apriori_triples(spark: SparkSession, sf_dir: str,
     nb = ba.agg(F.count("*").alias("n_baskets"))
 
     def _pair_explode(src: DataFrame, *extra: str) -> DataFrame:
-        return src.select(
-            *extra,
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("items"),
-                            lambda x: F.transform(
-                                F.col("items"),
-                                lambda y: F.struct(
-                                    x.alias("a"), y.alias("b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["a"] < s["b"],
-                )
-            ).alias("pr"),
-        ).select(*extra, "pr.a", "pr.b")
+        # r15 (guide §4.1, the q216 codegen lesson): the old
+        # flatten(transform(transform(…))) + filter built |items|²
+        # structs per basket through the INTERPRETED higher-order-
+        # function evaluator before keeping the a < b half. items is
+        # a sorted DISTINCT set, so value order == position order and
+        # "elements after position i" == "elements greater than
+        # items[i]": posexplode + slice generate exactly the same
+        # a < b pair multiset with every expression in whole-stage
+        # codegen (slice past the end yields an empty array, so the
+        # last element pairs with nothing, as before).
+        carried = list(extra) if "items" in extra else [*extra, "items"]
+        return (
+            src.select(*carried, F.posexplode("items").alias("_pi", "a"))
+            .select(
+                *extra,
+                "a",
+                F.explode(
+                    F.slice(F.col("items"), F.col("_pi") + 2, F.size("items"))
+                ).alias("b"),
+            )
+        )
 
     thresh = F.ceil(F.lit(float(rel_support)) * F.col("n_baskets"))
     l2 = (
@@ -8041,23 +8043,16 @@ def apriori_volume_metrics(spark: SparkSession, sf_dir: str,
         .agg(F.sum("c"))
         .first()[0]
     )
+    # mirrors apriori_triples' r15 codegen pair explode (same volumes)
     pairs = ba.select(
+        "oid", "items", F.posexplode("items").alias("_pi", "a")
+    ).select(
         "oid",
+        "a",
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("items"),
-                        lambda x: F.transform(
-                            F.col("items"),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                ),
-                lambda s: s["a"] < s["b"],
-            )
-        ).alias("pr"),
-    ).select("oid", "pr.a", "pr.b")
+            F.slice(F.col("items"), F.col("_pi") + 2, F.size("items"))
+        ).alias("b"),
+    )
     import math as _math
 
     thresh = _math.ceil(rel_support * n_baskets)
@@ -8565,22 +8560,19 @@ def _copurchase_edges(
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias("ps")
     )
+    # r15 (guide §4.1): pair generation in whole-stage codegen —
+    # posexplode + slice over the sorted distinct basket array emits
+    # exactly the u < v pairs (value order == position order), where
+    # the old flatten(transform(transform)) + filter built |ps|²
+    # structs per order through the interpreted HOF evaluator.
     pairs = baskets.select(
+        "ps", F.posexplode("ps").alias("_pi", "u")
+    ).select(
+        "u",
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x: F.transform(
-                            F.col("ps"),
-                            lambda y: F.struct(x.alias("u"), y.alias("v")),
-                        ),
-                    )
-                ),
-                lambda s: s["u"] < s["v"],
-            )
-        ).alias("pr")
-    ).select("pr.u", "pr.v")
+            F.slice(F.col("ps"), F.col("_pi") + 2, F.size("ps"))
+        ).alias("v"),
+    )
     edges = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("w"))

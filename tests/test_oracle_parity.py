@@ -54,6 +54,16 @@ def _normalize(cols, rows):
     return named, data
 
 
+#: Raw oracle results observed by this process, keyed by
+#: (sf_dir, query name) → (columns, rows). The full-suite run used to
+#: execute every DuckDB oracle TWICE — once here, once in
+#: test_registry_guard's fingerprint-collision sweep (~2 min of pure
+#: DuckDB re-execution). The sweep now reuses these results when the
+#: parity run already produced them for the same sf_dir, and computes
+#: afresh otherwise (so running either file alone is unchanged).
+ORACLE_RESULT_CACHE: dict = {}
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(name, spark, sf_dir, ddb):
     spec = SPECS[name]
@@ -64,6 +74,7 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
     res = ddb.sql(spec.oracle)
     d_cols = list(res.columns)
     d_rows = res.fetchall()
+    ORACLE_RESULT_CACHE[(sf_dir, name)] = (d_cols, d_rows)
 
     s_named, s_data = _normalize(s_cols, s_rows)
     d_named, d_data = _normalize(d_cols, d_rows)
