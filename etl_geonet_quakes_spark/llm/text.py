@@ -698,7 +698,14 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Floats: Σ ln P is fold-order-sensitive → rounded 6dp on both
     engines (the cosine policy)."""
-    d = load_table(spark, sf_dir, "documents")
+    from etl_geonet_quakes_spark.llm.dedup import spread_single_split_scan
+
+    # r15: the bigram explode + model-table partial aggs run in the
+    # scan stage (one task on the single-row-group fixture) — spread
+    # it (gated; no-op when the scan already feeds every core)
+    d = spread_single_split_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = tokens(F.col("text"))
     bigrams = d.select(
         "doc_id",
@@ -1126,11 +1133,20 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str,
     2.9 s at sf0.1); now the only corpus-scale shuffle is the partial-
     aggregated (shingle, count, min-doc) stream, and everything after
     it is bounded by doc count, not shingle count."""
-    from etl_geonet_quakes_spark.llm.dedup import shingles_str
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", shingles_str(F.col("text"), n).alias("sh")
+    from etl_geonet_quakes_spark.llm.dedup import (
+        shingles_str,
+        spread_single_split_scan,
     )
+
+    # r15: the 8-gram shingle build + the map-side partial agg of the
+    # df table run in the scan stage, which plans as ONE task on the
+    # single-row-group fixture — spread it (gated; no-op when the
+    # scan already has >= cores splits; see spread_single_split_scan)
+    d = spread_single_split_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    ).select("doc_id", "source", shingles_str(F.col("text"), n).alias("sh"))
     # per-doc frame: every doc that contributes shingle rows (explode
     # drops NULL/empty arrays; size >= 1 reproduces that membership)
     per_doc = d.select(
@@ -1332,6 +1348,13 @@ def bpe_merge_rounds(
     frequency at merge time, and the corpus token count after the
     rewrite (each merge removes exactly pair_count tokens unless
     overlaps collapsed; the delta is the overlap audit)."""
+    # r15: spread_single_split_scan was tried here and REVERTED on
+    # measurement (alternating isolation A/B: 2.5-2.9 s one-split vs
+    # 3.3-5.4 s spread): the loop re-checkpoints the corpus each
+    # round, so a 32-partition spread multiplies per-round task
+    # scheduling and checkpoint partitions across rounds — the
+    # opposite trade from the single-pass consumers (q147/q268/q276)
+    # where the spread wins.
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     per_round = []
     for r in range(1, rounds + 1):
@@ -1438,7 +1461,14 @@ def kneser_ney_score(spark: SparkSession, sf_dir: str,
     bigram explode, counts keyed by bigram/head/tail (the N1+ tables
     are groupings of the bigram-TYPE table, never the corpus), one
     bigram-keyed scoring join; shuffles carry counts, never text."""
-    d = load_table(spark, sf_dir, "documents")
+    from etl_geonet_quakes_spark.llm.dedup import spread_single_split_scan
+
+    # r15: the bigram explode + model-table partial aggs run in the
+    # scan stage (one task on the single-row-group fixture) — spread
+    # it (gated; no-op when the scan already feeds every core)
+    d = spread_single_split_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = tokens(F.col("text"))
     bigrams = d.select(
         "doc_id",
@@ -1583,9 +1613,16 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix keys on (true_source carried through the
     aggregation, pred) — no final join back to the corpus. Same ln
     terms, same 6dp-rounded sums, same row_number tie-break."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.col("source").alias("true_source")
-    )
+    from etl_geonet_quakes_spark.llm.dedup import spread_single_split_scan
+
+    # r15: the token explode + the model tables' map-side partial
+    # aggs run in the scan stage — ONE task on the single-row-group
+    # fixture; spread it (gated, no-op at >= cores splits)
+    d = spread_single_split_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+    ).select("doc_id", "text", F.col("source").alias("true_source"))
     # r14 session 3 (guide §2.4): the model statistics collapse onto
     # two materialized bounded tables. Previously srcs/prior/totals/
     # tc/ns/vocab were SIX independent live subtrees — 7 documents
