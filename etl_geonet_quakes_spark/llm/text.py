@@ -1133,19 +1133,20 @@ def duplicate_ngram_rate(spark: SparkSession, sf_dir: str,
     2.9 s at sf0.1); now the only corpus-scale shuffle is the partial-
     aggregated (shingle, count, min-doc) stream, and everything after
     it is bounded by doc count, not shingle count."""
-    from etl_geonet_quakes_spark.llm.dedup import (
-        shingles_str,
-        spread_single_split_scan,
-    )
+    from etl_geonet_quakes_spark.llm.dedup import shingles_str
 
-    # r15: the 8-gram shingle build + the map-side partial agg of the
-    # df table run in the scan stage, which plans as ONE task on the
-    # single-row-group fixture — spread it (gated; no-op when the
-    # scan already has >= cores splits; see spread_single_split_scan)
-    d = spread_single_split_scan(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text"
-        )
+    # r15 close-out: spread_single_split_scan was applied here
+    # mid-round and REMOVED on re-measurement — two independent
+    # quiet-window same-process toggles (4- and 6-rep alternating)
+    # read the spread at min-ratio 1.20–1.25 / med-ratio 1.16–1.19
+    # (off [0.81..1.02] vs on [0.97..1.28] s): this query's only
+    # corpus-scale stage is already the map-side PARTIAL agg of the
+    # (shingle, df, min-doc) stream, and the added round-robin
+    # exchange of the raw text rows costs more than the parallel
+    # shingle build saves. The helper stays on the passes where the
+    # toggle reads it a win (q39/q40/q216/q268 — see dedup.py).
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     ).select("doc_id", "source", shingles_str(F.col("text"), n).alias("sh"))
     # per-doc frame: every doc that contributes shingle rows (explode
     # drops NULL/empty arrays; size >= 1 reproduces that membership)
